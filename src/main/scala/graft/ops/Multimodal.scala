@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, processed in partition-sized batches.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * deterministic STUB (clearly marked below); everything around it — the
+  * schema contract, the binary column representation, batch-shaped
+  * per-partition processing, partition sizing — is real and is what matters
+  * on a cluster: decode cost dominates, so the operator must (a) never
+  * collect bytes to the driver, (b) process whole partitions per task,
+  * (c) emit small typed features instead of re-shuffling raw bytes.
+  */
+object Multimodal {
+
+  /** Typed feature row emitted per media blob. */
+  case class MediaFeature(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      checksum: Long)
+
+  /** STUB decode: stands in for an image/audio codec. Deterministic fake —
+    * derives "dimensions" from blob bytes. On a real cluster this is the
+    * only function to replace (JNI codec / JCodec / etc.); the Spark-side
+    * plumbing stays identical.
+    */
+  private def stubDecode(id: Long, mediaType: String, blob: Array[Byte]): MediaFeature = {
+    var crc = 0L
+    var i = 0
+    while (i < blob.length) { crc = crc * 31 + (blob(i) & 0xff); i += 1 }
+    MediaFeature(
+      doc_id = id,
+      media_type = mediaType,
+      n_bytes = blob.length.toLong,
+      width = math.abs((crc % 1920).toInt) + 1,
+      height = math.abs((crc % 1080).toInt) + 1,
+      checksum = crc)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // documents.text reinterpreted as a media blob (binary col) + metadata
+    // struct; features extracted per-partition in batches.
+    "q41_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          encode(col("text"), "UTF-8").as("blob"),
+          struct(
+            lit("image/stub").as("content_type"),
+            col("source").as("origin"),
+            col("n_chars").as("declared_size")).as("meta"))
+      // batch-shaped decode: one task per partition, no driver involvement
+      val feats = blobs
+        .select(col("doc_id"), col("meta.content_type"), col("blob"))
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions(_.map { case (id, ct, blob) => stubDecode(id, ct, blob) })
+      feats.toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("width"), col("height"), col("checksum"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map()
+}

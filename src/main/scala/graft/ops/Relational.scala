@@ -1,0 +1,262 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational analytics surface.
+  *
+  * The reference exposes its records through an in-memory H2 database and
+  * lets the operator run arbitrary SQL over `requests / responses / actions /
+  * results` (reference: src/hbase_packet_inspector/sink/db.clj:8-37 schema,
+  * :101-113 SQL shell + web UI). This module re-expresses the query patterns
+  * that surface supports — traffic profiling, request/response correlation,
+  * latency percentiles, top-k, sessionization of scanner lifecycles — as
+  * Catalyst-optimized DataFrame plans over the driver testdata.
+  *
+  * Oracle-parity discipline:
+  *   - money-ish doubles (2-decimal by construction) are cast to
+  *     DECIMAL(18,2) *before* any arithmetic, making sums exact and
+  *     order-insensitive; final outputs cast back to double.
+  *   - epoch-nanos longs never pass through doubles; bucketing uses
+  *     integral `DIV`, and DuckDB `epoch_ms` (floor) composes with it.
+  *   - every limit carries a unique tiebreaker; counts are always LongType
+  *     to match DuckDB BIGINT.
+  */
+object Relational {
+
+  private val dec = DecimalType(18, 2)
+  /** Exact cast for source columns that carry at most 2 decimals. */
+  private def d2(c: Column): Column = c.cast(dec)
+  private def asDouble(c: Column): Column = c.cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_method_counts" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          asDouble(sum(d2(col("value")))).as("total_value"))),
+
+    "q02_filter_project" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value") > 100.0)
+        .select(col("event_id"), col("user_id"), col("value"))),
+
+    "q03_reqres_join" -> ((s, dir) => {
+      val o  = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      // request/response correlation pattern: join on the shared call key,
+      // derive value from both sides (HPI: elapsed = response.ts - request.ts)
+      o.join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          asDouble(sum(d2(col("l_extendedprice")) * d2(lit(1.0) - col("l_discount"))))
+            .as("revenue"))
+    }),
+
+    "q04_slow_topk" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("value").desc, col("event_id").asc)
+        .limit(20)),
+
+    "q05_time_buckets" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          expr("(ts DIV 3600000000000) * 3600").as("hour_s"),
+          col("value"))
+        .groupBy(col("hour_s"))
+        .agg(
+          count(lit(1)).as("n"),
+          asDouble(sum(d2(col("value")))).as("total_value"))),
+
+    "q06_latency_pctl" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          expr("percentile(value, 0.99)").as("p99"))),
+
+    "q07_error_rate" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+        .withColumn("err_rate", col("n_err").cast("double") / col("n"))),
+
+    "q08_distinct_clients" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))),
+
+    "q09_batch_stats" -> ((s, dir) => {
+      val per = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+      Tables.orders(s, dir)
+        .join(per, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("n_items")).as("total_items"))
+        .withColumn("avg_batch", col("total_items").cast("double") / col("n_orders"))
+    }),
+
+    "q10_hot_regions" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      val c  = Tables.customer(s, dir)
+      val n  = Tables.nation(s, dir)
+      val r  = Tables.region(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          asDouble(sum(d2(col("l_extendedprice")) * d2(lit(1.0) - col("l_discount"))))
+            .as("revenue"))
+    }),
+
+    "q11_scan_sessions" -> ((s, dir) => {
+      val ms = expr("ts DIV 1000000").as("ms")
+      val w  = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), ms)
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("n_sessions"))
+    }),
+
+    "q12_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000000").as("ms"),
+          col("value"))
+        .withColumn("running", asDouble(sum(d2(col("value"))).over(w)))
+        .select(col("event_id"), col("user_id"), col("running"))
+    }),
+
+    "q13_asof_match" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts DIV 1000000").as("ms"))
+        .withColumn("last_click_ms",
+          max(when(col("event_type") === "click", col("ms"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ms"), col("last_click_ms"),
+          (col("ms") - col("last_click_ms")).as("wait_ms"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q01_method_counts" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase' AND value > 100.0""".stripMargin,
+
+    "q03_reqres_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q04_slow_topk" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY value DESC, event_id ASC LIMIT 20""".stripMargin,
+
+    "q05_time_buckets" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600 AS hour_s, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q06_latency_pctl" ->
+      """SELECT event_type,
+        |quantile_cont(value, 0.5)  AS p50,
+        |quantile_cont(value, 0.95) AS p95,
+        |quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q07_error_rate" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |COUNT(*) FILTER (WHERE event_type = 'error') AS n_err,
+        |CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS DOUBLE) / COUNT(*)
+        |  AS err_rate
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q08_distinct_clients" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q09_batch_stats" ->
+      """WITH per AS (
+        |  SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |CAST(SUM(n_items) AS BIGINT) AS total_items,
+        |CAST(CAST(SUM(n_items) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_batch
+        |FROM orders JOIN per ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q10_hot_regions" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_items,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q11_scan_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |f AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        |           IS NULL
+        |         OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        |           > 1800000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM e)
+        |SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+        |FROM f GROUP BY user_id""".stripMargin,
+
+    "q12_running_total" ->
+      """SELECT event_id, user_id,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM events""".stripMargin,
+
+    "q13_asof_match" ->
+      """SELECT event_id, user_id, ms, last_click_ms, ms - last_click_ms AS wait_ms
+        |FROM (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms,
+        |    MAX(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ms
+        |  FROM events)
+        |WHERE event_type = 'purchase'""".stripMargin
+  )
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All are single-pass, map-side-only transforms (no shuffle): at 100 TB
+  * each is embarrassingly parallel over parquet row groups, and every
+  * expression stays inside whole-stage codegen (builtin functions only —
+  * no UDFs in the hot path).
+  */
+object TextAnalysis {
+
+  /** Stopword sets per language for the n-gram/stopword LID heuristic.
+    * Tiny on purpose: broadcast as literals inside the plan.
+    */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "es" -> Seq("el", "la", "de", "y", "los", "las", "un", "una"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "zu", "mit"),
+    "zh" -> Seq("de", "le", "shi", "zai", "you", "wo", "ta", "men"))
+
+  /** Whitespace tokenization shared by several ops. */
+  private def words = split(trim(col("text")), "\\s+")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Doc quality profile: token counts, vocabulary richness, word shape.
+    "q38_quality_score" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), words.as("w"))
+        .select(
+          col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          size(array_distinct(col("w"))).cast("long").as("n_uniq"),
+          col("n_chars"))
+        .withColumn("uniq_ratio", col("n_uniq").cast("double") / col("n_words"))
+        .withColumn("chars_per_word", col("n_chars").cast("double") / col("n_words"))),
+
+    // Token counting: whitespace tokens + a BPE-ish regex segmentation
+    // (letter runs / digit runs / single non-alnum marks).
+    "q39_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(words).cast("long").as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long")
+            .as("alpha_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast("long").as("bpeish_tokens"))),
+
+    // Language ID: score = fraction of tokens that are stopwords of each
+    // language; argmax with deterministic tiebreak on language code.
+    // Pure builtin-function plan: words -> per-language overlap counts.
+    "q37_lang_id" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), words.as("w"))
+      val scored = stopwords.foldLeft(base) { case (df, (lang, sw)) =>
+        df.withColumn(s"score_$lang",
+          size(array_intersect(array_distinct(col("w")),
+            array(sw.map(lit): _*))).cast("double") / size(col("w")))
+      }
+      val langs = stopwords.keys.toSeq.sorted
+      // argmax via greatest + chained when (ties resolve to first in sorted order)
+      val best = langs.tail.foldLeft(
+        struct(col(s"score_${langs.head}").as("sc"), lit(langs.head).as("lang"))) {
+        (acc, l) =>
+          when(col(s"score_$l") > acc.getField("sc"),
+            struct(col(s"score_$l").as("sc"), lit(l).as("lang"))).otherwise(acc)
+      }
+      scored.select(col("doc_id"), best.getField("lang").as("pred_lang"),
+        best.getField("sc").as("lid_score"))
+    }),
+
+    // Rolling-hash document fingerprint: polynomial hash of the token
+    // stream mod (2^31 - 1) — content-defined identity robust to whitespace
+    // noise; modular form keeps every step in long range under ANSI mode.
+    "q40_doc_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), words.as("w"))
+        .select(col("doc_id"),
+          aggregate(col("w"), lit(7L),
+            (acc, w) => pmod(acc * lit(31L) + crc32(w), lit(2147483647L)))
+            .as("fingerprint")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q38_quality_score" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |  AS n_uniq,
+        |n_chars,
+        |CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+        |  / len(regexp_split_to_array(trim(text), '\s+')) AS uniq_ratio,
+        |CAST(n_chars AS DOUBLE)
+        |  / len(regexp_split_to_array(trim(text), '\s+')) AS chars_per_word
+        |FROM documents""".stripMargin,
+
+    "q39_token_count" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+        |  AS bpeish_tokens
+        |FROM documents""".stripMargin
+    // q37 / q40: heuristic & hash ops are not ANSI-SQL-expressible in DuckDB
+    // with identical semantics -> rows-only check + ScalaTest specs.
+  )
+}
