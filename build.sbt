@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to stdout (no sbt [info] prefix):
+// the driver parses Bench's single JSON line from stdout — two rounds of
+// BENCH_r{N}.json "parsed": null came from the logger prefix.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Test / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -14,11 +14,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val status = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        name -> "ok"
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        name -> s"fail: ${e.getClass.getSimpleName}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -36,6 +39,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Per-query success/failure artifact: a failed write must not vanish
+    // into stderr (round-2 verdict, Verify.scala item).
+    val stJson = status.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_status.json"), stJson)
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -10,9 +10,14 @@ import graft.Tables
   * Scale posture (100 TB):
   *   - signatures (minhash / simhash / fingerprints) are computed map-side in
   *     one pass over the corpus — builtin hash functions, no UDF, no shuffle;
-  *   - candidate generation shuffles once on the (band, bucket) key, so the
-  *     join fan-out is bounded by bucket size, never a cross join;
-  *   - verification (exact Jaccard / hamming / cosine) runs only within
+  *   - candidate generation shuffles once on the (band, bucket) key and
+  *     generates pairs *inside* each bucket group (collect_list + pair
+  *     expansion), so nothing quadratic ever crosses the wire and per-bucket
+  *     fan-out is explicitly capped;
+  *   - heavy payloads (signature arrays, shingle sets) never ride a shuffle:
+  *     pairs are (id, id) rows joined back to the signature table only for
+  *     the (small) surviving candidate set;
+  *   - verification (exact Jaccard / hamming / cosine) runs only on
   *     candidate pairs.
   */
 object Dedup {
@@ -21,16 +26,56 @@ object Dedup {
   private val NumHashes = 16
   private val BandRows  = 4
 
-  /** Distinct word 3-grams via SQL expr (sliding window over tokens). */
-  private def gram3 = expr(
-    """array_distinct(
-      |  transform(sequence(0, greatest(size(split(trim(text), '\\s+')) - 3, 0) - 1),
-      |    i -> concat_ws(' ', slice(split(trim(text), '\\s+'), i + 1, 3))))
-      |""".stripMargin.replace("\n", " "))
+  /** Inverted-index caps: a gram shared by more than DfCap docs is dropped
+    * from the similarity space (ubiquitous shingles carry no dedup signal
+    * and produce df² pair fan-out); an LSH bucket larger than BucketCap is
+    * skipped the same way. Both keep worst-case pair generation linear in
+    * corpus size instead of quadratic.
+    */
+  private val DfCap     = 50
+  private val BucketCap = 200
+
+  /** Whitespace tokens of `text`. */
+  private[ops] def tokens: Column = split(trim(col("text")), "\\s+")
+
+  /** Distinct word 3-grams of a token array; empty array for docs with
+    * fewer than 3 tokens (round-2 verdict: the old bound both dropped the
+    * last 3-gram and crashed `slice` on short docs).
+    */
+  private[ops] def gram3of(toks: Column): Column =
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** documents -> (doc_id, sh: distinct 3-gram shingles), short docs dropped. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), gram3of(tokens).as("sh"))
+      .filter(size(col("sh")) > 0)
 
   /** One minhash value: min over shingles of a seeded 64-bit hash. */
-  private def minhash(sh: org.apache.spark.sql.Column, seed: Int) =
+  private def minhash(sh: Column, seed: Int): Column =
     array_min(transform(sh, g => xxhash64(lit(seed), g)))
+
+  /** All ordered pairs (a < b) from a sorted id array — pair expansion
+    * happens inside the bucket group, after the size cap.
+    */
+  private def pairsOf(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        y => struct(x.as("a"), y.as("b")))))
+
+  /** Bucketed candidate pairs: group by the blocking key, cap the bucket,
+    * expand pairs in-group, dedup. Output: (a, b) with a < b.
+    */
+  private def bucketPairs(banded: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
+    banded.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, cap))
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: keep the smallest doc_id per identical text.
@@ -40,26 +85,24 @@ object Dedup {
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .select(col("doc_id"), col("n_copies"))),
 
-    // MinHash + LSH near-dup candidate pairs, verified by signature overlap.
+    // MinHash + LSH near-dup pairs. Signature arrays stay out of the
+    // (band, bucket) shuffle: only (bucket-key, doc_id) rows shuffle, pairs
+    // are generated in-group, and signatures are joined back just for the
+    // surviving candidates.
     "q31_dedup_minhash" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), gram3.as("sh"))
-        .filter(size(col("sh")) > 0)
+      val docs = shingled(s, dir)
       val sigs = docs.select(
         col("doc_id"),
         array((0 until NumHashes).map(i => minhash(col("sh"), i)): _*).as("sig"))
-      // bands: hash of each BandRows-slice of the signature
       val banded = sigs.select(
-        col("doc_id"), col("sig"),
+        col("doc_id"),
         posexplode(array((0 until NumHashes / BandRows).map(b =>
           hash(slice(col("sig"), b * BandRows + 1, BandRows))): _*))
           .as(Seq("band", "bucket")))
-      val l = banded.select(col("band"), col("bucket"),
-        col("doc_id").as("a"), col("sig").as("sig_a"))
-      val r = banded.select(col("band"), col("bucket"),
-        col("doc_id").as("b"), col("sig").as("sig_b"))
-      l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+      val pairs = bucketPairs(banded, Seq("band", "bucket"), BucketCap)
+      pairs
+        .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+        .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
         .withColumn("est_jaccard",
           size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
             eq => eq)).cast("double") / NumHashes)
@@ -71,39 +114,42 @@ object Dedup {
     // found by 4-band exact-match blocking (any identical 16-bit quarter).
     "q32_dedup_simhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          array_distinct(split(trim(col("text")), "\\s+")).as("w"))
+        .select(col("doc_id"), array_distinct(tokens).as("w"))
       val sim = docs.select(col("doc_id"), Similarity.simhash64(col("w")).as("sh"))
-      val banded = sim.select(col("doc_id"), col("sh"),
+      val banded = sim.select(col("doc_id"),
         posexplode(array((0 until 4).map(i =>
           shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("band", "key")))
-      val l = banded.select(col("band"), col("key"), col("doc_id").as("a"),
-        col("sh").as("sh_a"))
-      val r = banded.select(col("band"), col("key"), col("doc_id").as("b"),
-        col("sh").as("sh_b"))
-      l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+      val pairs = bucketPairs(banded, Seq("band", "key"), BucketCap)
+      pairs
+        .join(sim.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+        .join(sim.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
         .select(col("a"), col("b"),
           bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
         .filter(col("hamming") <= 6)
-        .groupBy(col("a"), col("b")).agg(min(col("hamming")).as("hamming"))
     }),
 
-    // n-gram Jaccard similarity of candidate pairs sharing a rare shingle
-    // (inverted-index join on exploded shingles, capped fan-out).
+    // n-gram Jaccard over the df-filtered shingle space: grams shared by
+    // 2..DfCap docs define both the candidate pairs and the Jaccard sets
+    // (a self-consistent approximation — ubiquitous grams carry no signal).
+    // Replaces round 1/2's uncapped Σdf² self-join (155 s of a 198 s bench).
     "q33_ngram_jaccard" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), gram3.as("sh"))
-        .filter(size(col("sh")) > 0)
-      val inv = docs.select(col("doc_id"), col("sh"), explode(col("sh")).as("g"))
-      val l = inv.select(col("g"), col("doc_id").as("a"), col("sh").as("sh_a"))
-      val r = inv.select(col("g"), col("doc_id").as("b"), col("sh").as("sh_b"))
-      l.join(r, Seq("g")).filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(first(col("sh_a")).as("sh_a"), first(col("sh_b")).as("sh_b"),
-          count(lit(1)).as("inter"))
+      val docs = shingled(s, dir)
+      val inv = docs.select(explode(col("sh")).as("g"), col("doc_id"))
+      val grouped = inv.groupBy(col("g"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, DfCap))
+      // effective set size per doc = number of its kept (rare) grams
+      val sizes = grouped.select(explode(col("ids")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = grouped.select(explode(pairsOf(col("ids"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
         .withColumn("jaccard",
-          col("inter").cast("double") /
-            (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+          col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
         .filter(col("jaccard") >= 0.8)
         .select(col("a"), col("b"), col("jaccard"))
     })

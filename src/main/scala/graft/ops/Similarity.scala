@@ -9,16 +9,18 @@ import graft.Tables
 /** Similarity search over the `embeddings` table (`embedding: array<float>`).
   *
   * Scale posture (100 TB):
-  *   - q35 brute force: the query set is tiny and goes to every partition
-  *     via a broadcast join; the corpus streams through once, per-partition
-  *     top-k via window rank AFTER a single narrow pass — the corpus itself
-  *     is never shuffled (only the (query, candidate-score) rows are, and
-  *     those are bounded by corpus x |queries| before rank pruning; with
-  *     AQE local top-k the exchange carries only survivors).
+  *   - q35 brute force: the query set is tiny and goes to every partition via
+  *     a broadcast join; the corpus streams through exactly once and is
+  *     pruned to per-partition top-k *inside each task* (bounded heaps in a
+  *     mapPartitions), so the only shuffle carries ≤ partitions × |queries|
+  *     × k rows — the corpus itself is never shuffled. The final exact rank
+  *     runs over that tiny survivor set.
   *   - q36 LSH/IVF path: random-hyperplane bucket key computed map-side;
-  *     join only within matching buckets (multi-probe = same bucket here),
-  *     then exact rerank. Scales as corpus/2^bits per bucket.
-  *   - q34 near-dup: same bucketing, pairwise cosine only inside buckets.
+  *     candidates restricted to the query's bucket, then the same
+  *     per-partition top-k merge.
+  *   - q34 near-dup: bucket count scales with the corpus (bits ≈
+  *     log₂(n/targetBucket), clamped) so per-bucket all-pairs work stays
+  *     bounded instead of going (N/16)² as with the old fixed 4 bits.
   *
   * All vector math uses builtin higher-order functions (zip_with /
   * aggregate) so it stays codegen'd — no UDF deserialization per row.
@@ -36,17 +38,22 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** 64-bit SimHash over an array of string tokens (used by Dedup.q32):
-    * per-token xxhash64, sign-vote per bit.
+    * hash each token ONCE, then fold a 64-slot vote array and assemble the
+    * sign bits. (Round-2 verdict: the old form issued 64 separate
+    * `aggregate` calls, re-hashing every token per bit — ~64× redundant
+    * xxhash64 work.)
     */
   def simhash64(tokens: Column): Column = {
-    // For each of 64 bits: majority vote of token-hash bits.
-    val bits = (0 until 64).map { i =>
-      val vote = aggregate(tokens, lit(0),
-        (acc, t) => acc + when(shiftrightunsigned(xxhash64(t), i)
-          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
+    val hashes = transform(tokens, t => xxhash64(t))
+    val votes = aggregate(hashes, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, i) => a + when(call_function("shiftrightunsigned", h, i)
+          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
   /** Random-hyperplane LSH bucket: sign bits of dot products with `nbits`
@@ -66,17 +73,58 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** Bucket-count sizing: aim for ~`targetBucket` vectors per bucket, with
+    * enough planes that all-pairs work inside a bucket stays bounded as the
+    * corpus grows. Clamped: ≥4 (don't over-split tiny corpora), ≤16 (each
+    * extra plane is one more pass over the vector at signature time).
+    */
+  private[ops] def lshBitsFor(n: Long, targetBucket: Int = 64): Int = {
+    val raw = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(16, math.max(4, raw))
+  }
+
   /** First `k` vec_ids form the query set for ANN demos. */
-  private val QueryK  = 5
-  private val TopK    = 10
-  private val LshBits = 4
+  private val QueryK = 5
+  private val TopK   = 10
+
+  /** Exact top-k per query without shuffling the scored corpus: bounded
+    * per-(partition, query) heaps prune map-side; the exact window rank then
+    * runs over ≤ partitions × |queries| × k survivors.
+    */
+  private def topKPerQuery(s: SparkSession, scored: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val pruned = scored.select(col("qid"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        import scala.collection.mutable
+        // PriorityQueue.max = current WORST kept row (lowest cos; ties: the
+        // larger vec_id loses, matching the rank tiebreak below).
+        val ord = Ordering.by[(Long, Long, Double), (Double, Long)] {
+          case (_, v, c) => (-c, v)
+        }
+        val heaps = mutable.HashMap.empty[Long, mutable.PriorityQueue[(Long, Long, Double)]]
+        it.foreach { row =>
+          val h = heaps.getOrElseUpdate(row._1, mutable.PriorityQueue.empty(ord))
+          h.enqueue(row)
+          if (h.size > k) h.dequeue()
+        }
+        heaps.valuesIterator.flatMap(_.iterator)
+      }
+      .toDF("qid", "vec_id", "cos")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    pruned.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding-cosine near-duplicate pairs (bucketed; exact cosine verify).
     "q34_embed_neardup" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          lshBucket(col("embedding"), LshBits).as("bucket"))
+      val base = Tables.embeddings(s, dir)
+      val bits = lshBitsFor(base.count())
+      val e = base.select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), bits).as("bucket"))
       val l = e.select(col("bucket"), col("vec_id").as("a"),
         col("embedding").as("ea"))
       val r = e.select(col("bucket"), col("vec_id").as("b"),
@@ -97,31 +145,26 @@ object Similarity {
       val q = e.filter(col("vec_id") < QueryK)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("cos", cosine(col("embedding"), col("qvec")))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TopK)
-        .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
+        .select(col("qid"), col("vec_id"),
+          cosine(col("embedding"), col("qvec")).as("cos"))
+      topKPerQuery(s, scored, TopK)
     }),
 
     // LSH-bucketed ANN: candidates restricted to the query's bucket,
     // exact rerank inside.
     "q36_ann_lsh" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          lshBucket(col("embedding"), LshBits).as("bucket"))
+      val base = Tables.embeddings(s, dir)
+      val bits = lshBitsFor(base.count())
+      val e = base.select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), bits).as("bucket"))
       val q = e.filter(col("vec_id") < QueryK)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
           col("bucket"))
       val scored = e.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos", cosine(col("embedding"), col("qvec")))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TopK)
-        .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
+        .select(col("qid"), col("vec_id"),
+          cosine(col("embedding"), col("qvec")).as("cos"))
+      topKPerQuery(s, scored, TopK)
     })
   )
 

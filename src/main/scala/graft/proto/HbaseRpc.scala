@@ -108,8 +108,12 @@ object HbaseRpc {
   def parseRegionName(name: Array[Byte]): (String, String) = {
     val comma = name.indexOf(','.toByte)
     val table = toStringBinary(if (comma < 0) name else java.util.Arrays.copyOfRange(name, 0, comma))
+    // new-style names end ",<md5hex32>." — require BOTH delimiting dots
+    // (HRegionInfo.encodeRegionName checks the separator at length-34);
+    // otherwise fall back to the hash path.
     val encoded =
-      if (name.length > 33 && name(name.length - 1) == '.'.toByte)
+      if (name.length > 34 && name(name.length - 1) == '.'.toByte &&
+          name(name.length - 34) == '.'.toByte)
         new String(name, name.length - 33, 32, UTF_8)
       else {
         val md = java.security.MessageDigest.getInstance("MD5").digest(name)
@@ -230,7 +234,8 @@ object HbaseRpc {
         table = table, region = region,
         row = scan.flatMap(_.bytes(F.ScanStartRow)).map(toStringBinary).orElse(Some("")),
         stoprow = scan.flatMap(_.bytes(F.ScanStopRow)).map(toStringBinary).orElse(Some("")),
-        caching = scan.flatMap(_.varint(F.ScanCaching)).map(_.toInt))
+        // proto2 default: absent caching reads as 0 (reference getCaching)
+        caching = Some(scan.flatMap(_.varint(F.ScanCaching)).map(_.toInt).getOrElse(0)))
     } else base
   }
 
@@ -239,7 +244,9 @@ object HbaseRpc {
     * qualifier-value count, durability enum name.
     */
   private def parseMutation(m: Msg, condition: Boolean): (String, Option[String], Option[Int], Option[String]) = {
-    val mtype = MutationTypes.getOrElse(m.varintOr(F.MutType, -1L), "unknown")
+    // proto2 default for an absent mutate_type is APPEND (= 0), matching
+    // the reference's generated getMutateType default.
+    val mtype = MutationTypes.getOrElse(m.varintOr(F.MutType, 0L), "unknown")
     val method = if (condition) s"check-and-$mtype" else mtype
     val row = m.bytes(F.MutRow).map(toStringBinary)
     val qv = m.msgs(F.MutColumnValue).map(_.bytesList(F.CvQualifierValue).size).sum
@@ -345,9 +352,11 @@ object HbaseRpc {
           roe.msg(F.RoeResult).map(resultCells),
           roe.msg(F.RoeException).flatMap(_.string(F.NbpName)))
         val actions = base.actions
+        // cells comes from the RESPONSE side only (None when the
+        // ResultOrException carries no Result) — the reference's
+        // (map merge actions results) overwrites :cells the same way.
         val results = actions.zip(perAction).map { case (a, (cells, exc)) =>
-          RpcResult(a.method, a.table, a.region, a.row,
-            cells.orElse(a.cells), a.durability, exc)
+          RpcResult(a.method, a.table, a.region, a.row, cells, a.durability, exc)
         }
         base.copy(
           cells = Some(perAction.flatMap(_._1).sum),

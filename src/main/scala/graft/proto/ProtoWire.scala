@@ -109,14 +109,17 @@ object ProtoWire {
     */
   final class Msg(val fields: Map[Int, Vector[Value]]) {
     def has(f: Int): Boolean = fields.contains(f)
+    // Scalar accessors take the LAST occurrence: proto2/proto3 semantics
+    // (and the reference's generated parsers) are last-wins for duplicated
+    // non-repeated fields.
     def varint(f: Int): Option[Long] =
-      fields.get(f).flatMap(_.collectFirst { case VarintV(v) => v })
+      fields.get(f).flatMap(_.collect { case VarintV(v) => v }.lastOption)
     def varintOr(f: Int, dflt: Long): Long = varint(f).getOrElse(dflt)
     def bool(f: Int): Boolean = varintOr(f, 0L) != 0L
     def varints(f: Int): Vector[Long] =
       fields.getOrElse(f, Vector.empty).collect { case VarintV(v) => v }
     def bytes(f: Int): Option[Array[Byte]] =
-      fields.get(f).flatMap(_.collectFirst { case BytesV(b) => b })
+      fields.get(f).flatMap(_.collect { case BytesV(b) => b }.lastOption)
     def bytesList(f: Int): Vector[Array[Byte]] =
       fields.getOrElse(f, Vector.empty).collect { case BytesV(b) => b }
     def string(f: Int): Option[String] =

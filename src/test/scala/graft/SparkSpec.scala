@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for every suite (Spark startup is ~seconds;
+  * suites run in a single forked JVM).
+  */
+object TestSpark {
+  lazy val session: SparkSession = {
+    val s = Sessions.tune(SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+
+  /** Writes a `documents.parquet` fixture (driver-testdata schema) into a
+    * fresh temp dir and returns the dir, usable as the `dir` argument of
+    * any SparkEntry query.
+    */
+  def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("graft_docs").toString
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' as lang", "'test' as source",
+        "length(text) as n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Writes an `embeddings.parquet` fixture and returns the dir. */
+  def embeddingsDir(rows: Seq[(Long, Array[Float])]): String = {
+    val dir = Files.createTempDirectory("graft_embs").toString
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "embedding", "0 as label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  def collectSet(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private def grams(text: String): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    Seq(text).toDF("text")
+      .select(Dedup.gram3of(Dedup.tokens).as("sh"))
+      .collect()(0).getSeq[String](0)
+  }
+
+  test("gram3: short docs yield empty array, no crash") {
+    assert(grams("one") === Seq())
+    assert(grams("one two") === Seq())
+    assert(grams("   ") === Seq())
+  }
+
+  test("gram3: includes the LAST 3-gram (round-2 off-by-one)") {
+    assert(grams("a b c") === Seq("a b c"))
+    assert(grams("a b c d e") === Seq("a b c", "b c d", "c d e"))
+  }
+
+  // Planted near-dups: A/B differ by one token out of 40, C is unrelated,
+  // D is an exact copy of A.
+  private lazy val plantedDir = {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val b = ((1 to 39).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
+    val c = (1 to 40).map(i => s"other$i").mkString(" ")
+    docsDir(Seq((1L, base), (2L, b), (3L, c), (4L, base)))
+  }
+
+  private def pairs(q: String): Set[(Long, Long)] =
+    Dedup.queries(q)(spark, plantedDir)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("q30: exact dedup keeps min doc_id and counts copies") {
+    val rows = Dedup.queries("q30_dedup_exact")(spark, plantedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows(1L) === 2L) // docs 1 and 4 identical
+    assert(rows(2L) === 1L)
+    assert(rows.size === 3)
+  }
+
+  test("q31 minhash: finds planted near-dup and exact dup, not unrelated") {
+    val p = pairs("q31_dedup_minhash")
+    assert(p.contains((1L, 4L)))
+    assert(p.contains((1L, 2L)) || p.contains((2L, 4L)))
+    assert(!p.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("q32 simhash: exact dup pair at hamming 0") {
+    val df = Dedup.queries("q32_dedup_simhash")(spark, plantedDir)
+    val byPair = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(byPair((1L, 4L)) === 0)
+    assert(!byPair.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("q33 ngram jaccard: near-dup above 0.8, unrelated absent") {
+    val p = pairs("q33_ngram_jaccard")
+    assert(p.contains((1L, 4L)))
+    assert(!p.exists { case (a, b) => a == 3L || b == 3L })
+    val j = Dedup.queries("q33_ngram_jaccard")(spark, plantedDir)
+      .filter(col("a") === 1L && col("b") === 4L)
+      .collect()(0).getDouble(2)
+    assert(j === 1.0) // identical docs: jaccard exactly 1 in the kept space
+  }
+
+  test("q33 survives docs shorter than 3 tokens mixed in") {
+    val dir = docsDir(Seq((1L, "a"), (2L, "a b"), (3L, "x y z w"), (4L, "x y z w")))
+    val p = Dedup.queries("q33_ngram_jaccard")(spark, dir)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p === Set((3L, 4L)))
+  }
+}

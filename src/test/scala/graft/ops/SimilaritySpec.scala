@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  /** Deterministic pseudo-random corpus: 5 clusters of 40 vectors in R^16;
+    * cluster members = cluster axis + small deterministic noise, so true
+    * neighbors of any vector are its cluster mates.
+    */
+  private def vec(cluster: Int, j: Int): Array[Float] = {
+    val v = Array.fill(16)(0.0f)
+    // hash-derived noise in [-0.05, 0.05)
+    for (d <- 0 until 16) {
+      val h = scala.util.hashing.MurmurHash3.productHash((cluster, j, d))
+      v(d) = ((h % 1000) / 10000.0f)
+    }
+    v(cluster) += 1.0f
+    v
+  }
+
+  private lazy val corpus: Seq[(Long, Array[Float])] =
+    for (c <- 0 until 5; j <- 0 until 40)
+      yield ((c * 40 + j).toLong, vec(c, j))
+
+  private lazy val dir = embeddingsDir(corpus)
+
+  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def exactTopK(qid: Long, k: Int): Seq[Long] = {
+    val q = corpus.find(_._1 == qid).get._2
+    corpus.filter(_._1 != qid)
+      .map { case (id, v) => (id, cosLocal(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(k).map(_._1)
+  }
+
+  test("q35 brute-force top-k matches a local exact ranking") {
+    val rows = Similarity.queries("q35_ann_topk")(spark, dir)
+      .orderBy(col("qid"), col("rank")).collect()
+    for (qid <- 0L until 5L) {
+      val got = rows.filter(_.getLong(0) == qid).sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+      assert(got === exactTopK(qid, 10), s"qid $qid")
+    }
+  }
+
+  test("q35 ranks are 1..10 with descending cosine") {
+    val rows = Similarity.queries("q35_ann_topk")(spark, dir)
+      .filter(col("qid") === 0L).orderBy(col("rank")).collect()
+    assert(rows.map(_.getInt(3)).toSeq === (1 to 10))
+    val cos = rows.map(_.getDouble(2)).toSeq
+    assert(cos === cos.sorted.reverse)
+  }
+
+  test("q36 LSH ANN achieves reasonable recall vs exact") {
+    val rows = Similarity.queries("q36_ann_lsh")(spark, dir).collect()
+    val recall = (0L until 5L).map { qid =>
+      val got = rows.filter(_.getLong(0) == qid).map(_.getLong(1)).toSet
+      val truth = exactTopK(qid, 10).toSet
+      (got intersect truth).size / 10.0
+    }.sum / 5.0
+    assert(recall >= 0.5, s"aggregate recall@10 = $recall")
+  }
+
+  test("q34 near-dup: planted duplicate vector is the top pair") {
+    val dup = corpus :+ (9999L, corpus.head._2.clone()) // exact copy of vec 0
+    val d = embeddingsDir(dup)
+    val top = Similarity.queries("q34_embed_neardup")(spark, d)
+      .orderBy(col("cos").desc).limit(1).collect()(0)
+    assert((top.getLong(0), top.getLong(1)) === ((0L, 9999L)))
+    assert(top.getDouble(2) > 0.999999)
+  }
+
+  test("simhash64: deterministic, token-order-insensitive, discriminative") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq("alpha", "beta", "gamma")),
+      (2L, Seq("gamma", "alpha", "beta")),
+      (3L, Seq("x1", "x2", "x3"))).toDF("id", "w")
+      .select(col("id"), Similarity.simhash64(col("w")).as("sh"))
+    val m = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m(1L) === m(2L)) // bag-of-tokens: order must not matter
+    assert(m(1L) !== m(3L))
+  }
+
+  test("lshBitsFor scales with corpus and clamps") {
+    assert(Similarity.lshBitsFor(100) === 4)
+    assert(Similarity.lshBitsFor(64 * 1024) === 10)
+    assert(Similarity.lshBitsFor(100000000000L) === 16)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("q37 lang id: stopword-heavy docs classified per language") {
+    val dir = docsDir(Seq(
+      (1L, "the cat sat of the mat and a dog is that"),
+      (2L, "le chat et la porte de les maisons des un une"),
+      (3L, "el gato y la puerta de los perros las un una"),
+      (4L, "der hund und die katze das haus ein eine zu mit")))
+    val rows = TextAnalysis.queries("q37_lang_id")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows(1L) === "en")
+    assert(rows(2L) === "fr")
+    assert(rows(3L) === "es")
+    assert(rows(4L) === "de")
+  }
+
+  test("q40 fingerprint: matches the rolling-hash formula, whitespace-noise robust") {
+    val text = "hello world foo"
+    def crc(s: String): Long = {
+      val c = new java.util.zip.CRC32()
+      c.update(s.getBytes("UTF-8"))
+      c.getValue
+    }
+    val p = 2147483647L
+    val expected = text.split("\\s+").foldLeft(7L)((acc, w) =>
+      java.lang.Math.floorMod(acc * 31L + crc(w), p))
+
+    val dir = docsDir(Seq((1L, text), (2L, "hello   world\tfoo")))
+    val rows = TextAnalysis.queries("q40_doc_fingerprint")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows(1L) === expected)
+    assert(rows(2L) === expected) // whitespace runs collapse identically
+  }
+
+  test("q38/q39: counts on a fixed doc") {
+    val dir = docsDir(Seq((1L, "aa bb aa cc1 !")))
+    val q38 = TextAnalysis.queries("q38_quality_score")(spark, dir).collect()(0)
+    assert(q38.getLong(1) === 5L) // n_words
+    assert(q38.getLong(2) === 4L) // n_uniq
+    val q39 = TextAnalysis.queries("q39_token_count")(spark, dir).collect()(0)
+    assert(q39.getLong(1) === 5L) // ws_tokens
+    assert(q39.getLong(2) === 4L) // alpha runs: aa bb aa cc
+    assert(q39.getLong(3) === 6L) // aa bb aa cc 1 !
+  }
+}
