@@ -1,0 +1,68 @@
+package graft.inspector
+
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import graft.proto.{HbaseRpc, ProtoWire}
+
+/** Full per-connection state machine: framing per direction, request ↔
+  * response correlation with `elapsed`, scan lifecycle, record shaping
+  * (the composition the reference runs per packet in core.clj:152-259 +
+  * next-state, here per client connection so connections are the parallel
+  * unit).
+  *
+  * Used sequentially inside one Spark task (batch: a sorted run of one
+  * connection's segments inside `mapPartitions`; streaming: one group in
+  * `flatMapGroupsWithState`). Not thread-safe by design.
+  */
+final class ConnTracker(client: String, port: Int) {
+
+  private val inAsm  = new FrameAssembler
+  private val outAsm = new FrameAssembler
+  /** call-id -> (request info, request ts) — reference state `[addr port call-id]`. */
+  private val pending = mutable.Map.empty[Int, (HbaseRpc.RpcInfo, Long)]
+  private var scan = ScanState.empty
+
+  def bufferedBytes: Long = inAsm.bufferedBytes.toLong + outAsm.bufferedBytes
+  def pendingCalls: Int = pending.size
+
+  /** Expire correlation state older than `cutoffTs` (reference
+    * trim-state-expired, core.clj:285-297; 120 s).
+    */
+  def expireBefore(cutoffTs: Long): Int = {
+    val old = pending.filter { case (_, (_, ts)) => ts < cutoffTs }.keys.toSeq
+    old.foreach(pending.remove)
+    old.size
+  }
+
+  /** Feed one segment; emit every completed, shaped record. */
+  def push(seg: KeyedSegment): Seq[RecordInfo] = {
+    val asm = if (seg.inbound) inAsm else outAsm
+    val frames =
+      try asm.push(seg.payload)
+      catch { case NonFatal(_) => asm.reset(); Vector.empty }
+    frames.flatMap(parseFrame(_, seg))
+  }
+
+  private def parseFrame(frame: Array[Byte], seg: KeyedSegment): Option[RecordInfo] =
+    try {
+      val reader = new ProtoWire.Reader(frame)
+      val parsed = HbaseRpc.parseStream(seg.inbound, reader,
+        id => pending.get(id).map(_._1))
+      val elapsed =
+        if (seg.inbound) None
+        else pending.get(parsed.callId).map { case (_, reqTs) => seg.ts - reqTs }
+      val (nextScan, info) = ScanState.step(scan, parsed, seg.inbound)
+      scan = nextScan
+      if (seg.inbound) pending(info.callId) = (info, seg.ts)
+      else pending.remove(info.callId)
+      Some(Shaping.shape(info, seg.ts, seg.inbound, client, port, seg.server,
+        frame.length, elapsed))
+    } catch {
+      case NonFatal(_) =>
+        // Reference behavior: a parse failure discards the client's byte
+        // stream (core.clj:255-259); correlation/scan state survives.
+        (if (seg.inbound) inAsm else outAsm).reset()
+        None
+    }
+}

@@ -1,0 +1,76 @@
+package graft.pcap
+
+import java.io.ByteArrayOutputStream
+
+/** Fixed-offset Ethernet → IPv4 → TCP decode, the data a packet needs to
+  * enter the inspector pipeline (reference: pcap.clj:40-55 packet->map via
+  * pcap4j — src/dst addr:port + TCP payload; packets without all three are
+  * dropped, matching the `when` guard there).
+  */
+object LinkDecode {
+
+  /** Decoded data-carrying TCP segment. */
+  final case class Segment(
+      srcAddr: String, srcPort: Int,
+      dstAddr: String, dstPort: Int,
+      payload: Array[Byte])
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** Returns None for non-IPv4, non-TCP, or empty-payload frames. */
+  def decode(frame: Array[Byte]): Option[Segment] = {
+    if (frame.length < 14 + 20 + 20) return None
+    val etherType = u16(frame, 12)
+    if (etherType != 0x0800) return None // IPv4 only (reference: IpV4Packet)
+    val ip = 14
+    val verIhl = frame(ip) & 0xff
+    if ((verIhl >>> 4) != 4) return None
+    val ihl = (verIhl & 0xf) * 4
+    if (ihl < 20 || frame.length < ip + ihl + 20) return None
+    if ((frame(ip + 9) & 0xff) != 6) return None // TCP only
+    val totalLen = u16(frame, ip + 2)
+    val srcAddr = s"${frame(ip + 12) & 0xff}.${frame(ip + 13) & 0xff}.${frame(ip + 14) & 0xff}.${frame(ip + 15) & 0xff}"
+    val dstAddr = s"${frame(ip + 16) & 0xff}.${frame(ip + 17) & 0xff}.${frame(ip + 18) & 0xff}.${frame(ip + 19) & 0xff}"
+    val tcp = ip + ihl
+    val srcPort = u16(frame, tcp)
+    val dstPort = u16(frame, tcp + 2)
+    val dataOff = ((frame(tcp + 12) & 0xff) >>> 4) * 4
+    if (dataOff < 20) return None
+    val payloadStart = tcp + dataOff
+    // payload length from the IP total length (the frame may carry padding)
+    val payloadLen = math.min(ip + totalLen, frame.length) - payloadStart
+    if (payloadLen <= 0) return None
+    Some(Segment(srcAddr, srcPort, dstAddr, dstPort,
+      java.util.Arrays.copyOfRange(frame, payloadStart, payloadStart + payloadLen)))
+  }
+
+  /** Builds an Ethernet/IPv4/TCP frame around a payload (tests + the
+    * synthetic traffic generator). Checksums are zero — the decoder does
+    * not verify them, like a passive capture pipeline.
+    */
+  def encode(srcAddr: String, srcPort: Int, dstAddr: String, dstPort: Int,
+             payload: Array[Byte], seq: Long = 0L): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64 + payload.length)
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { b(v >>> 8); b(v) }
+    def w32(v: Long): Unit = { b((v >>> 24).toInt); b((v >>> 16).toInt); b((v >>> 8).toInt); b(v.toInt) }
+    def addr(a: String): Unit = a.split('.').foreach(p => b(p.toInt))
+    // ethernet
+    (0 until 6).foreach(_ => b(0x02)); (0 until 6).foreach(_ => b(0x04))
+    w16(0x0800)
+    // ipv4, no options
+    b(0x45); b(0)
+    w16(20 + 20 + payload.length)
+    w16(0); w16(0x4000) // id, DF
+    b(64); b(6); w16(0) // ttl, proto TCP, checksum 0
+    addr(srcAddr); addr(dstAddr)
+    // tcp, no options
+    w16(srcPort); w16(dstPort)
+    w32(seq); w32(0L)
+    b(0x50); b(0x18) // data offset 5 words; PSH|ACK
+    w16(65535); w16(0); w16(0)
+    out.write(payload, 0, payload.length)
+    out.toByteArray
+  }
+}

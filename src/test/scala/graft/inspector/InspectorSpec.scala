@@ -1,0 +1,131 @@
+package graft.inspector
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end pipeline spec over the synthetic capture files: pcap bytes →
+  * link decode → reassembly → RPC decode → correlation → shaping → the
+  * 4-table SQL surface.
+  */
+class InspectorSpec extends SparkSpec {
+
+  private lazy val dir = SyntheticTraffic.ensurePcapDir()
+  private lazy val recs = Inspector.records(spark, dir).cache()
+  private lazy val requests = Inspector.requests(recs).cache()
+  private lazy val responses = Inspector.responses(recs).cache()
+
+  private def reqRow(callId: Int, client: String = "10.0.0.1"): Row =
+    requests.filter(col("call_id") === callId && col("client") === client)
+      .collect()(0)
+
+  private def resRow(callId: Int, client: String = "10.0.0.1"): Row =
+    responses.filter(col("call_id") === callId && col("client") === client)
+      .collect()(0)
+
+  test("q20 packets: every data-carrying segment decoded") {
+    assert(Inspector.packets(spark, dir).count() === 28) // 20 + 6 + 2 noise
+  }
+
+  test("record counts match the synthetic traffic") {
+    assert(requests.count().toInt === SyntheticTraffic.ExpectedRequests)
+    assert(responses.count().toInt === SyntheticTraffic.ExpectedResponses)
+  }
+
+  test("get request/response with elapsed") {
+    val rq = reqRow(1)
+    assert(rq.getAs[String]("method") === "get")
+    assert(rq.getAs[String]("table") === "tget")
+    assert(rq.getAs[String]("region") === SyntheticTraffic.encodedRegion("tget"))
+    assert(rq.getAs[String]("row") === "row1")
+    assert(rq.getAs[Int]("cells") === 2) // two qualifiers
+    val rs = resRow(1)
+    assert(rs.getAs[Long]("elapsed") === 5L)
+    assert(rs.getAs[Int]("cells") === 4) // 2 cells + 2 associated
+    assert(rs.getAs[String]("error") === null)
+  }
+
+  test("scan lifecycle: next-rows and close inherit table/region from open") {
+    val open = reqRow(2)
+    assert(open.getAs[String]("method") === "open-scanner")
+    assert(open.getAs[String]("row") === "aaa")
+    assert(open.getAs[String]("stoprow") === "zzz")
+    for (callId <- Seq(3, 4)) {
+      val r = reqRow(callId)
+      assert(r.getAs[String]("table") === "tscan", s"call $callId")
+      assert(r.getAs[String]("region") === SyntheticTraffic.encodedRegion("tscan"))
+    }
+    assert(reqRow(3).getAs[String]("method") === "next-rows")
+    assert(reqRow(4).getAs[String]("method") === "close-scanner")
+    assert(resRow(3).getAs[Int]("cells") === 15) // 10 + 5
+  }
+
+  test("mutate: durability, cells; header-level error on check-and-put") {
+    val put = reqRow(5)
+    assert(put.getAs[String]("method") === "put")
+    assert(put.getAs[String]("durability") === "sync_wal")
+    assert(put.getAs[Int]("cells") === 3) // 2 qv + 1 associated
+    assert(reqRow(8).getAs[String]("method") === "check-and-put")
+    assert(resRow(8).getAs[String]("error") ===
+      "org.apache.hadoop.hbase.exceptions.FailedSanityCheckException")
+  }
+
+  test("multi: batch, summed cells, child rows with per-action error") {
+    val rq = reqRow(6)
+    assert(rq.getAs[Int]("batch") === 3)
+    assert(rq.getAs[Int]("cells") === 3) // 2 (put) + 1 (delete)
+    assert(rq.getAs[String]("method") === "multi")
+    assert(rq.getAs[String]("table") === "t1") // first action's table
+
+    val acts = Inspector.actionsTable(recs)
+      .filter(col("call_id") === 6).orderBy(col("row")).collect()
+    assert(acts.map(_.getAs[String]("method")).toSeq === Seq("delete", "get", "put"))
+    assert(acts.forall(_.getAs[String]("client") == "10.0.0.1"))
+
+    val ress = Inspector.resultsTable(recs).filter(col("call_id") === 6).collect()
+    assert(ress.length === 3)
+    assert(ress.count(_.getAs[String]("error") == "org.foo.PerActionError") === 1)
+    assert(resRow(6).getAs[Int]("cells") === 3) // 1 + 2 response-side
+  }
+
+  test("single-action multi merged into parent, no child rows") {
+    val rq = reqRow(7)
+    assert(rq.getAs[String]("method") === "put") // merged
+    assert(rq.getAs[Int]("batch") === 1)
+    assert(rq.getAs[String]("row") === "solo")
+    assert(Inspector.actionsTable(recs).filter(col("call_id") === 7).count() === 0)
+  }
+
+  test("split frame reassembled; coalesced frames both decoded") {
+    val big = reqRow(1, client = "10.0.0.2")
+    assert(big.getAs[String]("row") === "k" * 600)
+    assert(reqRow(2, "10.0.0.2").getAs[String]("method") === "get")
+    assert(reqRow(3, "10.0.0.2").getAs[String]("method") === "put")
+    assert(resRow(2, "10.0.0.2").getAs[Long]("elapsed") === 5L)
+  }
+
+  test("unmatched response surfaces as unknown; noise produces no records") {
+    val unk = resRow(99, "10.0.0.2")
+    assert(unk.getAs[String]("method") === "unknown")
+    assert(unk.isNullAt(unk.fieldIndex("elapsed")))
+    assert(recs.filter(col("client").isin("10.0.0.3", "10.0.0.4")).count() === 0)
+  }
+
+  test("SQL surface: 4 temp views queryable via spark.sql") {
+    Inspector.registerViews(spark, dir)
+    val methods = spark.sql(
+      "SELECT method, count(*) AS n FROM requests GROUP BY method ORDER BY method")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(methods("get") === 3L)
+    assert(methods("multi") === 1L)
+    val joined = spark.sql(
+      """SELECT r.method, s.elapsed FROM requests r
+        |JOIN responses s ON r.client = s.client AND r.port = s.port
+        |  AND r.call_id = s.call_id
+        |WHERE s.elapsed IS NOT NULL""".stripMargin)
+    assert(joined.count() >= 12)
+    assert(spark.sql("SELECT count(*) FROM actions").collect()(0).getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM results").collect()(0).getLong(0) === 3L)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.inspector
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.proto.HbaseRpc.RpcInfo
+
+class ScanStateSpec extends AnyFunSuite {
+
+  private val open = RpcInfo("open-scanner", 2,
+    table = Some("t"), region = Some("r"), scanner = Some(0L))
+  private val openRes = RpcInfo("open-scanner", 2, scanner = Some(7001L))
+
+  test("full lifecycle: open -> response maps scanner -> next/close inherit region") {
+    val (s1, _) = ScanState.step(ScanState.empty, open, inbound = true)
+    assert(s1.pendingOpen.contains(2))
+
+    val (s2, _) = ScanState.step(s1, openRes, inbound = false)
+    assert(s2.pendingOpen.isEmpty)
+    assert(s2.scanners(7001L) === ScanState.RegionInfo(Some("t"), Some("r")))
+
+    val next = RpcInfo("next-rows", 3, scanner = Some(7001L))
+    val (s3, n1) = ScanState.step(s2, next, inbound = true)
+    assert(n1.table === Some("t") && n1.region === Some("r"))
+    assert(s3.scanners.contains(7001L)) // next does not discard
+
+    val close = RpcInfo("close-scanner", 4, scanner = Some(7001L))
+    val (s4, c1) = ScanState.step(s3, close, inbound = true)
+    assert(c1.table === Some("t") && c1.region === Some("r"))
+    assert(s4.scanners.isEmpty) // close discards
+  }
+
+  test("small-scan: remembered on request, discarded on response, no scanner entry") {
+    val small = RpcInfo("small-scan", 10, table = Some("ts"), region = Some("rs"))
+    val (s1, _) = ScanState.step(ScanState.empty, small, inbound = true)
+    assert(s1.pendingOpen.contains(10))
+    val (s2, _) = ScanState.step(s1, RpcInfo("small-scan", 10), inbound = false)
+    assert(s2 === ScanState.empty)
+  }
+
+  test("next-rows for unknown scanner passes through unaugmented") {
+    val next = RpcInfo("next-rows", 5, scanner = Some(9999L))
+    val (s, out) = ScanState.step(ScanState.empty, next, inbound = true)
+    assert(s === ScanState.empty)
+    assert(out.table === None)
+  }
+
+  test("non-scan methods do not touch state") {
+    val (s, out) = ScanState.step(ScanState.empty, RpcInfo("get", 1), inbound = true)
+    assert(s === ScanState.empty)
+    assert(out === RpcInfo("get", 1))
+  }
+}
