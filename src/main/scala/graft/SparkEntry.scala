@@ -25,7 +25,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ inspector.Inspector.queries
+      Similarity.queries ++ Multimodal.queries ++
+      inspector.Inspector.queries ++ streaming.KafkaSink.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (driver
@@ -33,5 +34,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Multimodal.oracles ++ inspector.Inspector.oracles
+      Similarity.oracles ++ Multimodal.oracles ++
+      inspector.Inspector.oracles ++ streaming.KafkaSink.oracles
 }

@@ -26,6 +26,31 @@ final class ConnTracker(client: String, port: Int) {
   def bufferedBytes: Long = inAsm.bufferedBytes.toLong + outAsm.bufferedBytes
   def pendingCalls: Int = pending.size
 
+  /** Drop reassembly buffers (streaming per-key memory cap, the per-key
+    * form of reference trim-state-by-memory, core.clj:322-347).
+    */
+  def resetBuffers(): Unit = { inAsm.reset(); outAsm.reset() }
+
+  /** Externalized state for `flatMapGroupsWithState`. */
+  def snapshot: ConnSnapshot = ConnSnapshot(
+    inBuf = inAsm.buffered,
+    outBuf = outAsm.buffered,
+    pending = pending.toSeq.map { case (id, (info, ts)) => PendingEntry(id, ts, info) },
+    pendingOpen = scan.pendingOpen.toSeq.map { case (id, ri) =>
+      OpenEntry(id, ri.table, ri.region) },
+    scanners = scan.scanners.toSeq.map { case (id, ri) =>
+      ScannerEntry(id, ri.table, ri.region) })
+
+  def restore(s: ConnSnapshot): Unit = {
+    inAsm.restore(s.inBuf)
+    outAsm.restore(s.outBuf)
+    pending.clear()
+    s.pending.foreach(e => pending(e.callId) = (e.info, e.ts))
+    scan = ScanState.State(
+      s.pendingOpen.map(e => e.callId -> ScanState.RegionInfo(e.table, e.region)).toMap,
+      s.scanners.map(e => e.scannerId -> ScanState.RegionInfo(e.table, e.region)).toMap)
+  }
+
   /** Expire correlation state older than `cutoffTs` (reference
     * trim-state-expired, core.clj:285-297; 120 s).
     */

@@ -33,6 +33,16 @@ final class FrameAssembler(maxFrame: Int = FrameAssembler.MaxFrameBytes) {
 
   def reset(): Unit = pending = new ByteArrayOutputStream(0)
 
+  /** Buffer snapshot/restore for externalized state (streaming mode).
+    * Restore bypasses the initial-encounter heuristic: the bytes were
+    * already synced at a frame boundary when snapshotted.
+    */
+  def buffered: Array[Byte] = pending.toByteArray
+  def restore(bytes: Array[Byte]): Unit = {
+    pending = new ByteArrayOutputStream(bytes.length)
+    pending.write(bytes, 0, bytes.length)
+  }
+
   private def int4(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)

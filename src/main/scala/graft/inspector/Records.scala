@@ -40,6 +40,20 @@ final case class RecordInfo(
     actions: Seq[ChildRow],
     results: Seq[ChildRow])
 
+/** Per-connection state externalized for streaming mode
+  * (`flatMapGroupsWithState`): reassembly buffers per direction plus
+  * correlation and scan-lifecycle entries.
+  */
+final case class PendingEntry(callId: Int, ts: Long, info: graft.proto.HbaseRpc.RpcInfo)
+final case class OpenEntry(callId: Int, table: Option[String], region: Option[String])
+final case class ScannerEntry(scannerId: Long, table: Option[String], region: Option[String])
+final case class ConnSnapshot(
+    inBuf: Array[Byte],
+    outBuf: Array[Byte],
+    pending: Seq[PendingEntry],
+    pendingOpen: Seq[OpenEntry],
+    scanners: Seq[ScannerEntry])
+
 /** One data-carrying TCP segment, keyed by its client connection.
   * `order` is the capture sequence within one pcap file; ordering within a
   * connection is (ts, order).

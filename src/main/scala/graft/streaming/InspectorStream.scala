@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.inspector.{ConnSnapshot, ConnTracker, KeyedSegment, RecordInfo}
+
+/** Streaming packet→record pipeline (reference: core.clj:356-394
+  * start-handler — the background loop over a packet channel — plus its
+  * state hygiene: 120 s expiry, core.clj:69-72/285-297, and the memory
+  * cap, core.clj:322-347).
+  *
+  * Spark form: segments keyed by connection → `flatMapGroupsWithState`
+  * holding one [[ConnSnapshot]] per connection. State hygiene:
+  *   - a connection idle for `timeoutMs` (default 120 s, the reference's
+  *     state-expiration-ms) is dropped via the group-state timeout;
+  *   - correlation entries older than `timeoutMs` relative to the newest
+  *     segment are expired each batch;
+  *   - reassembly buffers above `maxBufferBytes` are dropped (per-key form
+  *     of the reference's global 50%-heap cap — per-key is the bound that
+  *     exists in a distributed setting).
+  */
+object InspectorStream {
+
+  val DefaultTimeoutMs: Long = 120000L
+  val DefaultMaxBufferBytes: Long = 64L * 1024 * 1024
+
+  /** `withIdleTimeout = true` (production) arms the per-connection
+    * ProcessingTime timeout (120 s idle → state dropped). Note the engine
+    * then schedules extra timeout-check micro-batches between data
+    * arrivals; deterministic tests pass `false` and rely on the
+    * event-ts-relative expiry (`expireBefore`), which runs either way.
+    */
+  def records(segments: Dataset[KeyedSegment],
+              timeoutMs: Long = DefaultTimeoutMs,
+              maxBufferBytes: Long = DefaultMaxBufferBytes,
+              withIdleTimeout: Boolean = true): Dataset[RecordInfo] = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    // The state rides as kryo-serialized bytes: a product encoder for the
+    // deeply nested ConnSnapshot (RpcInfo -> Seq[RpcAction]/Seq[RpcResult])
+    // generates an expression tree large enough to make per-micro-batch
+    // analysis quadratic-slow; the state never needs columnar form.
+    implicit val snapshotEncoder: org.apache.spark.sql.Encoder[ConnSnapshot] =
+      org.apache.spark.sql.Encoders.kryo[ConnSnapshot]
+    val timeoutConf =
+      if (withIdleTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    segments
+      .groupByKey(s => (s.client, s.port))
+      .flatMapGroupsWithState[ConnSnapshot, RecordInfo](
+        OutputMode.Append, timeoutConf) {
+        (key: (String, Int), segs: Iterator[KeyedSegment],
+         state: GroupState[ConnSnapshot]) =>
+          if (withIdleTimeout && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val tracker = new ConnTracker(key._1, key._2)
+            state.getOption.foreach(tracker.restore)
+            val ordered = segs.toVector.sortBy(s => (s.ts, s.order))
+            val out = ordered.flatMap(tracker.push)
+            // expiry relative to the newest packet ts (the reference's
+            // trim-state-expired uses capture time, not wall clock)
+            ordered.lastOption.foreach(last =>
+              tracker.expireBefore(last.ts - timeoutMs))
+            if (tracker.bufferedBytes > maxBufferBytes) tracker.resetBuffers()
+            state.update(tracker.snapshot)
+            if (withIdleTimeout) state.setTimeoutDuration(timeoutMs)
+            out.iterator
+          }
+      }
+  }
+}

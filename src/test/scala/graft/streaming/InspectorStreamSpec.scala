@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.inspector.{Inspector, KeyedSegment, SyntheticTraffic}
+
+class InspectorStreamSpec extends SparkSpec {
+
+  private lazy val allSegments: Seq[KeyedSegment] =
+    Inspector.segments(spark, SyntheticTraffic.ensurePcapDir())
+      .collect().toSeq.sortBy(s => (s.ts, s.order))
+
+  test("streaming pipeline emits the same records as batch, across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val ms = MemoryStream[KeyedSegment]
+    val query = InspectorStream.records(ms.toDS(), withIdleTimeout = false)
+      .writeStream.format("memory").queryName("stream_records")
+      .outputMode("append").start()
+    try {
+      // split mid-capture: the second chunk starts INSIDE the split big-get
+      // frame of conn B, so reassembly state must survive the batch boundary
+      val cut = allSegments.indexWhere(seg =>
+        seg.client == "10.0.0.2" && seg.inbound) + 1
+      ms.addData(allSegments.take(cut))
+      query.processAllAvailable()
+      ms.addData(allSegments.drop(cut))
+      query.processAllAvailable()
+
+      val streamed = s.table("stream_records")
+        .select(col("client"), col("port"), col("call_id"), col("inbound"),
+          col("method"), col("cells"), col("elapsed"))
+        .collect().map(_.toSeq).toSet
+      val batch = Inspector.records(s, SyntheticTraffic.ensurePcapDir())
+        .toDF()
+        .select(col("client"), col("port"), col("call_id"), col("inbound"),
+          col("method"), col("cells"), col("elapsed"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(streamed.size ===
+        SyntheticTraffic.ExpectedRequests + SyntheticTraffic.ExpectedResponses)
+    } finally query.stop()
+  }
+
+  test("per-key byte cap drops oversized reassembly buffers, stream keeps going") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val connB = allSegments.filter(_.client == "10.0.0.2")
+    val ms = MemoryStream[KeyedSegment]
+    // cap of 100 bytes: the ~600-byte split get cannot be buffered
+    val query = InspectorStream.records(ms.toDS(), maxBufferBytes = 100L,
+      withIdleTimeout = false)
+      .writeStream.format("memory").queryName("capped_records")
+      .outputMode("append").start()
+    try {
+      // one segment per micro-batch: the cap must fire between batches
+      connB.grouped(1).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val got = s.table("capped_records")
+        .select(col("call_id"), col("inbound")).collect()
+        .map(r => (r.getInt(0), r.getBoolean(1))).toSet
+      // the big get request (call 1 inbound) was dropped by the cap;
+      // later frames on the same connection still decode
+      assert(!got.contains((1, true)))
+      assert(got.contains((2, true)) && got.contains((3, true)))
+    } finally query.stop()
+  }
+}
