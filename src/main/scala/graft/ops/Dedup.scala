@@ -48,15 +48,13 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(3))))))
       .otherwise(array().cast("array<string>"))
 
-  /** documents -> (doc_id, sh: distinct 3-gram shingles), short docs dropped. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), gram3of(tokens).as("sh"))
-      .filter(size(col("sh")) > 0)
-
-  /** One minhash value: min over shingles of a seeded 64-bit hash. */
-  private def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, g => xxhash64(lit(seed), g)))
+  /** Mersenne prime 2^31-1: the modulus for the multiplicative minhash
+    * permutation family. One xxhash64 per gram; the 16 "permutations" are
+    * cheap (a_i * h) mod P multiplies — products stay under 2^62, safe
+    * under ANSI overflow checking.
+    */
+  private val P = 2147483647L
+  private def permMul(i: Int): Long = (1000003L * (2 * i + 1)) % P
 
   /** All ordered pairs (a < b) from a sorted id array — pair expansion
     * happens inside the bucket group, after the size cap.
@@ -89,33 +87,56 @@ object Dedup {
     // (band, bucket) shuffle: only (bucket-key, doc_id) rows shuffle, pairs
     // are generated in-group, and signatures are joined back just for the
     // surviving candidates.
+    // Fully relational: explode grams, hash each ONCE, then 16 `min`
+    // aggregates (codegen'd hash-aggregate with map-side combine). The
+    // earlier array-HOF form re-evaluated the shingle array per minhash
+    // column — higher-order functions are CodegenFallback and
+    // CollapseProject inlines them into every consumer, so the plan
+    // re-tokenized each doc ~20x.
     "q31_dedup_minhash" -> ((s, dir) => {
-      val docs = shingled(s, dir)
-      val sigs = docs.select(
-        col("doc_id"),
-        array((0 until NumHashes).map(i => minhash(col("sh"), i)): _*).as("sig"))
-      val banded = sigs.select(
-        col("doc_id"),
-        posexplode(array((0 until NumHashes / BandRows).map(b =>
-          hash(slice(col("sig"), b * BandRows + 1, BandRows))): _*))
-          .as(Seq("band", "bucket")))
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(gram3of(tokens)).as("g"))
+      val hashed = grams.select(col("doc_id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
+      val minCols = (0 until NumHashes).map(i =>
+        min(pmod(col("h") * permMul(i), lit(P))).as(s"m$i"))
+      // one row per doc, 17 longs — materialized once (localCheckpoint)
+      // because three consumers (banding + both join sides) would otherwise
+      // each replay the whole gram pipeline
+      val sigs = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+        .localCheckpoint()
+      val bandKeys = (0 until NumHashes / BandRows).map(b =>
+        hash((b * BandRows until (b + 1) * BandRows).map(i => col(s"m$i")): _*))
+      val banded = sigs.select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
       val pairs = bucketPairs(banded, Seq("band", "bucket"), BucketCap)
-      pairs
-        .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
-        .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+      def side(n: String) = sigs.select(
+        col("doc_id").as(n) +: (0 until NumHashes).map(i => col(s"m$i").as(s"$n$i")): _*)
+      pairs.join(side("a"), "a").join(side("b"), "b")
         .withColumn("est_jaccard",
-          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-            eq => eq)).cast("double") / NumHashes)
+          (0 until NumHashes).map(i =>
+            when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+            .reduce(_ + _).cast("double") / NumHashes)
         .filter(col("est_jaccard") >= 0.5)
         .select(col("a"), col("b"), col("est_jaccard"))
     }),
 
     // SimHash near-dup: 64-bit simhash over tokens, pairs within hamming<=6
     // found by 4-band exact-match blocking (any identical 16-bit quarter).
+    // Same relational shape as q31: one xxhash64 per token, 64 codegen'd
+    // sum aggregates for the bit votes, scalar bit assembly.
     "q32_dedup_simhash" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), array_distinct(tokens).as("w"))
-      val sim = docs.select(col("doc_id"), Similarity.simhash64(col("w")).as("sh"))
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(tokens)).as("t"))
+      val hashed = toks.select(col("doc_id"), xxhash64(col("t")).as("h"))
+      val voteCols = (0 until 64).map(i =>
+        sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"v$i"))
+      val votes = hashed.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      val shExpr = (0 until 64).map(i =>
+        when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_))
+      // (doc_id, sh) — one row per doc; three consumers, materialize once
+      val sim = votes.select(col("doc_id"), shExpr.as("sh")).localCheckpoint()
       val banded = sim.select(col("doc_id"),
         posexplode(array((0 until 4).map(i =>
           shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -134,11 +155,19 @@ object Dedup {
     // (a self-consistent approximation — ubiquitous grams carry no signal).
     // Replaces round 1/2's uncapped Σdf² self-join (155 s of a 198 s bench).
     "q33_ngram_jaccard" -> ((s, dir) => {
-      val docs = shingled(s, dir)
-      val inv = docs.select(explode(col("sh")).as("g"), col("doc_id"))
+      // explode directly: the generator evaluates gram3of once per doc and
+      // empty arrays vanish on their own (no size() filter that would get
+      // a second inlined copy of the expression). Grams shuffle as 64-bit
+      // hashes, not strings — the groupBy key is all that matters and the
+      // estimate tolerates the negligible collision rate.
+      val inv = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(gram3of(tokens)).as("g0"))
+        .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+      // kept-gram posting lists: small (df-capped), two consumers
       val grouped = inv.groupBy(col("g"))
         .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
         .filter(size(col("ids")).between(2, DfCap))
+        .localCheckpoint()
       // effective set size per doc = number of its kept (rare) grams
       val sizes = grouped.select(explode(col("ids")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))

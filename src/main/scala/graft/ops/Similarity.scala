@@ -123,8 +123,11 @@ object Similarity {
     "q34_embed_neardup" -> ((s, dir) => {
       val base = Tables.embeddings(s, dir)
       val bits = lshBitsFor(base.count())
+      // bucketed vectors feed both join sides; materialize the (per-row
+      // nbits-pass) bucket computation once
       val e = base.select(col("vec_id"), col("embedding"),
         lshBucket(col("embedding"), bits).as("bucket"))
+        .localCheckpoint()
       val l = e.select(col("bucket"), col("vec_id").as("a"),
         col("embedding").as("ea"))
       val r = e.select(col("bucket"), col("vec_id").as("b"),
@@ -157,6 +160,7 @@ object Similarity {
       val bits = lshBitsFor(base.count())
       val e = base.select(col("vec_id"), col("embedding"),
         lshBucket(col("embedding"), bits).as("bucket"))
+        .localCheckpoint()
       val q = e.filter(col("vec_id") < QueryK)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
           col("bucket"))
