@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. Spark 4 made `ExpressionUtils` (and the
+  * Column(expr) constructor) `private[sql]`; a library-side object inside
+  * the `org.apache.spark.sql` namespace is the standard extension-point
+  * pattern for wiring custom Catalyst expressions into the public Column
+  * API.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

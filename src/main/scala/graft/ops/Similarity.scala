@@ -27,15 +27,17 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Dot product of two float-array columns, in double (native codegen'd
+    * expression — the zip_with/aggregate HOF form is CodegenFallback).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
 
-  /** L2 norm. */
+  /** L2 norm (HOF form; only used off the hot path). */
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine(a, b)
 
   /** 64-bit SimHash over an array of string tokens (used by Dedup.q32):
     * hash each token ONCE, then fold a 64-slot vote array and assemble the

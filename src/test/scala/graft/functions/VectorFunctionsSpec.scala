@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VectorFunctionsSpec extends SparkSpec {
+
+  private def df = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)))
+      .toDF("id", "a", "b")
+  }
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1, general case") {
+    val rows = df.select(col("id"), VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(rows(1L) - 1.0) < 1e-12)
+    assert(math.abs(rows(2L)) < 1e-12)
+    assert(math.abs(rows(4L) + 1.0) < 1e-12)
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(rows(3L) - expected) < 1e-12)
+  }
+
+  test("dot product") {
+    val rows = df.select(col("id"), VectorFunctions.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(rows(3L) === 32.0)
+    assert(rows(2L) === 0.0)
+  }
+
+  test("interpreted eval matches codegen (both paths exercised)") {
+    // nullSafeEval path directly
+    val e = CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 2.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(2.0f, 4.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    val interpreted = e.eval(null).asInstanceOf[Double]
+    assert(math.abs(interpreted - 1.0) < 1e-12)
+  }
+
+  test("null inputs yield null; stays inside whole-stage codegen") {
+    val s = spark
+    import s.implicits._
+    val withNull = Seq((1L, Some(Array(1.0f)), None: Option[Array[Float]]))
+      .toDF("id", "a", "b")
+    val out = withNull.select(VectorFunctions.cosine(col("a"), col("b"))).collect()
+    assert(out(0).isNullAt(0))
+
+    // a parquet-backed scan (a local Seq collapses to LocalTableScan and
+    // evaluates eagerly, bypassing codegen entirely)
+    val dir = embeddingsDir(Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f))))
+    val scan = spark.read.parquet(s"$dir/embeddings.parquet")
+    val plan = scan
+      .select(VectorFunctions.cosine(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" marks a WholeStageCodegen stage; the Project carrying the
+    // expression must sit inside one (a CodegenFallback expression would
+    // strip the asterisk)
+    assert(plan.contains("*(1) Project"), plan)
+  }
+}
