@@ -56,24 +56,27 @@ object Dedup {
   private val P = 2147483647L
   private def permMul(i: Int): Long = (1000003L * (2 * i + 1)) % P
 
-  /** All ordered pairs (a < b) from a sorted id array — pair expansion
-    * happens inside the bucket group, after the size cap.
+  /** Bucketed candidate pairs: cap the bucket size, then self-join the
+    * surviving posting lists on the blocking key. The join is fully
+    * codegen'd (an earlier collect_set + nested-transform pair expansion
+    * ran interpreted and allocated a struct per pair); fan-out stays
+    * bounded by the cap — Σ over buckets of |bucket|² ≤ cap · Σ|bucket|.
+    * Output: (a, b) with a < b.
     */
-  private def pairsOf(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)),
-        y => struct(x.as("a"), y.as("b")))))
-
-  /** Bucketed candidate pairs: group by the blocking key, cap the bucket,
-    * expand pairs in-group, dedup. Output: (a, b) with a < b.
-    */
-  private def bucketPairs(banded: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
-    banded.groupBy(keyCols.map(col): _*)
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, cap))
-      .select(explode(pairsOf(col("ids"))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+  private def bucketPairs(banded: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val smallBuckets = banded.groupBy(keys: _*)
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, cap))
+      .select(keys: _*)
+    // members of surviving buckets; feeds both join sides
+    val kept = banded.join(smallBuckets, keyCols).localCheckpoint()
+    val l = kept.select(keys :+ col("doc_id").as("a"): _*)
+    val r = kept.select(keys :+ col("doc_id").as("b"): _*)
+    l.join(r, keyCols).where(col("a") < col("b"))
+      .select(col("a"), col("b"))
       .distinct()
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: keep the smallest doc_id per identical text.
@@ -163,7 +166,10 @@ object Dedup {
       val inv = Tables.documents(s, dir)
         .select(col("doc_id"), explode(gram3of(tokens)).as("g0"))
         .select(col("doc_id"), xxhash64(col("g0")).as("g"))
-      // kept-gram posting lists: small (df-capped), two consumers
+      // df-capped posting lists, pairs expanded in-group. Measured against
+      // the bucketPairs-style self-join: with short posting lists (df cap
+      // 50) the in-group expansion wins — it reuses the groupBy(g) shuffle
+      // instead of adding a join-back exchange; both are cap-bounded.
       val grouped = inv.groupBy(col("g"))
         .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
         .filter(size(col("ids")).between(2, DfCap))
@@ -171,7 +177,10 @@ object Dedup {
       // effective set size per doc = number of its kept (rare) grams
       val sizes = grouped.select(explode(col("ids")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = grouped.select(explode(pairsOf(col("ids"))).as("p"))
+      val pairsOf = flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))
+      val inter = grouped.select(explode(pairsOf).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("inter"))
       inter
