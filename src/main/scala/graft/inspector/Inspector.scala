@@ -26,27 +26,31 @@ object Inspector {
   /** Default RegionServer ports (reference core.clj:65-67 hbase-ports). */
   val HbasePorts: Set[Int] = Set(16020, 60020)
 
+  /** One pcap file body → decoded, client-keyed TCP segments (shared by
+    * the batch source and the streaming directory source).
+    */
+  def decodeFile(bytes: Array[Byte], ports: Set[Int]): Iterator[KeyedSegment] =
+    PcapFile.records(bytes).zipWithIndex.flatMap { case (r, i) =>
+      LinkDecode.decode(r.data).flatMap { s =>
+        val inbound = ports.contains(s.dstPort)
+        if (!inbound && !ports.contains(s.srcPort)) None
+        else {
+          val (client, cport, server) =
+            if (inbound) (s.srcAddr, s.srcPort, s.dstAddr)
+            else (s.dstAddr, s.dstPort, s.srcAddr)
+          Some(KeyedSegment(client, cport, inbound, server,
+            r.tsMicros / 1000L, i.toLong, s.payload))
+        }
+      }
+    }
+
   /** pcap files under `path` → decoded, client-keyed TCP segments. */
   def segments(spark: SparkSession, path: String,
                ports: Set[Int] = HbasePorts): Dataset[KeyedSegment] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select(col("content")).as[Array[Byte]]
-      .flatMap { bytes =>
-        PcapFile.records(bytes).zipWithIndex.flatMap { case (r, i) =>
-          LinkDecode.decode(r.data).flatMap { s =>
-            val inbound = ports.contains(s.dstPort)
-            if (!inbound && !ports.contains(s.srcPort)) None
-            else {
-              val (client, cport, server) =
-                if (inbound) (s.srcAddr, s.srcPort, s.dstAddr)
-                else (s.dstAddr, s.dstPort, s.srcAddr)
-              Some(KeyedSegment(client, cport, inbound, server,
-                r.tsMicros / 1000L, i.toLong, s.payload))
-            }
-          }
-        }
-      }
+      .flatMap(decodeFile(_, ports))
   }
 
   /** Segments → shaped records: shuffle once on the connection key, order

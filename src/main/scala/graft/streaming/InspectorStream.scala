@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.inspector.{ConnSnapshot, ConnTracker, KeyedSegment, RecordInfo}
+import graft.inspector.{ConnSnapshot, ConnTracker, Inspector, KeyedSegment, RecordInfo}
 
 /** Streaming packet→record pipeline (reference: core.clj:356-394
   * start-handler — the background loop over a packet channel — plus its
@@ -24,6 +25,35 @@ object InspectorStream {
 
   val DefaultTimeoutMs: Long = 120000L
   val DefaultMaxBufferBytes: Long = 64L * 1024 * 1024
+
+  /** The Spark-native form of the reference's live capture
+    * (core.clj:422-444 read-net-interface): tcpdump rotates capture files
+    * into a directory; the file streaming source picks each up exactly
+    * once and the stateful pipeline continues across files. Raw NIC
+    * capture itself is OS-level and stays outside Spark by design.
+    */
+  def segmentsFromPcapDir(spark: SparkSession, path: String,
+                          ports: Set[Int] = Inspector.HbasePorts): Dataset[KeyedSegment] = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // the binaryFile source's fixed schema; streaming sources require it
+    // stated explicitly
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile").schema(schema).load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(Inspector.decodeFile(_, ports))
+  }
+
+  /** readStream pcap dir → shaped records, end to end. */
+  def recordsFromPcapDir(spark: SparkSession, path: String,
+                         timeoutMs: Long = DefaultTimeoutMs,
+                         maxBufferBytes: Long = DefaultMaxBufferBytes,
+                         withIdleTimeout: Boolean = true): Dataset[RecordInfo] =
+    records(segmentsFromPcapDir(spark, path), timeoutMs, maxBufferBytes, withIdleTimeout)
 
   /** `withIdleTimeout = true` (production) arms the per-connection
     * ProcessingTime timeout (120 s idle → state dropped). Note the engine

@@ -46,6 +46,38 @@ class InspectorStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("pcap-dir file source: rotated files processed incrementally, state crosses files") {
+    val s = spark
+    import java.nio.file.{Files, Paths}
+    val srcDir = Files.createTempDirectory("graft_stream_pcap")
+    val pcaps = Paths.get(SyntheticTraffic.ensurePcapDir())
+    val query = InspectorStream
+      .recordsFromPcapDir(s, srcDir.toString, withIdleTimeout = false)
+      .writeStream.format("memory").queryName("pcap_dir_records")
+      .outputMode("append").start()
+    try {
+      // "rotate" the capture files in one at a time
+      Files.copy(pcaps.resolve("capture-00001.pcap"), srcDir.resolve("c1.pcap"))
+      query.processAllAvailable()
+      val afterFirst = s.table("pcap_dir_records").count()
+      assert(afterFirst === 20L) // conn A requests+responses
+      Files.copy(pcaps.resolve("capture-00002.pcap"), srcDir.resolve("c2.pcap"))
+      query.processAllAvailable()
+      assert(s.table("pcap_dir_records").count() ===
+        (SyntheticTraffic.ExpectedRequests + SyntheticTraffic.ExpectedResponses).toLong)
+    } finally query.stop()
+  }
+
+  test("expireBefore drops stale pending correlation entries") {
+    val t = new graft.inspector.ConnTracker("c", 1)
+    // feed only a request (no response): entry stays pending
+    val reqSeg = allSegments.find(s => s.client == "10.0.0.1" && s.inbound).get
+    t.push(reqSeg)
+    assert(t.pendingCalls === 1)
+    assert(t.expireBefore(reqSeg.ts + 121000L) === 1)
+    assert(t.pendingCalls === 0)
+  }
+
   test("per-key byte cap drops oversized reassembly buffers, stream keeps going") {
     val s = spark
     import s.implicits._
