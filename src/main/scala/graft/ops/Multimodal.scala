@@ -45,7 +45,36 @@ object Multimodal {
       checksum = crc)
   }
 
+  /** One sampled frame of a media blob. */
+  case class FrameSample(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+
+  /** STUB frame extraction: fixed-size chunks stand in for decoded video
+    * frames; a real build swaps in a codec keyframe iterator. Partitioning
+    * and fan-out shape are the real contract: one task per partition,
+    * frames emitted lazily (flatMap), never collected.
+    */
+  private val FrameBytes  = 32
+  private val FrameStride = 4
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Frame sampling over a "video" blob: per-partition batch iteration,
+    // every FrameStride-th frame kept, small typed features out.
+    "q42_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, blob) =>
+          blob.grouped(FrameBytes).zipWithIndex.collect {
+            case (fb, i) if i % FrameStride == 0 =>
+              var crc = 0L
+              fb.foreach(b => crc = crc * 31 + (b & 0xff))
+              FrameSample(id, i, fb.length, crc)
+          }
+        })
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("n_bytes"), col("checksum"))
+    }),
     // documents.text reinterpreted as a media blob (binary col) + metadata
     // struct; features extracted per-partition in batches.
     "q41_multimodal" -> ((s, dir) => {

@@ -18,12 +18,19 @@ object LinkDecode {
   private def u16(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
 
-  /** Returns None for non-IPv4, non-TCP, or empty-payload frames. */
+  /** Returns None for non-IPv4, non-TCP, or empty-payload frames.
+    * One 802.1Q VLAN tag (ethertype 0x8100) is skipped transparently —
+    * datacenter captures are commonly tagged.
+    */
   def decode(frame: Array[Byte]): Option[Segment] = {
     if (frame.length < 14 + 20 + 20) return None
-    val etherType = u16(frame, 12)
+    val tagged = u16(frame, 12) == 0x8100
+    val (etherType, ip) =
+      if (tagged) {
+        if (frame.length < 18 + 20 + 20) return None
+        (u16(frame, 16), 18)
+      } else (u16(frame, 12), 14)
     if (etherType != 0x0800) return None // IPv4 only (reference: IpV4Packet)
-    val ip = 14
     val verIhl = frame(ip) & 0xff
     if ((verIhl >>> 4) != 4) return None
     val ihl = (verIhl & 0xf) * 4

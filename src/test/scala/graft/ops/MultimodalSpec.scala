@@ -16,6 +16,18 @@ class MultimodalSpec extends SparkSpec {
     assert(!df.schema.fields.exists(_.dataType == BinaryType))
   }
 
+  test("q42 frame sampling: every 4th fixed-size frame, checksummed") {
+    val text = "x" * 200 // 200 bytes -> frames of 32: indices 0..6, last=8 bytes
+    val dir = docsDir(Seq((1L, text)))
+    val rows = Multimodal.queries("q42_frame_sample")(spark, dir)
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(0, 4)) // 7 frames, stride 4
+    assert(rows(0).getInt(2) === 32)
+    var crc = 0L
+    Array.fill[Byte](32)('x').foreach(b => crc = crc * 31 + (b & 0xff))
+    assert(rows(0).getLong(3) === crc)
+  }
+
   test("q41 stub decode is deterministic over the blob bytes") {
     val text = "some media payload"
     val dir = docsDir(Seq((1L, text)))

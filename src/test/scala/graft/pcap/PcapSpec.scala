@@ -55,6 +55,17 @@ class PcapSpec extends AnyFunSuite {
     assert(seg.payload.toSeq === payload.toSeq)
   }
 
+  test("LinkDecode skips one 802.1Q VLAN tag") {
+    val payload = "tagged".getBytes("UTF-8")
+    val plain = LinkDecode.encode("10.1.2.3", 40001, "10.0.0.99", 16020, payload)
+    // splice a VLAN tag (TPID 0x8100, TCI 0x0064) after the MAC addresses
+    val tagged = plain.take(12) ++
+      Array[Byte](0x81.toByte, 0x00, 0x00, 0x64) ++ plain.drop(12)
+    val seg = LinkDecode.decode(tagged).get
+    assert(seg.srcPort === 40001)
+    assert(seg.payload.toSeq === payload.toSeq)
+  }
+
   test("LinkDecode rejects non-IPv4, non-TCP, and empty payloads") {
     val frame = LinkDecode.encode("1.1.1.1", 1, "2.2.2.2", 2, Array[Byte](1))
     // flip ethertype to ARP
