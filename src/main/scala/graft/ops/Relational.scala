@@ -161,6 +161,41 @@ object Relational {
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ms"), col("last_click_ms"),
           (col("ms") - col("last_click_ms")).as("wait_ms"))
+    }),
+
+    // JSON payload extraction (HPI records ship as JSON to Kafka; the
+    // analytics side must read such payloads back)
+    "q15_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          asDouble(avg(col("k"))).as("avg_k"))),
+
+    // top-k per group (slowest calls per method in HPI terms)
+    "q16_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("event_type"), col("event_id"), col("value"), col("rk"))
+    }),
+
+    // rollup: per-method counts plus a grand total in one pass
+    "q17_rollup" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).as("n"), asDouble(sum(d2(col("value")))).as("total_value"))),
+
+    // anti join: orders with no lineitems (dangling requests in HPI terms)
+    "q18_anti_join" -> ((s, dir) => {
+      val o  = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderpriority"))
     })
   )
 
@@ -257,6 +292,32 @@ object Relational {
         |      PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ms
         |  FROM events)
-        |WHERE event_type = 'purchase'""".stripMargin
+        |WHERE event_type = 'purchase'""".stripMargin,
+
+    "q15_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |  AS sum_k,
+        |CAST(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+        |  AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q16_topk_per_group" ->
+      """SELECT event_type, event_id, value, rk FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id ASC) AS rk
+        |  FROM events)
+        |WHERE rk <= 3""".stripMargin,
+
+    "q17_rollup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY ROLLUP(event_type)""".stripMargin,
+
+    "q18_anti_join" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin
   )
 }
