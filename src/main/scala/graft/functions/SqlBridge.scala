@@ -13,4 +13,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function on an ALREADY-RUNNING session (extensions only
+    * apply at session construction); sessionState is private[sql].
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(id, info, builder)
 }

@@ -113,4 +113,34 @@ object VectorFunctions {
 
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private[functions] val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (e: Seq[Expression]) => DotProduct(e(0), e(1))))
+
+  /** Make the functions available to `spark.sql` on a live session. */
+  def register(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (id, info, b) =>
+      Bridge.registerFunction(spark, id, info, b)
+    }
+}
+
+/** SQL-surface wiring at session construction:
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+  * }}}
+  * after which `SELECT cosine_similarity(a, b)` parses anywhere SQL does.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    VectorFunctions.sqlFunctions.foreach(ext.injectFunction)
 }

@@ -45,6 +45,17 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(math.abs(interpreted - 1.0) < 1e-12)
   }
 
+  test("SQL surface: cosine_similarity / dot_product usable from spark.sql") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                         array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) c,
+        |       dot_product(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) d
+        |""".stripMargin).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) === 6.0)
+  }
+
   test("null inputs yield null; stays inside whole-stage codegen") {
     val s = spark
     import s.implicits._
