@@ -155,6 +155,35 @@ object Similarity {
       topKPerQuery(s, scored, TopK)
     }),
 
+    // IVF ANN: data-aware coarse quantizer (complement of q36's random
+    // hyperplanes). Centroids = an evenly-spaced sample of the corpus
+    // (stand-in for k-means; the assignment/probe plumbing is the real
+    // contract); every vector joins its argmax-cosine centroid's list,
+    // queries probe their own list and rerank exactly.
+    "q43_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val n = e.count()
+      val nlist = math.max(4, lshBitsFor(n) * 4) // lists scale like buckets
+      val stride = math.max(1L, n / nlist)
+      val centroids = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .limit(nlist)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val assigned = e.join(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"),
+          struct(cosine(col("embedding"), col("cvec")).as("cs"), col("cid")).as("sc"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"), max(col("sc")).as("m"))
+        .select(col("vec_id"), col("embedding"), col("m.cid").as("bucket"))
+        .localCheckpoint() // feeds query + candidate sides
+      val q = assigned.filter(col("vec_id") < QueryK)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("bucket"))
+      val scored = assigned.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          cosine(col("embedding"), col("qvec")).as("cos"))
+      topKPerQuery(s, scored, TopK)
+    }),
+
     // LSH-bucketed ANN: candidates restricted to the query's bucket,
     // exact rerank inside.
     "q36_ann_lsh" -> ((s, dir) => {

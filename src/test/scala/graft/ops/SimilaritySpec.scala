@@ -70,6 +70,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"aggregate recall@10 = $recall")
   }
 
+  test("q43 IVF ANN: clustered corpus routes queries to useful lists") {
+    val rows = Similarity.queries("q43_ann_ivf")(spark, dir).collect()
+    // every query yields candidates from its own list, ranked
+    for (qid <- 0L until 5L) {
+      val got = rows.filter(_.getLong(0) == qid)
+      assert(got.nonEmpty, s"qid $qid returned no candidates")
+      val ranks = got.map(_.getInt(3)).sorted.toSeq
+      assert(ranks === (1 to ranks.size))
+    }
+    // with clusters, the aggregate recall of single-probe IVF must beat
+    // random chance (10/195 ≈ 0.05) by a wide margin
+    val recall = (0L until 5L).map { qid =>
+      val got = rows.filter(_.getLong(0) == qid).map(_.getLong(1)).toSet
+      (got intersect exactTopK(qid, 10).toSet).size / 10.0
+    }.sum / 5.0
+    assert(recall >= 0.2, s"aggregate IVF recall@10 = $recall")
+  }
+
   test("q34 near-dup: planted duplicate vector is the top pair") {
     val dup = corpus :+ (9999L, corpus.head._2.clone()) // exact copy of vec 0
     val d = embeddingsDir(dup)

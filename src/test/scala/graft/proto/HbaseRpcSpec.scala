@@ -159,6 +159,14 @@ class HbaseRpcSpec extends AnyFunSuite {
     assert(info.table === Some("tbl"))
   }
 
+  test("coprocessor-service request decodes header-only (no param model)") {
+    val info = parseRequest(frame(reqHeader(30, "ExecService", hasParam = false)))
+    assert(info.method === "exec-service")
+    assert(info.callId === 30)
+    // CamelCase with consecutive capitals, as the reference's known list
+    assert(toKeyword("CoprocessorService") === "coprocessor-service")
+  }
+
   test("request without param flag carries only header info") {
     val info = parseRequest(frame(reqHeader(22, "Get", hasParam = false)))
     assert(info.method === "get")

@@ -68,6 +68,36 @@ class InspectorStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermarked windowed aggregation over the streaming records") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[KeyedSegment]
+    // per-10s-window method counts with a 30 s watermark — the streaming
+    // equivalent of q01 over live traffic
+    val windowed = InspectorStream.records(ms.toDS(), withIdleTimeout = false)
+      .toDF()
+      .select(org.apache.spark.sql.functions.timestamp_millis(col("ts")).as("event_time"),
+        col("method"))
+      .withWatermark("event_time", "30 seconds")
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("event_time"), "10 seconds"),
+        col("method"))
+      .count()
+    val query = windowed.writeStream.format("memory")
+      .queryName("windowed_methods").outputMode("complete").start()
+    try {
+      ms.addData(allSegments)
+      query.processAllAvailable()
+      val counts = s.table("windowed_methods")
+        .select(col("method"), col("count")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).sum).toMap
+      assert(counts("get") === 6L)   // 3 requests + 3 responses
+      assert(counts("multi") === 2L) // batch-3 multi req + res
+    } finally query.stop()
+  }
+
   test("expireBefore drops stale pending correlation entries") {
     val t = new graft.inspector.ConnTracker("c", 1)
     // feed only a request (no response): entry stays pending
