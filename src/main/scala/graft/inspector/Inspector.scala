@@ -111,6 +111,39 @@ object Inspector {
     resultsTable(recs).createOrReplaceTempView("results")
   }
 
+  /** Persist the 4 tables bucketed by the join key — the Spark
+    * equivalent of the reference's H2 index on (client, port, call_id)
+    * (sink/db.clj:65-66): repeated request⋈response analytics over the
+    * saved tables co-locate on the bucket key and skip the exchange.
+    */
+  def saveTables(spark: SparkSession, pcapPath: String, prefix: String,
+                 buckets: Int = 32): Unit = {
+    val recs = records(spark, pcapPath).cache()
+    Seq(
+      "requests" -> requests(recs), "responses" -> responses(recs),
+      "actions" -> actionsTable(recs), "results" -> resultsTable(recs))
+      .foreach { case (name, df) =>
+        val table = s"${prefix}_$name"
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        // a crashed run can leave files with no catalog entry; managed
+        // tables refuse to reuse the location
+        val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        val leftover = java.nio.file.Paths.get(warehouse, table)
+        if (java.nio.file.Files.exists(leftover)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(leftover).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        df.write.mode("overwrite")
+          .bucketBy(buckets, "client", "port")
+          .sortBy("client", "port", "call_id")
+          .saveAsTable(table)
+      }
+    recs.unpersist()
+  }
+
   /** Decoded packet view (reference pcap.clj packet->map). */
   def packets(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

@@ -112,6 +112,32 @@ class InspectorSpec extends SparkSpec {
     assert(recs.filter(col("client").isin("10.0.0.3", "10.0.0.4")).count() === 0)
   }
 
+  test("bucketed tables: request-response join runs exchange-free") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the auto heuristic can fall back to a non-bucketed scan on tiny
+    // tables; force the bucketed read so the property is observable
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      Inspector.saveTables(spark, dir, "hpi", buckets = 4)
+      // per-connection aggregation on each side + join, all on the bucket
+      // key: zero exchanges anywhere in the plan
+      val reqCounts = spark.table("hpi_requests")
+        .groupBy(col("client"), col("port")).agg(count(lit(1)).as("n_req"))
+      val resCounts = spark.table("hpi_responses")
+        .groupBy(col("client"), col("port")).agg(count(lit(1)).as("n_res"))
+      val joined = reqCounts.join(resCounts, Seq("client", "port"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan) // co-located by bucketing
+      val rows = joined.collect()
+        .map(r => (r.getString(0), (r.getLong(2), r.getLong(3)))).toMap
+      assert(rows("10.0.0.1") === ((10L, 10L)))
+      assert(rows("10.0.0.2") === ((3L, 4L)))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    }
+  }
+
   test("SQL surface: 4 temp views queryable via spark.sql") {
     Inspector.registerViews(spark, dir)
     val methods = spark.sql(
