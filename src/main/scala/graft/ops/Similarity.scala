@@ -184,18 +184,23 @@ object Similarity {
       topKPerQuery(s, scored, TopK)
     }),
 
-    // LSH-bucketed ANN: candidates restricted to the query's bucket,
-    // exact rerank inside.
+    // LSH-bucketed ANN with multi-probe: each query probes its own bucket
+    // plus every 1-bit-flip neighbor (vectors near a hyperplane land on
+    // either side; probing the adjacent buckets recovers them). The probe
+    // fan-out rides the tiny broadcast query side — the corpus is still
+    // touched once.
     "q36_ann_lsh" -> ((s, dir) => {
       val base = Tables.embeddings(s, dir)
       val bits = lshBitsFor(base.count())
       val e = base.select(col("vec_id"), col("embedding"),
         lshBucket(col("embedding"), bits).as("bucket"))
         .localCheckpoint()
-      val q = e.filter(col("vec_id") < QueryK)
+      val probes = e.filter(col("vec_id") < QueryK)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-          col("bucket"))
-      val scored = e.join(broadcast(q), Seq("bucket"))
+          explode(array(col("bucket") +:
+            (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*))
+            .as("bucket"))
+      val scored = e.join(broadcast(probes), Seq("bucket"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           cosine(col("embedding"), col("qvec")).as("cos"))
