@@ -45,12 +45,15 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       (name, sec, status)
     }
-    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // Locale.ROOT: the f-interpolator is locale-sensitive and a comma
+    // decimal separator would produce unparseable JSON
+    def d3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => s""""$k":${d3(v)}""" }.mkString("{", ",", "}")
     val st = results.map { case (k, _, s) => s""""$k":"$s"""" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, "ok") => v }.sum
     val nFail = results.count(_._3 != "ok")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"status":$st,"failed":$nFail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"status":$st,"failed":$nFail,"sf":"$sfDir"}"""
     println(json)
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), json)
     catch { case _: Throwable => () }

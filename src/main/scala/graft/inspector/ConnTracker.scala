@@ -60,13 +60,26 @@ final class ConnTracker(client: String, port: Int) {
     old.size
   }
 
-  /** Feed one segment; emit every completed, shaped record. */
+  /** Feed one segment; emit every completed, shaped record. A parse
+    * failure discards the rest of this direction's stream — both the
+    * remaining already-framed messages and any buffered partial bytes —
+    * matching the reference's whole-buffer drop (core.clj:255-259); the
+    * next segment re-syncs via the valid-length heuristic.
+    */
   def push(seg: KeyedSegment): Seq[RecordInfo] = {
     val asm = if (seg.inbound) inAsm else outAsm
     val frames =
       try asm.push(seg.payload)
       catch { case NonFatal(_) => asm.reset(); Vector.empty }
-    frames.flatMap(parseFrame(_, seg))
+    val out = Vector.newBuilder[RecordInfo]
+    var failed = false
+    frames.foreach { frame =>
+      if (!failed) parseFrame(frame, seg) match {
+        case Some(rec) => out += rec
+        case None      => failed = true // parseFrame already reset the buffer
+      }
+    }
+    out.result()
   }
 
   private def parseFrame(frame: Array[Byte], seg: KeyedSegment): Option[RecordInfo] =

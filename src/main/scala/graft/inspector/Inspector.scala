@@ -132,9 +132,11 @@ object Inspector {
         val leftover = java.nio.file.Paths.get(warehouse, table)
         if (java.nio.file.Files.exists(leftover)) {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(leftover).iterator().asScala.toSeq
+          val walk = java.nio.file.Files.walk(leftover)
+          try walk.iterator().asScala.toSeq
             .sortBy(-_.getNameCount)
             .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
         }
         df.write.mode("overwrite")
           .bucketBy(buckets, "client", "port")

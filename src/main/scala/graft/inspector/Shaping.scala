@@ -12,6 +12,12 @@ import graft.proto.HbaseRpc.{RpcAction, RpcInfo, RpcResult}
   */
 object Shaping {
 
+  /** Reference parity note (core.clj:267): a single-action multi merges
+    * the first ACTION into the parent on BOTH directions, and batch==1
+    * records carry no child rows — so a per-action exception on a
+    * single-action multi RESPONSE is not surfaced (only a header-level
+    * error is). The reference drops it identically; kept for parity.
+    */
   private def mergeSingle(info: RpcInfo, a: RpcAction): RpcInfo =
     info.copy(
       method = a.method,

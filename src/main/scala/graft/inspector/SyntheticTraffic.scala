@@ -142,7 +142,14 @@ object SyntheticTraffic {
       req(90, frame(reqHeader(10, "Scan"),
         writer.msg(1, regionSpec("tsmall"))
           .msg(2, writer.bytes(3, "k".getBytes(UTF_8))).bool(5, true))),
-      res(92, frame(resHeader(10), scanResponse(0L, Seq(3L)))))
+      res(92, frame(resHeader(10), scanResponse(0L, Seq(3L)))),
+      // 11: get answered by a HEADER-ONLY exception response (no body —
+      // the normal wire shape for e.g. NotServingRegionException)
+      req(95, frame(reqHeader(11, "Get"),
+        writer.msg(1, regionSpec("tget")).msg(2,
+          writer.bytes(1, "missing".getBytes(UTF_8))))),
+      res(97, frame(
+        resHeader(11, Some("org.apache.hadoop.hbase.NotServingRegionException")))))
   }
 
   private def connB: Seq[Event] = {
@@ -187,20 +194,38 @@ object SyntheticTraffic {
     w.toBytes
   }
 
-  /** Expected record counts (used by specs): 13 requests, 14 responses. */
-  val ExpectedRequests = 13
-  val ExpectedResponses = 14
+  /** Expected record counts (used by specs): 14 requests, 15 responses. */
+  val ExpectedRequests = 14
+  val ExpectedResponses = 15
 
-  /** Writes the two capture files once per JVM; returns the directory. */
+  /** Writes the two capture files under a content-hashed directory (a
+    * plain existence check would silently reuse stale fixtures from an
+    * older code version across JVMs sharing /tmp); writes go through a
+    * temp file + atomic move so concurrent JVMs never see partial bytes.
+    * Returns the directory.
+    */
   def ensurePcapDir(): String = synchronized {
-    val dir: Path = Paths.get(sys.props("java.io.tmpdir"), "graft_synth_pcap")
-    val f1 = dir.resolve("capture-00001.pcap")
-    val f2 = dir.resolve("capture-00002.pcap")
-    if (!Files.exists(f1) || !Files.exists(f2)) {
-      Files.createDirectories(dir)
-      Files.write(f1, toPcap(connA))
-      Files.write(f2, toPcap(connB ++ noise))
+    val file1 = toPcap(connA)
+    val file2 = toPcap(connB ++ noise)
+    val hash = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(file1); md.update(file2)
+      md.digest().take(4).map(b => f"${b & 0xff}%02x").mkString
     }
+    val dir: Path = Paths.get(sys.props("java.io.tmpdir"), s"graft_synth_pcap_$hash")
+    Files.createDirectories(dir)
+    Seq("capture-00001.pcap" -> file1, "capture-00002.pcap" -> file2)
+      .foreach { case (name, bytes) =>
+        val target = dir.resolve(name)
+        if (!Files.exists(target)) {
+          val tmp = Files.createTempFile(dir, name, ".tmp")
+          Files.write(tmp, bytes)
+          try Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(tmp)
+          }
+        }
+      }
     dir.toString
   }
 }

@@ -75,6 +75,10 @@ object Relational {
           count(lit(1)).as("n"),
           asDouble(sum(d2(col("value")))).as("total_value"))),
 
+    // Exact `percentile` buffers per-group values — required here because
+    // the oracle compares hashes against DuckDB's quantile_cont. At
+    // cluster scale use [[Relational.latencyPctlApprox]]: t-digest sketch,
+    // constant memory per group, mergeable map-side.
     "q06_latency_pctl" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
@@ -198,6 +202,18 @@ object Relational {
         .select(col("o_orderkey"), col("o_orderpriority"))
     })
   )
+
+  /** The 100 TB form of q06: `approx_percentile` keeps a bounded sketch
+    * per group instead of buffering every value (not oracled — the sketch
+    * is not bit-identical to quantile_cont; q06 stays the exact gate).
+    */
+  def latencyPctlApprox(s: SparkSession, dir: String, accuracy: Int = 10000): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(value, 0.95, $accuracy)").as("p95"),
+        expr(s"approx_percentile(value, 0.99, $accuracy)").as("p99"))
 
   def oracles: Map[String, String] = Map(
     "q01_method_counts" ->

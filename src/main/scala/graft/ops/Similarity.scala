@@ -22,8 +22,10 @@ import graft.Tables
   *     log₂(n/targetBucket), clamped) so per-bucket all-pairs work stays
   *     bounded instead of going (N/16)² as with the old fixed 4 bits.
   *
-  * All vector math uses builtin higher-order functions (zip_with /
-  * aggregate) so it stays codegen'd — no UDF deserialization per row.
+  * Hot-path vector math (dot/cosine) runs through the native codegen'd
+  * Catalyst expressions in [[graft.functions.VectorFunctions]]; builtin
+  * higher-order functions appear only off the hot path (they are
+  * CodegenFallback — see the round-3 rework of q31/q32).
   */
 object Similarity {
 
@@ -39,11 +41,10 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.cosine(a, b)
 
-  /** 64-bit SimHash over an array of string tokens (used by Dedup.q32):
-    * hash each token ONCE, then fold a 64-slot vote array and assemble the
-    * sign bits. (Round-2 verdict: the old form issued 64 separate
-    * `aggregate` calls, re-hashing every token per bit — ~64× redundant
-    * xxhash64 work.)
+  /** 64-bit SimHash over an array of string tokens — utility/spec form
+    * (q32 itself computes the same votes relationally for codegen): hash
+    * each token ONCE, then fold a 64-slot vote array and assemble the
+    * sign bits.
     */
   def simhash64(tokens: Column): Column = {
     val hashes = transform(tokens, t => xxhash64(t))

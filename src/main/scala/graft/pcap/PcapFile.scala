@@ -56,7 +56,9 @@ object PcapFile {
         val tsFrac  = u32(bytes, pos + 4, le)
         val inclLen = u32(bytes, pos + 8, le).toInt
         val origLen = u32(bytes, pos + 12, le).toInt
-        if (inclLen < 0 || pos + 16 + inclLen > bytes.length) return null
+        // compare in Long: a crafted inclLen near Int.MaxValue would wrap
+        // `pos + 16 + inclLen` negative and bypass the truncation guard
+        if (inclLen < 0 || pos.toLong + 16L + inclLen > bytes.length) return null
         val data = java.util.Arrays.copyOfRange(bytes, pos + 16, pos + 16 + inclLen)
         pos += 16 + inclLen
         val micros = tsSec * 1000000L + (if (nanos) tsFrac / 1000L else tsFrac)

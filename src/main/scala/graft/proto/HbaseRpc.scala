@@ -334,6 +334,11 @@ object HbaseRpc {
     val base = request.getOrElse(RpcInfo(method, callId))
       .copy(method = method, callId = callId, error = error)
 
+    // An exception response is typically header-only (no body follows);
+    // reading a delimited body unconditionally would throw and drop the
+    // error record entirely.
+    if (!r.hasRemaining) return base
+
     method match {
       case "open-scanner" | "next-rows" | "close-scanner" | "small-scan" =>
         val resp = ProtoWire.parse(r.readDelimited())

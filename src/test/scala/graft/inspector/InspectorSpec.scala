@@ -25,7 +25,15 @@ class InspectorSpec extends SparkSpec {
       .collect()(0)
 
   test("q20 packets: every data-carrying segment decoded") {
-    assert(Inspector.packets(spark, dir).count() === 28) // 20 + 6 + 2 noise
+    assert(Inspector.packets(spark, dir).count() === 30) // 22 + 6 + 2 noise
+  }
+
+  test("header-only error response reaches the responses table") {
+    val r = resRow(11)
+    assert(r.getAs[String]("error") ===
+      "org.apache.hadoop.hbase.NotServingRegionException")
+    assert(r.getAs[String]("method") === "get")
+    assert(r.getAs[Long]("elapsed") === 2L)
   }
 
   test("record counts match the synthetic traffic") {
@@ -130,7 +138,7 @@ class InspectorSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), plan) // co-located by bucketing
       val rows = joined.collect()
         .map(r => (r.getString(0), (r.getLong(2), r.getLong(3)))).toMap
-      assert(rows("10.0.0.1") === ((10L, 10L)))
+      assert(rows("10.0.0.1") === ((11L, 11L)))
       assert(rows("10.0.0.2") === ((3L, 4L)))
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
@@ -143,7 +151,7 @@ class InspectorSpec extends SparkSpec {
     val methods = spark.sql(
       "SELECT method, count(*) AS n FROM requests GROUP BY method ORDER BY method")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(methods("get") === 3L)
+    assert(methods("get") === 4L)
     assert(methods("multi") === 1L)
     val joined = spark.sql(
       """SELECT r.method, s.elapsed FROM requests r

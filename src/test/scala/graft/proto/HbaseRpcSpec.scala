@@ -211,6 +211,17 @@ class HbaseRpcSpec extends AnyFunSuite {
     assert(u.cells === Some(5))
   }
 
+  test("header-only error response (no body) still yields the error record") {
+    val req = RpcInfo("get", 40, table = Some("t"))
+    val info = parseResponse(
+      frame(resHeader(40, Some("org.apache.hadoop.hbase.NotServingRegionException"))),
+      finderFor(req))
+    assert(info.error === Some("org.apache.hadoop.hbase.NotServingRegionException"))
+    assert(info.method === "get")
+    assert(info.table === Some("t"))
+    assert(info.cells === None) // no body to count cells from
+  }
+
   test("error response: exception class from header") {
     val req = RpcInfo("get", 9)
     val info = parseResponse(

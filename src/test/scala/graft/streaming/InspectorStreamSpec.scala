@@ -60,7 +60,7 @@ class InspectorStreamSpec extends SparkSpec {
       Files.copy(pcaps.resolve("capture-00001.pcap"), srcDir.resolve("c1.pcap"))
       query.processAllAvailable()
       val afterFirst = s.table("pcap_dir_records").count()
-      assert(afterFirst === 20L) // conn A requests+responses
+      assert(afterFirst === 22L) // conn A requests+responses
       Files.copy(pcaps.resolve("capture-00002.pcap"), srcDir.resolve("c2.pcap"))
       query.processAllAvailable()
       assert(s.table("pcap_dir_records").count() ===
@@ -93,7 +93,7 @@ class InspectorStreamSpec extends SparkSpec {
         .select(col("method"), col("count")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
         .view.mapValues(_.map(_._2).sum).toMap
-      assert(counts("get") === 6L)   // 3 requests + 3 responses
+      assert(counts("get") === 8L)   // 4 requests + 4 responses
       assert(counts("multi") === 2L) // batch-3 multi req + res
     } finally query.stop()
   }
