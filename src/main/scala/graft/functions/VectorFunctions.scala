@@ -107,12 +107,68 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket of a float vector: bit p of the result is
+  * the sign of the vector's dot product with pseudo-random ±1 weights
+  * derived from xxhash64(p, dim) — one fused codegen loop over
+  * nbits × dims (the Column-API form needed nbits interpreted
+  * `aggregate` passes per row).
+  */
+case class LshBucket(child: Expression, nbits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "lsh_bucket"
+
+  override def nullSafeEval(input: Any): Any =
+    LshBucket.bucket(input.asInstanceOf[ArrayData], nbits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => {
+      s"${classOf[LshBucket].getName.stripSuffix("$")}$$.MODULE$$.bucket($v, $nbits)"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshBucket {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** ±1 weight for (plane, dim): parity of bit 1 of xxhash64(plane, dim)
+    * — matches the seeding idea of the Column-API variant (hash-derived,
+    * no RNG at plan time).
+    */
+  def weight(plane: Int, dim: Int): Double = {
+    val h = XXH64.hashLong(dim.toLong, XXH64.hashLong(plane.toLong, 42L))
+    if ((h & 2L) != 0) 1.0 else -1.0
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def bucket(v: ArrayData, nbits: Int): Long = {
+    var b = 0L
+    var p = 0
+    while (p < nbits) {
+      var proj = 0.0
+      var i = 0
+      while (i < v.numElements()) { proj += v.getFloat(i) * weight(p, i); i += 1 }
+      if (proj > 0) b |= 1L << p
+      p += 1
+    }
+    b
+  }
+}
+
 object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def lshBucket(vec: Column, nbits: Int): Column =
+    Bridge.column(LshBucket(Bridge.expression(vec), nbits))
 
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.catalyst.FunctionIdentifier

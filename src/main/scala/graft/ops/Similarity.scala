@@ -60,21 +60,12 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket: sign bits of dot products with `nbits`
-    * pseudo-random hyperplanes derived deterministically from the dimension
-    * index (hash-based, seed fixed — no RNG at plan time).
+    * pseudo-random hyperplanes derived deterministically from the plane
+    * and dimension indices (hash-based, no RNG at plan time). Native
+    * codegen'd expression — one fused loop over nbits × dims.
     */
-  def lshBucket(vec: Column, nbits: Int): Column = {
-    val bits = (0 until nbits).map { p =>
-      // pseudo-random +-1 weights per (plane, dim): parity of xxhash64(p, i)
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v * (xxhash64(lit(p), i).bitwiseAND(lit(2L)) - lit(1L))
-            .cast("double")),
-        lit(0.0d), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  def lshBucket(vec: Column, nbits: Int): Column =
+    graft.functions.VectorFunctions.lshBucket(vec, nbits)
 
   /** Bucket-count sizing: aim for ~`targetBucket` vectors per bucket, with
     * enough planes that all-pairs work inside a bucket stays bounded as the

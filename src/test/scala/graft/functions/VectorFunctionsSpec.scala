@@ -56,6 +56,23 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r.getDouble(1) === 6.0)
   }
 
+  test("lsh_bucket: deterministic, bounded by nbits, similar vectors collide") {
+    val s = spark
+    import s.implicits._
+    val base = Array.tabulate(16)(i => if (i == 0) 1.0f else 0.01f * i)
+    val near = base.clone(); near(5) += 0.001f
+    val far = base.map(-_) // exact negation flips the sign of every projection
+    val df = Seq((1L, base), (2L, base.clone()), (3L, near), (4L, far))
+      .toDF("id", "v")
+      .select(col("id"), VectorFunctions.lshBucket(col("v"), 8).as("b"))
+    val m = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m(1L) === m(2L)) // identical vectors: same bucket
+    assert(m(1L) === m(3L)) // near-identical: same bucket (tiny perturbation)
+    assert(m.values.forall(b => b >= 0 && b < 256)) // 8 bits
+    assert(m(1L) !== m(4L)) // opposite vector flips every plane
+    assert(m(4L) === (~m(1L) & 0xFFL)) // sign symmetry of the hyperplanes
+  }
+
   test("null inputs yield null; stays inside whole-stage codegen") {
     val s = spark
     import s.implicits._
