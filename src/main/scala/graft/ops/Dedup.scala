@@ -79,10 +79,14 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Exact dedup: keep the smallest doc_id per identical text.
+    // Exact dedup: keep the smallest doc_id per identical text. The
+    // group key is (xxhash64(text), length) so the shuffle carries 16
+    // bytes per row instead of the document body — the output columns
+    // are identical and a 64-bit+length collision is negligible at any
+    // corpus size that fits a cluster.
     "q30_dedup_exact" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .groupBy(col("text"))
+        .groupBy(xxhash64(col("text")), length(col("text")))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .select(col("doc_id"), col("n_copies"))),
 
