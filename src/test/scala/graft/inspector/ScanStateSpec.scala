@@ -44,6 +44,26 @@ class ScanStateSpec extends AnyFunSuite {
     assert(out.table === None)
   }
 
+  test("fuzz: random op sequences never throw; state bounded by live opens") {
+    val rnd = new scala.util.Random(2026)
+    var st = ScanState.empty
+    var maxEntries = 0
+    for (i <- 1 to 3000) {
+      val method = Seq("open-scanner", "small-scan", "next-rows",
+        "close-scanner", "get", "unknown")(rnd.nextInt(6))
+      val info = RpcInfo(method, rnd.nextInt(8),
+        table = if (rnd.nextBoolean()) Some(s"t${rnd.nextInt(3)}") else None,
+        region = None,
+        scanner = if (rnd.nextBoolean()) Some(rnd.nextInt(10).toLong) else None)
+      val (next, out) = ScanState.step(st, info, rnd.nextBoolean())
+      assert(out.method === method, s"step $i must not rewrite the method")
+      st = next
+      maxEntries = math.max(maxEntries, st.bufferedEntries)
+    }
+    // 8 call-ids x pendingOpen + 10 scanner ids bounds the state
+    assert(maxEntries <= 18, s"unbounded scan state: $maxEntries")
+  }
+
   test("non-scan methods do not touch state") {
     val (s, out) = ScanState.step(ScanState.empty, RpcInfo("get", 1), inbound = true)
     assert(s === ScanState.empty)
