@@ -145,14 +145,36 @@ object LshBucket {
     if ((h & 2L) != 0) 1.0 else -1.0
   }
 
+  /** Weights are row-independent; memoize the nbits×dims matrix once per
+    * executor so the per-row cost really is just the multiply-adds (the
+    * two chained XXH64 calls per cell would otherwise dominate).
+    */
+  private val weightCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  private def weights(nbits: Int, dims: Int): Array[Double] =
+    weightCache.computeIfAbsent((nbits, dims), { case (nb, d) =>
+      val w = new Array[Double](nb * d)
+      var p = 0
+      while (p < nb) {
+        var i = 0
+        while (i < d) { w(p * d + i) = weight(p, i); i += 1 }
+        p += 1
+      }
+      w
+    })
+
   /** Shared by interpreted eval and generated code. */
   def bucket(v: ArrayData, nbits: Int): Long = {
+    val dims = v.numElements()
+    val w = weights(nbits, dims)
     var b = 0L
     var p = 0
     while (p < nbits) {
       var proj = 0.0
       var i = 0
-      while (i < v.numElements()) { proj += v.getFloat(i) * weight(p, i); i += 1 }
+      val base = p * dims
+      while (i < dims) { proj += v.getFloat(i) * w(base + i); i += 1 }
       if (proj > 0) b |= 1L << p
       p += 1
     }

@@ -212,13 +212,33 @@ object SyntheticTraffic {
       md.update(file1); md.update(file2)
       md.digest().take(4).map(b => f"${b & 0xff}%02x").mkString
     }
-    val dir: Path = Paths.get(sys.props("java.io.tmpdir"), s"graft_synth_pcap_$hash")
+    val tmpRoot = Paths.get(sys.props("java.io.tmpdir"))
+    val dir: Path = tmpRoot.resolve(s"graft_synth_pcap_$hash")
+    // best-effort cleanup of fixtures minted by older traffic versions
+    // (content-hashed dirs would otherwise accumulate forever)
+    try {
+      val listing = Files.list(tmpRoot)
+      try listing.iterator().forEachRemaining { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("graft_synth_pcap") && p != dir) {
+            val walk = Files.walk(p)
+            try {
+              import scala.jdk.CollectionConverters._
+              walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+                .foreach(Files.deleteIfExists(_))
+            } finally walk.close()
+          }
+        }
+      finally listing.close()
+    } catch { case _: Throwable => () }
     Files.createDirectories(dir)
     Seq("capture-00001.pcap" -> file1, "capture-00002.pcap" -> file2)
       .foreach { case (name, bytes) =>
         val target = dir.resolve(name)
         if (!Files.exists(target)) {
-          val tmp = Files.createTempFile(dir, name, ".tmp")
+          // hidden "."-prefixed temp name: the binaryFile source must never
+          // list a half-written or orphaned temp as a capture
+          val tmp = Files.createTempFile(dir, "." + name, ".tmp")
           Files.write(tmp, bytes)
           try Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           catch { case _: java.nio.file.FileAlreadyExistsException =>

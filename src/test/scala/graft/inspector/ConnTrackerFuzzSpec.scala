@@ -15,9 +15,10 @@ class ConnTrackerFuzzSpec extends AnyFunSuite {
   private def seg(ts: Long, inbound: Boolean, payload: Array[Byte]) =
     KeyedSegment("10.9.9.9", 40009, inbound, "10.0.0.99", ts, 0L, payload)
 
-  test("random garbage never throws; buffers stay bounded") {
+  test("random garbage never throws; buffering never exceeds one declared frame") {
     val rnd = new Random(1234)
     val t = new ConnTracker("10.9.9.9", 40009)
+    var pushed = 0L
     for (i <- 1 to 2000) {
       val payload = new Array[Byte](rnd.nextInt(400))
       rnd.nextBytes(payload)
@@ -29,8 +30,25 @@ class ConnTrackerFuzzSpec extends AnyFunSuite {
         payload(2) = ((len >>> 8) & 0xff).toByte; payload(3) = (len & 0xff).toByte
       }
       t.push(seg(1000L + i, rnd.nextBoolean(), payload)) // must not throw
-      assert(t.bufferedBytes < 1024 * 1024, s"iteration $i")
+      pushed += payload.length
+      // buffered bytes can never exceed what was pushed, and each
+      // direction's buffer is bounded by one declared (valid-length)
+      // frame plus a trailing segment — i.e. well under MaxFrame; the
+      // production bound at scale is the streaming per-key byte cap
+      // (InspectorStreamSpec) on top of this.
+      assert(t.bufferedBytes <= pushed, s"iteration $i")
+      assert(t.bufferedBytes <= 2L * FrameAssembler.MaxFrameBytes, s"iteration $i")
     }
+  }
+
+  test("a huge declared frame buffers only what arrives; byte cap is the real bound") {
+    val t = new ConnTracker("10.9.9.9", 40009)
+    // declared length ~200 MiB passes the valid-length gate
+    val prefix = Array[Byte](0x0C, 0, 0, 0)
+    assert(t.push(seg(1L, inbound = true, prefix ++ Array.fill[Byte](1000)(1))).isEmpty)
+    assert(t.bufferedBytes === 1004L) // only the received bytes are held
+    t.resetBuffers() // what the streaming per-key cap invokes
+    assert(t.bufferedBytes === 0L)
   }
 
   test("valid traffic still decodes after garbage poisoned the stream") {

@@ -38,6 +38,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2L) === expected) // whitespace runs collapse identically
   }
 
+  test("latencyPctlApprox (cluster variant of q06) brackets the exact percentiles") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = Relational.queries("q06_latency_pctl")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Relational.latencyPctlApprox(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, (p50, p95)) <- exact) {
+      // high-accuracy sketch: within 5% relative of the exact values
+      assert(math.abs(approx(k)._1 - p50) <= math.abs(p50) * 0.05 + 1e-9, k)
+      assert(math.abs(approx(k)._2 - p95) <= math.abs(p95) * 0.05 + 1e-9, k)
+    }
+  }
+
   test("q38/q39: counts on a fixed doc") {
     val dir = docsDir(Seq((1L, "aa bb aa cc1 !")))
     val q38 = TextAnalysis.queries("q38_quality_score")(spark, dir).collect()(0)
