@@ -74,6 +74,29 @@ object TextAnalysis {
         best.getField("sc").as("lid_score"))
     }),
 
+    // Repetition signals (Gopher/C4-style quality filters): duplicate
+    // 3-gram ratio (non-distinct grams this time — repetition IS the
+    // signal) and top-token concentration. Map-only, one pass.
+    "q44_repetition" -> ((s, dir) => {
+      val toks = words
+      val grams = when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i, lit(3)))))
+        .otherwise(array().cast("array<string>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("tk"), grams.as("gr"))
+        .select(
+          col("doc_id"),
+          size(col("gr")).cast("long").as("n_grams"),
+          size(array_distinct(col("gr"))).cast("long").as("n_uniq_grams"),
+          when(size(col("gr")) > 0,
+            lit(1.0) - size(array_distinct(col("gr"))).cast("double") / size(col("gr")))
+            .otherwise(0.0).as("dup_gram_ratio"),
+          (array_max(transform(array_distinct(col("tk")),
+            t => size(filter(col("tk"), x => x === t)))).cast("double") /
+            size(col("tk"))).as("top_token_ratio"))
+    }),
+
     // Rolling-hash document fingerprint: polynomial hash of the token
     // stream mod (2^31 - 1) — content-defined identity robust to whitespace
     // noise; modular form keeps every step in long range under ANSI mode.
@@ -105,7 +128,27 @@ object TextAnalysis {
         |CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_tokens,
         |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
         |  AS bpeish_tokens
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q44_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+        |           FROM documents),
+        |g AS (SELECT doc_id, tk,
+        |        CASE WHEN len(tk) >= 3
+        |             THEN list_transform(generate_series(1, len(tk)-2),
+        |                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |             ELSE [] END gr
+        |      FROM t)
+        |SELECT doc_id,
+        |  CAST(len(gr) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(gr)) AS BIGINT) AS n_uniq_grams,
+        |  CASE WHEN len(gr) > 0
+        |       THEN 1.0 - CAST(len(list_distinct(gr)) AS DOUBLE)/len(gr)
+        |       ELSE 0.0 END AS dup_gram_ratio,
+        |  CAST(list_max(list_transform(list_distinct(tk),
+        |         x -> len(list_filter(tk, y -> y = x)))) AS DOUBLE)/len(tk)
+        |    AS top_token_ratio
+        |FROM g""".stripMargin
     // q37 / q40: heuristic & hash ops are not ANSI-SQL-expressible in DuckDB
     // with identical semantics -> rows-only check + ScalaTest specs.
   )

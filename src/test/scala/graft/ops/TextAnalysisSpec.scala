@@ -52,6 +52,24 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("q44 repetition: planted repetitive doc scores high, diverse doc zero") {
+    val dir = docsDir(Seq(
+      (1L, "spam spam spam spam spam spam"),   // 4 grams, 1 distinct
+      (2L, "all these tokens differ fully"),   // 3 grams, all distinct
+      (3L, "x")))                               // no grams
+    val rows = TextAnalysis.queries("q44_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows(1L)._1 === 4L)
+    assert(rows(1L)._2 === 1L)
+    assert(rows(1L)._3 === 0.75)      // 1 - 1/4
+    assert(rows(1L)._4 === 1.0)       // one token dominates completely
+    assert(rows(2L)._3 === 0.0)
+    assert(rows(2L)._4 === 0.2)       // 1/5
+    assert(rows(3L)._1 === 0L)
+    assert(rows(3L)._3 === 0.0)       // guarded division
+  }
+
   test("q38/q39: counts on a fixed doc") {
     val dir = docsDir(Seq((1L, "aa bb aa cc1 !")))
     val q38 = TextAnalysis.queries("q38_quality_score")(spark, dir).collect()(0)
