@@ -26,11 +26,12 @@ object Inspector {
   /** Default RegionServer ports (reference core.clj:65-67 hbase-ports). */
   val HbasePorts: Set[Int] = Set(16020, 60020)
 
-  /** One pcap file body → decoded, client-keyed TCP segments (shared by
-    * the batch source and the streaming directory source).
+  /** One capture file (pcap / pcapng / either gzipped) → decoded,
+    * client-keyed TCP segments (shared by the batch source and the
+    * streaming directory source).
     */
-  def decodeFile(bytes: Array[Byte], ports: Set[Int]): Iterator[KeyedSegment] =
-    PcapFile.records(bytes).zipWithIndex.flatMap { case (r, i) =>
+  def decodeFile(name: String, bytes: Array[Byte], ports: Set[Int]): Iterator[KeyedSegment] =
+    PcapFile.recordsAuto(name, bytes).zipWithIndex.flatMap { case (r, i) =>
       LinkDecode.decode(r.data).flatMap { s =>
         val inbound = ports.contains(s.dstPort)
         if (!inbound && !ports.contains(s.srcPort)) None
@@ -44,13 +45,13 @@ object Inspector {
       }
     }
 
-  /** pcap files under `path` → decoded, client-keyed TCP segments. */
+  /** Capture files under `path` → decoded, client-keyed TCP segments. */
   def segments(spark: SparkSession, path: String,
                ports: Set[Int] = HbasePorts): Dataset[KeyedSegment] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
-      .select(col("content")).as[Array[Byte]]
-      .flatMap(decodeFile(_, ports))
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) => decodeFile(name, bytes, ports) }
   }
 
   /** Segments → shaped records: shuffle once on the connection key, order
@@ -150,9 +151,9 @@ object Inspector {
   def packets(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
-      .select(col("content")).as[Array[Byte]]
-      .flatMap { bytes =>
-        PcapFile.records(bytes).flatMap { r =>
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        PcapFile.recordsAuto(name, bytes).flatMap { r =>
           LinkDecode.decode(r.data).map(s =>
             (r.tsMicros / 1000L, s.srcAddr, s.srcPort, s.dstAddr, s.dstPort,
               s.payload.length))

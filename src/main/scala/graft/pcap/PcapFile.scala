@@ -71,6 +71,21 @@ object PcapFile {
     }
   }
 
+  /** Format/compression dispatch for a capture file: gunzip `.gz` bodies
+    * (rotated captures are routinely compressed), then choose classic
+    * pcap vs pcapng by magic.
+    */
+  def recordsAuto(name: String, bytes: Array[Byte]): Iterator[PcapRecord] = {
+    val raw = if (name.endsWith(".gz")) gunzip(bytes) else bytes
+    if (Pcapng.isPcapng(raw)) Pcapng.records(raw) else records(raw)
+  }
+
+  def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
+  }
+
   /** Writer for tests and the synthetic traffic generator: classic
     * little-endian microsecond pcap, Ethernet link type.
     */

@@ -44,8 +44,8 @@ object InspectorStream {
       StructField("length", LongType),
       StructField("content", BinaryType)))
     spark.readStream.format("binaryFile").schema(schema).load(path)
-      .select(col("content")).as[Array[Byte]]
-      .flatMap(Inspector.decodeFile(_, ports))
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) => Inspector.decodeFile(name, bytes, ports) }
   }
 
   /** readStream pcap dir → shaped records, end to end. */

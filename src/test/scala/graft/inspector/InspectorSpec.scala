@@ -120,6 +120,18 @@ class InspectorSpec extends SparkSpec {
     assert(recs.filter(col("client").isin("10.0.0.3", "10.0.0.4")).count() === 0)
   }
 
+  test("gzipped captures decode identically through the batch pipeline") {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir).resolve("capture-00001.pcap")
+    val gzDir = Files.createTempDirectory("graft_gz")
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(Files.readAllBytes(src)); g.close()
+    Files.write(gzDir.resolve("capture-00001.pcap.gz"), bos.toByteArray)
+    val recs = Inspector.records(spark, gzDir.toString)
+    assert(recs.count() === 22L) // conn A requests + responses
+  }
+
   test("bucketed tables: request-response join runs exchange-free") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     // the auto heuristic can fall back to a non-bucketed scan on tiny
