@@ -76,25 +76,33 @@ object TextAnalysis {
 
     // Repetition signals (Gopher/C4-style quality filters): duplicate
     // 3-gram ratio (non-distinct grams this time — repetition IS the
-    // signal) and top-token concentration. Map-only, one pass.
+    // signal) and top-token concentration. Relational shape: the naive
+    // array form needed an O(tokens²) interpreted nested-filter per doc;
+    // explode + codegen'd aggregates shuffle (doc_id, token) rows once
+    // with map-side combine instead.
     "q44_repetition" -> ((s, dir) => {
       val toks = words
       val grams = when(size(toks) >= 3,
         transform(sequence(lit(1), size(toks) - 2),
           i => concat_ws(" ", slice(toks, i, lit(3)))))
         .otherwise(array().cast("array<string>"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), toks.as("tk"), grams.as("gr"))
+      val docs = Tables.documents(s, dir)
+      val tokStats = docs.select(col("doc_id"), explode(toks).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_toks"), max(col("c")).as("top"))
+      val gramStats = docs.select(col("doc_id"), explode(grams).as("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("ng"), countDistinct(col("g")).as("nu"))
+      tokStats.join(gramStats, Seq("doc_id"), "left")
         .select(
           col("doc_id"),
-          size(col("gr")).cast("long").as("n_grams"),
-          size(array_distinct(col("gr"))).cast("long").as("n_uniq_grams"),
-          when(size(col("gr")) > 0,
-            lit(1.0) - size(array_distinct(col("gr"))).cast("double") / size(col("gr")))
+          coalesce(col("ng"), lit(0L)).as("n_grams"),
+          coalesce(col("nu"), lit(0L)).as("n_uniq_grams"),
+          when(coalesce(col("ng"), lit(0L)) > 0,
+            lit(1.0) - col("nu").cast("double") / col("ng"))
             .otherwise(0.0).as("dup_gram_ratio"),
-          (array_max(transform(array_distinct(col("tk")),
-            t => size(filter(col("tk"), x => x === t)))).cast("double") /
-            size(col("tk"))).as("top_token_ratio"))
+          (col("top").cast("double") / col("n_toks")).as("top_token_ratio"))
     }),
 
     // Rolling-hash document fingerprint: polynomial hash of the token
