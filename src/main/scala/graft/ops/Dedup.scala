@@ -38,15 +38,20 @@ object Dedup {
   /** Whitespace tokens of `text`. */
   private[ops] def tokens: Column = split(trim(col("text")), "\\s+")
 
-  /** Distinct word 3-grams of a token array; empty array for docs with
-    * fewer than 3 tokens (round-2 verdict: the old bound both dropped the
-    * last 3-gram and crashed `slice` on short docs).
+  /** ALL word 3-grams of a token array, in order, duplicates kept; empty
+    * array for docs with fewer than 3 tokens (round-2 verdict: the old
+    * bound both dropped the last 3-gram and crashed `slice` on short
+    * docs — single definition so that off-by-one can't reappear in one
+    * copy).
     */
-  private[ops] def gram3of(toks: Column): Column =
+  private[ops] def gramsOf(toks: Column): Column =
     when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i, lit(3))))))
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
       .otherwise(array().cast("array<string>"))
+
+  /** Distinct word 3-grams (the similarity-set form). */
+  private[ops] def gram3of(toks: Column): Column = array_distinct(gramsOf(toks))
 
   /** Mersenne prime 2^31-1: the modulus for the multiplicative minhash
     * permutation family. One xxhash64 per gram; the 16 "permutations" are

@@ -82,11 +82,11 @@ object TextAnalysis {
     // with map-side combine instead.
     "q44_repetition" -> ((s, dir) => {
       val toks = words
-      val grams = when(size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2),
-          i => concat_ws(" ", slice(toks, i, lit(3)))))
-        .otherwise(array().cast("array<string>"))
-      val docs = Tables.documents(s, dir)
+      val grams = Dedup.gramsOf(toks) // non-distinct: repetition is the signal
+      // explicit null-text contract shared with the oracle SQL: a doc
+      // with NULL text is excluded on both sides (explode would silently
+      // drop it here while DuckDB would emit an all-zero row)
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
       val tokStats = docs.select(col("doc_id"), explode(toks).as("t"))
         .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
@@ -140,7 +140,7 @@ object TextAnalysis {
 
     "q44_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
-        |           FROM documents),
+        |           FROM documents WHERE text IS NOT NULL),
         |g AS (SELECT doc_id, tk,
         |        CASE WHEN len(tk) >= 3
         |             THEN list_transform(generate_series(1, len(tk)-2),

@@ -23,12 +23,14 @@ object PcapFile {
 
   final class FormatException(msg: String) extends RuntimeException(msg)
 
-  private def u32(b: Array[Byte], off: Int, le: Boolean): Long = {
+  /** Shared with [[Pcapng]] — one copy of the endian-sensitive read. */
+  private[pcap] def readU32(b: Array[Byte], off: Int, le: Boolean): Long = {
     val (a0, a1, a2, a3) =
       if (le) (b(off), b(off + 1), b(off + 2), b(off + 3))
       else (b(off + 3), b(off + 2), b(off + 1), b(off))
     ((a3 & 0xffL) << 24) | ((a2 & 0xffL) << 16) | ((a1 & 0xffL) << 8) | (a0 & 0xffL)
   }
+  private def u32(b: Array[Byte], off: Int, le: Boolean): Long = readU32(b, off, le)
 
   /** Lazily iterates records of one pcap file body. Truncated trailing
     * records are dropped (a live capture can be cut mid-record).
@@ -71,14 +73,31 @@ object PcapFile {
     }
   }
 
-  /** Format/compression dispatch for a capture file: gunzip `.gz` bodies
-    * (rotated captures are routinely compressed), then choose classic
-    * pcap vs pcapng by magic.
+  def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+
+  private def isClassic(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && {
+      val magicBE = ((bytes(0) & 0xff) << 24) | ((bytes(1) & 0xff) << 16) |
+        ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
+      magicBE == MagicMicros || magicBE == MagicNanos ||
+        magicBE == 0xD4C3B2A1 || magicBE == 0x4D3CB2A1
+    }
+
+  /** Format/compression dispatch for a capture file: gunzip by MAGIC
+    * (rotated captures are routinely compressed, whatever their name),
+    * then choose classic pcap vs pcapng. A file that is neither — a
+    * stray index/log in the capture directory, or a half-written gzip
+    * picked up by the streaming source — yields NO records instead of
+    * killing the job (`name` is kept for diagnostics only).
     */
-  def recordsAuto(name: String, bytes: Array[Byte]): Iterator[PcapRecord] = {
-    val raw = if (name.endsWith(".gz")) gunzip(bytes) else bytes
-    if (Pcapng.isPcapng(raw)) Pcapng.records(raw) else records(raw)
-  }
+  def recordsAuto(name: String, bytes: Array[Byte]): Iterator[PcapRecord] =
+    try {
+      val raw = if (isGzip(bytes)) gunzip(bytes) else bytes
+      if (Pcapng.isPcapng(raw)) Pcapng.records(raw)
+      else if (isClassic(raw)) records(raw)
+      else Iterator.empty
+    } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
 
   def gunzip(bytes: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(

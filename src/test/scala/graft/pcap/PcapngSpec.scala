@@ -83,18 +83,46 @@ class PcapngSpec extends AnyFunSuite {
     assert(recs.head.data.toSeq === Seq[Byte](1, 2))
   }
 
-  test("non-ethernet interfaces skipped; SPB supported; garbage tail dropped") {
+  test("non-ethernet, undefined-interface, and SPB blocks skipped; garbage tail dropped") {
     val bytes = new Builder().shb().idb(101) // LINKTYPE_RAW, not ethernet
       .epb(0, 1L, Array[Byte](1)).bytes
     assert(Pcapng.records(bytes).isEmpty)
 
+    // EPB referencing an interface with no IDB: skipped, not guessed
+    val orphan = new Builder().shb().epb(0, 1L, Array[Byte](1)).bytes
+    assert(Pcapng.records(orphan).isEmpty)
+
+    // SPB carries no timestamp -> unusable for reassembly ordering: skipped
     val spb = new Builder().shb().idb(1).spb(Array[Byte](7, 7)).bytes
-    val r = Pcapng.records(spb).toVector
-    assert(r.head.data.toSeq === Seq[Byte](7, 7))
+    assert(Pcapng.records(spb).isEmpty)
 
     val truncated = new Builder().shb().idb(1)
       .epb(0, 1L, Array[Byte](1)).bytes.dropRight(3)
     assert(Pcapng.records(truncated).isEmpty) // block guard drops the tail
+  }
+
+  test("millisecond and binary if_tsresol values normalize correctly") {
+    // tsresol=3: ticks are milliseconds
+    val ms = new Builder().shb().idb(1, tsresol = Some(3))
+      .epb(0, 1600000000123L, Array[Byte](1)).bytes
+    assert(Pcapng.records(ms).toVector.head.tsMicros === 1600000000123000L)
+    // tsresol=0x87: 2^-7 seconds per tick -> 128 ticks = 1s
+    val bin = new Builder().shb().idb(1, tsresol = Some(0x87))
+      .epb(0, 128L, Array[Byte](1)).bytes
+    assert(Pcapng.records(bin).toVector.head.tsMicros === 1000000L)
+  }
+
+  test("recordsAuto never throws on stray or corrupt files") {
+    assert(PcapFile.recordsAuto("README.txt", "not a capture".getBytes).isEmpty)
+    assert(PcapFile.recordsAuto("x.pcap", Array.fill[Byte](30)(0x42)).isEmpty)
+    // half-written gzip (magic present, stream truncated)
+    assert(PcapFile.recordsAuto("y.pcap.gz",
+      Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0)).isEmpty)
+    // gzip detected by MAGIC even without the .gz suffix
+    val pcap = (new PcapFile.Writer).record(5L, Array[Byte](1, 2, 3)).toBytes
+    val bos = new ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos); g.write(pcap); g.close()
+    assert(PcapFile.recordsAuto("misnamed.pcap", bos.toByteArray).size === 1)
   }
 
   test("recordsAuto: gzip + format dispatch, end to end through the pipeline") {
