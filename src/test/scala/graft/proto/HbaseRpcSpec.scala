@@ -259,4 +259,41 @@ class HbaseRpcSpec extends AnyFunSuite {
     assert(info.method === "unknown")
     assert(info.callId === 99)
   }
+
+  test("all durability enum values decode") {
+    val expected = Map(0L -> "use_default", 1L -> "skip_wal", 2L -> "async_wal",
+      3L -> "sync_wal", 4L -> "fsync_wal")
+    expected.foreach { case (code, name) =>
+      val m = writer.bytes(1, "r".getBytes(UTF_8)).varint(2, 2L).varint(6, code)
+      val param = writer.msg(1, regionSpecifier(regionName("t"))).msg(2, m)
+      val info = parseRequest(frame(reqHeader(50, "Mutate"), param))
+      assert(info.durability === Some(name), s"code $code")
+    }
+  }
+
+  test("empty multi request: batch 0, no actions, no parent table") {
+    val info = parseRequest(frame(reqHeader(51, "Multi"), writer.varint(2, 0L)))
+    assert(info.method === "multi")
+    assert(info.actions.isEmpty)
+    assert(info.table === None)
+  }
+
+  test("scan open with empty start/stop rows surfaces empty strings, not None") {
+    // reference emits "" for absent rows on open (hbase.clj:141-144)
+    val info = parseRequest(frame(reqHeader(52, "Scan"),
+      writer.msg(1, regionSpecifier(regionName("t"))).msg(2, writer.varint(17, 5L))))
+    assert(info.method === "open-scanner")
+    assert(info.row === Some(""))
+    assert(info.stoprow === Some(""))
+    assert(info.caching === Some(5))
+  }
+
+  test("toStringBinary round-trips every byte value") {
+    val all = Array.tabulate[Byte](256)(i => i.toByte)
+    val s = toStringBinary(all)
+    // printable ASCII stays literal; everything else (and backslash) is \xHH
+    assert(s.contains("ABC"))
+    assert(s.contains("\\x00") && s.contains("\\xFF") && s.contains("\\x5C"))
+    assert(!s.exists(c => c < ' ' || c > '~'))
+  }
 }
