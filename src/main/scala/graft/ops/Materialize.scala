@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-breaking materialization for multiply-consumed intermediates
+  * (minhash/simhash signatures, LSH-bucketed vectors, posting lists): the
+  * signature pipeline would otherwise be replayed once per consumer
+  * (banding + both join-back sides), and `CollapseProject` would re-inline
+  * any CodegenFallback expression into each of them.
+  *
+  * Two modes, selected by `spark.graft.reliableCheckpoint`:
+  *   - `false` (default): `localCheckpoint` — executor-local blocks, fast,
+  *     right for local mode and short interactive runs; an executor loss
+  *     loses the blocks AND the truncated lineage, killing the job.
+  *   - `true`: reliable `checkpoint` to the configured checkpoint dir
+  *     (HDFS/object store on a cluster) — a 100 TB run survives executor
+  *     loss by re-reading the checkpoint instead of dying. Requires
+  *     `SparkContext.setCheckpointDir`.
+  *
+  * Both are LAZY (`eager = false`): plan construction stays job-free — the
+  * materialization runs as part of the query's own first execution, and the
+  * persisted blocks are shared by every consumer from then on.
+  */
+private[graft] object Materialize {
+
+  /** Session conf key; see class doc. */
+  val ReliableFlag = "spark.graft.reliableCheckpoint"
+
+  def apply(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption(ReliableFlag).exists(_.toBoolean))
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
+}

@@ -67,6 +67,44 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q34: banded candidates are cap-bounded; no cross join") {
+    val p = planString("q34_embed_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the bucket-size cap filter (bucketPairs' `bsz`) must be in the plan —
+    // its absence means q34 regressed to the uncapped all-pairs self-join
+    assert(p.contains("bsz"), p)
+  }
+
+  test("q34/q36 plan construction runs no corpus-pass driver actions") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        j.stageInfos.foreach(si => stages.add(si.name))
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      graft.SparkEntry.queries("q34_embed_neardup")(spark, sf)
+      graft.SparkEntry.queries("q36_ann_lsh")(spark, sf)
+      org.apache.spark.graft.TestBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+      // parquet footer/schema metadata jobs ("parquet at ...") are fine;
+      // a `count at Similarity.scala` stage is the round-3 regression this
+      // guard exists to catch (a full corpus pass per plan construction)
+      val passes = stages.toArray(Array.empty[String])
+        .filter(n => n.contains("count at") || n.contains("collect at"))
+      assert(passes.isEmpty,
+        s"corpus-sizing must come from statistics/hints, not plan-time actions: $passes")
+      // q43's explicit train step may run its bounded limit-sample collect
+      // (first partitions only) — but never a count
+      stages.clear()
+      graft.SparkEntry.queries("q43_ann_ivf")(spark, sf)
+      org.apache.spark.graft.TestBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+      val counts = stages.toArray(Array.empty[String]).filter(_.contains("count at"))
+      assert(counts.isEmpty, s"q43 must not count the corpus: $counts")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("q31: no cross join anywhere; bucket pairs generated in-group") {
     val p = planString("q31_dedup_minhash")
     assert(!p.contains("CartesianProduct"), p)

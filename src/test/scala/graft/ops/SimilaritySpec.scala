@@ -79,13 +79,34 @@ class SimilaritySpec extends SparkSpec {
       val ranks = got.map(_.getInt(3)).sorted.toSeq
       assert(ranks === (1 to ranks.size))
     }
-    // with clusters, the aggregate recall of single-probe IVF must beat
-    // random chance (10/195 ≈ 0.05) by a wide margin
+    // k-means centroids (farthest-point seeded, near-dup-merged) route each
+    // query to a list holding its own cluster: single-probe recall must be
+    // high, not merely above chance (the round-3 stride-sample quantizer
+    // only cleared 0.2)
     val recall = (0L until 5L).map { qid =>
       val got = rows.filter(_.getLong(0) == qid).map(_.getLong(1)).toSet
       (got intersect exactTopK(qid, 10).toSet).size / 10.0
     }.sum / 5.0
-    assert(recall >= 0.2, s"aggregate IVF recall@10 = $recall")
+    assert(recall >= 0.5, s"aggregate IVF recall@10 = $recall")
+  }
+
+  test("KMeansLite collapses over-provisioned k to the natural clusters") {
+    val cents = KMeansLite.fit(corpus.map(_._2).toArray, 9, 3)
+    // 5 planted clusters; duplicate centroids within one cluster merge
+    assert(cents.length >= 4 && cents.length <= 6, s"got ${cents.length} centroids")
+  }
+
+  test("q34 bucket cap: a mass-duplicate bucket is skipped, not exploded") {
+    // 250 identical vectors land in ONE bucket of every band — over the
+    // 200 cap, so candidate generation must skip it (bounded fan-out;
+    // identical payloads are exact-dedup's job), yielding no pairs
+    val many = (0L until 250L).map(i => (i, Array.fill(16)(0.5f)))
+    assert(Similarity.queries("q34_embed_neardup")(spark, embeddingsDir(many))
+      .count() === 0L)
+    // under the cap the same degenerate bucket DOES produce pairs
+    val few = (0L until 50L).map(i => (i, Array.fill(16)(0.5f)))
+    assert(Similarity.queries("q34_embed_neardup")(spark, embeddingsDir(few))
+      .count() > 0L)
   }
 
   test("q34 near-dup: planted duplicate vector is the top pair") {
@@ -113,6 +134,9 @@ class SimilaritySpec extends SparkSpec {
   test("lshBitsFor scales with corpus and clamps") {
     assert(Similarity.lshBitsFor(100) === 4)
     assert(Similarity.lshBitsFor(64 * 1024) === 10)
-    assert(Similarity.lshBitsFor(100000000000L) === 16)
+    // 10^9 vectors still grow buckets (24 bits = 16M buckets); past the
+    // clamp the bucketPairs cap bounds per-bucket work instead
+    assert(Similarity.lshBitsFor(1000000000L) === 24)
+    assert(Similarity.lshBitsFor(100000000000L) === 24)
   }
 }
