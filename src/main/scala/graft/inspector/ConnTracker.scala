@@ -26,6 +26,11 @@ final class ConnTracker(client: String, port: Int) {
   def bufferedBytes: Long = inAsm.bufferedBytes.toLong + outAsm.bufferedBytes
   def pendingCalls: Int = pending.size
 
+  /** Total correlation/scan-lifecycle entries held (the entry-count side
+    * of the state cap; buffer bytes are the other side).
+    */
+  def stateEntries: Int = pending.size + scan.bufferedEntries
+
   /** Drop reassembly buffers (streaming per-key memory cap, the per-key
     * form of reference trim-state-by-memory, core.clj:322-347).
     */
@@ -36,10 +41,10 @@ final class ConnTracker(client: String, port: Int) {
     inBuf = inAsm.buffered,
     outBuf = outAsm.buffered,
     pending = pending.toSeq.map { case (id, (info, ts)) => PendingEntry(id, ts, info) },
-    pendingOpen = scan.pendingOpen.toSeq.map { case (id, ri) =>
-      OpenEntry(id, ri.table, ri.region) },
-    scanners = scan.scanners.toSeq.map { case (id, ri) =>
-      ScannerEntry(id, ri.table, ri.region) })
+    pendingOpen = scan.pendingOpen.toSeq.map { case (id, e) =>
+      OpenEntry(id, e.info.table, e.info.region, e.ts) },
+    scanners = scan.scanners.toSeq.map { case (id, e) =>
+      ScannerEntry(id, e.info.table, e.info.region, e.ts) })
 
   def restore(s: ConnSnapshot): Unit = {
     inAsm.restore(s.inBuf)
@@ -47,17 +52,46 @@ final class ConnTracker(client: String, port: Int) {
     pending.clear()
     s.pending.foreach(e => pending(e.callId) = (e.info, e.ts))
     scan = ScanState.State(
-      s.pendingOpen.map(e => e.callId -> ScanState.RegionInfo(e.table, e.region)).toMap,
-      s.scanners.map(e => e.scannerId -> ScanState.RegionInfo(e.table, e.region)).toMap)
+      s.pendingOpen.map(e => e.callId ->
+        ScanState.Entry(ScanState.RegionInfo(e.table, e.region), e.ts)).toMap,
+      s.scanners.map(e => e.scannerId ->
+        ScanState.Entry(ScanState.RegionInfo(e.table, e.region), e.ts)).toMap)
   }
 
-  /** Expire correlation state older than `cutoffTs` (reference
-    * trim-state-expired, core.clj:285-297; 120 s).
+  /** Expire ALL state objects older than `cutoffTs` — call-id correlation
+    * AND scan-lifecycle entries (reference trim-state-expired,
+    * core.clj:285-297; 120 s). Actively-used scanners survive: next-rows
+    * refreshes their ts (core.clj:127); a leaked scanner (client crashed
+    * without close-scanner) ages out instead of living as long as the
+    * connection.
     */
   def expireBefore(cutoffTs: Long): Int = {
     val old = pending.filter { case (_, (_, ts)) => ts < cutoffTs }.keys.toSeq
     old.foreach(pending.remove)
-    old.size
+    val before = scan.bufferedEntries
+    scan = ScanState.expire(scan, cutoffTs)
+    old.size + (before - scan.bufferedEntries)
+  }
+
+  /** Hard entry-count cap (the per-key form of reference
+    * trim-state-by-memory, which drops entries when the global budget is
+    * hit even if nothing is expired): drop OLDEST entries across all
+    * three maps until at most `max` remain. Returns the number dropped.
+    */
+  def trimToEntries(max: Int): Int = {
+    val excess = stateEntries - max
+    if (excess <= 0) return 0
+    // (ts, kind, key) oldest-first; kind disambiguates the map to remove from
+    val all =
+      pending.iterator.map { case (id, (_, ts)) => (ts, 0, id.toLong) } ++
+        scan.pendingOpen.iterator.map { case (id, e) => (e.ts, 1, id.toLong) } ++
+        scan.scanners.iterator.map { case (id, e) => (e.ts, 2, id) }
+    all.toSeq.sortBy(t => (t._1, t._2, t._3)).take(excess).foreach {
+      case (_, 0, id) => pending.remove(id.toInt)
+      case (_, 1, id) => scan = scan.copy(pendingOpen = scan.pendingOpen - id.toInt)
+      case (_, _, id) => scan = scan.copy(scanners = scan.scanners - id)
+    }
+    excess
   }
 
   /** Feed one segment; emit every completed, shaped record. A parse
@@ -90,7 +124,7 @@ final class ConnTracker(client: String, port: Int) {
       val elapsed =
         if (seg.inbound) None
         else pending.get(parsed.callId).map { case (_, reqTs) => seg.ts - reqTs }
-      val (nextScan, info) = ScanState.step(scan, parsed, seg.inbound)
+      val (nextScan, info) = ScanState.step(scan, parsed, seg.inbound, seg.ts)
       scan = nextScan
       if (seg.inbound) pending(info.callId) = (info, seg.ts)
       else pending.remove(info.callId)

@@ -28,10 +28,14 @@ object Inspector {
 
   /** One capture file (pcap / pcapng / either gzipped) → decoded,
     * client-keyed TCP segments (shared by the batch source and the
-    * streaming directory source).
+    * streaming directory source). Each segment carries the file's
+    * first-record ts (`fileTs`): rotation order across files, used to
+    * resolve millisecond ties at file boundaries (see [[KeyedSegment]]).
     */
-  def decodeFile(name: String, bytes: Array[Byte], ports: Set[Int]): Iterator[KeyedSegment] =
-    PcapFile.recordsAuto(name, bytes).zipWithIndex.flatMap { case (r, i) =>
+  def decodeFile(name: String, bytes: Array[Byte], ports: Set[Int]): Iterator[KeyedSegment] = {
+    val recs = PcapFile.recordsAuto(name, bytes).buffered
+    val fileTs = if (recs.hasNext) recs.head.tsMicros / 1000L else 0L
+    recs.zipWithIndex.flatMap { case (r, i) =>
       LinkDecode.decode(r.data).flatMap { s =>
         val inbound = ports.contains(s.dstPort)
         if (!inbound && !ports.contains(s.srcPort)) None
@@ -40,10 +44,11 @@ object Inspector {
             if (inbound) (s.srcAddr, s.srcPort, s.dstAddr)
             else (s.dstAddr, s.dstPort, s.srcAddr)
           Some(KeyedSegment(client, cport, inbound, server,
-            r.tsMicros / 1000L, i.toLong, s.payload))
+            r.tsMicros / 1000L, fileTs, i.toLong, s.seq, s.payload))
         }
       }
     }
+  }
 
   /** Capture files under `path` → decoded, client-keyed TCP segments. */
   def segments(spark: SparkSession, path: String,
@@ -62,7 +67,8 @@ object Inspector {
     import spark.implicits._
     segs
       .repartition(col("client"), col("port"))
-      .sortWithinPartitions(col("client"), col("port"), col("ts"), col("order"))
+      .sortWithinPartitions(col("client"), col("port"),
+        col("ts"), col("fileTs"), col("order"))
       .mapPartitions { it =>
         var key: (String, Int) = null
         var tracker: ConnTracker = null
@@ -124,21 +130,19 @@ object Inspector {
       "requests" -> requests(recs), "responses" -> responses(recs),
       "actions" -> actionsTable(recs), "results" -> resultsTable(recs))
       .foreach { case (name, df) =>
-        val table = s"${prefix}_$name"
+        // saveAsTable lowercases unquoted identifiers — build the leftover
+        // path from the same casing or a stale dir slips past the check
+        val table = s"${prefix}_$name".toLowerCase(java.util.Locale.ROOT)
         spark.sql(s"DROP TABLE IF EXISTS $table")
         // a crashed run can leave files with no catalog entry; managed
-        // tables refuse to reuse the location
-        val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-          .stripPrefix("file:")
-        val leftover = java.nio.file.Paths.get(warehouse, table)
-        if (java.nio.file.Files.exists(leftover)) {
-          import scala.jdk.CollectionConverters._
-          val walk = java.nio.file.Files.walk(leftover)
-          try walk.iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-          finally walk.close()
-        }
+        // tables refuse to reuse the location. Resolve + delete via the
+        // Hadoop FileSystem API so warehouse URIs beyond the local FS
+        // (hdfs:/s3:/percent-encoded file:) are handled uniformly.
+        val warehouse = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"))
+        val leftover = new org.apache.hadoop.fs.Path(warehouse, table)
+        val fs = leftover.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(leftover)) fs.delete(leftover, true)
         df.write.mode("overwrite")
           .bucketBy(buckets, "client", "port")
           .sortBy("client", "port", "call_id")

@@ -9,14 +9,23 @@ import java.io.ByteArrayOutputStream
   */
 object LinkDecode {
 
-  /** Decoded data-carrying TCP segment. */
+  /** Decoded data-carrying TCP segment. `seq` is the raw 32-bit TCP
+    * sequence number (unsigned, in a Long) — carried so downstream
+    * ordering/reassembly can detect same-millisecond reordering within one
+    * direction of a connection.
+    */
   final case class Segment(
       srcAddr: String, srcPort: Int,
       dstAddr: String, dstPort: Int,
+      seq: Long,
       payload: Array[Byte])
 
   private def u16(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private def u32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
 
   /** Returns None for non-IPv4, non-TCP, or empty-payload frames.
     * One 802.1Q VLAN tag (ethertype 0x8100) is skipped transparently —
@@ -42,13 +51,14 @@ object LinkDecode {
     val tcp = ip + ihl
     val srcPort = u16(frame, tcp)
     val dstPort = u16(frame, tcp + 2)
+    val seq = u32(frame, tcp + 4)
     val dataOff = ((frame(tcp + 12) & 0xff) >>> 4) * 4
     if (dataOff < 20) return None
     val payloadStart = tcp + dataOff
     // payload length from the IP total length (the frame may carry padding)
     val payloadLen = math.min(ip + totalLen, frame.length) - payloadStart
     if (payloadLen <= 0) return None
-    Some(Segment(srcAddr, srcPort, dstAddr, dstPort,
+    Some(Segment(srcAddr, srcPort, dstAddr, dstPort, seq,
       java.util.Arrays.copyOfRange(frame, payloadStart, payloadStart + payloadLen)))
   }
 

@@ -91,13 +91,26 @@ object PcapFile {
     * picked up by the streaming source — yields NO records instead of
     * killing the job (`name` is kept for diagnostics only).
     */
-  def recordsAuto(name: String, bytes: Array[Byte]): Iterator[PcapRecord] =
-    try {
-      val raw = if (isGzip(bytes)) gunzip(bytes) else bytes
-      if (Pcapng.isPcapng(raw)) Pcapng.records(raw)
-      else if (isClassic(raw)) records(raw)
-      else Iterator.empty
-    } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+  def recordsAuto(name: String, bytes: Array[Byte]): Iterator[PcapRecord] = {
+    val inner =
+      try {
+        val raw = if (isGzip(bytes)) gunzip(bytes) else bytes
+        if (Pcapng.isPcapng(raw)) Pcapng.records(raw)
+        else if (isClassic(raw)) records(raw)
+        else Iterator.empty
+      } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+    // the construction try only covers the FIRST advance; wrap so a
+    // NonFatal from any later advance (a record deep inside a hostile
+    // file) ends the iteration instead of failing the executor task
+    new Iterator[PcapRecord] {
+      private var nextRec: PcapRecord = fetch()
+      private def fetch(): PcapRecord =
+        try { if (inner.hasNext) inner.next() else null }
+        catch { case scala.util.control.NonFatal(_) => null }
+      def hasNext: Boolean = nextRec != null
+      def next(): PcapRecord = { val r = nextRec; nextRec = fetch(); r }
+    }
+  }
 
   def gunzip(bytes: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(

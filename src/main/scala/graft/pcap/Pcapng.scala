@@ -108,8 +108,12 @@ object Pcapng {
                 // before its IDB would otherwise be decoded under guessed
                 // link type and resolution)
                 ifaces.lift(ifId) match {
+                  // compare in Long: a crafted capLen near Int.MaxValue
+                  // would wrap `bodyStart + 20 + capLen` negative and slip
+                  // past the bound (same hostile-file case the classic
+                  // reader guards in PcapFile.records)
                   case Some(iface) if iface.linkType == PcapFile.LinkEthernet &&
-                    capLen >= 0 && bodyStart + 20 + capLen <= bodyEnd =>
+                    capLen >= 0 && bodyStart.toLong + 20L + capLen <= bodyEnd =>
                     val data = java.util.Arrays.copyOfRange(
                       bytes, bodyStart + 20, bodyStart + 20 + capLen)
                     val ticks = (tsHigh << 32) | tsLow

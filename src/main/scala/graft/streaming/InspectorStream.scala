@@ -25,15 +25,27 @@ object InspectorStream {
 
   val DefaultTimeoutMs: Long = 120000L
   val DefaultMaxBufferBytes: Long = 64L * 1024 * 1024
+  /** Per-connection cap on correlation/scan entries (per-key form of
+    * reference trim-state-by-memory: a bound that fires even when nothing
+    * is old enough to expire).
+    */
+  val DefaultMaxStateEntries: Int = 10000
 
   /** The Spark-native form of the reference's live capture
     * (core.clj:422-444 read-net-interface): tcpdump rotates capture files
     * into a directory; the file streaming source picks each up exactly
     * once and the stateful pipeline continues across files. Raw NIC
     * capture itself is OS-level and stays outside Spark by design.
+    *
+    * Bounded runs (reference `-c`/`-d`, core.clj:51-56): pass
+    * `maxFilesPerTrigger` to bound each micro-batch's intake, start the
+    * query with `Trigger.AvailableNow` to replay the directory's current
+    * contents and terminate, and/or stop after a wall-clock budget with
+    * [[awaitBounded]].
     */
   def segmentsFromPcapDir(spark: SparkSession, path: String,
-                          ports: Set[Int] = Inspector.HbasePorts): Dataset[KeyedSegment] = {
+                          ports: Set[Int] = Inspector.HbasePorts,
+                          maxFilesPerTrigger: Option[Int] = None): Dataset[KeyedSegment] = {
     import org.apache.spark.sql.types._
     import spark.implicits._
     // the binaryFile source's fixed schema; streaming sources require it
@@ -43,7 +55,9 @@ object InspectorStream {
       StructField("modificationTime", TimestampType),
       StructField("length", LongType),
       StructField("content", BinaryType)))
-    spark.readStream.format("binaryFile").schema(schema).load(path)
+    val reader = spark.readStream.format("binaryFile").schema(schema)
+    maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .load(path)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (name, bytes) => Inspector.decodeFile(name, bytes, ports) }
   }
@@ -52,8 +66,19 @@ object InspectorStream {
   def recordsFromPcapDir(spark: SparkSession, path: String,
                          timeoutMs: Long = DefaultTimeoutMs,
                          maxBufferBytes: Long = DefaultMaxBufferBytes,
-                         withIdleTimeout: Boolean = true): Dataset[RecordInfo] =
-    records(segmentsFromPcapDir(spark, path), timeoutMs, maxBufferBytes, withIdleTimeout)
+                         withIdleTimeout: Boolean = true,
+                         maxFilesPerTrigger: Option[Int] = None,
+                         maxStateEntries: Int = DefaultMaxStateEntries): Dataset[RecordInfo] =
+    records(segmentsFromPcapDir(spark, path, maxFilesPerTrigger = maxFilesPerTrigger),
+      timeoutMs, maxBufferBytes, withIdleTimeout, maxStateEntries)
+
+  /** Reference `-d` (duration) equivalent for a running query: block for at
+    * most `durationMs`, then stop it gracefully if it has not terminated on
+    * its own (an `AvailableNow` replay that finished early returns sooner).
+    */
+  def awaitBounded(query: org.apache.spark.sql.streaming.StreamingQuery,
+                   durationMs: Long): Unit =
+    if (!query.awaitTermination(durationMs)) query.stop()
 
   /** `withIdleTimeout = true` (production) arms the per-connection
     * ProcessingTime timeout (120 s idle → state dropped). Note the engine
@@ -64,7 +89,8 @@ object InspectorStream {
   def records(segments: Dataset[KeyedSegment],
               timeoutMs: Long = DefaultTimeoutMs,
               maxBufferBytes: Long = DefaultMaxBufferBytes,
-              withIdleTimeout: Boolean = true): Dataset[RecordInfo] = {
+              withIdleTimeout: Boolean = true,
+              maxStateEntries: Int = DefaultMaxStateEntries): Dataset[RecordInfo] = {
     val spark = segments.sparkSession
     import spark.implicits._
     // The state rides as kryo-serialized bytes: a product encoder for the
@@ -88,13 +114,14 @@ object InspectorStream {
           } else {
             val tracker = new ConnTracker(key._1, key._2)
             state.getOption.foreach(tracker.restore)
-            val ordered = segs.toVector.sortBy(s => (s.ts, s.order))
+            val ordered = segs.toVector.sortBy(s => (s.ts, s.fileTs, s.order))
             val out = ordered.flatMap(tracker.push)
             // expiry relative to the newest packet ts (the reference's
             // trim-state-expired uses capture time, not wall clock)
             ordered.lastOption.foreach(last =>
               tracker.expireBefore(last.ts - timeoutMs))
             if (tracker.bufferedBytes > maxBufferBytes) tracker.resetBuffers()
+            tracker.trimToEntries(maxStateEntries)
             state.update(tracker.snapshot)
             if (withIdleTimeout) state.setTimeoutDuration(timeoutMs)
             out.iterator

@@ -13,7 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class ConnTrackerFuzzSpec extends AnyFunSuite {
 
   private def seg(ts: Long, inbound: Boolean, payload: Array[Byte]) =
-    KeyedSegment("10.9.9.9", 40009, inbound, "10.0.0.99", ts, 0L, payload)
+    KeyedSegment("10.9.9.9", 40009, inbound, "10.0.0.99", ts, 0L, 0L, 0L, payload)
 
   test("random garbage never throws; buffering never exceeds one declared frame") {
     val rnd = new Random(1234)
