@@ -1,0 +1,150 @@
+package graft
+
+import java.io.{BufferedReader, InputStreamReader, PrintStream}
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.inspector.Inspector
+import graft.streaming.{InspectorStream, KafkaSink}
+
+/** CLI entry point — the reference's `-main` (core.clj:513-534) in Spark
+  * form: read a directory of capture files, register the 4-table SQL
+  * surface, then either run `-e` statements, serve an interactive SQL loop
+  * over stdin (the reference's H2 shell, sink/db.clj:101-113), or stream
+  * the records to Kafka (`-k`, sink/kafka.clj).
+  *
+  * {{{
+  * sbt "runMain graft.Main CAPTURE_DIR [options]"
+  *   -e SQL     run a statement and print it (repeatable); exit after
+  *   -k SPEC    stream to Kafka instead: SERVERS/T1/T2 spec grammar
+  *   -p PORTS   comma-separated RegionServer ports (default 16020,60020)
+  *   -t DIR     checkpoint dir for -k (default: a temp dir)
+  *   -d MS      bound a -k run to a wall-clock duration (reference -d)
+  * }}}
+  * With neither `-e` nor `-k`: interactive — one SQL statement per line
+  * against requests/responses/actions/results; empty line or EOF quits
+  * (the reference's "press enter to stop").
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.tune(SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-inspector")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val code =
+      try execute(spark, args,
+        new BufferedReader(new InputStreamReader(System.in)), System.out)
+      finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  private val Usage =
+    """usage: graft.Main CAPTURE_DIR [-e SQL]... [-k SPEC] [-p PORTS] [-t CKPT_DIR] [-d MS]"""
+
+  /** Testable core; returns a process exit code. */
+  def execute(spark: SparkSession, args: Array[String],
+              in: BufferedReader, out: PrintStream): Int = {
+    var dir: Option[String] = None
+    var stmts = Vector.empty[String]
+    var kafka: Option[String] = None
+    var ports = Inspector.HbasePorts
+    var ckpt: Option[String] = None
+    var durationMs: Option[Long] = None
+    var i = 0
+    try {
+      while (i < args.length) {
+        args(i) match {
+          case "-e" => stmts :+= args(i + 1); i += 2
+          case "-k" => kafka = Some(args(i + 1)); i += 2
+          case "-p" => ports = args(i + 1).split(',').map(_.trim.toInt).toSet; i += 2
+          case "-t" => ckpt = Some(args(i + 1)); i += 2
+          case "-d" => durationMs = Some(args(i + 1).toLong); i += 2
+          case flag if flag.startsWith("-") =>
+            out.println(s"unknown option: $flag"); out.println(Usage); return 1
+          case path => dir = Some(path); i += 1
+        }
+      }
+    } catch {
+      case _: ArrayIndexOutOfBoundsException | _: NumberFormatException =>
+        out.println(Usage); return 1
+    }
+    dir match {
+      case None => out.println(Usage); 1
+      case Some(d) if kafka.isDefined => runKafka(spark, d, kafka.get, ports, ckpt, durationMs, out)
+      case Some(d) => runSql(spark, d, ports, stmts, in, out)
+    }
+  }
+
+  private def runKafka(spark: SparkSession, dir: String, spec: String,
+                       ports: Set[Int], ckpt: Option[String],
+                       durationMs: Option[Long], out: PrintStream): Int =
+    try {
+      val parsed = KafkaSink.parseSpec(spec)
+      val records = InspectorStream.recordsFromPcapDir(spark, dir).toDF()
+      val json = KafkaSink.jsonRecords(records, parsed,
+        java.net.InetAddress.getLocalHost.getHostName)
+      val checkpoint = ckpt.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_kafka_ckpt").toString)
+      val query = KafkaSink.writeStream(json, parsed, checkpoint).start()
+      out.println(s"streaming $dir -> kafka ${parsed.servers} " +
+        s"(requests='${parsed.topic1}', responses='${parsed.topic2}')")
+      durationMs match {
+        case Some(ms) => InspectorStream.awaitBounded(query, ms)
+        case None     => query.awaitTermination()
+      }
+      0
+    } catch {
+      case NonFatal(e) => out.println(s"kafka run failed: ${e.getMessage}"); 1
+    }
+
+  private def runSql(spark: SparkSession, dir: String, ports: Set[Int],
+                     stmts: Vector[String], in: BufferedReader,
+                     out: PrintStream): Int = {
+    Inspector.registerViews(spark, dir, ports)
+    graft.functions.VectorFunctions.register(spark)
+    def one(sql: String): Boolean =
+      try { render(spark.sql(sql), out); true }
+      catch { case NonFatal(e) =>
+        out.println(s"error: ${e.getMessage.linesIterator.next()}"); false }
+    if (stmts.nonEmpty) {
+      if (stmts.map(one).forall(identity)) 0 else 1
+    } else {
+      out.println("graft sql> tables: requests, responses, actions, results" +
+        " (empty line or EOF quits)")
+      var line = in.readLine()
+      while (line != null && line.trim.nonEmpty) {
+        one(line.trim)
+        line = in.readLine()
+      }
+      0
+    }
+  }
+
+  /** Plain fixed-width render (driver-side; capped — an interactive shell
+    * shows a page, it does not collect an unbounded result).
+    */
+  private def render(df: DataFrame, out: PrintStream, maxRows: Int = 1000): Unit = {
+    val rows = df.take(maxRows + 1)
+    val shown = rows.take(maxRows)
+    val header = df.columns
+    val cells = shown.map(_.toSeq.map {
+      case null => "NULL"
+      case b: Array[Byte] => s"<${b.length} bytes>"
+      case v => v.toString
+    })
+    val widths = header.indices.map(c =>
+      (header(c).length +: cells.map(_(c).length)).max)
+    def line(vals: Seq[String]): String =
+      vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString("  ")
+    out.println(line(header.toSeq))
+    cells.foreach(r => out.println(line(r)))
+    out.println(
+      if (rows.length > maxRows) s"(first $maxRows rows)" else s"(${shown.length} rows)")
+  }
+}

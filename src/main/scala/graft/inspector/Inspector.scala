@@ -80,8 +80,9 @@ object Inspector {
       }
   }
 
-  def records(spark: SparkSession, path: String): Dataset[RecordInfo] =
-    records(segments(spark, path))
+  def records(spark: SparkSession, path: String,
+              ports: Set[Int] = HbasePorts): Dataset[RecordInfo] =
+    records(segments(spark, path, ports))
 
   // --- the 4-table surface (schema = reference sink/db.clj:8-37) ---------
 
@@ -110,8 +111,9 @@ object Inspector {
     * passthrough (reference sink/db.clj:101-113 shell/web — arbitrary SQL
     * over requests/responses/actions/results).
     */
-  def registerViews(spark: SparkSession, path: String): Unit = {
-    val recs = records(spark, path).cache()
+  def registerViews(spark: SparkSession, path: String,
+                    ports: Set[Int] = HbasePorts): Unit = {
+    val recs = records(spark, path, ports).cache()
     requests(recs).createOrReplaceTempView("requests")
     responses(recs).createOrReplaceTempView("responses")
     actionsTable(recs).createOrReplaceTempView("actions")

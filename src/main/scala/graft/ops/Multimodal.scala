@@ -27,15 +27,30 @@ object Multimodal {
       height: Int,
       checksum: Long)
 
-  /** STUB decode: stands in for an image/audio codec. Deterministic fake —
-    * derives "dimensions" from blob bytes. On a real cluster this is the
-    * only function to replace (JNI codec / JCodec / etc.); the Spark-side
-    * plumbing stays identical.
+  /** Media decode. REAL for image containers: PNG/JPEG/GIF dimensions are
+    * parsed from the bytes ([[ImageHeaders]], pure JVM — no codec
+    * dependency). Anything unrecognizable falls back to the deterministic
+    * STUB below (full pixel decode would need codecs the sandbox lacks; on
+    * a cluster this fallback is the only code to replace — the Spark-side
+    * plumbing stays identical).
     */
-  private def stubDecode(id: Long, mediaType: String, blob: Array[Byte]): MediaFeature = {
+  def decodeMedia(id: Long, declaredType: String, blob: Array[Byte]): MediaFeature = {
     var crc = 0L
     var i = 0
     while (i < blob.length) { crc = crc * 31 + (blob(i) & 0xff); i += 1 }
+    ImageHeaders.parse(blob) match {
+      case Some(info) =>
+        MediaFeature(id, s"image/${info.format}", blob.length.toLong,
+          info.width, info.height, crc)
+      case None => stubDecode(id, declaredType, blob, crc)
+    }
+  }
+
+  /** STUB decode: stands in for a full media codec. Deterministic fake —
+    * derives "dimensions" from blob bytes.
+    */
+  private def stubDecode(id: Long, mediaType: String, blob: Array[Byte],
+                         crc: Long): MediaFeature =
     MediaFeature(
       doc_id = id,
       media_type = mediaType,
@@ -43,7 +58,6 @@ object Multimodal {
       width = math.abs((crc % 1920).toInt) + 1,
       height = math.abs((crc % 1080).toInt) + 1,
       checksum = crc)
-  }
 
   /** One sampled frame of a media blob. */
   case class FrameSample(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
@@ -91,7 +105,7 @@ object Multimodal {
       val feats = blobs
         .select(col("doc_id"), col("meta.content_type"), col("blob"))
         .as[(Long, String, Array[Byte])]
-        .mapPartitions(_.map { case (id, ct, blob) => stubDecode(id, ct, blob) })
+        .mapPartitions(_.map { case (id, ct, blob) => decodeMedia(id, ct, blob) })
       feats.toDF()
         .select(col("doc_id"), col("media_type"), col("n_bytes"),
           col("width"), col("height"), col("checksum"))

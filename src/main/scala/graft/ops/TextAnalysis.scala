@@ -156,8 +156,36 @@ object TextAnalysis {
         |  CAST(list_max(list_transform(list_distinct(tk),
         |         x -> len(list_filter(tk, y -> y = x)))) AS DOUBLE)/len(tk)
         |    AS top_token_ratio
-        |FROM g""".stripMargin
-    // q37 / q40: heuristic & hash ops are not ANSI-SQL-expressible in DuckDB
-    // with identical semantics -> rows-only check + ScalaTest specs.
+        |FROM g""".stripMargin,
+    // The q37 oracle mirrors the Spark fold exactly: scores are
+    // stopword-overlap ratios per language; the argmax CASE keeps the
+    // "strictly greater replaces" fold semantics (ties resolve to the
+    // FIRST language in sorted order), so `score_de >= greatest(rest)`
+    // wins de exactly when de holds the (possibly shared) maximum.
+    "q37_lang_id" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(list_intersect(list_distinct(w),
+        |    ['der','die','das','und','ein','eine','zu','mit'])) AS DOUBLE)/len(w) AS score_de,
+        |  CAST(len(list_intersect(list_distinct(w),
+        |    ['the','a','of','and','to','in','is','that'])) AS DOUBLE)/len(w) AS score_en,
+        |  CAST(len(list_intersect(list_distinct(w),
+        |    ['el','la','de','y','los','las','un','una'])) AS DOUBLE)/len(w) AS score_es,
+        |  CAST(len(list_intersect(list_distinct(w),
+        |    ['le','la','de','et','les','des','un','une'])) AS DOUBLE)/len(w) AS score_fr,
+        |  CAST(len(list_intersect(list_distinct(w),
+        |    ['de','le','shi','zai','you','wo','ta','men'])) AS DOUBLE)/len(w) AS score_zh
+        |FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN score_de >= greatest(score_en, score_es, score_fr, score_zh) THEN 'de'
+        |       WHEN score_en >= greatest(score_es, score_fr, score_zh) THEN 'en'
+        |       WHEN score_es >= greatest(score_fr, score_zh) THEN 'es'
+        |       WHEN score_fr >= score_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  greatest(score_de, score_en, score_es, score_fr, score_zh) AS lid_score
+        |FROM s""".stripMargin
+    // q40: hash ops (crc32 composition) are not expressible in DuckDB with
+    // identical semantics -> rows-only check + ScalaTest formula spec.
   )
 }

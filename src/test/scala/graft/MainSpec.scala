@@ -1,0 +1,55 @@
+package graft
+
+import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
+
+import graft.inspector.SyntheticTraffic
+
+class MainSpec extends SparkSpec {
+
+  private def run(args: Array[String], stdin: String = ""): (Int, String) = {
+    val buf = new ByteArrayOutputStream()
+    val out = new PrintStream(buf, true, "UTF-8")
+    val code = Main.execute(spark, args,
+      new BufferedReader(new StringReader(stdin)), out)
+    (code, buf.toString("UTF-8"))
+  }
+
+  test("-e statements round-trip the synthetic capture end to end") {
+    val (code, out) = run(Array(SyntheticTraffic.ensurePcapDir(),
+      "-e", "SELECT count(*) AS n FROM requests",
+      "-e", "SELECT count(*) AS n FROM responses"))
+    assert(code === 0, out)
+    assert(out.contains(SyntheticTraffic.ExpectedRequests.toString))
+    assert(out.contains(SyntheticTraffic.ExpectedResponses.toString))
+  }
+
+  test("interactive loop executes statements until the empty line") {
+    val (code, out) = run(Array(SyntheticTraffic.ensurePcapDir()),
+      stdin = "SELECT method, count(*) AS c FROM requests GROUP BY method ORDER BY c DESC\n\n")
+    assert(code === 0, out)
+    assert(out.contains("graft sql>"))
+    assert(out.contains("get")) // most frequent method present in rendering
+  }
+
+  test("a bad statement reports the error and fails the -e run") {
+    val (code, out) = run(Array(SyntheticTraffic.ensurePcapDir(),
+      "-e", "SELECT nope FROM requests"))
+    assert(code === 1)
+    assert(out.contains("error:"))
+  }
+
+  test("missing capture dir / unknown flag print usage and fail") {
+    assert(run(Array.empty[String])._1 === 1)
+    val (code, out) = run(Array("--bogus"))
+    assert(code === 1)
+    assert(out.contains("usage:"))
+  }
+
+  test("-p filters to the given ports (none match -> empty tables, not errors)") {
+    val (code, out) = run(Array(SyntheticTraffic.ensurePcapDir(),
+      "-p", "9999",
+      "-e", "SELECT count(*) AS n FROM requests"))
+    assert(code === 0, out)
+    assert(out.linesIterator.exists(_.trim.startsWith("0")))
+  }
+}

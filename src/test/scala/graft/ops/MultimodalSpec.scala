@@ -39,4 +39,57 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getInt(3) === math.abs((crc % 1920).toInt) + 1)
     assert(row.getInt(4) === math.abs((crc % 1080).toInt) + 1)
   }
+
+  // --- REAL image header decode (round-3 verdict item 10) ----------------
+
+  /** Render a real image via the JDK's own encoder — the parser must agree
+    * with a second, independent implementation, not with itself.
+    */
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("ImageHeaders: real PNG/JPEG/GIF dimensions parsed from bytes") {
+    assert(ImageHeaders.parse(imageBytes("png", 13, 7))
+      === Some(ImageHeaders.ImageInfo("png", 13, 7)))
+    assert(ImageHeaders.parse(imageBytes("jpg", 31, 17))
+      === Some(ImageHeaders.ImageInfo("jpeg", 31, 17)))
+    assert(ImageHeaders.parse(imageBytes("gif", 9, 21))
+      === Some(ImageHeaders.ImageInfo("gif", 9, 21)))
+    // non-images fall through to None (q41's stub path)
+    assert(ImageHeaders.parse("just text".getBytes("UTF-8")) === None)
+    assert(ImageHeaders.parse(Array.empty[Byte]) === None)
+    // a truncated PNG signature must not crash or match
+    assert(ImageHeaders.parse(imageBytes("png", 5, 5).take(10)) === None)
+  }
+
+  test("decodeMedia: real dimensions for images, stub for everything else") {
+    val png = imageBytes("png", 64, 48)
+    val real = Multimodal.decodeMedia(1L, "application/octet-stream", png)
+    assert(real.media_type === "image/png")
+    assert((real.width, real.height) === ((64, 48)))
+    assert(real.n_bytes === png.length.toLong)
+    val stub = Multimodal.decodeMedia(2L, "text/plain", "hello".getBytes("UTF-8"))
+    assert(stub.media_type === "text/plain") // fell back: declared type kept
+  }
+
+  test("decodeMedia through the distributed pipeline (binary column end to end)") {
+    val s = spark
+    import s.implicits._
+    val png = imageBytes("png", 40, 30)
+    val jpg = imageBytes("jpg", 20, 10)
+    val feats = Seq((1L, png), (2L, jpg), (3L, "noise".getBytes("UTF-8")))
+      .toDF("doc_id", "blob")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => Multimodal.decodeMedia(id, "bin", b) })
+      .collect().map(f => f.doc_id -> ((f.media_type, f.width, f.height))).toMap
+    assert(feats(1L) === (("image/png", 40, 30)))
+    assert(feats(2L) === (("image/jpeg", 20, 10)))
+    assert(feats(3L)._1 === "bin")
+  }
 }
