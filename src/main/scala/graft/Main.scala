@@ -22,6 +22,8 @@ import graft.streaming.{InspectorStream, KafkaSink}
   *   -p PORTS   comma-separated RegionServer ports (default 16020,60020)
   *   -t DIR     checkpoint dir for -k (default: a temp dir)
   *   -d MS      bound a -k run to a wall-clock duration (reference -d)
+  *   -i IFACE   print the tcpdump command that feeds CAPTURE_DIR live
+  *              (the OS half of the reference's read-net-interface)
   * }}}
   * With neither `-e` nor `-k`: interactive — one SQL statement per line
   * against requests/responses/actions/results; empty line or EOF quits
@@ -56,6 +58,7 @@ object Main {
     var ports = Inspector.HbasePorts
     var ckpt: Option[String] = None
     var durationMs: Option[Long] = None
+    var iface: Option[String] = None
     var i = 0
     try {
       while (i < args.length) {
@@ -65,6 +68,7 @@ object Main {
           case "-p" => ports = args(i + 1).split(',').map(_.trim.toInt).toSet; i += 2
           case "-t" => ckpt = Some(args(i + 1)); i += 2
           case "-d" => durationMs = Some(args(i + 1).toLong); i += 2
+          case "-i" => iface = Some(args(i + 1)); i += 2
           case flag if flag.startsWith("-") =>
             out.println(s"unknown option: $flag"); out.println(Usage); return 1
           case path => dir = Some(path); i += 1
@@ -76,6 +80,11 @@ object Main {
     }
     dir match {
       case None => out.println(Usage); 1
+      case Some(d) if iface.isDefined =>
+        out.println("run this to feed the capture directory, then re-run " +
+          "graft.Main without -i (or with -k) against it:")
+        out.println(InspectorStream.captureCommand(iface.get, d, ports))
+        0
       case Some(d) if kafka.isDefined => runKafka(spark, d, kafka.get, ports, ckpt, durationMs, out)
       case Some(d) => runSql(spark, d, ports, stmts, in, out)
     }

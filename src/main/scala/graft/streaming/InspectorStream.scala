@@ -80,6 +80,35 @@ object InspectorStream {
                    durationMs: Long): Unit =
     if (!query.awaitTermination(durationMs)) query.stop()
 
+  /** The OS half of live capture. The reference opens the NIC in-process
+    * (pcap.clj:16-33 live-handle: BPF filter, snaplen, promiscuous mode);
+    * a distributed engine deliberately does not — tcpdump owns the NIC and
+    * rotates files into the directory [[recordsFromPcapDir]] tails. This
+    * builds the exact invocation with the same knobs: the reference's BPF
+    * expression (data-carrying TCP segments on the RegionServer ports),
+    * snaplen, promiscuous mode, and gzip'd rotation the `.gz`-aware reader
+    * consumes.
+    */
+  def captureCommand(iface: String, dir: String,
+                     ports: Set[Int] = Inspector.HbasePorts,
+                     snaplen: Int = 65535,
+                     rotateSeconds: Int = 60,
+                     promiscuous: Boolean = true,
+                     gzip: Boolean = true): String = {
+    // reference pcap.clj:24-27 filter: tcp, given ports, payload-carrying
+    val portExpr = ports.toSeq.sorted.map(p => s"port $p").mkString(" or ")
+    val bpf = s"tcp and ($portExpr) and " +
+      "(((ip[2:2] - ((ip[0]&0xf)<<2)) - ((tcp[12]&0xf0)>>2)) != 0)"
+    val flags = Seq(
+      Some(s"-i $iface"),
+      if (promiscuous) None else Some("-p"),
+      Some(s"-s $snaplen"),
+      Some(s"-G $rotateSeconds"),
+      if (gzip) Some("-z gzip") else None,
+      Some(s"-w '$dir/capture-%s.pcap'")).flatten
+    s"tcpdump ${flags.mkString(" ")} '$bpf'"
+  }
+
   /** `withIdleTimeout = true` (production) arms the per-connection
     * ProcessingTime timeout (120 s idle → state dropped). Note the engine
     * then schedules extra timeout-check micro-batches between data

@@ -45,6 +45,15 @@ class MainSpec extends SparkSpec {
     assert(out.contains("usage:"))
   }
 
+  test("-i prints a tcpdump command with the BPF/snaplen/rotation knobs") {
+    val (code, out) = run(Array("/var/capture", "-i", "eth0", "-p", "16020"))
+    assert(code === 0)
+    assert(out.contains("tcpdump -i eth0"))
+    assert(out.contains("port 16020"))
+    assert(out.contains("-w '/var/capture/capture-%s.pcap'"))
+    assert(out.contains("tcp[12]&0xf0")) // data-carrying-segments BPF
+  }
+
   test("-p filters to the given ports (none match -> empty tables, not errors)") {
     val (code, out) = run(Array(SyntheticTraffic.ensurePcapDir(),
       "-p", "9999",

@@ -50,18 +50,18 @@ class HbaseRpcSpec extends AnyFunSuite {
     assert(t === "mytable")
     assert(r === Hex32)
 
-    // old style: no trailing-dot suffix -> md5 of the whole name
+    // old style: no trailing-dot suffix -> HBase pre-0.92 semantics,
+    // decimal |JenkinsHash| of the whole name
     val old = "t1,k,123".getBytes(UTF_8)
-    val md5 = java.security.MessageDigest.getInstance("MD5").digest(old)
-      .map(b => f"${b & 0xff}%02x").mkString
-    assert(parseRegionName(old) === (("t1", md5)))
+    assert(parseRegionName(old) ===
+      (("t1", String.valueOf(math.abs(JenkinsHash.hash(old))))))
 
     // looks new-style (trailing dot) but missing the '.' separator at
     // length-34 -> hash fallback, not a bogus 32-char suffix
     val bogus = ("t2,k,123X" + Hex32 + ".").getBytes(UTF_8)
-    val md5b = java.security.MessageDigest.getInstance("MD5").digest(bogus)
-      .map(b => f"${b & 0xff}%02x").mkString
-    assert(parseRegionName(bogus)._2 === md5b)
+    assert(parseRegionName(bogus)._2 === JenkinsHash.encodeRegionName(bogus))
+    // the fallback is decimal digits (old-style shape), never 32-hex
+    assert(parseRegionName(old)._2.forall(_.isDigit))
   }
 
   // --- requests ---------------------------------------------------------
