@@ -47,7 +47,7 @@ object Main {
   }
 
   private val Usage =
-    """usage: graft.Main CAPTURE_DIR [-e SQL]... [-k SPEC] [-p PORTS] [-t CKPT_DIR] [-d MS]"""
+    """usage: graft.Main CAPTURE_DIR [-e SQL]... [-k SPEC] [-p PORTS] [-t CKPT_DIR] [-d MS] [-i IFACE]"""
 
   /** Testable core; returns a process exit code. */
   def execute(spark: SparkSession, args: Array[String],
@@ -95,7 +95,7 @@ object Main {
                        durationMs: Option[Long], out: PrintStream): Int =
     try {
       val parsed = KafkaSink.parseSpec(spec)
-      val records = InspectorStream.recordsFromPcapDir(spark, dir).toDF()
+      val records = InspectorStream.recordsFromPcapDir(spark, dir, ports = ports).toDF()
       val json = KafkaSink.jsonRecords(records, parsed,
         java.net.InetAddress.getLocalHost.getHostName)
       val checkpoint = ckpt.getOrElse(
@@ -120,7 +120,11 @@ object Main {
     def one(sql: String): Boolean =
       try { render(spark.sql(sql), out); true }
       catch { case NonFatal(e) =>
-        out.println(s"error: ${e.getMessage.linesIterator.next()}"); false }
+        // getMessage can be null (NPE in expression eval) or empty
+        val msg = Option(e.getMessage)
+          .flatMap(_.linesIterator.find(_.trim.nonEmpty))
+          .getOrElse(e.getClass.getSimpleName)
+        out.println(s"error: $msg"); false }
     if (stmts.nonEmpty) {
       if (stmts.map(one).forall(identity)) 0 else 1
     } else {

@@ -153,7 +153,10 @@ object Inspector {
     recs.unpersist()
   }
 
-  /** Decoded packet view (reference pcap.clj packet->map). */
+  /** Decoded packet view (reference pcap.clj packet->map), including the
+    * raw TCP sequence number — the diagnostics surface for capture-order
+    * questions (retransmits, same-ms bursts at rotation boundaries).
+    */
   def packets(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
@@ -162,10 +165,10 @@ object Inspector {
         PcapFile.recordsAuto(name, bytes).flatMap { r =>
           LinkDecode.decode(r.data).map(s =>
             (r.tsMicros / 1000L, s.srcAddr, s.srcPort, s.dstAddr, s.dstPort,
-              s.payload.length))
+              s.seq, s.payload.length))
         }
       }
-      .toDF("ts_ms", "src_addr", "src_port", "dst_addr", "dst_port", "length")
+      .toDF("ts_ms", "src_addr", "src_port", "dst_addr", "dst_port", "seq", "length")
   }
 
   // --- driver-contract queries (rows-only: the pipeline is not

@@ -43,6 +43,12 @@ final case class RecordInfo(
 /** Per-connection state externalized for streaming mode
   * (`flatMapGroupsWithState`): reassembly buffers per direction plus
   * correlation and scan-lifecycle entries.
+  *
+  * The state rides kryo-serialized, so its FIELD LAYOUT is the streaming
+  * checkpoint format: changing these case classes (as round 4 did, adding
+  * `ts` to Open/ScannerEntry) invalidates checkpoints written by earlier
+  * builds — standard for Spark stateful pipelines; restart such a query
+  * with a fresh checkpoint dir.
   */
 final case class PendingEntry(callId: Int, ts: Long, info: graft.proto.HbaseRpc.RpcInfo)
 final case class OpenEntry(callId: Int, table: Option[String], region: Option[String], ts: Long)

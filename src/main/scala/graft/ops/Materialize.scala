@@ -28,6 +28,11 @@ private[graft] object Materialize {
 
   def apply(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.getOption(ReliableFlag).exists(_.toBoolean))
-      df.checkpoint(eager = false)
+      // persist first: an unpersisted reliable checkpoint re-executes the
+      // whole lineage in the checkpoint-write job (Spark's documented
+      // recompute behavior) — exactly the double-compute this class exists
+      // to prevent. The write job then reads the cached blocks instead.
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .checkpoint(eager = false)
     else df.localCheckpoint(eager = false)
 }

@@ -68,8 +68,9 @@ object InspectorStream {
                          maxBufferBytes: Long = DefaultMaxBufferBytes,
                          withIdleTimeout: Boolean = true,
                          maxFilesPerTrigger: Option[Int] = None,
-                         maxStateEntries: Int = DefaultMaxStateEntries): Dataset[RecordInfo] =
-    records(segmentsFromPcapDir(spark, path, maxFilesPerTrigger = maxFilesPerTrigger),
+                         maxStateEntries: Int = DefaultMaxStateEntries,
+                         ports: Set[Int] = Inspector.HbasePorts): Dataset[RecordInfo] =
+    records(segmentsFromPcapDir(spark, path, ports, maxFilesPerTrigger),
       timeoutMs, maxBufferBytes, withIdleTimeout, maxStateEntries)
 
   /** Reference `-d` (duration) equivalent for a running query: block for at
@@ -86,8 +87,15 @@ object InspectorStream {
     * rotates files into the directory [[recordsFromPcapDir]] tails. This
     * builds the exact invocation with the same knobs: the reference's BPF
     * expression (data-carrying TCP segments on the RegionServer ports),
-    * snaplen, promiscuous mode, and gzip'd rotation the `.gz`-aware reader
-    * consumes.
+    * snaplen, promiscuous mode, gzip'd rotation.
+    *
+    * In-progress files must NEVER be visible to the tailing source (it is
+    * exactly-once per path: a torn read would be final, and a later rename
+    * would re-ingest the same traffic under a new name). tcpdump therefore
+    * writes into the hidden `.staging/` subdirectory — dot-prefixed paths
+    * are invisible to Spark's file listing — and the `-G` post-rotate
+    * command (`-z`) gzips the FINISHED file and atomically `mv`s it into
+    * the watched directory.
     */
   def captureCommand(iface: String, dir: String,
                      ports: Set[Int] = Inspector.HbasePorts,
@@ -99,14 +107,20 @@ object InspectorStream {
     val portExpr = ports.toSeq.sorted.map(p => s"port $p").mkString(" or ")
     val bpf = s"tcp and ($portExpr) and " +
       "(((ip[2:2] - ((ip[0]&0xf)<<2)) - ((tcp[12]&0xf0)>>2)) != 0)"
+    val staging = s"$dir/.staging"
+    val rotate = s"$staging/rotate.sh"
+    val rotateBody =
+      if (gzip) s"""#!/bin/sh\\ngzip "$$1" && mv "$$1.gz" '$dir/'"""
+      else s"""#!/bin/sh\\nmv "$$1" '$dir/'"""
     val flags = Seq(
       Some(s"-i $iface"),
       if (promiscuous) None else Some("-p"),
       Some(s"-s $snaplen"),
       Some(s"-G $rotateSeconds"),
-      if (gzip) Some("-z gzip") else None,
-      Some(s"-w '$dir/capture-%s.pcap'")).flatten
-    s"tcpdump ${flags.mkString(" ")} '$bpf'"
+      Some(s"-z '$rotate'"),
+      Some(s"-w '$staging/capture-%s.pcap'")).flatten
+    s"mkdir -p '$staging' && printf '$rotateBody\\n' > '$rotate' && " +
+      s"chmod +x '$rotate' && tcpdump ${flags.mkString(" ")} '$bpf'"
   }
 
   /** `withIdleTimeout = true` (production) arms the per-connection

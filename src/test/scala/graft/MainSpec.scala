@@ -50,8 +50,12 @@ class MainSpec extends SparkSpec {
     assert(code === 0)
     assert(out.contains("tcpdump -i eth0"))
     assert(out.contains("port 16020"))
-    assert(out.contains("-w '/var/capture/capture-%s.pcap'"))
     assert(out.contains("tcp[12]&0xf0")) // data-carrying-segments BPF
+    // in-progress files stay hidden from the tailing source: write to the
+    // dot-prefixed staging dir, finish via the atomic post-rotate mover
+    assert(out.contains("-w '/var/capture/.staging/capture-%s.pcap'"))
+    assert(out.contains("-z '/var/capture/.staging/rotate.sh'"))
+    assert(out.contains("mv "))
   }
 
   test("-p filters to the given ports (none match -> empty tables, not errors)") {
