@@ -75,34 +75,27 @@ object TextAnalysis {
     }),
 
     // Repetition signals (Gopher/C4-style quality filters): duplicate
-    // 3-gram ratio (non-distinct grams this time — repetition IS the
-    // signal) and top-token concentration. Relational shape: the naive
-    // array form needed an O(tokens²) interpreted nested-filter per doc;
-    // explode + codegen'd aggregates shuffle (doc_id, token) rows once
-    // with map-side combine instead.
+    // 3-gram ratio (non-distinct grams — repetition IS the signal) and
+    // top-token concentration. Round 2: O(tokens²) interpreted array
+    // form. Round 3: explode + codegen aggregates (one (doc_id, token)
+    // shuffle). Round 4: the stats are a pure per-row function, so the
+    // native codegen'd RepetitionStats expression computes them inside
+    // the scan projection — ZERO shuffles, the tokenized corpus never
+    // leaves its input partition. Oracle unchanged (same outputs).
     "q44_repetition" -> ((s, dir) => {
-      val toks = words
-      val grams = Dedup.gramsOf(toks) // non-distinct: repetition is the signal
       // explicit null-text contract shared with the oracle SQL: a doc
-      // with NULL text is excluded on both sides (explode would silently
-      // drop it here while DuckDB would emit an all-zero row)
-      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
-      val tokStats = docs.select(col("doc_id"), explode(toks).as("t"))
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_toks"), max(col("c")).as("top"))
-      val gramStats = docs.select(col("doc_id"), explode(grams).as("g"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("ng"), countDistinct(col("g")).as("nu"))
-      tokStats.join(gramStats, Seq("doc_id"), "left")
+      // with NULL text is excluded on both sides
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.RepetitionStats(col("text")).as("st"))
         .select(
           col("doc_id"),
-          coalesce(col("ng"), lit(0L)).as("n_grams"),
-          coalesce(col("nu"), lit(0L)).as("n_uniq_grams"),
-          when(coalesce(col("ng"), lit(0L)) > 0,
-            lit(1.0) - col("nu").cast("double") / col("ng"))
+          col("st.ng").as("n_grams"),
+          col("st.nu").as("n_uniq_grams"),
+          when(col("st.ng") > 0,
+            lit(1.0) - col("st.nu").cast("double") / col("st.ng"))
             .otherwise(0.0).as("dup_gram_ratio"),
-          (col("top").cast("double") / col("n_toks")).as("top_token_ratio"))
+          (col("st.top").cast("double") / col("st.n_toks")).as("top_token_ratio"))
     }),
 
     // Rolling-hash document fingerprint: polynomial hash of the token
