@@ -90,7 +90,55 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair list by min-label
+    * propagation, the step that turns candidate PAIRS into the actual
+    * dedup decision: every doc in a component maps to the component's
+    * smallest doc_id (its canonical representative), transitively —
+    * a~b and b~c dedup together even when (a,c) was never a candidate.
+    *
+    * Scale: one doc_id-keyed shuffle per iteration over the CLUSTERED
+    * docs only (docs in no pair never enter the frame); the edge list is
+    * already bounded by the capped candidate generation. Convergence is
+    * checked with a cheap per-iteration action (an iterative algorithm's
+    * honest driver loop, not a plan-time pass); components from near-dup
+    * blocking have tiny diameter, so this converges in a handful of
+    * rounds — `maxIters` caps pathological chains.
+    *
+    * Output: (doc_id, cluster, is_canonical) for every doc in ≥1 pair.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = Materialize(
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
+    var labels = Materialize(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster", col("doc_id")))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = Materialize(
+        edges.join(labels, edges("src") === labels("doc_id"))
+          .select(col("dst").as("doc_id"), col("cluster"))
+          .unionByName(labels)
+          .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster")))
+      converged = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.cluster") =!= col("o.cluster"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.withColumn("is_canonical", col("doc_id") === col("cluster"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Near-dup clustering end to end: minhash candidate pairs -> connected
+    // components -> canonical representative per cluster. The "which docs
+    // do we actually DROP" answer a training pipeline needs.
+    "q45_dedup_clusters" -> ((s, dir) => {
+      val pairs = queries("q31_dedup_minhash")(s, dir).select(col("a"), col("b"))
+      connectedComponents(pairs)
+    }),
     // Exact dedup: keep the smallest doc_id per identical text. The
     // group key is (xxhash64(text), length) so the shuffle carries 16
     // bytes per row instead of the document body — the output columns

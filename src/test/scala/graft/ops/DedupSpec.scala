@@ -79,4 +79,36 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p === Set((3L, 4L)))
   }
+
+  test("connectedComponents: transitive closure, multiple components, singleton exclusion") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4 (1~4 never a direct pair) + separate component {7,8};
+    // doc 9 exists in the corpus but in no pair -> not in the output
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)), 4L -> ((1L, false)),
+      7L -> ((7L, true)), 8L -> ((7L, false))))
+  }
+
+  test("connectedComponents: a long chain converges within maxIters") {
+    val s = spark
+    import s.implicits._
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val clusters = Dedup.connectedComponents(chain, maxIters = 10)
+      .select(col("cluster")).distinct().collect().map(_.getLong(0)).toSeq
+    assert(clusters === Seq(1L))
+  }
+
+  test("q45 end to end: planted near-dup group clusters to the smallest doc_id") {
+    val rows = Dedup.queries("q45_dedup_clusters")(spark, plantedDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // docs 1, 2, 4 are the planted near/exact dups -> one cluster rooted
+    // at 1, with exactly one canonical member; unrelated doc 3 never appears
+    assert(rows.keySet === Set(1L, 2L, 4L))
+    assert(rows.values.map(_._1).toSet === Set(1L))
+    assert(rows.count(_._2._2) === 1 && rows(1L)._2)
+  }
 }
