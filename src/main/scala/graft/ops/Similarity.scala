@@ -277,10 +277,27 @@ object Similarity {
     "q36_ann_lsh" -> ((s, dir) => annLsh(s, dir))
   )
 
-  /** Vector ops are not expressible in the driver's DuckDB dialect with
-    * bit-identical semantics -> rows-only checks + ScalaTest recall specs.
+  /** q35's exact semantics ARE expressible in DuckDB ≥1.0
+    * (list_cosine_similarity over DOUBLE[] matches the double-accumulate
+    * codegen loop within compare tolerance). The LSH/IVF/banded ops
+    * (q34/q36/q43) depend on xxhash-derived hyperplanes / k-means fits and
+    * stay rows-only + ScalaTest recall specs.
     */
-  def oracles: Map[String, String] = Map()
+  def oracles: Map[String, String] = Map(
+    "q35_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |         list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT qid, vec_id, cos,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT qid, vec_id, cos, CAST(rnk AS INT) AS rank
+        |FROM ranked WHERE rnk <= 10""".stripMargin)
 }
 
 /** Tiny deterministic k-means for the IVF coarse quantizer. Driver-side on

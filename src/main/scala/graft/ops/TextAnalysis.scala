@@ -101,12 +101,17 @@ object TextAnalysis {
     // Rolling-hash document fingerprint: polynomial hash of the token
     // stream mod (2^31 - 1) — content-defined identity robust to whitespace
     // noise; modular form keeps every step in long range under ANSI mode.
+    // Per-word hash = first 8 md5 hex digits (round 4: was crc32, which
+    // DuckDB lacks — md5 is shared by both engines, making this oracle-able).
     "q40_doc_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), words.as("w"))
         .select(col("doc_id"),
           aggregate(col("w"), lit(7L),
-            (acc, w) => pmod(acc * lit(31L) + crc32(w), lit(2147483647L)))
+            (acc, w) => pmod(
+              acc * lit(31L) +
+                conv(substring(md5(w), 1, 8), 16, 10).cast("long"),
+              lit(2147483647L)))
             .as("fingerprint")))
   )
 
@@ -177,8 +182,17 @@ object TextAnalysis {
         |       WHEN score_fr >= score_zh THEN 'fr'
         |       ELSE 'zh' END AS pred_lang,
         |  greatest(score_de, score_en, score_es, score_fr, score_zh) AS lid_score
-        |FROM s""".stripMargin
-    // q40: hash ops (crc32 composition) are not expressible in DuckDB with
-    // identical semantics -> rows-only check + ScalaTest formula spec.
+        |FROM s""".stripMargin,
+
+    // Same fold, DuckDB form: list_prepend injects the init value,
+    // list_reduce runs the identical (acc*31 + h) % P recurrence. All
+    // intermediates positive, so % == pmod.
+    "q40_doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(7::BIGINT,
+        |    list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> ('0x' || substring(md5(w), 1, 8))::BIGINT)),
+        |    (acc, h) -> (acc*31 + h) % 2147483647) AS fingerprint
+        |FROM documents""".stripMargin
   )
 }

@@ -22,14 +22,15 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("q40 fingerprint: matches the rolling-hash formula, whitespace-noise robust") {
     val text = "hello world foo"
-    def crc(s: String): Long = {
-      val c = new java.util.zip.CRC32()
-      c.update(s.getBytes("UTF-8"))
-      c.getValue
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
     }
     val p = 2147483647L
     val expected = text.split("\\s+").foldLeft(7L)((acc, w) =>
-      java.lang.Math.floorMod(acc * 31L + crc(w), p))
+      java.lang.Math.floorMod(acc * 31L + h(w), p))
 
     val dir = docsDir(Seq((1L, text), (2L, "hello   world\tfoo")))
     val rows = TextAnalysis.queries("q40_doc_fingerprint")(spark, dir)
