@@ -204,7 +204,10 @@ object VectorFunctions {
       (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (e: Seq[Expression]) => DotProduct(e(0), e(1))))
+      (e: Seq[Expression]) => DotProduct(e(0), e(1))),
+    (FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (e: Seq[Expression]) => RepetitionStats(e(0))))
 
   /** Make the functions available to `spark.sql` on a live session. */
   def register(spark: SparkSession): Unit =

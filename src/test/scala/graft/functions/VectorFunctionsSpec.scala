@@ -45,15 +45,17 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(math.abs(interpreted - 1.0) < 1e-12)
   }
 
-  test("SQL surface: cosine_similarity / dot_product usable from spark.sql") {
+  test("SQL surface: cosine_similarity / dot_product / repetition_stats from spark.sql") {
     VectorFunctions.register(spark)
     val r = spark.sql(
       """SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
         |                         array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) c,
-        |       dot_product(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) d
+        |       dot_product(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) d,
+        |       repetition_stats('a b a b a b').ng AS ng
         |""".stripMargin).collect()(0)
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getDouble(1) === 6.0)
+    assert(r.getLong(2) === 4L)
   }
 
   test("lsh_bucket: deterministic, bounded by nbits, similar vectors collide") {
