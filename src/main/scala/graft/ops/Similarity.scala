@@ -223,7 +223,7 @@ object Similarity {
     * externally-trained codebook for larger deployments.
     */
   def annIvf(s: SparkSession, dir: String, nHint: Option[Long] = None,
-             nlistHint: Option[Int] = None): DataFrame = {
+             nlistHint: Option[Int] = None, nprobe: Int = 1): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
     val n = nHint.getOrElse(estimatedRowCount(e, EmbeddingRowBytes))
@@ -249,8 +249,20 @@ object Similarity {
             (id, v, best)
           }
         }.toDF("vec_id", "embedding", "bucket"))
-    val q = assigned.filter(col("vec_id") < QueryK)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("bucket"))
+    // queries probe their `nprobe` closest centroid lists (the standard
+    // IVF recall/cost knob); the probe fan-out rides the tiny broadcast
+    // query side, the corpus is still touched once
+    val probes = math.max(1, math.min(nprobe, cents.length))
+    val q = e.filter(col("vec_id") < QueryK)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, v) =>
+          cs.indices.map(i => (KMeansLite.cos(cs(i), v), i.toLong))
+            .sortBy(-_._1).take(probes)
+            .map { case (_, cid) => (id, v, cid) }
+        }
+      }.toDF("qid", "qvec", "bucket")
     val scored = assigned.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),

@@ -90,6 +90,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"aggregate IVF recall@10 = $recall")
   }
 
+  test("q43 nprobe: probing more lists never lowers recall") {
+    def recallOf(nprobe: Int): Double = {
+      val rows = Similarity.annIvf(spark, dir, nprobe = nprobe).collect()
+      (0L until 5L).map { qid =>
+        val got = rows.filter(_.getLong(0) == qid).map(_.getLong(1)).toSet
+        (got intersect exactTopK(qid, 10).toSet).size / 10.0
+      }.sum / 5.0
+    }
+    val r1 = recallOf(1); val r3 = recallOf(3)
+    assert(r3 >= r1, s"nprobe=3 recall $r3 < nprobe=1 recall $r1")
+    assert(r3 >= 0.5)
+  }
+
   test("KMeansLite collapses over-provisioned k to the natural clusters") {
     val cents = KMeansLite.fit(corpus.map(_._2).toArray, 9, 3)
     // 5 planted clusters; duplicate centroids within one cluster merge
