@@ -28,6 +28,38 @@ class InspectorSpec extends SparkSpec {
     assert(Inspector.packets(spark, dir).count() === 30) // 22 + 6 + 2 noise
   }
 
+  test("IPv6 client end to end: request decodes and correlates") {
+    import graft.pcap.{LinkDecode, PcapFile}
+    import graft.proto.ProtoWire.writer
+    val v6client = "2001:db8:0:0:0:0:0:77"
+    val header = writer.varint(1, 5L).string(3, "Get").bool(4, true)
+    val get = writer.msg(1, writer.varint(1, 1L)
+      .bytes(2, SyntheticTraffic.regionName("t6").getBytes("UTF-8")))
+      .msg(2, writer.bytes(1, "v6row".getBytes("UTF-8")))
+    val body = header.toDelimitedBytes ++ get.toDelimitedBytes
+    val req = Array[Byte]((body.length >>> 24).toByte, (body.length >>> 16).toByte,
+      (body.length >>> 8).toByte, body.length.toByte) ++ body
+    val resBody = writer.varint(1, 5L).toDelimitedBytes ++
+      writer.msg(1, writer.varint(2, 1L)).toDelimitedBytes
+    val res = Array[Byte]((resBody.length >>> 24).toByte, (resBody.length >>> 16).toByte,
+      (resBody.length >>> 8).toByte, resBody.length.toByte) ++ resBody
+    val srv6 = "fd00:0:0:0:0:0:0:63"
+    val pcap = (new PcapFile.Writer)
+      .record(1000000L, LinkDecode.encode6(v6client, 42000, srv6, 16020, req))
+      .record(2000000L, LinkDecode.encode6(srv6, 16020, v6client, 42000, res))
+      .toBytes
+    val d = java.nio.file.Files.createTempDirectory("graft_v6")
+    java.nio.file.Files.write(d.resolve("v6.pcap"), pcap)
+    val recs6 = Inspector.records(spark, d.toString)
+    val rq = Inspector.requests(recs6).collect()
+    assert(rq.length === 1)
+    assert(rq(0).getAs[String]("client") === v6client)
+    assert(rq(0).getAs[String]("method") === "get")
+    assert(rq(0).getAs[String]("row") === "v6row")
+    val rs = Inspector.responses(recs6).collect()
+    assert(rs.length === 1 && rs(0).getAs[Long]("elapsed") === 1000L)
+  }
+
   test("header-only error response reaches the responses table") {
     val r = resRow(11)
     assert(r.getAs[String]("error") ===

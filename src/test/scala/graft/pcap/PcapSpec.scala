@@ -66,7 +66,7 @@ class PcapSpec extends AnyFunSuite {
     assert(seg.payload.toSeq === payload.toSeq)
   }
 
-  test("LinkDecode rejects non-IPv4, non-TCP, and empty payloads") {
+  test("LinkDecode rejects non-IP, non-TCP, and empty payloads") {
     val frame = LinkDecode.encode("1.1.1.1", 1, "2.2.2.2", 2, Array[Byte](1))
     // flip ethertype to ARP
     val arp = frame.clone(); arp(12) = 0x08; arp(13) = 0x06
@@ -77,5 +77,32 @@ class PcapSpec extends AnyFunSuite {
     // empty payload (pure ACK)
     assert(LinkDecode.decode(
       LinkDecode.encode("1.1.1.1", 1, "2.2.2.2", 2, Array.emptyByteArray)) === None)
+  }
+
+  test("LinkDecode: IPv6 round-trip, seq carried, VLAN-tagged too") {
+    val payload = "v6 rpc bytes".getBytes("UTF-8")
+    val src = "2001:db8:0:0:0:0:0:1"
+    val dst = "fd00:0:0:0:0:0:0:63"
+    val frame = LinkDecode.encode6(src, 40002, dst, 16020, payload, seq = 7777L)
+    val seg = LinkDecode.decode(frame).get
+    assert(seg.srcAddr === src)
+    assert(seg.dstAddr === dst)
+    assert((seg.srcPort, seg.dstPort) === ((40002, 16020)))
+    assert(seg.seq === 7777L)
+    assert(seg.payload.toSeq === payload.toSeq)
+    val tagged = frame.take(12) ++
+      Array[Byte](0x81.toByte, 0x00, 0x00, 0x64) ++ frame.drop(12)
+    assert(LinkDecode.decode(tagged).get.payload.toSeq === payload.toSeq)
+  }
+
+  test("LinkDecode: IPv6 extension headers and non-TCP are skipped") {
+    val payload = "x".getBytes("UTF-8")
+    val src = "2001:db8:0:0:0:0:0:1"; val dst = "fd00:0:0:0:0:0:0:63"
+    // hop-by-hop extension header (0) between IPv6 and TCP -> skipped
+    assert(LinkDecode.decode(
+      LinkDecode.encode6(src, 1, dst, 2, payload, nextHeader = 0)) === None)
+    // UDP next header -> skipped
+    assert(LinkDecode.decode(
+      LinkDecode.encode6(src, 1, dst, 2, payload, nextHeader = 17)) === None)
   }
 }
