@@ -53,9 +53,13 @@ object RepetitionStats {
     StructField("ng", LongType, nullable = false),
     StructField("nu", LongType, nullable = false)))
 
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. SQL `trim` strips
+    * SPACES only (UTF8String.trim matches it); Java's String.trim strips
+    * every char <= U+0020 and would silently diverge from the oracle on
+    * docs edged with tabs/newlines.
+    */
   def compute(text: UTF8String): InternalRow = {
-    val toks = text.toString.trim.split("\\s+", -1)
+    val toks = text.trim().toString.split("\\s+", -1)
     val counts = new java.util.HashMap[String, Int](toks.length * 2)
     var top = 0
     var i = 0
@@ -76,4 +80,18 @@ object RepetitionStats {
   }
 
   def apply(text: Column): Column = Bridge.column(RepetitionStats(Bridge.expression(text)))
+}
+
+/** SQL registrations for the text expressions (concatenated into the
+  * session/extension registry by [[VectorFunctions.register]] and
+  * [[GraftExtensions]]).
+  */
+object TextFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private[functions] val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (e: Seq[Expression]) => RepetitionStats(e(0))))
 }

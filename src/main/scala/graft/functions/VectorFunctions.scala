@@ -204,14 +204,14 @@ object VectorFunctions {
       (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (e: Seq[Expression]) => DotProduct(e(0), e(1))),
-    (FunctionIdentifier("repetition_stats"),
-      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
-      (e: Seq[Expression]) => RepetitionStats(e(0))))
+      (e: Seq[Expression]) => DotProduct(e(0), e(1))))
+
+  /** Every graft SQL function (vector + text registries). */
+  private[functions] def allSqlFunctions = sqlFunctions ++ TextFunctions.sqlFunctions
 
   /** Make the functions available to `spark.sql` on a live session. */
   def register(spark: SparkSession): Unit =
-    sqlFunctions.foreach { case (id, info, b) =>
+    allSqlFunctions.foreach { case (id, info, b) =>
       Bridge.registerFunction(spark, id, info, b)
     }
 }
@@ -225,5 +225,5 @@ object VectorFunctions {
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    VectorFunctions.sqlFunctions.foreach(ext.injectFunction)
+    VectorFunctions.allSqlFunctions.foreach(ext.injectFunction)
 }

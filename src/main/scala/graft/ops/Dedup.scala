@@ -105,8 +105,14 @@ object Dedup {
     * rounds — `maxIters` caps pathological chains.
     *
     * Output: (doc_id, cluster, is_canonical) for every doc in ≥1 pair.
+    * Throws if `maxIters` is exhausted before convergence — a silently
+    * half-merged clustering would keep several "canonical" copies of one
+    * duplicate group; raise `maxIters` for unusually deep chains. Each
+    * iteration's labels table ((doc_id, cluster) longs over clustered
+    * docs only — tiny relative to the corpus) stays locally persisted
+    * until context cleanup; at most `maxIters` such tables accumulate.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = Materialize(
       pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
@@ -128,6 +134,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations; " +
+          "raise maxIters (component diameter exceeds the cap)")
     labels.withColumn("is_canonical", col("doc_id") === col("cluster"))
   }
 

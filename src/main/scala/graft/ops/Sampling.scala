@@ -13,12 +13,11 @@ import graft.Tables
   */
 object Sampling {
 
-  /** Hash bucket 0..99 from the doc_id (md5-prefix — shared with the
-    * DuckDB oracle; see q40 for the same cross-engine trick).
+  /** Hash bucket 0..99 from the doc_id ([[TextAnalysis.md5Prefix]] — the
+    * one shared definition of the cross-engine md5-prefix hash).
     */
-  private def bucket100 = pmod(
-    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
-    lit(100L))
+  private def bucket100 =
+    pmod(TextAnalysis.md5Prefix(col("doc_id").cast("string")), lit(100L))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 80/10/10 train/val/test assignment, reproducible from doc_id alone.

@@ -27,6 +27,15 @@ object TextAnalysis {
   /** Whitespace tokenization shared by several ops. */
   private def words = split(trim(col("text")), "\\s+")
 
+  /** First 8 md5 hex digits of a column as a long — the per-value hash
+    * shared with the DuckDB oracles (`('0x' || substring(md5(x),1,8))
+    * ::BIGINT` on that side). Used by q40's rolling fingerprint and
+    * q46's split buckets; keep both engines' forms in sync through this
+    * one definition.
+    */
+  private[ops] def md5Prefix(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Doc quality profile: token counts, vocabulary richness, word shape.
     "q38_quality_score" -> ((s, dir) =>
@@ -108,10 +117,7 @@ object TextAnalysis {
         .select(col("doc_id"), words.as("w"))
         .select(col("doc_id"),
           aggregate(col("w"), lit(7L),
-            (acc, w) => pmod(
-              acc * lit(31L) +
-                conv(substring(md5(w), 1, 8), 16, 10).cast("long"),
-              lit(2147483647L)))
+            (acc, w) => pmod(acc * lit(31L) + md5Prefix(w), lit(2147483647L)))
             .as("fingerprint")))
   )
 

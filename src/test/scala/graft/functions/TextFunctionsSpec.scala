@@ -23,6 +23,11 @@ class TextFunctionsSpec extends SparkSpec {
     assert(stats("") === ((1L, 1L, 0L, 0L)))
     // leading/trailing whitespace trimmed first
     assert(stats("  a a  ") === ((2L, 2L, 0L, 0L)))
+    // SQL trim strips SPACES only — a leading tab survives the trim and
+    // the \s+ split then yields a leading empty token, exactly like
+    // trim()/regexp_split_to_array in the DuckDB oracle (Java's
+    // String.trim would eat the tab and silently diverge)
+    assert(stats("\ta b c") === ((4L, 1L, 2L, 2L)))
   }
 
   test("repetition_stats: codegen path equals interpreted eval") {

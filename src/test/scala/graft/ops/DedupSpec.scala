@@ -102,6 +102,15 @@ class DedupSpec extends SparkSpec {
     assert(clusters === Seq(1L))
   }
 
+  test("connectedComponents: refuses to return a half-merged clustering") {
+    val s = spark
+    import s.implicits._
+    val deep = (1L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException](
+      Dedup.connectedComponents(deep, maxIters = 3))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("q45 end to end: planted near-dup group clusters to the smallest doc_id") {
     val rows = Dedup.queries("q45_dedup_clusters")(spark, plantedDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
