@@ -74,4 +74,54 @@ object ImageHeaders {
     val w = u16le(b, 6); val h = u16le(b, 8)
     if (w > 0 && h > 0) Some(ImageInfo("gif", w, h)) else None
   }
+
+  /** One frame of a GIF container: its image-descriptor geometry and the
+    * size of its (still-compressed) pixel data.
+    */
+  final case class GifFrame(index: Int, left: Int, top: Int,
+                            width: Int, height: Int, dataBytes: Int)
+
+  /** Walks an animated GIF's block structure (GIF89a spec §§18-23) and
+    * returns one entry per image-descriptor block — REAL frame boundaries
+    * from the container, no pixel decode (LZW stays compressed). Empty for
+    * non-GIF or malformed input (drop, never throw — same robustness
+    * contract as the pcap readers).
+    */
+  def gifFrames(b: Array[Byte]): Seq[GifFrame] =
+    try {
+      if (gif(b).isEmpty) return Seq.empty
+      val out = Seq.newBuilder[GifFrame]
+      var pos = 6 + 7 // header + logical screen descriptor
+      val packed = b(10) & 0xff
+      if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1)) // global color table
+      var idx = 0
+      var done = false
+      // a sub-block chain: length byte + data, 0 terminates
+      def skipSubBlocks(start: Int): Int = {
+        var p = start
+        while ((b(p) & 0xff) != 0) p += 1 + (b(p) & 0xff)
+        p + 1
+      }
+      while (!done && pos < b.length) {
+        (b(pos) & 0xff) match {
+          case 0x21 => // extension: label + sub-blocks
+            pos = skipSubBlocks(pos + 2)
+          case 0x2c => // image descriptor
+            val left = u16le(b, pos + 1); val top = u16le(b, pos + 3)
+            val w = u16le(b, pos + 5); val h = u16le(b, pos + 7)
+            val ipacked = b(pos + 9) & 0xff
+            var p = pos + 10
+            if ((ipacked & 0x80) != 0) p += 3 * (1 << ((ipacked & 7) + 1))
+            p += 1 // LZW minimum code size
+            val dataStart = p
+            p = skipSubBlocks(p)
+            out += GifFrame(idx, left, top, w, h, p - 1 - dataStart)
+            idx += 1
+            pos = p
+          case 0x3b => done = true // trailer
+          case _ => done = true    // unknown block: stop, keep what we have
+        }
+      }
+      out.result()
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 }

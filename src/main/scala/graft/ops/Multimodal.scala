@@ -62,13 +62,33 @@ object Multimodal {
   /** One sampled frame of a media blob. */
   case class FrameSample(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
 
-  /** STUB frame extraction: fixed-size chunks stand in for decoded video
-    * frames; a real build swaps in a codec keyframe iterator. Partitioning
-    * and fan-out shape are the real contract: one task per partition,
-    * frames emitted lazily (flatMap), never collected.
+  /** Frame extraction, every `FrameStride`-th frame kept. REAL for GIF
+    * containers: frame boundaries come from the image-descriptor block
+    * walk ([[ImageHeaders.gifFrames]] — actual per-frame geometry and
+    * compressed-data sizes, no pixel decode). Other blobs fall back to
+    * STUB fixed-size chunks standing in for codec keyframes. Partitioning
+    * and fan-out shape are the contract either way: one task per
+    * partition, frames emitted lazily (flatMap), never collected.
     */
   private val FrameBytes  = 32
   private val FrameStride = 4
+
+  def sampleFrames(id: Long, blob: Array[Byte]): Iterator[FrameSample] = {
+    val gifs = ImageHeaders.gifFrames(blob)
+    if (gifs.nonEmpty)
+      gifs.iterator.collect {
+        case f if f.index % FrameStride == 0 =>
+          FrameSample(id, f.index, f.dataBytes,
+            // geometry-stamped checksum: deterministic, no pixel decode
+            ((f.width.toLong * 31 + f.height) * 31 + f.left) * 31 + f.top)
+      }
+    else blob.grouped(FrameBytes).zipWithIndex.collect {
+      case (fb, i) if i % FrameStride == 0 =>
+        var crc = 0L
+        fb.foreach(b => crc = crc * 31 + (b & 0xff))
+        FrameSample(id, i, fb.length, crc)
+    }
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Frame sampling over a "video" blob: per-partition batch iteration,
@@ -78,14 +98,7 @@ object Multimodal {
       Tables.documents(s, dir)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
         .as[(Long, Array[Byte])]
-        .mapPartitions(_.flatMap { case (id, blob) =>
-          blob.grouped(FrameBytes).zipWithIndex.collect {
-            case (fb, i) if i % FrameStride == 0 =>
-              var crc = 0L
-              fb.foreach(b => crc = crc * 31 + (b & 0xff))
-              FrameSample(id, i, fb.length, crc)
-          }
-        })
+        .mapPartitions(_.flatMap { case (id, blob) => sampleFrames(id, blob) })
         .toDF()
         .select(col("doc_id"), col("frame_idx"), col("n_bytes"), col("checksum"))
     }),

@@ -78,6 +78,44 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.media_type === "text/plain") // fell back: declared type kept
   }
 
+  /** Minimal hand-built animated GIF: header, 4x3 logical screen, no
+    * color tables, `n` frames of varying geometry, trailer. The walker
+    * reads structure only, so the "pixel" sub-blocks are arbitrary bytes.
+    */
+  private def animatedGif(n: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array[Byte](4, 0, 3, 0, 0, 0, 0)) // LSD: 4x3, no GCT
+    for (i <- 0 until n) {
+      out.write(0x2c)                       // image descriptor
+      out.write(Array[Byte](i.toByte, 0, 0, 0)) // left=i, top=0
+      out.write(Array[Byte](2, 0, 1, 0, 0))     // 2x1, no LCT
+      out.write(2)                          // LZW min code size
+      out.write(3); out.write(Array[Byte](7, 7, 7)) // one 3-byte sub-block
+      out.write(0)                          // sub-block terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  test("gifFrames: real frame boundaries from an animated GIF container") {
+    val frames = ImageHeaders.gifFrames(animatedGif(5))
+    assert(frames.map(_.index) === Seq(0, 1, 2, 3, 4))
+    assert(frames.forall(f => f.width == 2 && f.height == 1 && f.dataBytes == 4))
+    assert(frames.map(_.left) === Seq(0, 1, 2, 3, 4))
+    // non-GIF and malformed input yield no frames, never throw
+    assert(ImageHeaders.gifFrames("not a gif".getBytes) === Seq.empty)
+    assert(ImageHeaders.gifFrames(animatedGif(3).take(12)) === Seq.empty)
+  }
+
+  test("sampleFrames: GIF path keeps every 4th REAL frame; others stub-chunk") {
+    val sampled = Multimodal.sampleFrames(1L, animatedGif(9)).toSeq
+    assert(sampled.map(_.frame_idx) === Seq(0, 4, 8))
+    assert(sampled.forall(_.n_bytes == 4)) // compressed data size, per container
+    val stub = Multimodal.sampleFrames(2L, ("y" * 100).getBytes).toSeq
+    assert(stub.map(_.frame_idx) === Seq(0)) // 4 chunks of 32 -> index 0 only
+  }
+
   test("decodeMedia through the distributed pipeline (binary column end to end)") {
     val s = spark
     import s.implicits._
