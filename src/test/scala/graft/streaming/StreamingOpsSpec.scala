@@ -1,0 +1,54 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingOpsSpec extends SparkSpec {
+
+  private def ts(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+
+  test("streaming exact dedup drops within-watermark duplicates across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val deduped = StreamingOps.exactDedup(
+      ms.toDS().toDF("event_time", "doc_id", "text"))
+    val query = deduped.writeStream.format("memory")
+      .queryName("stream_dedup").outputMode("append").start()
+    try {
+      ms.addData((ts(0), 1L, "alpha doc"), (ts(1), 2L, "beta doc"))
+      query.processAllAvailable()
+      // duplicate text in a LATER batch, inside the watermark window
+      ms.addData((ts(2), 3L, "alpha doc"), (ts(3), 4L, "gamma doc"))
+      query.processAllAvailable()
+      val kept = s.table("stream_dedup").select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 2L, 4L)) // doc 3 was a duplicate of doc 1
+    } finally query.stop()
+  }
+
+  test("stateless quality filter runs unchanged on a stream") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val filtered = StreamingOps.qualityFiltered(
+      ms.toDS().toDF("event_time", "doc_id", "text"))
+    val query = filtered.writeStream.format("memory")
+      .queryName("stream_quality").outputMode("append").start()
+    try {
+      ms.addData(
+        (ts(0), 1L, "a decent document with mostly distinct words here"),
+        (ts(1), 2L, "spam spam spam spam spam spam spam spam spam spam"))
+      query.processAllAvailable()
+      val kept = s.table("stream_quality").select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L)) // the repetitive doc is cut
+    } finally query.stop()
+  }
+}
