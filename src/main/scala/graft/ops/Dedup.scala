@@ -107,10 +107,12 @@ object Dedup {
     * Output: (doc_id, cluster, is_canonical) for every doc in ≥1 pair.
     * Throws if `maxIters` is exhausted before convergence — a silently
     * half-merged clustering would keep several "canonical" copies of one
-    * duplicate group; raise `maxIters` for unusually deep chains. Each
-    * iteration's labels table ((doc_id, cluster) longs over clustered
-    * docs only — tiny relative to the corpus) stays locally persisted
-    * until context cleanup; at most `maxIters` such tables accumulate.
+    * duplicate group; raise `maxIters` for unusually deep chains.
+    * Storage note: the edges table, the initial labels table, and one
+    * labels table per iteration (≤ maxIters + 2 total) stay locally
+    * persisted until context cleanup — the public Dataset API has no
+    * eager-free for checkpointed frames. Each is a (long, long)-pair
+    * table over CLUSTERED docs only, tiny relative to the corpus.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = Materialize(

@@ -83,45 +83,56 @@ object ImageHeaders {
 
   /** Walks an animated GIF's block structure (GIF89a spec §§18-23) and
     * returns one entry per image-descriptor block — REAL frame boundaries
-    * from the container, no pixel decode (LZW stays compressed). Empty for
-    * non-GIF or malformed input (drop, never throw — same robustness
-    * contract as the pcap readers).
+    * from the container, no pixel decode (LZW stays compressed).
+    * `dataBytes` counts the compressed pixel DATA only (sub-block length
+    * prefixes excluded). Malformed or truncated input — a partially
+    * downloaded blob cut mid-frame — keeps every fully-parsed frame and
+    * drops the torn tail (never throws; same drop-the-tail contract as
+    * the pcap readers).
     */
-  def gifFrames(b: Array[Byte]): Seq[GifFrame] =
-    try {
-      if (gif(b).isEmpty) return Seq.empty
-      val out = Seq.newBuilder[GifFrame]
-      var pos = 6 + 7 // header + logical screen descriptor
-      val packed = b(10) & 0xff
-      if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1)) // global color table
-      var idx = 0
-      var done = false
-      // a sub-block chain: length byte + data, 0 terminates
-      def skipSubBlocks(start: Int): Int = {
-        var p = start
-        while ((b(p) & 0xff) != 0) p += 1 + (b(p) & 0xff)
-        p + 1
+  def gifFrames(b: Array[Byte]): Seq[GifFrame] = {
+    if (gif(b).isEmpty) return Seq.empty
+    val out = Seq.newBuilder[GifFrame]
+    var pos = 6 + 7 // header + logical screen descriptor
+    val packed = b(10) & 0xff
+    if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1)) // global color table
+    var idx = 0
+    var done = false
+    // a sub-block chain: length byte + data, 0 terminates.
+    // Returns (next position, data bytes), or null on truncation.
+    def subBlocks(start: Int): (Int, Int) = {
+      var p = start
+      var data = 0
+      while (p < b.length && (b(p) & 0xff) != 0) {
+        data += b(p) & 0xff
+        p += 1 + (b(p) & 0xff)
       }
-      while (!done && pos < b.length) {
-        (b(pos) & 0xff) match {
-          case 0x21 => // extension: label + sub-blocks
-            pos = skipSubBlocks(pos + 2)
-          case 0x2c => // image descriptor
-            val left = u16le(b, pos + 1); val top = u16le(b, pos + 3)
-            val w = u16le(b, pos + 5); val h = u16le(b, pos + 7)
-            val ipacked = b(pos + 9) & 0xff
-            var p = pos + 10
-            if ((ipacked & 0x80) != 0) p += 3 * (1 << ((ipacked & 7) + 1))
-            p += 1 // LZW minimum code size
-            val dataStart = p
-            p = skipSubBlocks(p)
-            out += GifFrame(idx, left, top, w, h, p - 1 - dataStart)
-            idx += 1
-            pos = p
-          case 0x3b => done = true // trailer
-          case _ => done = true    // unknown block: stop, keep what we have
-        }
+      if (p >= b.length) null else (p + 1, data)
+    }
+    while (!done && pos < b.length) {
+      (b(pos) & 0xff) match {
+        case 0x21 if pos + 2 < b.length => // extension: label + sub-blocks
+          subBlocks(pos + 2) match {
+            case null => done = true
+            case (next, _) => pos = next
+          }
+        case 0x2c if pos + 10 < b.length => // image descriptor
+          val left = u16le(b, pos + 1); val top = u16le(b, pos + 3)
+          val w = u16le(b, pos + 5); val h = u16le(b, pos + 7)
+          val ipacked = b(pos + 9) & 0xff
+          var p = pos + 10
+          if ((ipacked & 0x80) != 0) p += 3 * (1 << ((ipacked & 7) + 1))
+          p += 1 // LZW minimum code size
+          subBlocks(p) match {
+            case null => done = true // torn frame: keep the ones before it
+            case (next, data) =>
+              out += GifFrame(idx, left, top, w, h, data)
+              idx += 1
+              pos = next
+          }
+        case _ => done = true // trailer (0x3b), unknown, or truncated header
       }
-      out.result()
-    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    }
+    out.result()
+  }
 }

@@ -27,6 +27,18 @@ object TextAnalysis {
   /** Whitespace tokenization shared by several ops. */
   private def words = split(trim(col("text")), "\\s+")
 
+  /** The repetition-quality ratios over a [[graft.functions.RepetitionStats]]
+    * struct column — ONE definition shared by batch q44 and the streaming
+    * quality filter so the two paths cannot drift.
+    */
+  private[graft] def dupGramRatio(st: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(st.getField("ng") > 0,
+      lit(1.0) - st.getField("nu").cast("double") / st.getField("ng"))
+      .otherwise(0.0)
+
+  private[graft] def topTokenRatio(st: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    st.getField("top").cast("double") / st.getField("n_toks")
+
   /** First 8 md5 hex digits of a column as a long — the per-value hash
     * shared with the DuckDB oracles (`('0x' || substring(md5(x),1,8))
     * ::BIGINT` on that side). Used by q40's rolling fingerprint and
@@ -101,10 +113,8 @@ object TextAnalysis {
           col("doc_id"),
           col("st.ng").as("n_grams"),
           col("st.nu").as("n_uniq_grams"),
-          when(col("st.ng") > 0,
-            lit(1.0) - col("st.nu").cast("double") / col("st.ng"))
-            .otherwise(0.0).as("dup_gram_ratio"),
-          (col("st.top").cast("double") / col("st.n_toks")).as("top_token_ratio"))
+          dupGramRatio(col("st")).as("dup_gram_ratio"),
+          topTokenRatio(col("st")).as("top_token_ratio"))
     }),
 
     // Rolling-hash document fingerprint: polynomial hash of the token

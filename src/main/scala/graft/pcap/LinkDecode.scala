@@ -120,8 +120,9 @@ object LinkDecode {
     out.toByteArray
   }
 
-  /** IPv6 variant; addresses as 8 colon-separated hex groups (the
-    * decoder's own output format, no `::` compression).
+  /** IPv6 variant; accepts full 8-group addresses and `::`-compressed
+    * forms (expanded before encoding — the decoder's OUTPUT is always the
+    * uncompressed 8-group form).
     */
   def encode6(srcAddr: String, srcPort: Int, dstAddr: String, dstPort: Int,
               payload: Array[Byte], seq: Long = 0L,
@@ -129,8 +130,18 @@ object LinkDecode {
     val out = new ByteArrayOutputStream(80 + payload.length)
     def b(v: Int): Unit = out.write(v & 0xff)
     def w16(v: Int): Unit = { b(v >>> 8); b(v) }
-    def addr(a: String): Unit =
-      a.split(':').foreach(g => w16(Integer.parseInt(g, 16)))
+    def groups(a: String): Seq[Int] = {
+      val expanded =
+        if (a.contains("::")) {
+          val Array(l, r) = (a + " ").split("::", 2).map(_.trim)
+          val left = if (l.isEmpty) Seq.empty else l.split(':').toSeq
+          val right = if (r.isEmpty) Seq.empty else r.split(':').toSeq
+          left ++ Seq.fill(8 - left.size - right.size)("0") ++ right
+        } else a.split(':').toSeq
+      require(expanded.size == 8, s"bad IPv6 address: $a")
+      expanded.map(Integer.parseInt(_, 16))
+    }
+    def addr(a: String): Unit = groups(a).foreach(w16)
     (0 until 6).foreach(_ => b(0x02)); (0 until 6).foreach(_ => b(0x04))
     w16(0x86DD)
     b(0x60); b(0); w16(0)                // version 6, class/flow 0

@@ -41,11 +41,9 @@ object StreamingOps {
                       maxTopTokenRatio: Double = 0.3): DataFrame =
     docs
       .withColumn("st", graft.functions.RepetitionStats(col("text")))
-      .withColumn("dup_gram_ratio",
-        when(col("st.ng") > 0,
-          lit(1.0) - col("st.nu").cast("double") / col("st.ng")).otherwise(0.0))
-      .withColumn("top_token_ratio",
-        col("st.top").cast("double") / col("st.n_toks"))
+      // ratio definitions shared with batch q44 — one source of truth
+      .withColumn("dup_gram_ratio", graft.ops.TextAnalysis.dupGramRatio(col("st")))
+      .withColumn("top_token_ratio", graft.ops.TextAnalysis.topTokenRatio(col("st")))
       .filter(col("dup_gram_ratio") <= maxDupGramRatio &&
         col("top_token_ratio") <= maxTopTokenRatio)
       .drop("st")

@@ -101,17 +101,22 @@ class MultimodalSpec extends SparkSpec {
   test("gifFrames: real frame boundaries from an animated GIF container") {
     val frames = ImageHeaders.gifFrames(animatedGif(5))
     assert(frames.map(_.index) === Seq(0, 1, 2, 3, 4))
-    assert(frames.forall(f => f.width == 2 && f.height == 1 && f.dataBytes == 4))
+    // dataBytes = compressed pixel DATA only (3-byte sub-block), prefix excluded
+    assert(frames.forall(f => f.width == 2 && f.height == 1 && f.dataBytes == 3))
     assert(frames.map(_.left) === Seq(0, 1, 2, 3, 4))
-    // non-GIF and malformed input yield no frames, never throw
+    // non-GIF and pre-frame truncation yield no frames, never throw
     assert(ImageHeaders.gifFrames("not a gif".getBytes) === Seq.empty)
     assert(ImageHeaders.gifFrames(animatedGif(3).take(12)) === Seq.empty)
+    // a blob cut mid-frame (partial download) keeps the full frames before
+    // the tear instead of dropping everything
+    val torn = animatedGif(3).dropRight(8)
+    assert(ImageHeaders.gifFrames(torn).map(_.index) === Seq(0, 1))
   }
 
   test("sampleFrames: GIF path keeps every 4th REAL frame; others stub-chunk") {
     val sampled = Multimodal.sampleFrames(1L, animatedGif(9)).toSeq
     assert(sampled.map(_.frame_idx) === Seq(0, 4, 8))
-    assert(sampled.forall(_.n_bytes == 4)) // compressed data size, per container
+    assert(sampled.forall(_.n_bytes == 3)) // compressed data size, per container
     val stub = Multimodal.sampleFrames(2L, ("y" * 100).getBytes).toSeq
     assert(stub.map(_.frame_idx) === Seq(0)) // 4 chunks of 32 -> index 0 only
   }

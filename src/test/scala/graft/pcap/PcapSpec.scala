@@ -93,6 +93,11 @@ class PcapSpec extends AnyFunSuite {
     val tagged = frame.take(12) ++
       Array[Byte](0x81.toByte, 0x00, 0x00, 0x64) ++ frame.drop(12)
     assert(LinkDecode.decode(tagged).get.payload.toSeq === payload.toSeq)
+    // '::'-compressed input expands; decoder output is the 8-group form
+    val compressed = LinkDecode.encode6("2001:db8::1", 1, "::1", 2, payload)
+    val cs = LinkDecode.decode(compressed).get
+    assert(cs.srcAddr === "2001:db8:0:0:0:0:0:1")
+    assert(cs.dstAddr === "0:0:0:0:0:0:0:1")
   }
 
   test("LinkDecode: IPv6 extension headers and non-TCP are skipped") {
