@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  test("q46: split is deterministic, content-stable under corpus growth") {
+    val small = docsDir((1L to 50L).map(i => (i, s"doc $i")))
+    val big   = docsDir((1L to 200L).map(i => (i, s"doc $i")))
+    def assignments(dir: String): Map[Long, String] =
+      Sampling.queries("q46_train_split")(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val a = assignments(small); val b = assignments(big)
+    // every doc of the small corpus keeps its split inside the larger one
+    a.foreach { case (id, split) => assert(b(id) === split, s"doc $id moved") }
+    // all three splits are populated at 200 docs
+    assert(b.values.toSet === Set("train", "val", "test"))
+  }
+
+  test("q47: exact ceil(n/10) per stratum, deterministic membership") {
+    val rows = (1L to 37L).map(i => (i, s"text $i"))
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_strat").toString
+    // two strata of different sizes: 25 en, 12 fr
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", when(col("doc_id") <= 25, "en").otherwise("fr"))
+      .selectExpr("doc_id", "text", "lang", "'t' as source", "length(text) as n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Sampling.queries("q47_stratified_sample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang === Map("en" -> 3, "fr" -> 2)) // ceil(25/10), ceil(12/10)
+    // deterministic: same call yields the same members
+    val again = Sampling.queries("q47_stratified_sample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSet === again.toSet)
+  }
+
+  test("q48: vocabulary stats on a hand-checked corpus") {
+    val dir = docsDir(Seq((1L, "a b a"), (2L, "b c")))
+    // docsDir writes lang='en' for all docs
+    val r = Sampling.queries("q48_vocab_stats")(spark, dir).collect()(0)
+    assert(r.getString(0) === "en")
+    assert(r.getLong(1) === 5L) // tokens: a b a b c
+    assert(r.getLong(2) === 3L) // vocab: a b c
+    assert(r.getDouble(3) === 1.0)
+  }
+}
