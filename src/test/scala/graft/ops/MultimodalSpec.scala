@@ -121,6 +121,26 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.map(_.frame_idx) === Seq(0)) // 4 chunks of 32 -> index 0 only
   }
 
+  test("ImageHeaders fuzz: random and mutated-image bytes never throw") {
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 1 to 500) {
+      val blob = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(blob)
+      ImageHeaders.parse(blob)     // must not throw
+      ImageHeaders.gifFrames(blob) // must not throw
+    }
+    // valid images with random byte flips (torn downloads, bit rot)
+    val bases = Seq(imageBytes("png", 8, 8), imageBytes("jpg", 8, 8),
+      imageBytes("gif", 8, 8), animatedGif(4))
+    for (base <- bases; _ <- 1 to 100) {
+      val blob = base.clone()
+      blob(rnd.nextInt(blob.length)) = rnd.nextInt(256).toByte
+      ImageHeaders.parse(blob)
+      ImageHeaders.gifFrames(blob)
+      Multimodal.decodeMedia(1L, "bin", blob)
+    }
+  }
+
   test("decodeMedia through the distributed pipeline (binary column end to end)") {
     val s = spark
     import s.implicits._
