@@ -38,6 +38,12 @@ class MainSpec extends SparkSpec {
     assert(out.contains("error:"))
   }
 
+  test("-k with an invalid Kafka spec fails cleanly, not with a stack trace") {
+    val (code, out) = run(Array(SyntheticTraffic.ensurePcapDir(), "-k", "no-topics-here"))
+    assert(code === 1)
+    assert(out.contains("kafka run failed:"))
+  }
+
   test("missing capture dir / unknown flag print usage and fail") {
     assert(run(Array.empty[String])._1 === 1)
     val (code, out) = run(Array("--bogus"))
