@@ -18,21 +18,27 @@ import graft.Tables
   */
 object Multimodal {
 
-  /** Typed feature row emitted per media blob. */
+  /** Typed feature row emitted per media blob. `phash` is the 64-bit
+    * perceptual average-hash (0 when no pixel decode happened).
+    */
   case class MediaFeature(
       doc_id: Long,
       media_type: String,
       n_bytes: Long,
       width: Int,
       height: Int,
-      checksum: Long)
+      checksum: Long,
+      phash: Long)
 
-  /** Media decode. REAL for image containers: PNG/JPEG/GIF dimensions are
-    * parsed from the bytes ([[ImageHeaders]], pure JVM — no codec
-    * dependency). Anything unrecognizable falls back to the deterministic
-    * STUB below (full pixel decode would need codecs the sandbox lacks; on
-    * a cluster this fallback is the only code to replace — the Spark-side
-    * plumbing stays identical).
+  /** Media decode. REAL for images: container dimensions from
+    * [[ImageHeaders]] (fast header parse), then an actual pixel decode
+    * through the JDK's own ImageIO (PNG/JPEG/GIF/BMP ship with the JVM —
+    * no external codec) feeding the [[aHash]] perceptual fingerprint.
+    * Non-image media (video/audio — codecs genuinely absent here) falls
+    * back to the deterministic STUB below; on a cluster that fallback is
+    * the only code to replace, the Spark-side plumbing stays identical.
+    * A corrupt image keeps its header dimensions with phash 0 (drop-the-
+    * feature, never fail the task).
     */
   def decodeMedia(id: Long, declaredType: String, blob: Array[Byte]): MediaFeature = {
     var crc = 0L
@@ -40,10 +46,43 @@ object Multimodal {
     while (i < blob.length) { crc = crc * 31 + (blob(i) & 0xff); i += 1 }
     ImageHeaders.parse(blob) match {
       case Some(info) =>
+        val ph =
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+            if (img == null) 0L else aHash(img)
+          } catch { case scala.util.control.NonFatal(_) => 0L }
         MediaFeature(id, s"image/${info.format}", blob.length.toLong,
-          info.width, info.height, crc)
+          info.width, info.height, crc, ph)
       case None => stubDecode(id, declaredType, blob, crc)
     }
+  }
+
+  /** 64-bit average-hash perceptual fingerprint: downscale to 8×8
+    * grayscale, bit i set iff pixel i is brighter than the mean. Hamming
+    * distance over these is the standard large-scale image near-dup
+    * signal (cheap, robust to re-encoding and mild edits) — pairs with
+    * [[Dedup.bucketPairs]]-style blocking exactly like q32's simhash.
+    */
+  def aHash(img: java.awt.image.BufferedImage): Long = {
+    val small = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    try g.drawImage(img, 0, 0, 8, 8, null) finally g.dispose()
+    val gray = new Array[Double](64)
+    var sum = 0.0
+    var i = 0
+    while (i < 64) {
+      val rgb = small.getRGB(i % 8, i / 8)
+      gray(i) = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+      sum += gray(i)
+      i += 1
+    }
+    val mean = sum / 64.0
+    var h = 0L
+    i = 0
+    while (i < 64) { if (gray(i) > mean) h |= 1L << i; i += 1 }
+    h
   }
 
   /** STUB decode: stands in for a full media codec. Deterministic fake —
@@ -57,7 +96,8 @@ object Multimodal {
       n_bytes = blob.length.toLong,
       width = math.abs((crc % 1920).toInt) + 1,
       height = math.abs((crc % 1080).toInt) + 1,
-      checksum = crc)
+      checksum = crc,
+      phash = 0L)
 
   /** One sampled frame of a media blob. */
   case class FrameSample(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
@@ -121,7 +161,7 @@ object Multimodal {
         .mapPartitions(_.map { case (id, ct, blob) => decodeMedia(id, ct, blob) })
       feats.toDF()
         .select(col("doc_id"), col("media_type"), col("n_bytes"),
-          col("width"), col("height"), col("checksum"))
+          col("width"), col("height"), col("checksum"), col("phash"))
     })
   )
 

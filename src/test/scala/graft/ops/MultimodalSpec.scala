@@ -10,7 +10,7 @@ class MultimodalSpec extends SparkSpec {
     val dir = docsDir(Seq((1L, "some media payload"), (2L, "x")))
     val df = Multimodal.queries("q41_multimodal")(spark, dir)
     assert(df.schema.fieldNames.toSeq ===
-      Seq("doc_id", "media_type", "n_bytes", "width", "height", "checksum"))
+      Seq("doc_id", "media_type", "n_bytes", "width", "height", "checksum", "phash"))
     assert(df.schema("n_bytes").dataType === LongType)
     assert(df.schema("width").dataType === IntegerType)
     assert(!df.schema.fields.exists(_.dataType == BinaryType))
@@ -119,6 +119,38 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.forall(_.n_bytes == 3)) // compressed data size, per container
     val stub = Multimodal.sampleFrames(2L, ("y" * 100).getBytes).toSeq
     assert(stub.map(_.frame_idx) === Seq(0)) // 4 chunks of 32 -> index 0 only
+  }
+
+  test("aHash: perceptual fingerprint separates near-dups from different images") {
+    def gradient(invert: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        val lum = math.min(255, x * 4)
+        val v = if (invert) 255 - lum else lum
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = gradient(invert = false)
+    val h1 = Multimodal.aHash(base)
+    // a small local edit: same hash neighborhood
+    val edited = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = edited.createGraphics(); g.drawImage(base, 0, 0, null); g.dispose()
+    for (x <- 0 until 4; y <- 0 until 4) edited.setRGB(x, y, 0xffffff)
+    assert(hamming(h1, Multimodal.aHash(edited)) <= 8)
+    // structurally different content: far in hamming space
+    assert(hamming(h1, Multimodal.aHash(gradient(invert = true))) >= 16)
+    // decodeMedia surfaces a real nonzero phash for real images...
+    val png = imageBytes("png", 32, 32)
+    val feat = Multimodal.decodeMedia(1L, "bin", png)
+    assert(feat.phash !== 0L)
+    assert(feat.phash === Multimodal.aHash(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))))
+    // ...and 0 on the stub path
+    assert(Multimodal.decodeMedia(2L, "bin", "words".getBytes).phash === 0L)
   }
 
   test("ImageHeaders fuzz: random and mutated-image bytes never throw") {
