@@ -85,6 +85,29 @@ object Multimodal {
     h
   }
 
+  /** Image near-duplicate pairs over the perceptual hash: the exact q32
+    * shape applied to media — 16-bit bands of the 64-bit aHash block
+    * candidates through the capped [[Dedup.bucketPairs]] (bounded fan-out,
+    * nothing quadratic), `bit_count` verifies hamming on candidates only.
+    * Input: a [[MediaFeature]]-shaped frame; rows with phash 0 (stub /
+    * corrupt decodes) are excluded.
+    */
+  def imageNearDupPairs(features: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val imgs = features.filter(col("phash") =!= 0L)
+      .select(col("doc_id"), col("phash"))
+    val banded = imgs.select(col("doc_id"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("phash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "key")))
+    val pairs = Dedup.bucketPairs(banded, Seq("band", "key"), cap = 200)
+    pairs
+      .join(imgs.select(col("doc_id").as("a"), col("phash").as("pa")), "a")
+      .join(imgs.select(col("doc_id").as("b"), col("phash").as("pb")), "b")
+      .select(col("a"), col("b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** STUB decode: stands in for a full media codec. Deterministic fake —
     * derives "dimensions" from blob bytes.
     */

@@ -153,6 +153,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeMedia(2L, "bin", "words".getBytes).phash === 0L)
   }
 
+  test("imageNearDupPairs: edited copy found, different image not, stubs excluded") {
+    val s = spark
+    import s.implicits._
+    // three real PNGs: a gradient, a lightly-edited copy, an inverted one
+    def gradPng(invert: Boolean, patch: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        val lum = math.min(255, x * 4)
+        val v = if (invert) 255 - lum else lum
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      if (patch) for (x <- 0 until 4; y <- 0 until 4) img.setRGB(x, y, 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val blobs = Seq(
+      (1L, gradPng(invert = false, patch = false)),
+      (2L, gradPng(invert = false, patch = true)),
+      (3L, gradPng(invert = true, patch = false)),
+      (4L, "not an image".getBytes("UTF-8"))) // stub: excluded from pairing
+    val feats = blobs.toDF("doc_id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => Multimodal.decodeMedia(id, "bin", b) })
+      .toDF()
+    val got = Multimodal.imageNearDupPairs(feats).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+
   test("ImageHeaders fuzz: random and mutated-image bytes never throw") {
     val rnd = new scala.util.Random(4242)
     for (_ <- 1 to 500) {
