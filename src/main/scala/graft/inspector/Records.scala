@@ -44,11 +44,12 @@ final case class RecordInfo(
   * (`flatMapGroupsWithState`): reassembly buffers per direction plus
   * correlation and scan-lifecycle entries.
   *
-  * The state rides kryo-serialized, so its FIELD LAYOUT is the streaming
-  * checkpoint format: changing these case classes (as round 4 did, adding
-  * `ts` to Open/ScannerEntry) invalidates checkpoints written by earlier
-  * builds — standard for Spark stateful pipelines; restart such a query
-  * with a fresh checkpoint dir.
+  * The snapshot's field layout is the streaming checkpoint format. It rides
+  * inside [[StateEnvelope]] — a `(version, payload-bytes)` wrapper whose own
+  * shape never changes — so a checkpoint written by a build with a different
+  * snapshot layout fails on restore with an actionable version message
+  * instead of a raw kryo deserialization error. Bump
+  * [[ConnSnapshot.Version]] whenever any of these case classes changes.
   */
 final case class PendingEntry(callId: Int, ts: Long, info: graft.proto.HbaseRpc.RpcInfo)
 final case class OpenEntry(callId: Int, table: Option[String], region: Option[String], ts: Long)
@@ -59,6 +60,42 @@ final case class ConnSnapshot(
     pending: Seq[PendingEntry],
     pendingOpen: Seq[OpenEntry],
     scanners: Seq[ScannerEntry])
+
+object ConnSnapshot {
+  /** Streaming-state format version. History: 1 = round 3 layout;
+    * 2 = round 4 (ts added to Open/ScannerEntry) + the envelope itself.
+    */
+  val Version = 2
+}
+
+/** Stable serialization envelope for the streaming state: an int version
+  * tag plus the JDK-serialized snapshot. Only this two-field shape is ever
+  * kryo-encoded by the state store, so version checks run BEFORE the
+  * layout-sensitive decode.
+  */
+final case class StateEnvelope(version: Int, payload: Array[Byte])
+
+object StateEnvelope {
+  def wrap(s: ConnSnapshot): StateEnvelope = {
+    val bos = new java.io.ByteArrayOutputStream(
+      s.inBuf.length + s.outBuf.length + 256)
+    val oos = new java.io.ObjectOutputStream(bos)
+    try oos.writeObject(s) finally oos.close()
+    StateEnvelope(ConnSnapshot.Version, bos.toByteArray)
+  }
+
+  def unwrap(e: StateEnvelope): ConnSnapshot = {
+    if (e.version != ConnSnapshot.Version)
+      throw new IllegalStateException(
+        s"graft streaming-state version ${e.version} in checkpoint, but this " +
+          s"build expects ${ConnSnapshot.Version}: the checkpoint was written " +
+          "by an incompatible build — restart the query with a fresh " +
+          "checkpoint directory")
+    val ois = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(e.payload))
+    try ois.readObject().asInstanceOf[ConnSnapshot] finally ois.close()
+  }
+}
 
 /** One data-carrying TCP segment, keyed by its client connection.
   *

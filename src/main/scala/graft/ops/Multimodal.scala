@@ -40,6 +40,18 @@ object Multimodal {
     * A corrupt image keeps its header dimensions with phash 0 (drop-the-
     * feature, never fail the task).
     */
+  /** Decompression-bomb guard: a hostile header can declare arbitrary
+    * dimensions (e.g. 60000×60000 → ImageIO allocates w*h*4 bytes, and the
+    * resulting OutOfMemoryError is an Error — NOT caught by NonFatal — so
+    * it would kill the executor). Pixel decode is skipped, keeping header
+    * dims with phash 0, whenever the DECLARED pixel count exceeds this.
+    */
+  private val MaxDecodePixels = 50L * 1000 * 1000
+
+  // Per-blob in-memory streams never benefit from ImageIO's disk cache;
+  // avoid the per-call temp-file churn on executors.
+  javax.imageio.ImageIO.setUseCache(false)
+
   def decodeMedia(id: Long, declaredType: String, blob: Array[Byte]): MediaFeature = {
     var crc = 0L
     var i = 0
@@ -47,10 +59,12 @@ object Multimodal {
     ImageHeaders.parse(blob) match {
       case Some(info) =>
         val ph =
-          try {
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
-            if (img == null) 0L else aHash(img)
-          } catch { case scala.util.control.NonFatal(_) => 0L }
+          if (info.width.toLong * info.height > MaxDecodePixels) 0L
+          else
+            try {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+              if (img == null) 0L else aHash(img)
+            } catch { case scala.util.control.NonFatal(_) => 0L }
         MediaFeature(id, s"image/${info.format}", blob.length.toLong,
           info.width, info.height, crc, ph)
       case None => stubDecode(id, declaredType, blob, crc)

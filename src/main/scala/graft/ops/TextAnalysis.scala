@@ -77,7 +77,12 @@ object TextAnalysis {
     // language; argmax with deterministic tiebreak on language code.
     // Pure builtin-function plan: words -> per-language overlap counts.
     "q37_lang_id" -> ((s, dir) => {
-      val base = Tables.documents(s, dir).select(col("doc_id"), words.as("w"))
+      // NULL-text contract shared with the oracle (same as q44): a NULL
+      // text makes every score NULL — Spark's fold would keep the init
+      // language while the oracle's CASE falls through to the last, so
+      // both sides exclude NULL-text docs instead.
+      val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), words.as("w"))
       val scored = stopwords.foldLeft(base) { case (df, (lang, sw)) =>
         df.withColumn(s"score_$lang",
           size(array_intersect(array_distinct(col("w")),
@@ -178,7 +183,7 @@ object TextAnalysis {
     // wins de exactly when de holds the (possibly shared) maximum.
     "q37_lang_id" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
-        |           FROM documents),
+        |           FROM documents WHERE text IS NOT NULL),
         |s AS (SELECT doc_id,
         |  CAST(len(list_intersect(list_distinct(w),
         |    ['der','die','das','und','ein','eine','zu','mit'])) AS DOUBLE)/len(w) AS score_de,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.inspector.{ConnSnapshot, ConnTracker, Inspector, KeyedSegment, RecordInfo}
+import graft.inspector.{ConnSnapshot, ConnTracker, Inspector, KeyedSegment, RecordInfo, StateEnvelope}
 
 /** Streaming packet→record pipeline (reference: core.clj:356-394
   * start-handler — the background loop over a packet channel — plus its
@@ -97,30 +97,44 @@ object InspectorStream {
     * command (`-z`) gzips the FINISHED file and atomically `mv`s it into
     * the watched directory.
     */
+  /** POSIX single-quote: safe for any content including quotes/spaces/`$`. */
+  private def shq(s: String): String = "'" + s.replace("'", "'\\''") + "'"
+
   def captureCommand(iface: String, dir: String,
                      ports: Set[Int] = Inspector.HbasePorts,
                      snaplen: Int = 65535,
                      rotateSeconds: Int = 60,
                      promiscuous: Boolean = true,
                      gzip: Boolean = true): String = {
-    // reference pcap.clj:24-27 filter: tcp, given ports, payload-carrying
+    // reference pcap.clj:24-27 filter: tcp, given ports, payload-carrying.
+    // IPv4 branch = the reference's; the ip6 branch assumes the fixed
+    // 40-byte header (classic BPF cannot walk extension headers — a
+    // documented approximation: ext-header'd v6 segments are captured too,
+    // the engine-side decode filters them).
     val portExpr = ports.toSeq.sorted.map(p => s"port $p").mkString(" or ")
     val bpf = s"tcp and ($portExpr) and " +
-      "(((ip[2:2] - ((ip[0]&0xf)<<2)) - ((tcp[12]&0xf0)>>2)) != 0)"
+      "((((ip[2:2] - ((ip[0]&0xf)<<2)) - ((tcp[12]&0xf0)>>2)) != 0) or " +
+      "(ip6 and ((ip6[4:2] - ((ip6[52]&0xf0)>>2)) != 0)))"
     val staging = s"$dir/.staging"
     val rotate = s"$staging/rotate.sh"
+    // Heredoc with a quoted delimiter: the script body is written verbatim,
+    // no nested-quote escaping; the destination dir is itself shq-embedded
+    // so spaces/metacharacters in the path survive both write and run time.
     val rotateBody =
-      if (gzip) s"""#!/bin/sh\\ngzip "$$1" && mv "$$1.gz" '$dir/'"""
-      else s"""#!/bin/sh\\nmv "$$1" '$dir/'"""
+      if (gzip) s"""gzip "$$1" && mv "$$1.gz" ${shq(dir + "/")}"""
+      else s"""mv "$$1" ${shq(dir + "/")}"""
     val flags = Seq(
-      Some(s"-i $iface"),
+      Some(s"-i ${shq(iface)}"),
       if (promiscuous) None else Some("-p"),
       Some(s"-s $snaplen"),
       Some(s"-G $rotateSeconds"),
-      Some(s"-z '$rotate'"),
-      Some(s"-w '$staging/capture-%s.pcap'")).flatten
-    s"mkdir -p '$staging' && printf '$rotateBody\\n' > '$rotate' && " +
-      s"chmod +x '$rotate' && tcpdump ${flags.mkString(" ")} '$bpf'"
+      Some(s"-z ${shq(rotate)}"),
+      Some(s"-w ${shq(staging + "/capture-%s.pcap")}")).flatten
+    s"""mkdir -p ${shq(staging)} && cat > ${shq(rotate)} <<'GRAFT_ROTATE'
+#!/bin/sh
+$rotateBody
+GRAFT_ROTATE
+chmod +x ${shq(rotate)} && tcpdump ${flags.mkString(" ")} ${shq(bpf)}"""
   }
 
   /** `withIdleTimeout = true` (production) arms the per-connection
@@ -136,27 +150,29 @@ object InspectorStream {
               maxStateEntries: Int = DefaultMaxStateEntries): Dataset[RecordInfo] = {
     val spark = segments.sparkSession
     import spark.implicits._
-    // The state rides as kryo-serialized bytes: a product encoder for the
-    // deeply nested ConnSnapshot (RpcInfo -> Seq[RpcAction]/Seq[RpcResult])
-    // generates an expression tree large enough to make per-micro-batch
-    // analysis quadratic-slow; the state never needs columnar form.
-    implicit val snapshotEncoder: org.apache.spark.sql.Encoder[ConnSnapshot] =
-      org.apache.spark.sql.Encoders.kryo[ConnSnapshot]
+    // The state rides as kryo-serialized bytes (a product encoder for the
+    // deeply nested ConnSnapshot would make per-micro-batch analysis
+    // quadratic-slow), wrapped in the version-tagged StateEnvelope so an
+    // incompatible checkpoint fails with an actionable message instead of
+    // a raw kryo error; the envelope's own (Int, Array[Byte]) shape is
+    // stable across builds.
+    implicit val envelopeEncoder: org.apache.spark.sql.Encoder[StateEnvelope] =
+      org.apache.spark.sql.Encoders.kryo[StateEnvelope]
     val timeoutConf =
       if (withIdleTimeout) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     segments
       .groupByKey(s => (s.client, s.port))
-      .flatMapGroupsWithState[ConnSnapshot, RecordInfo](
+      .flatMapGroupsWithState[StateEnvelope, RecordInfo](
         OutputMode.Append, timeoutConf) {
         (key: (String, Int), segs: Iterator[KeyedSegment],
-         state: GroupState[ConnSnapshot]) =>
+         state: GroupState[StateEnvelope]) =>
           if (withIdleTimeout && state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             val tracker = new ConnTracker(key._1, key._2)
-            state.getOption.foreach(tracker.restore)
+            state.getOption.map(StateEnvelope.unwrap).foreach(tracker.restore)
             val ordered = segs.toVector.sortBy(s => (s.ts, s.fileTs, s.order))
             val out = ordered.flatMap(tracker.push)
             // expiry relative to the newest packet ts (the reference's
@@ -165,7 +181,7 @@ object InspectorStream {
               tracker.expireBefore(last.ts - timeoutMs))
             if (tracker.bufferedBytes > maxBufferBytes) tracker.resetBuffers()
             tracker.trimToEntries(maxStateEntries)
-            state.update(tracker.snapshot)
+            state.update(StateEnvelope.wrap(tracker.snapshot))
             if (withIdleTimeout) state.setTimeoutDuration(timeoutMs)
             out.iterator
           }

@@ -54,9 +54,14 @@ class MainSpec extends SparkSpec {
   test("-i prints a tcpdump command with the BPF/snaplen/rotation knobs") {
     val (code, out) = run(Array("/var/capture", "-i", "eth0", "-p", "16020"))
     assert(code === 0)
-    assert(out.contains("tcpdump -i eth0"))
+    assert(out.contains("tcpdump -i 'eth0'"))
     assert(out.contains("port 16020"))
-    assert(out.contains("tcp[12]&0xf0")) // data-carrying-segments BPF
+    assert(out.contains("tcp[12]&0xf0"))   // data-carrying-segments BPF (v4)
+    assert(out.contains("ip6[52]&0xf0"))   // ...and the fixed-header v6 branch
+    // the rotate script is heredoc-written (no nested-quote trap) and the
+    // destination dir rides inside it shell-quoted
+    assert(out.contains("<<'GRAFT_ROTATE'"))
+    assert(out.contains("mv \"$1.gz\" '/var/capture/'"))
     // in-progress files stay hidden from the tailing source: write to the
     // dot-prefixed staging dir, finish via the atomic post-rotate mover
     assert(out.contains("-w '/var/capture/.staging/capture-%s.pcap'"))

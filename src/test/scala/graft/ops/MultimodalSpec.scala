@@ -78,6 +78,24 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.media_type === "text/plain") // fell back: declared type kept
   }
 
+  test("decodeMedia: decompression-bomb header skips pixel decode, keeps dims") {
+    // a real PNG whose IHDR is patched to DECLARE 60000x60000: ImageIO
+    // would allocate w*h*4 bytes (an OutOfMemoryError — an Error, fatal to
+    // the executor), so decodeMedia must gate on the header dims and skip
+    // the pixel pass: header dimensions kept, phash 0, no throw
+    val bomb = imageBytes("png", 8, 8)
+    def putU32(o: Int, v: Long): Unit = {
+      bomb(o) = ((v >> 24) & 0xff).toByte; bomb(o + 1) = ((v >> 16) & 0xff).toByte
+      bomb(o + 2) = ((v >> 8) & 0xff).toByte; bomb(o + 3) = (v & 0xff).toByte
+    }
+    putU32(16, 60000L) // IHDR width
+    putU32(20, 60000L) // IHDR height
+    val f = Multimodal.decodeMedia(3L, "application/octet-stream", bomb)
+    assert(f.media_type === "image/png")
+    assert((f.width, f.height) === ((60000, 60000)))
+    assert(f.phash === 0L)
+  }
+
   /** Minimal hand-built animated GIF: header, 4x3 logical screen, no
     * color tables, `n` frames of varying geometry, trailer. The walker
     * reads structure only, so the "pixel" sub-blocks are arbitrary bytes.

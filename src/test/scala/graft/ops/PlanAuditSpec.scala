@@ -116,4 +116,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q31/q32/q34: bucketPairs' twin join subtrees share one exchange") {
+    // bucketPairs relies on exchange reuse (not a checkpoint) to avoid
+    // executing the full signature pipeline once per join side; if reuse
+    // silently stops firing (AQE replanning, canonicalization drift) the
+    // upstream pipeline runs twice. Execute and inspect the FINAL adaptive
+    // plan — reuse under AQE materializes at runtime.
+    for (q <- Seq("q31_dedup_minhash", "q32_dedup_simhash", "q34_embed_neardup")) {
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      df.collect() // executes THIS QueryExecution, finalizing the AQE plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+        s"$q: banded self-join no longer reuses the signature exchange:\n$p")
+    }
+  }
 }

@@ -12,6 +12,23 @@ class InspectorStreamSpec extends SparkSpec {
     Inspector.segments(spark, SyntheticTraffic.ensurePcapDir())
       .collect().toSeq.sortBy(s => (s.ts, s.order))
 
+  test("state envelope: round-trips the snapshot; wrong version fails with message") {
+    import graft.inspector.{ConnSnapshot, PendingEntry, StateEnvelope}
+    val snap = ConnSnapshot(Array[Byte](1, 2, 3), Array.empty,
+      Seq(PendingEntry(7, 1000L, graft.proto.HbaseRpc.RpcInfo("get", 7))),
+      Nil, Nil)
+    val back = StateEnvelope.unwrap(StateEnvelope.wrap(snap))
+    assert(back.inBuf.toSeq === Seq[Byte](1, 2, 3))
+    assert(back.pending.head.info.method === "get")
+    // a checkpoint written by an older build fails fast and actionably,
+    // not with a raw kryo layout error
+    val e = intercept[IllegalStateException] {
+      StateEnvelope.unwrap(StateEnvelope.wrap(snap).copy(version = 1))
+    }
+    assert(e.getMessage.contains("version 1"))
+    assert(e.getMessage.contains("fresh checkpoint"))
+  }
+
   test("streaming pipeline emits the same records as batch, across micro-batches") {
     val s = spark
     import s.implicits._
