@@ -16,6 +16,10 @@ run / fork := true
 // BENCH_r{N}.json "parsed": null came from the logger prefix.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Test / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No "[success] Total time: ..." trailer after runMain: the driver keeps
+// only the last 2000 chars of stdout when parsing Bench's JSON line, so
+// every trailing byte sbt emits eats into that window.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver parses Bench's JSON line out of the LAST 2000 characters of
+  * stdout. Round 4 lost its bench score because the line (then 2045 chars,
+  * with a per-query status map) outgrew that window. These tests pin the
+  * rendered length with the REAL query-name set, so adding queries that
+  * would overflow the window fails here instead of in the next round's
+  * BENCH_r{N}.json.
+  */
+class BenchSpec extends AnyFunSuite {
+  private val names = SparkEntry.queries.keys.toSeq.sorted
+  private val sfDir = "/root/testdata/sf0.1"
+  // sbt may still emit a short trailer after the line; leave real margin.
+  private val budget = 1800
+
+  test("all-ok render with max-width times fits the driver tail window") {
+    val json = Bench.renderJson(names.map(n => (n, 999.999, "ok")), sfDir)
+    assert(json.length <= budget, s"bench JSON line ${json.length} > $budget chars")
+    assert(json.startsWith("""{"metric":"total""""))
+  }
+
+  test("everything-failed render still fits (fails list capped)") {
+    val json = Bench.renderJson(names.map(n => (n, 999.999, "fail")), sfDir)
+    assert(json.length <= budget, s"bench JSON line ${json.length} > $budget chars")
+    assert(json.contains(s""""failed":${names.length}"""))
+  }
+
+  test("render is valid JSON shape (balanced, no locale commas in numbers)") {
+    val json = Bench.renderJson(Seq(("q01", 1.5, "ok"), ("q02", 0.25, "fail")), sfDir)
+    val expected = """{"metric":"total","value":1.500,"unit":"sec",""" +
+      """"queries":{"q01":1.500,"q02":0.250},"failed":1,"fails":["q02"],""" +
+      s""""sf":"$sfDir"}"""
+    assert(json == expected)
+  }
+}
