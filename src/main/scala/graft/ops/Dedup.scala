@@ -279,7 +279,38 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-        |FROM documents GROUP BY text""".stripMargin
-    // q31-q33: hash-function-dependent; rows-only + ScalaTest with planted dups.
+        |FROM documents GROUP BY text""".stripMargin,
+    // q33 is oracle-able even though Spark shuffles grams as xxhash64
+    // values: the hash only RENAMES grams (collisions are negligible), so
+    // df-cap, per-doc sizes, intersections and Jaccard values computed
+    // over gram STRINGS in DuckDB are identical. Same tokenizer semantics
+    // both sides: space-only trim, then split on \s+ (a leading tab
+    // yields a leading empty token in both engines).
+    "q33_ngram_jaccard" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+           |),
+           |grams AS (
+           |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+           |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i)
+           |  WHERE len(t) >= 3
+           |),
+           |kept AS (SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND $DfCap),
+           |kg AS (SELECT doc_id, g FROM grams JOIN kept USING (g)),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM kg GROUP BY doc_id),
+           |inter AS (
+           |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+           |  FROM kg x JOIN kg y ON x.g = y.g AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2
+           |)
+           |SELECT a, b, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS jaccard
+           |FROM inter
+           |JOIN sizes sa ON sa.doc_id = a
+           |JOIN sizes sb ON sb.doc_id = b
+           |WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8""".stripMargin
+    // q31/q32: minhash/simhash signatures are xxhash64-valued on BOTH
+    // sides of the comparison (the hash defines the signature, not just a
+    // shuffle key) — not reproducible in DuckDB; rows-only + ScalaTest
+    // with planted dups.
   )
 }
