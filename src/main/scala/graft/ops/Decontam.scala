@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Benchmark decontamination: find training documents that share a long
+  * word n-gram with any document of a benchmark/eval set (the standard
+  * train-test-overlap hygiene step of an LLM data pipeline — a doc that
+  * contains an 8-token span of a benchmark item leaks the benchmark).
+  *
+  * Scale posture (100 TB): the benchmark side is always small relative to
+  * the corpus (eval sets are thousands of items), so its distinct gram set
+  * is BROADCAST and the corpus is streamed once map-side through a
+  * broadcast hash join — the only shuffle is the per-contaminated-doc
+  * count over join survivors, which is bounded by the contamination rate.
+  * Grams cross the join as xxhash64 longs, never as strings.
+  */
+object Decontam {
+
+  /** 8 tokens ≈ the shortest span that is vanishingly unlikely to repeat
+    * by chance but survives light paraphrasing of a leaked benchmark item.
+    */
+  private[ops] val GramN = 8
+
+  /** Training docs sharing ≥1 distinct word n-gram with the benchmark.
+    * Both inputs need (doc_id, text). Output: (doc_id, n_shared) where
+    * n_shared = number of the doc's distinct n-grams found anywhere in
+    * the benchmark.
+    */
+  def contaminated(train: DataFrame, bench: DataFrame, n: Int = GramN): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), explode(array_distinct(Dedup.gramsN(Dedup.tokens, n))).as("g0"))
+      .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+    val benchGrams = grams(bench).select(col("g")).distinct()
+    grams(train).join(broadcast(benchGrams), "g")
+      // grams are distinct per doc and the bench side is distinct, so the
+      // join multiplicity is 1 and a plain count is the distinct count
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Driver form: the deterministic doc_id % 20 == 0 slice stands in for
+    // the benchmark table (the library API takes any (doc_id, text) frame).
+    "q49_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      contaminated(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    // Same gram space over strings (xxhash64 only renames grams — the q33
+    // argument); DuckDB list slice t[i:i+7] is 1-based inclusive = 8 tokens.
+    "q49_decontam" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+           |),
+           |grams AS (
+           |  SELECT DISTINCT doc_id, list_aggregate(t[i:i+7], 'string_agg', ' ') AS g
+           |  FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i)
+           |  WHERE len(t) >= 8
+           |),
+           |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+           |SELECT gr.doc_id, count(*) AS n_shared
+           |FROM grams gr JOIN bench USING (g)
+           |WHERE gr.doc_id % 20 <> 0
+           |GROUP BY gr.doc_id""".stripMargin
+  )
+}

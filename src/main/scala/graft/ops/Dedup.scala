@@ -38,17 +38,19 @@ object Dedup {
   /** Whitespace tokens of `text`. */
   private[ops] def tokens: Column = split(trim(col("text")), "\\s+")
 
-  /** ALL word 3-grams of a token array, in order, duplicates kept; empty
-    * array for docs with fewer than 3 tokens (round-2 verdict: the old
+  /** ALL word n-grams of a token array, in order, duplicates kept; empty
+    * array for docs with fewer than n tokens (round-2 verdict: the old
     * bound both dropped the last 3-gram and crashed `slice` on short
     * docs — single definition so that off-by-one can't reappear in one
-    * copy).
+    * copy). Width 3 for the dedup ops; width 8 for decontamination.
     */
-  private[ops] def gramsOf(toks: Column): Column =
-    when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i, lit(3)))))
+  private[ops] def gramsN(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
+
+  private[ops] def gramsOf(toks: Column): Column = gramsN(toks, 3)
 
   /** Distinct word 3-grams (the similarity-set form). */
   private[ops] def gram3of(toks: Column): Column = array_distinct(gramsOf(toks))

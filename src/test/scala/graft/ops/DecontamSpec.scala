@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DecontamSpec extends SparkSpec {
+
+  private val benchText =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+
+  test("doc sharing an 8-token span with the benchmark is flagged; unrelated is not") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((20L, benchText)).toDF("doc_id", "text")
+    val train = Seq(
+      // shares tokens 2..9 of the benchmark verbatim (one 8-gram, shifted context)
+      (21L, "zulu bravo charlie delta echo foxtrot golf hotel india yankee"),
+      // same vocabulary, different order — no shared 8-gram
+      (22L, "lima kilo juliet india hotel golf foxtrot echo delta charlie bravo alpha"),
+      (23L, "totally unrelated words about nothing at all in particular here now")
+    ).toDF("doc_id", "text")
+    val out = Decontam.contaminated(train, bench)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((21L, 1L)))
+  }
+
+  test("n_shared counts each distinct shared gram once") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((0L, benchText)).toDF("doc_id", "text")
+    // full copy of a 12-token benchmark doc => 12-8+1 = 5 shared 8-grams
+    val train = Seq((1L, benchText)).toDF("doc_id", "text")
+    val out = Decontam.contaminated(train, bench).as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 5L)))
+  }
+
+  test("q49 driver query: benchmark slice is excluded from the output") {
+    val dir = docsDir(Seq(
+      (20L, benchText),
+      (40L, "some other benchmark item with its own distinct words entirely"),
+      (21L, benchText + " with a tail"),
+      (33L, "nothing in common with any benchmark document at all whatsoever truly")))
+    val out = graft.SparkEntry.queries("q49_decontam")(spark, dir)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.forall { case (id, _) => id % 20 != 0 })
+    assert(rows.map(_._1).toSet == Set(21L))
+  }
+}

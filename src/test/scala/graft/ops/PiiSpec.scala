@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class PiiSpec extends SparkSpec {
+
+  private def run(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    Pii.detect(rows.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6)))
+  }
+
+  test("counts each PII category on planted docs") {
+    val out = run(Seq(
+      (1L, "contact john.doe@example.com or jane_smith+tag@sub.example.org today"),
+      (2L, "call 555-123-4567 or 555-987-6543 after noon"),
+      (3L, "server at 10.0.0.1 and 192.168.254.254 responded"),
+      (4L, "account 123456789 and card 98765432109876 on file"),
+      (5L, "no personal information in this sentence at all")))
+    assert(out(0)._2 == 2 && out(0)._7 == 2)
+    assert(out(1)._3 == 2 && out(1)._7 == 2)
+    assert(out(2)._4 == 2 && out(2)._7 == 2)
+    assert(out(3)._5 == 2 && out(3)._7 == 2)
+    assert(out(4)._7 == 0)
+  }
+
+  test("redaction replaces every match with its typed placeholder") {
+    val out = run(Seq(
+      (1L, "mail a@b.io, ip 10.0.0.1, tel 555-123-4567, id 123456789")))
+    assert(out(0)._6 == "mail <EMAIL>, ip <IP>, tel <PHONE>, id <ID>")
+  }
+
+  test("clean text passes through unchanged; NULL text is excluded") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "hello plain world"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Pii.detect(df).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(5) == "hello plain world")
+  }
+
+  test("counts are over the original text even where redactions nest") {
+    // the ip is ALSO three digit runs but under 9 digits: no longid match;
+    // an id inside an email is protected by the email redaction running first
+    val out = run(Seq((1L, "reach 123456789@example.com or 1.2.3.4")))
+    assert(out(0)._2 == 1)     // email
+    assert(out(0)._4 == 1)     // ipv4
+    assert(out(0)._5 == 1)     // the digit run inside the email address
+    assert(out(0)._6 == "reach <EMAIL> or <IP>")
+  }
+}
