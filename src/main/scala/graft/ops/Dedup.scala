@@ -152,11 +152,14 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Near-dup clustering end to end: minhash candidate pairs -> connected
+    // Near-dup clustering end to end: near-dup pairs -> connected
     // components -> canonical representative per cluster. The "which docs
     // do we actually DROP" answer a training pipeline needs.
+    // Composed over q33's exact-Jaccard pairs (round 5; was q31's minhash
+    // pairs) so the WHOLE chain is DuckDB-oracle-able — connectedComponents
+    // itself is input-agnostic and the q31 composition stays one line.
     "q45_dedup_clusters" -> ((s, dir) => {
-      val pairs = queries("q31_dedup_minhash")(s, dir).select(col("a"), col("b"))
+      val pairs = queries("q33_ngram_jaccard")(s, dir).select(col("a"), col("b"))
       connectedComponents(pairs)
     }),
     // Exact dedup: keep the smallest doc_id per identical text. The
@@ -278,17 +281,13 @@ object Dedup {
     })
   )
 
-  def oracles: Map[String, String] = Map(
-    "q30_dedup_exact" ->
-      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-        |FROM documents GROUP BY text""".stripMargin,
-    // q33 is oracle-able even though Spark shuffles grams as xxhash64
-    // values: the hash only RENAMES grams (collisions are negligible), so
-    // df-cap, per-doc sizes, intersections and Jaccard values computed
-    // over gram STRINGS in DuckDB are identical. Same tokenizer semantics
-    // both sides: space-only trim, then split on \s+ (a leading tab
-    // yields a leading empty token in both engines).
-    "q33_ngram_jaccard" ->
+  // q33 is oracle-able even though Spark shuffles grams as xxhash64
+  // values: the hash only RENAMES grams (collisions are negligible), so
+  // df-cap, per-doc sizes, intersections and Jaccard values computed
+  // over gram STRINGS in DuckDB are identical. Same tokenizer semantics
+  // both sides: space-only trim, then split on \s+ (a leading tab
+  // yields a leading empty token in both engines).
+  private val Q33Sql: String =
       raw"""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
            |),
@@ -310,6 +309,33 @@ object Dedup {
            |JOIN sizes sa ON sa.doc_id = a
            |JOIN sizes sb ON sb.doc_id = b
            |WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "q33_ngram_jaccard" -> Q33Sql,
+    // Connected components as transitive closure: fine at oracle SF where
+    // components are tiny (the Spark side is the scalable label
+    // propagation). min over the reachable set includes the doc itself
+    // via any 2-cycle, but least() covers the general case.
+    "q45_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a, b FROM ($Q33Sql)
+         |),
+         |sym AS (
+         |  SELECT a AS s, b AS d FROM pairs
+         |  UNION ALL
+         |  SELECT b, a FROM pairs
+         |),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM sym
+         |  UNION
+         |  SELECT r.s, p.d FROM reach r JOIN sym p ON r.d = p.s
+         |)
+         |SELECT s AS doc_id, least(s, min(d)) AS cluster,
+         |       s = least(s, min(d)) AS is_canonical
+         |FROM reach GROUP BY s""".stripMargin
     // q31/q32: minhash/simhash signatures are xxhash64-valued on BOTH
     // sides of the comparison (the hash defines the signature, not just a
     // shuffle key) — not reproducible in DuckDB; rows-only + ScalaTest
