@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{Decontam, Dedup, Multimodal, Pii, Relational, Sampling, Similarity, TextAnalysis}
+import graft.ops.{AudioWav, Decontam, Dedup, Multimodal, Pii, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -26,7 +26,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Sampling.queries ++
-      Decontam.queries ++ Pii.queries ++
+      Decontam.queries ++ Pii.queries ++ AudioWav.queries ++
       inspector.Inspector.queries ++ streaming.KafkaSink.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -8,13 +8,15 @@ import graft.Tables
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, processed in partition-sized batches.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * deterministic STUB (clearly marked below); everything around it — the
-  * schema contract, the binary column representation, batch-shaped
-  * per-partition processing, partition sizing — is real and is what matters
-  * on a cluster: decode cost dominates, so the operator must (a) never
-  * collect bytes to the driver, (b) process whole partitions per task,
-  * (c) emit small typed features instead of re-shuffling raw bytes.
+  * Decode is REAL for images (ImageHeaders + JDK ImageIO pixel decode →
+  * aHash) and for WAV audio ([[AudioWav]], its own operator); only
+  * codec-bound media (video, compressed audio) falls back to the
+  * deterministic STUB below. Everything around the stub — the schema
+  * contract, the binary column representation, batch-shaped per-partition
+  * processing, partition sizing — is real and is what matters on a
+  * cluster: decode cost dominates, so the operator must (a) never collect
+  * bytes to the driver, (b) process whole partitions per task, (c) emit
+  * small typed features instead of re-shuffling raw bytes.
   */
 object Multimodal {
 
