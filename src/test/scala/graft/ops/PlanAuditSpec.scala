@@ -117,6 +117,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q49: the benchmark gram set is broadcast; the corpus side never is") {
+    val p = planString("q49_decontam")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    // the corpus side must stream through the join map-side: a
+    // SortMergeJoin would mean the 100 TB side shuffles on gram
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q50/q51: map-side-only — no exchange anywhere in the plan") {
+    for (q <- Seq("q50_pii", "q51_audio_features")) {
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      val shuffles = executed(df).collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty, s"$q grew a shuffle:\n${executed(df)}")
+    }
+  }
+
+  test("q50: projection pushdown — the scan reads only doc_id and text") {
+    val p = planString("q50_pii")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
+  }
+
   test("q31/q32/q34: bucketPairs' twin join subtrees share one exchange") {
     // bucketPairs relies on exchange reuse (not a checkpoint) to avoid
     // executing the full signature pipeline once per join side; if reuse
