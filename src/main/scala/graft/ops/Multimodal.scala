@@ -142,19 +142,33 @@ object Multimodal {
   case class FrameSample(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
 
   /** Frame extraction, every `FrameStride`-th frame kept. REAL for GIF
-    * containers: frame boundaries come from the image-descriptor block
-    * walk ([[ImageHeaders.gifFrames]] — actual per-frame geometry and
-    * compressed-data sizes, no pixel decode). Other blobs fall back to
-    * STUB fixed-size chunks standing in for codec keyframes. Partitioning
-    * and fan-out shape are the contract either way: one task per
-    * partition, frames emitted lazily (flatMap), never collected.
+    * containers (image-descriptor block walk, [[ImageHeaders.gifFrames]])
+    * and for MP4 containers ([[Mp4Boxes.videoFrames]] — the stbl sample
+    * tables give every frame's byte range and keyframe flag, and the
+    * checksum covers the frame's ACTUAL mdat bytes). Other blobs fall
+    * back to STUB fixed-size chunks standing in for codec keyframes.
+    * Partitioning and fan-out shape are the contract either way: one task
+    * per partition, frames emitted lazily (flatMap), never collected.
     */
   private val FrameBytes  = 32
   private val FrameStride = 4
 
   def sampleFrames(id: Long, blob: Array[Byte]): Iterator[FrameSample] = {
-    val gifs = ImageHeaders.gifFrames(blob)
-    if (gifs.nonEmpty)
+    def crcRange(off: Int, len: Int): Long = {
+      var crc = 0L
+      var i = off
+      val end = off + len
+      while (i < end) { crc = crc * 31 + (blob(i) & 0xff); i += 1 }
+      crc
+    }
+    val mp4 = Mp4Boxes.videoFrames(blob)
+    val gifs = if (mp4.nonEmpty) Seq.empty else ImageHeaders.gifFrames(blob)
+    if (mp4.nonEmpty)
+      mp4.iterator.collect {
+        case f if f.index % FrameStride == 0 =>
+          FrameSample(id, f.index, f.size, crcRange(f.offset.toInt, f.size))
+      }
+    else if (gifs.nonEmpty)
       gifs.iterator.collect {
         case f if f.index % FrameStride == 0 =>
           FrameSample(id, f.index, f.dataBytes,
