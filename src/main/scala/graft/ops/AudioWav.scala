@@ -51,7 +51,9 @@ object AudioWav {
     var data: Option[(Int, Int)] = None
     while (off + 8 <= blob.length && (fmt.isEmpty || data.isEmpty)) {
       val size = le32(blob, off + 4)
-      if (size < 0 || off + 8 + size > blob.length) return None
+      // Long arithmetic: a hostile size near Int.MaxValue overflows the
+      // Int sum to negative and would pass the bound check
+      if (size < 0 || off + 8L + size > blob.length) return None
       val isFmt = blob(off) == 'f' && blob(off + 1) == 'm' &&
         blob(off + 2) == 't' && blob(off + 3) == ' '
       val isData = blob(off) == 'd' && blob(off + 1) == 'a' &&

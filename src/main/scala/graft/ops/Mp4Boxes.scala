@@ -113,20 +113,28 @@ object Mp4Boxes {
           (be32(b, p + 8 + 12 * i).toInt, be32(b, p + 12 + 12 * i).toInt))
       case None => return Seq.empty
     }
-    if (stscRuns.isEmpty || stscRuns.exists { case (fc, spc) => fc < 1 || spc < 0 })
+    // spc == 0 is rejected too: a zero-sample chunk run would let a
+    // crafted file spin the chunk loop without ever consuming a sample
+    if (stscRuns.isEmpty || stscRuns.exists { case (fc, spc) => fc < 1 || spc <= 0 })
       return Seq.empty
-    // stss: 1-based keyframe sample numbers; absent = every frame is sync
-    val keyframes: Option[Set[Long]] = child(b, ss, se, "stss").map { case (p, e) =>
-      val n = be32(b, p + 4)
-      if (n < 0 || n > MaxSamples || p + 8 + 4L * n > e) Set.empty[Long]
-      else (0 until n.toInt).map(i => be32(b, p + 8 + 4 * i)).toSet
+    // stss: 1-based keyframe sample numbers; absent = every frame is sync.
+    // A MALFORMED stss rejects the blob like every other malformed table
+    // (degrading to "no keyframes" would silently flip every sync flag).
+    val keyframes: Option[Set[Long]] = child(b, ss, se, "stss") match {
+      case None => None
+      case Some((p, e)) =>
+        val n = be32(b, p + 4)
+        if (n < 0 || n > MaxSamples || p + 8 + 4L * n > e) return Seq.empty
+        Some((0 until n.toInt).map(i => be32(b, p + 8 + 4 * i)).toSet)
     }
 
-    // expand chunk runs -> per-sample offsets
+    // expand chunk runs -> per-sample offsets; the run cursor advances
+    // monotonically with the chunk loop (stsc first_chunk is ascending
+    // per spec), keeping expansion O(chunks + runs), not O(chunks × runs)
+    var run = 0
     def samplesInChunk(chunk1: Int): Int = {
-      var spc = stscRuns.head._2
-      stscRuns.foreach { case (fc, s) => if (fc <= chunk1) spc = s }
-      spc
+      while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= chunk1) run += 1
+      stscRuns(run)._2
     }
     val out = Seq.newBuilder[Mp4Frame]
     var sample = 0

@@ -54,10 +54,19 @@ object Multimodal {
   // avoid the per-call temp-file churn on executors.
   javax.imageio.ImageIO.setUseCache(false)
 
-  def decodeMedia(id: Long, declaredType: String, blob: Array[Byte]): MediaFeature = {
+  /** The one checksum polynomial (base-31 over unsigned bytes) shared by
+    * q41 blob checksums and q42 frame checksums.
+    */
+  private[ops] def crc31(b: Array[Byte], off: Int, len: Int): Long = {
     var crc = 0L
-    var i = 0
-    while (i < blob.length) { crc = crc * 31 + (blob(i) & 0xff); i += 1 }
+    var i = off
+    val end = off + len
+    while (i < end) { crc = crc * 31 + (b(i) & 0xff); i += 1 }
+    crc
+  }
+
+  def decodeMedia(id: Long, declaredType: String, blob: Array[Byte]): MediaFeature = {
+    val crc = crc31(blob, 0, blob.length)
     ImageHeaders.parse(blob) match {
       case Some(info) =>
         val ph =
@@ -154,19 +163,12 @@ object Multimodal {
   private val FrameStride = 4
 
   def sampleFrames(id: Long, blob: Array[Byte]): Iterator[FrameSample] = {
-    def crcRange(off: Int, len: Int): Long = {
-      var crc = 0L
-      var i = off
-      val end = off + len
-      while (i < end) { crc = crc * 31 + (blob(i) & 0xff); i += 1 }
-      crc
-    }
     val mp4 = Mp4Boxes.videoFrames(blob)
     val gifs = if (mp4.nonEmpty) Seq.empty else ImageHeaders.gifFrames(blob)
     if (mp4.nonEmpty)
       mp4.iterator.collect {
         case f if f.index % FrameStride == 0 =>
-          FrameSample(id, f.index, f.size, crcRange(f.offset.toInt, f.size))
+          FrameSample(id, f.index, f.size, crc31(blob, f.offset.toInt, f.size))
       }
     else if (gifs.nonEmpty)
       gifs.iterator.collect {
@@ -177,9 +179,7 @@ object Multimodal {
       }
     else blob.grouped(FrameBytes).zipWithIndex.collect {
       case (fb, i) if i % FrameStride == 0 =>
-        var crc = 0L
-        fb.foreach(b => crc = crc * 31 + (b & 0xff))
-        FrameSample(id, i, fb.length, crc)
+        FrameSample(id, i, fb.length, crc31(fb, 0, fb.length))
     }
   }
 

@@ -67,6 +67,22 @@ class AudioWavSpec extends SparkSpec {
     }
   }
 
+  test("hostile chunk size near Int.MaxValue is rejected, not overflowed") {
+    // valid RIFF/WAVE shell whose first chunk declares size 0x7FFFFFF0:
+    // off + 8 + size overflows Int to negative and used to pass the bound
+    // check, then walk off the array (or allocate GBs for a data chunk)
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    out.write("RIFF".getBytes); w32(100); out.write("WAVE".getBytes)
+    out.write("data".getBytes); w32(0x7FFFFFF0)
+    out.write(new Array[Byte](32))
+    assert(AudioWav.parse(out.toByteArray).isEmpty)
+    assert(AudioWav.features(1L, out.toByteArray).isEmpty)
+  }
+
   test("q51 end to end: one feature row per doc, real decode values") {
     val dir = docsDir(Seq((1L, "a b c"), (2L, "d e f"), (40L, "g h i")))
     val out = graft.SparkEntry.queries("q51_audio_features")(spark, dir)

@@ -74,6 +74,28 @@ class Mp4BoxesSpec extends SparkSpec {
     assert(Mp4Boxes.videoFrames(t).isEmpty)
   }
 
+  test("zero-samples-per-chunk stsc run is rejected (chunk-loop spin guard)") {
+    val good = Mp4Boxes.writeMp4(mkSamples(6), None, chunksOf = 3)
+    val idx = good.indexOfSlice("stsc".getBytes)
+    assert(idx > 0)
+    // first run: first_chunk(4) at +8, samples_per_chunk(4) at +12
+    val t = good.clone()
+    val spcOff = idx + 4 + 8 + 4
+    t(spcOff) = 0; t(spcOff + 1) = 0; t(spcOff + 2) = 0; t(spcOff + 3) = 0
+    assert(Mp4Boxes.videoFrames(t).isEmpty)
+  }
+
+  test("malformed stss rejects the blob instead of flipping all sync flags") {
+    val good = Mp4Boxes.writeMp4(mkSamples(6), Some(Seq(1, 4)))
+    val idx = good.indexOfSlice("stss".getBytes)
+    assert(idx > 0)
+    val t = good.clone()
+    val countOff = idx + 4 + 4 // payload: version/flags(4) then entry_count
+    t(countOff) = 0x7f.toByte; t(countOff + 1) = 0xff.toByte
+    t(countOff + 2) = 0xff.toByte; t(countOff + 3) = 0xff.toByte
+    assert(Mp4Boxes.videoFrames(t).isEmpty)
+  }
+
   test("sampleFrames keeps every 4th MP4 frame with real data checksums") {
     val samples = mkSamples(9)
     val blob = Mp4Boxes.writeMp4(samples, None)
