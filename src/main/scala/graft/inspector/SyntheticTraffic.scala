@@ -248,4 +248,72 @@ object SyntheticTraffic {
       }
     dir.toString
   }
+
+  /** Bulk capture generator for pipeline throughput benchmarking
+    * ([[graft.PcapBench]]): `conns` connections, each running `calls`
+    * RPC round-trips (a get/put mix, every 16th call a scan
+    * open→next→close), split round-robin by CONNECTION across `files`
+    * rotated captures. Returns (dir, request count, response count).
+    */
+  def bulkPcapDir(conns: Int, calls: Int, files: Int): (String, Long, Long) = {
+    require(conns > 0 && calls > 0 && files > 0)
+    val dir = Files.createTempDirectory("graft_bulk_pcap")
+    var nReq = 0L
+    var nRes = 0L
+    for (f <- 0 until files) {
+      val w = new PcapFile.Writer
+      for (c <- f until conns by files) {
+        val client = s"10.${1 + ((c >> 8) & 0xff)}.${c & 0xff}.7"
+        val cport = 30000 + (c % 20000)
+        var ts = T0 + c // stagger connections
+        var callId = 0
+        def emit(inbound: Boolean, frameBytes: Array[Byte]): Unit = {
+          val fr =
+            if (inbound) LinkDecode.encode(client, cport, Server, Port, frameBytes)
+            else LinkDecode.encode(Server, Port, client, cport, frameBytes)
+          w.record(ts * 1000L, fr)
+          ts += 1
+          if (inbound) nReq += 1 else nRes += 1
+        }
+        var i = 0
+        while (i < calls) {
+          callId += 1
+          if (i % 16 == 15) { // scan open -> next -> close
+            emit(inbound = true, frame(reqHeader(callId, "Scan"),
+              writer.msg(1, regionSpec("tbulkscan"))
+                .msg(2, writer.bytes(3, s"r$i".getBytes(UTF_8)).varint(17, 50L))))
+            emit(inbound = false, frame(resHeader(callId),
+              scanResponse(900000L + c, Seq(8L))))
+            callId += 1
+            emit(inbound = true, frame(reqHeader(callId, "Scan"),
+              writer.varint(3, 900000L + c).varint(4, 20L)))
+            emit(inbound = false, frame(resHeader(callId),
+              scanResponse(900000L + c, Seq(8L, 4L))))
+            callId += 1
+            emit(inbound = true, frame(reqHeader(callId, "Scan"),
+              writer.varint(3, 900000L + c).bool(5, true)))
+            emit(inbound = false, frame(resHeader(callId),
+              scanResponse(900000L + c, Nil)))
+          } else if (i % 2 == 0) { // get
+            emit(inbound = true, frame(reqHeader(callId, "Get"),
+              writer.msg(1, regionSpec("tbulkget")).msg(2,
+                writer.bytes(1, s"row$i".getBytes(UTF_8))
+                  .msg(2, writer.bytes(1, "cf".getBytes(UTF_8))
+                    .bytes(2, "q".getBytes(UTF_8))))))
+            emit(inbound = false, frame(resHeader(callId),
+              writer.msg(1, writer.varint(2, 1L))))
+          } else { // put
+            emit(inbound = true, frame(reqHeader(callId, "Mutate"),
+              writer.msg(1, regionSpec("tbulkput"))
+                .msg(2, mutationProto(2L, s"prow$i", 2, 0, 3L))))
+            emit(inbound = false, frame(resHeader(callId),
+              writer.msg(1, result(0))))
+          }
+          i += 1
+        }
+      }
+      Files.write(dir.resolve(f"capture-$f%05d.pcap"), w.toBytes)
+    }
+    (dir.toString, nReq, nRes)
+  }
 }
