@@ -32,6 +32,24 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("PII detection/redaction runs unchanged on a stream (stateless map)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = graft.ops.Pii.detect(ms.toDS().toDF("doc_id", "text"))
+    val query = out.writeStream.format("memory")
+      .queryName("stream_pii").outputMode("append").start()
+    try {
+      ms.addData((1L, "mail a@b.io today"), (2L, "nothing personal"))
+      query.processAllAvailable()
+      val byId = s.table("stream_pii").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(6), r.getString(5)))).toMap
+      assert(byId(1L) == ((1L, "mail <EMAIL> today")))
+      assert(byId(2L) == ((0L, "nothing personal")))
+    } finally query.stop()
+  }
+
   test("stateless quality filter runs unchanged on a stream") {
     val s = spark
     import s.implicits._
