@@ -22,36 +22,53 @@ object PcapBench {
 
     val t0 = System.nanoTime()
     val (dir, nReq, nRes) = SyntheticTraffic.bulkPcapDir(conns, calls, files)
-    val genSec = (System.nanoTime() - t0) / 1e9
-    val bytes = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .mapToLong(p => java.nio.file.Files.size(p)).sum()
+    try {
+      val genSec = (System.nanoTime() - t0) / 1e9
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      val bytes =
+        try listing.mapToLong(p => java.nio.file.Files.size(p)).sum()
+        finally listing.close()
 
-    val spark = Sessions.tune(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+      val spark = Sessions.tune(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false"))
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(): (Long, Double) = {
-      val t1 = System.nanoTime()
-      val records = Inspector.records(spark, dir).cache()
-      val n = records.count()
-      Seq(Inspector.requests(records), Inspector.responses(records),
-        Inspector.actionsTable(records), Inspector.resultsTable(records))
-        .foreach(_.write.format("noop").mode("overwrite").save())
-      val sec = (System.nanoTime() - t1) / 1e9
-      records.unpersist()
-      (n, sec)
+      def runOnce(): (Long, Double) = {
+        val t1 = System.nanoTime()
+        val records = Inspector.records(spark, dir).cache()
+        val n = records.count()
+        Seq(Inspector.requests(records), Inspector.responses(records),
+          Inspector.actionsTable(records), Inspector.resultsTable(records))
+          .foreach(_.write.format("noop").mode("overwrite").save())
+        val sec = (System.nanoTime() - t1) / 1e9
+        records.unpersist()
+        (n, sec)
+      }
+      val (n1, cold) = runOnce()
+      val (_, warm) = runOnce()
+      val msgs = nReq + nRes
+      println(f"[pcapbench] conns=$conns calls=$calls files=$files " +
+        f"bytes=$bytes msgs=$msgs records=$n1 gen=$genSec%.1fs " +
+        f"cold=$cold%.2fs warm=$warm%.2fs " +
+        f"rate_cold=${msgs / cold}%.0f msg/s rate_warm=${msgs / warm}%.0f msg/s " +
+        f"mb_s=${bytes / 1e6 / warm}%.1f")
+      spark.stop()
+      // a decode/correlation regression must not yield plausible-looking
+      // throughput: the rates above are computed from GENERATED messages
+      if (n1 != msgs) {
+        System.err.println(s"[pcapbench] DECODE LOSS: $n1 records != $msgs generated")
+        sys.exit(1)
+      }
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walk.close()
     }
-    val (n1, cold) = runOnce()
-    val (_, warm) = runOnce()
-    val msgs = nReq + nRes
-    println(f"[pcapbench] conns=$conns calls=$calls files=$files " +
-      f"bytes=$bytes msgs=$msgs records=$n1 gen=$genSec%.1fs " +
-      f"cold=$cold%.2fs warm=$warm%.2fs " +
-      f"rate_cold=${msgs / cold}%.0f msg/s rate_warm=${msgs / warm}%.0f msg/s " +
-      f"mb_s=${bytes / 1e6 / warm}%.1f")
-    spark.stop()
   }
 }

@@ -251,12 +251,18 @@ object SyntheticTraffic {
 
   /** Bulk capture generator for pipeline throughput benchmarking
     * ([[graft.PcapBench]]): `conns` connections, each running `calls`
-    * RPC round-trips (a get/put mix, every 16th call a scan
-    * open→next→close), split round-robin by CONNECTION across `files`
-    * rotated captures. Returns (dir, request count, response count).
+    * generator iterations — a get/put mix where every 16th iteration
+    * emits a full scan open→next→close (3 round-trips), so a connection
+    * carries `calls + 2*(calls/16)` round-trips total — split round-robin
+    * by CONNECTION across `files` rotated captures. Returns (dir, request
+    * count, response count); the CALLER owns deleting the directory.
     */
   def bulkPcapDir(conns: Int, calls: Int, files: Int): (String, Long, Long) = {
     require(conns > 0 && calls > 0 && files > 0)
+    // second client-IP octet is 1 + (c >> 8): past 65280 connections it
+    // would exceed 255 and LinkDecode would silently mask it to 0,
+    // desyncing the generated client string from the decoded address
+    require(conns <= 65280, s"conns=$conns exceeds the client-IP space")
     val dir = Files.createTempDirectory("graft_bulk_pcap")
     var nReq = 0L
     var nRes = 0L
