@@ -259,8 +259,14 @@ object Dedup {
       // the bucketPairs-style self-join: with short posting lists (df cap
       // 50) the in-group expansion wins — it reuses the groupBy(g) shuffle
       // instead of adding a join-back exchange; both are cap-bounded.
+      // The aggregation buffer is size-capped (CappedCollectSetLong):
+      // a plain collect_set + size filter would materialize an unbounded
+      // posting list on one reducer for a ubiquitous gram ("the end of"
+      // at billions of docs) before the filter could drop it. The capped
+      // aggregate stops at DfCap+1 distinct doc_ids — exact below the
+      // cap, disqualified above it — with no extra pass or exchange.
       val grouped = Materialize(inv.groupBy(col("g"))
-        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .agg(graft.functions.CappedCollectSetLong(col("doc_id"), DfCap).as("ids"))
         .filter(size(col("ids")).between(2, DfCap)))
       // effective set size per doc = number of its kept (rare) grams
       val sizes = grouped.select(explode(col("ids")).as("doc_id"))
