@@ -185,13 +185,24 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Frame sampling over a "video" blob: per-partition batch iteration,
-    // every FrameStride-th frame kept, small typed features out.
+    // every FrameStride-th frame kept, small typed features out. Docs
+    // with even ids synthesize a REAL MP4 container from their text bytes
+    // in-pipeline (the sandbox documents table has no media column), so
+    // the ISO-BMFF sample-table walk runs inside the driver gate; odd ids
+    // stay raw blobs exercising the codec-opaque fallback.
     "q42_frame_sample" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
         .as[(Long, Array[Byte])]
-        .mapPartitions(_.flatMap { case (id, blob) => sampleFrames(id, blob) })
+        .mapPartitions(_.flatMap { case (id, blob) =>
+          val media =
+            if (id % 2 == 0 && blob.nonEmpty)
+              Mp4Boxes.writeMp4(blob.grouped(48).toSeq,
+                keyframes1 = Some(Seq(1)), chunksOf = 3)
+            else blob
+          sampleFrames(id, media)
+        })
         .toDF()
         .select(col("doc_id"), col("frame_idx"), col("n_bytes"), col("checksum"))
     }),

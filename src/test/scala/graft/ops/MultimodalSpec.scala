@@ -28,6 +28,20 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0).getLong(3) === crc)
   }
 
+  test("q42 even-id docs go through the REAL MP4 container walk") {
+    val text = "y" * 200 // 5 mp4 samples of 48 + one of 8; stride 4 -> 0, 4
+    val dir = docsDir(Seq((2L, text)))
+    val rows = Multimodal.queries("q42_frame_sample")(spark, dir)
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(0, 4))
+    // MP4 sample sizes (48, 8), not raw 32-byte chunks — proves the
+    // container path ran, and the checksum covers the mdat bytes
+    assert(rows.map(_.getInt(2)).toSeq === Seq(48, 8))
+    var crc48 = 0L
+    Array.fill[Byte](48)('y').foreach(b => crc48 = crc48 * 31 + (b & 0xff))
+    assert(rows(0).getLong(3) === crc48)
+  }
+
   test("q41 stub decode is deterministic over the blob bytes") {
     val text = "some media payload"
     val dir = docsDir(Seq((1L, text)))
