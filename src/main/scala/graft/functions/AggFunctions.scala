@@ -114,4 +114,17 @@ object CappedCollectSetLong {
   def apply(c: Column, cap: Int): Column =
     Bridge.column(
       new CappedCollectSetLong(Bridge.expression(c), cap).toAggregateExpression())
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  /** SQL registry entry (`SELECT capped_collect_set_long(v, 50) ...`);
+    * the cap argument must be a foldable integer literal.
+    */
+  private[functions] val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("capped_collect_set_long"),
+      new ExpressionInfo(classOf[CappedCollectSetLong].getName, "capped_collect_set_long"),
+      (e: Seq[Expression]) =>
+        new CappedCollectSetLong(e(0),
+          e(1).eval().asInstanceOf[Number].intValue())))
 }

@@ -206,8 +206,9 @@ object VectorFunctions {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (e: Seq[Expression]) => DotProduct(e(0), e(1))))
 
-  /** Every graft SQL function (vector + text registries). */
-  private[functions] def allSqlFunctions = sqlFunctions ++ TextFunctions.sqlFunctions
+  /** Every graft SQL function (vector + text + aggregate registries). */
+  private[functions] def allSqlFunctions =
+    sqlFunctions ++ TextFunctions.sqlFunctions ++ CappedCollectSetLong.sqlFunctions
 
   /** Make the functions available to `spark.sql` on a live session. */
   def register(spark: SparkSession): Unit =

@@ -39,6 +39,18 @@ class AggFunctionsSpec extends SparkSpec {
     assert(out == Seq(1L))
   }
 
+  test("registered on the SQL surface: capped_collect_set_long parses in spark.sql") {
+    val s = spark
+    import s.implicits._
+    VectorFunctions.register(s)
+    (1 to 20).map(i => ("g", (i % 4).toLong)).toDF("g", "v")
+      .createOrReplaceTempView("agg_sql_t")
+    val out = s.sql(
+      "SELECT capped_collect_set_long(v, 10) AS ids FROM agg_sql_t GROUP BY g")
+      .as[Seq[Long]].collect()(0)
+    assert(out == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("q33 equivalence: capped aggregate matches collect_set under the cap") {
     val s = spark
     import s.implicits._
