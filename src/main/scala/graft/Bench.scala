@@ -18,6 +18,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // stdout is the bench contract: exactly one JSON line. Everything else
+    // — log4j (routed to stderr by log4j2.properties, but belt-and-braces
+    // against a foreign config winning the classpath race), third-party
+    // System.out chatter, the round-5 DAGScheduler accumulator trace — is
+    // diverted to stderr for the whole run and restored only for the final
+    // println, which happens AFTER spark.stop() so nothing can log behind it.
+    val realOut = System.out
+    System.setOut(System.err)
     val spark = Sessions.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,10 +54,14 @@ object Bench {
       (name, sec, status)
     }
     val json = renderJson(results, sfDir)
-    println(json)
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), json)
     catch { case _: Throwable => () }
-    spark.stop()
+    // Stop Spark (and its late-task log noise) BEFORE the JSON line: the
+    // driver keeps only the last 2000 chars of stdout, so anything printed
+    // after the line would evict it from the parse window.
+    try spark.stop() catch { case _: Throwable => () }
+    System.setOut(realOut)
+    println(json)
   }
 
   /** One JSON line for the driver. The driver keeps only the LAST 2000

@@ -211,12 +211,19 @@ object Similarity {
   }
 
   /** IVF ANN: data-aware coarse quantizer (complement of q36's random
-    * hyperplanes). Explicit train step: a bounded sample (`limit` — first
-    * partitions, not a corpus pass) fits k-means centroids driver-side
-    * ([[KMeansLite]]: farthest-point seeding, Lloyd rounds, near-duplicate
-    * centroid merge); assignment is a single broadcast-centroids
-    * mapPartitions pass (argmax cosine — the IVF kernel, no join fan-out,
-    * no shuffle); queries probe their own list and rerank exactly.
+    * hyperplanes). Explicit train step: a bounded UNBIASED sample fits
+    * k-means centroids driver-side ([[KMeansLite]]: farthest-point
+    * seeding, Lloyd rounds, near-duplicate centroid merge). The sample is
+    * the `sampleCap` rows with the smallest `xxhash64(vec_id)` — i.e. a
+    * deterministic uniform draw over the WHOLE corpus, executed as a
+    * distributed top-k (`TakeOrderedAndProject`: per-partition bounded
+    * heaps, only `cap` rows reach the driver). Round 5's `limit(cap)` read
+    * the first partitions only; on a corpus whose layout correlates with
+    * content (sorted by source — the normal case) that skewed the
+    * centroids and silently degraded recall on the tail. Assignment is a
+    * single broadcast-centroids mapPartitions pass (argmax cosine — the
+    * IVF kernel, no join fan-out, no shuffle); queries probe their own
+    * list and rerank exactly.
     *
     * Default `nlist` ≈ √n clamped to [4, 1024]: beyond ~1k lists the
     * driver-side fit stops being free — pass `nlistHint` with an
@@ -230,7 +237,10 @@ object Similarity {
     val nlist = nlistHint.getOrElse(
       math.max(4, math.min(1024, math.ceil(math.sqrt(n.toDouble)).toInt)))
     val sampleCap = math.min(math.max(256, 32 * nlist), 32768)
-    val sample = e.select(col("embedding")).limit(sampleCap)
+    val sample = e.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(sampleCap)
+      .select(col("embedding"))
       .collect().map(_.getSeq[Float](0).toArray)
     val cents = KMeansLite.fit(sample, nlist, iters = 3)
     val bc = s.sparkContext.broadcast(cents)

@@ -39,6 +39,33 @@ class SamplingSpec extends SparkSpec {
     assert(got.toSet === again.toSet)
   }
 
+  test("q47: two-phase plan equals the stratum-wide window on skewed strata") {
+    val s = spark
+    import s.implicits._
+    // heavily skewed strata incl. a singleton — exercises the driver-side
+    // cutoff walk (first-bucket cutoff, remainder-only strata)
+    val df = ((1L to 400L).map(i => (i, "en")) ++
+      (401L to 430L).map(i => (i, "fr")) ++ Seq((431L, "xx")))
+      .toDF("doc_id", "lang")
+    val got = Sampling.stratifiedExact(df, "lang", "doc_id", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // reference semantics: rank by (md5prefix, id) within stratum, keep ceil(n/10)
+    val ref = df
+      .withColumn("h", expr("cast(conv(substring(md5(cast(doc_id as string)),1,8),16,10) as long)"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("h").asc, col("doc_id").asc)))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .filter(col("rn") <= ceil(col("n") / 10.0))
+      .select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === ref)
+    assert(got.count(_._2 == "en") === 40)
+    assert(got.count(_._2 == "fr") === 3)
+    assert(got.count(_._2 == "xx") === 1)
+  }
+
   test("q48: vocabulary stats on a hand-checked corpus") {
     val dir = docsDir(Seq((1L, "a b a"), (2L, "b c")))
     // docsDir writes lang='en' for all docs
