@@ -7,7 +7,7 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.inspector.Inspector
-import graft.streaming.{InspectorStream, KafkaSink}
+import graft.streaming.{CaptureProcess, InspectorStream, KafkaSink}
 
 /** CLI entry point — the reference's `-main` (core.clj:513-534) in Spark
   * form: read a directory of capture files, register the 4-table SQL
@@ -22,8 +22,13 @@ import graft.streaming.{InspectorStream, KafkaSink}
   *   -p PORTS   comma-separated RegionServer ports (default 16020,60020)
   *   -t DIR     checkpoint dir for -k (default: a temp dir)
   *   -d MS      bound a -k run to a wall-clock duration (reference -d)
-  *   -i IFACE   print the tcpdump command that feeds CAPTURE_DIR live
-  *              (the OS half of the reference's read-net-interface)
+  *   -i IFACE   live capture: LAUNCH the staged tcpdump rotation
+  *              in-process (the reference's read-net-interface,
+  *              core.clj:422-444) feeding CAPTURE_DIR, then run the
+  *              selected mode (interactive SQL, -e, or -k) against the
+  *              growing directory; the capture is stopped when the run
+  *              ends
+  *   -n         with -i: print the capture command instead of running it
   * }}}
   * With neither `-e` nor `-k`: interactive — one SQL statement per line
   * against requests/responses/actions/results; empty line or EOF quits
@@ -47,11 +52,16 @@ object Main {
   }
 
   private val Usage =
-    """usage: graft.Main CAPTURE_DIR [-e SQL]... [-k SPEC] [-p PORTS] [-t CKPT_DIR] [-d MS] [-i IFACE]"""
+    """usage: graft.Main CAPTURE_DIR [-e SQL]... [-k SPEC] [-p PORTS] [-t CKPT_DIR] [-d MS] [-i IFACE [-n]]"""
 
-  /** Testable core; returns a process exit code. */
+  /** Testable core; returns a process exit code. `capture` is the live
+    * capture launcher seam (`(iface, dir, ports) => handle`) — the real
+    * one spawns tcpdump; specs inject a fake.
+    */
   def execute(spark: SparkSession, args: Array[String],
-              in: BufferedReader, out: PrintStream): Int = {
+              in: BufferedReader, out: PrintStream,
+              capture: (String, String, Set[Int]) => CaptureProcess.Handle =
+                CaptureProcess.start(_, _, _)): Int = {
     var dir: Option[String] = None
     var stmts = Vector.empty[String]
     var kafka: Option[String] = None
@@ -59,6 +69,7 @@ object Main {
     var ckpt: Option[String] = None
     var durationMs: Option[Long] = None
     var iface: Option[String] = None
+    var dryRun = false
     var i = 0
     try {
       while (i < args.length) {
@@ -69,6 +80,7 @@ object Main {
           case "-t" => ckpt = Some(args(i + 1)); i += 2
           case "-d" => durationMs = Some(args(i + 1).toLong); i += 2
           case "-i" => iface = Some(args(i + 1)); i += 2
+          case "-n" => dryRun = true; i += 1
           case flag if flag.startsWith("-") =>
             out.println(s"unknown option: $flag"); out.println(Usage); return 1
           case path => dir = Some(path); i += 1
@@ -80,13 +92,33 @@ object Main {
     }
     dir match {
       case None => out.println(Usage); 1
-      case Some(d) if iface.isDefined =>
+      case Some(d) if iface.isDefined && dryRun =>
         out.println("run this to feed the capture directory, then re-run " +
           "graft.Main without -i (or with -k) against it:")
         out.println(InspectorStream.captureCommand(iface.get, d, ports))
         0
-      case Some(d) if kafka.isDefined => runKafka(spark, d, kafka.get, ports, ckpt, durationMs, out)
-      case Some(d) => runSql(spark, d, ports, stmts, in, out)
+      case Some(d) =>
+        val handle = iface.map { ifc =>
+          out.println(s"capturing $ifc -> $d (tcpdump staged rotation)")
+          capture(ifc, d, ports)
+        }
+        // tcpdump reports no-such-interface / no-permission / no-binary
+        // AFTER exec: give it a beat and surface an immediate death as a
+        // run failure instead of a silently-empty stream.
+        handle.flatMap(_.awaitExit(500)).filter(_ != 0) match {
+          case Some(code) =>
+            out.println(s"capture exited with code $code:")
+            handle.foreach(h => out.println(h.logTail().trim))
+            1
+          case None =>
+            try {
+              if (kafka.isDefined) runKafka(spark, d, kafka.get, ports, ckpt, durationMs, out)
+              else runSql(spark, d, ports, stmts, in, out)
+            } finally handle.foreach { h =>
+              val code = h.stop()
+              out.println(s"capture stopped (exit $code)")
+            }
+        }
     }
   }
 

@@ -51,8 +51,8 @@ class MainSpec extends SparkSpec {
     assert(out.contains("usage:"))
   }
 
-  test("-i prints a tcpdump command with the BPF/snaplen/rotation knobs") {
-    val (code, out) = run(Array("/var/capture", "-i", "eth0", "-p", "16020"))
+  test("-i -n prints a tcpdump command with the BPF/snaplen/rotation knobs") {
+    val (code, out) = run(Array("/var/capture", "-i", "eth0", "-p", "16020", "-n"))
     assert(code === 0)
     assert(out.contains("tcpdump -i 'eth0'"))
     assert(out.contains("port 16020"))
@@ -67,6 +67,43 @@ class MainSpec extends SparkSpec {
     assert(out.contains("-w '/var/capture/.staging/capture-%s.pcap'"))
     assert(out.contains("-z '/var/capture/.staging/rotate.sh'"))
     assert(out.contains("mv "))
+  }
+
+  test("-i launches the capture, runs the mode, and stops the capture after") {
+    val buf = new ByteArrayOutputStream()
+    val out = new PrintStream(buf, true, "UTF-8")
+    var launched: Option[(String, String, graft.streaming.CaptureProcess.Handle)] = None
+    val code = Main.execute(spark,
+      Array(SyntheticTraffic.ensurePcapDir(), "-i", "eth0",
+        "-e", "SELECT count(*) AS n FROM requests"),
+      new BufferedReader(new StringReader("")), out,
+      capture = (ifc, d, _) => {
+        val h = graft.streaming.CaptureProcess.startCommand("sleep 60", d)
+        launched = Some((ifc, d, h)); h
+      })
+    val text = buf.toString("UTF-8")
+    assert(code === 0, text)
+    assert(launched.isDefined, "capture launcher was never invoked")
+    assert(launched.get._1 === "eth0")
+    assert(!launched.get._3.isAlive, "capture outlived the run")
+    assert(text.contains("capturing eth0"))
+    assert(text.contains("capture stopped"))
+    assert(text.contains(SyntheticTraffic.ExpectedRequests.toString))
+  }
+
+  test("-i with a capture that dies immediately fails the run with its log") {
+    val buf = new ByteArrayOutputStream()
+    val out = new PrintStream(buf, true, "UTF-8")
+    val code = Main.execute(spark,
+      Array(SyntheticTraffic.ensurePcapDir(), "-i", "eth0",
+        "-e", "SELECT 1"),
+      new BufferedReader(new StringReader("")), out,
+      capture = (_, d, _) =>
+        graft.streaming.CaptureProcess.startCommand("echo device-gone; exit 3", d))
+    val text = buf.toString("UTF-8")
+    assert(code === 1)
+    assert(text.contains("capture exited with code 3"))
+    assert(text.contains("device-gone"))
   }
 
   test("-p filters to the given ports (none match -> empty tables, not errors)") {
