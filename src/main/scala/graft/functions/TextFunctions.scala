@@ -82,6 +82,78 @@ object RepetitionStats {
   def apply(text: Column): Column = Bridge.column(RepetitionStats(Bridge.expression(text)))
 }
 
+/** Per-document line-filter statistics in one map-side pass (q55's
+  * kernel — the C4-style boilerplate heuristic: short lines and lines
+  * without terminal punctuation are navigation chrome / menu debris, not
+  * prose). Per line (split on `\n`, trimmed of spaces/tabs/CR): KEPT ⇔
+  * ≥ 20 codepoints AND ends with `.`, `!` or `?`.
+  *
+  * Same zero-shuffle argument as [[RepetitionStats]]: these are pure
+  * per-row functions; the relational form would explode every line of the
+  * corpus through an exchange. Trim/length semantics are pinned to the
+  * DuckDB oracle: trim set = space/tab/CR explicitly (NOT Java's
+  * `String.trim`, which strips all of U+0000..U+0020), length counted in
+  * codepoints (DuckDB `len`; NOT UTF-16 units).
+  */
+case class LineStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LineStats.schema
+  override def prettyName: String = "line_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    LineStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"${classOf[LineStats].getName.stripSuffix("$")}$$.MODULE$$.compute($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LineStats {
+
+  /** (n_lines, n_kept, kept_chars): total lines, lines passing the filter,
+    * summed codepoint length of the passing (trimmed) lines.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("kept_chars", LongType, nullable = false)))
+
+  private def isTrim(c: Char): Boolean = c == ' ' || c == '\t' || c == '\r'
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(text: UTF8String): InternalRow = {
+    val lines = text.toString.split("\n", -1)
+    var nKept = 0L
+    var keptChars = 0L
+    var li = 0
+    while (li < lines.length) {
+      val raw = lines(li)
+      var a = 0
+      var b = raw.length
+      while (a < b && isTrim(raw.charAt(a))) a += 1
+      while (b > a && isTrim(raw.charAt(b - 1))) b -= 1
+      val n = raw.codePointCount(a, b)
+      if (n >= 20) {
+        val last = raw.charAt(b - 1)
+        if (last == '.' || last == '!' || last == '?') {
+          nKept += 1
+          keptChars += n
+        }
+      }
+      li += 1
+    }
+    new GenericInternalRow(Array[Any](lines.length.toLong, nKept, keptChars))
+  }
+
+  def apply(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Bridge.column(LineStats(Bridge.expression(text)))
+}
+
 /** SQL registrations for the text expressions (concatenated into the
   * session/extension registry by [[VectorFunctions.register]] and
   * [[GraftExtensions]]).
@@ -93,5 +165,8 @@ object TextFunctions {
   private[functions] val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
-      (e: Seq[Expression]) => RepetitionStats(e(0))))
+      (e: Seq[Expression]) => RepetitionStats(e(0))),
+    (FunctionIdentifier("line_stats"),
+      new ExpressionInfo(classOf[LineStats].getName, "line_stats"),
+      (e: Seq[Expression]) => LineStats(e(0))))
 }

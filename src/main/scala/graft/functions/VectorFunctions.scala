@@ -184,6 +184,82 @@ object LshBucket {
   }
 }
 
+/** int8 scalar quantization stats of a float vector, one fused pass:
+  * `struct(scale, sum_q, n_nonzero, mse)` where `scale = max|v| / 127`,
+  * `q_i = clamp(floor(v_i/scale + 0.5), ±127)` (all-zero vector → q = 0),
+  * and `mse` is the mean squared reconstruction error `(v_i − q_i·scale)²`.
+  *
+  * The quantized vector itself never materializes — a pipeline that wants
+  * the bytes applies the same per-element formula in a projection; this
+  * expression is the CALIBRATION/QA half (how lossy is int8 on this
+  * corpus), which only needs the stats. The mse accumulation is a
+  * sequential left fold so the DuckDB oracle (`list_reduce` over the same
+  * element order) reproduces it bit for bit; all arithmetic is in double
+  * (float inputs promote exactly on both engines).
+  */
+case class QuantizeStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = QuantizeStats.schema
+  override def prettyName: String = "quantize_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    QuantizeStats.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"${classOf[QuantizeStats].getName.stripSuffix("$")}$$.MODULE$$.compute($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QuantizeStats {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("sum_q", LongType, nullable = false),
+    StructField("n_nonzero", LongType, nullable = false),
+    StructField("mse", DoubleType, nullable = false)))
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(v: ArrayData): InternalRow = {
+    val n = v.numElements()
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val ax = math.abs(v.getFloat(i).toDouble)
+      if (ax > maxabs) maxabs = ax
+      i += 1
+    }
+    val scale = maxabs / 127.0
+    var sumq = 0L; var nnz = 0L; var mse = 0.0
+    i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      var q = 0L
+      if (scale != 0.0) {
+        var r = math.floor(x / scale + 0.5)
+        if (r > 127.0) r = 127.0
+        if (r < -127.0) r = -127.0
+        q = r.toLong
+      }
+      sumq += q
+      if (q != 0L) nnz += 1
+      val e = x - q * scale
+      mse += e * e
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      scale, sumq, nnz, if (n > 0) mse / n else 0.0))
+  }
+}
+
 object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
@@ -193,6 +269,9 @@ object VectorFunctions {
 
   def lshBucket(vec: Column, nbits: Int, seed: Long = 42L): Column =
     Bridge.column(LshBucket(Bridge.expression(vec), nbits, seed))
+
+  def quantizeStats(vec: Column): Column =
+    Bridge.column(QuantizeStats(Bridge.expression(vec)))
 
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -204,7 +283,10 @@ object VectorFunctions {
       (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (e: Seq[Expression]) => DotProduct(e(0), e(1))))
+      (e: Seq[Expression]) => DotProduct(e(0), e(1))),
+    (FunctionIdentifier("quantize_stats"),
+      new ExpressionInfo(classOf[QuantizeStats].getName, "quantize_stats"),
+      (e: Seq[Expression]) => QuantizeStats(e(0))))
 
   /** Every graft SQL function (vector + text + aggregate registries). */
   private[functions] def allSqlFunctions =

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{LineStats, VectorFunctions}
+
+/** Corpus-curation operators: the QA/cleaning passes a training-data
+  * pipeline runs between raw crawl and tokenizer. All four are map-side
+  * (zero or one bounded shuffle) — these run over the FULL corpus, so a
+  * per-row plan shape is the difference between a pass and a bottleneck.
+  */
+object Curation {
+
+  /** ASCII case fold via translate: a 1:1 codepoint mapping both engines
+    * implement identically (unicode-aware `lower()` is locale/table
+    * sensitive and is exactly the kind of silent cross-engine divergence
+    * the oracle gate exists to catch).
+    */
+  private val Upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Normalized text: ascii-lowercase, strip everything outside
+    * [a-z0-9 whitespace], collapse whitespace runs to single spaces, trim.
+    * Whitespace is the EXPLICIT set space/tab/LF/CR on both engines —
+    * Java's `\s` and RE2's `\s` disagree on U+000B.
+    */
+  private[ops] def normText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(
+      regexp_replace(translate(c, Upper, Lower), "[^a-z0-9 \\t\\n\\r]", ""),
+      "[ \\t\\n\\r]+", " "))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // int8 embedding quantization calibration: per-vector scale, quantized
+    // checksum, sparsity, and reconstruction MSE. One fused codegen pass
+    // ([[graft.functions.QuantizeStats]]), zero shuffles — the numbers that
+    // decide whether the 4x-smaller index is safe to ship.
+    "q52_embed_quantize" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), VectorFunctions.quantizeStats(col("embedding")).as("st"))
+        .select(col("vec_id"),
+          round(col("st.scale"), 6).as("scale"),
+          col("st.sum_q").as("sum_q"),
+          col("st.n_nonzero").as("n_nonzero"),
+          round(col("st.mse"), 6).as("mse"))),
+
+    // Normalization-robust exact dedup: q30 catches byte-identical copies;
+    // this catches the re-hosted copy with different casing/punctuation/
+    // whitespace — the most common near-dup class in crawled corpora, at
+    // exact-dedup cost (no signatures, no banding). Same shuffle discipline
+    // as q30: group on (xxhash64(norm), len) so bodies never shuffle.
+    "q53_norm_dedup" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), normText(col("text")).as("norm"))
+        .groupBy(xxhash64(col("norm")).as("h"), length(col("norm")).as("norm_len"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"), col("norm_len"))),
+
+    // Per-source curation profile: the table a pipeline operator reads
+    // before deciding per-domain sampling weights/filters. Plain partial
+    // agg; source cardinality is bounded (domains, not documents).
+    "q54_source_profile" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("lang")).as("n_langs"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          expr("percentile(n_chars, 0.5)").as("p50_chars"))),
+
+    // C4-style line-level boilerplate filter stats: per doc, how many
+    // lines are prose (≥ 20 chars, terminal punctuation) vs chrome. One
+    // fused codegen pass ([[graft.functions.LineStats]]), zero shuffles.
+    // NULL-text contract as q44: excluded on both sides.
+    "q55_line_filter" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), LineStats(col("text")).as("st"))
+        .select(col("doc_id"),
+          col("st.n_lines").as("n_lines"),
+          col("st.n_kept").as("n_kept"),
+          round(col("st.n_kept").cast("double") / col("st.n_lines"), 6)
+            .as("kept_ratio"),
+          col("st.kept_chars").as("kept_chars")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    // mse: list_reduce is a sequential left fold over the same element
+    // order as the Spark expression's loop — bit-identical doubles, so the
+    // 6-dp rounding agrees. sum_q/n_nonzero are integers (order-free).
+    "q52_embed_quantize" ->
+      """WITH t AS (
+        |  SELECT vec_id, embedding,
+        |    coalesce(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))), 0.0) / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale, embedding,
+        |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(least(greatest(floor(CAST(x AS DOUBLE)/scale + 0.5),
+        |                               -127.0), 127.0) AS BIGINT) END) AS qv
+        |  FROM t),
+        |e AS (
+        |  SELECT vec_id, scale, qv, embedding,
+        |    list_transform(list_zip(embedding, qv),
+        |      p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale) AS err
+        |  FROM q)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS sum_q,
+        |  CAST(len(list_filter(qv, x -> x <> 0)) AS BIGINT) AS n_nonzero,
+        |  CASE WHEN len(embedding) = 0 THEN 0.0
+        |       ELSE round(coalesce(list_reduce(list_transform(err, x -> x*x),
+        |                                       (a, b) -> a + b), 0.0)
+        |                  / len(embedding), 6) END AS mse
+        |FROM e""".stripMargin,
+
+    "q53_norm_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+        |  CAST(len(norm) AS BIGINT) AS norm_len
+        |FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |        translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |                        'abcdefghijklmnopqrstuvwxyz'),
+        |        '[^a-z0-9 \t\n\r]', '', 'g'), '[ \t\n\r]+', ' ', 'g')) AS norm
+        |      FROM documents WHERE text IS NOT NULL)
+        |GROUP BY norm""".stripMargin,
+
+    "q54_source_profile" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |  quantile_cont(n_chars, 0.5) AS p50_chars
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q55_line_filter" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    trim(unnest(string_split(text, chr(10))),
+        |         ' ' || chr(9) || chr(13)) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |k AS (
+        |  SELECT doc_id, count(*) AS n_lines,
+        |    sum(CASE WHEN len(t) >= 20 AND right(t, 1) IN ('.', '!', '?')
+        |             THEN 1 ELSE 0 END) AS n_kept,
+        |    sum(CASE WHEN len(t) >= 20 AND right(t, 1) IN ('.', '!', '?')
+        |             THEN len(t) ELSE 0 END) AS kept_chars
+        |  FROM l GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(n_kept AS BIGINT) AS n_kept,
+        |  round(CAST(n_kept AS DOUBLE) / n_lines, 6) AS kept_ratio,
+        |  CAST(kept_chars AS BIGINT) AS kept_chars
+        |FROM k""".stripMargin
+  )
+}

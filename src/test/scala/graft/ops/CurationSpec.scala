@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{LineStats, QuantizeStats}
+
+class CurationSpec extends SparkSpec {
+
+  test("q52: hand-checked quantization incl. clamp, zero vector, exact recon") {
+    val dir = embeddingsDir(Seq(
+      1L -> Array(1.0f, -2.0f, 0.0f, 127.0f), // scale 1: exact reconstruction
+      2L -> Array(0.0f, 0.0f),                // zero vector: scale 0, q = 0
+      3L -> Array(1.0f, 0.001f)))             // tiny value rounds to q = 0
+    val r = Curation.queries("q52_embed_quantize")(spark, dir)
+      .collect().map(x => x.getLong(0) ->
+        (x.getDouble(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r(1L) === ((1.0, 126L, 3L, 0.0)))
+    assert(r(2L) === ((0.0, 0L, 0L, 0.0)))
+    val (s3, sum3, nnz3, mse3) = r(3L)
+    assert(s3 === 0.007874) // round(1/127, 6)
+    assert(sum3 === 127L) // x=1.0 -> q=127 (exact top of range); 0.001 -> 0
+    assert(nnz3 === 1L)
+    assert(mse3 <= 1.0e-6) // (1 - 127*scale)^2 ~ 0; (0.001)^2/2 rounds to 1e-6
+  }
+
+  test("QuantizeStats clamps a negative outlier to -127") {
+    val s = spark
+    import s.implicits._
+    // maxabs comes from +10, so -10 quantizes exactly to -127 and 10 to 127
+    val df = Seq((1L, Array(10.0f, -10.0f))).toDF("id", "v")
+      .select(graft.functions.VectorFunctions.quantizeStats(col("v")).as("st"))
+      .select(col("st.sum_q"), col("st.n_nonzero"))
+    val row = df.collect()(0)
+    assert(row.getLong(0) === 0L) // 127 + (-127)
+    assert(row.getLong(1) === 2L)
+  }
+
+  test("q53: case/punct/whitespace variants collapse to one survivor") {
+    val dir = docsDir(Seq(
+      1L -> "Hello, World!",
+      2L -> "hello   world",
+      3L -> "HELLO\tWORLD.",
+      4L -> "something else"))
+    val r = Curation.queries("q53_norm_dedup")(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toList
+    assert(r.toSet === Set((1L, 3L, 11), (4L, 1L, 14)))
+  }
+
+  test("q55: line filter keeps prose, drops chrome; counts codepoints") {
+    val text = Seq(
+      "Short line",                                        // < 20 chars
+      "This is a long enough sentence to keep, really.",   // kept (47)
+      "menu | nav | home | contact | about | sitemap",     // no terminal punct
+      "  A trimmed line that is long enough to survive!\r" // kept after trim (46)
+    ).mkString("\n")
+    val dir = docsDir(Seq(1L -> text, 2L -> "no lines kept here"))
+    val r = Curation.queries("q55_line_filter")(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getLong(4)))).toMap
+    assert(r(1L) === ((4L, 2L, 0.5, 93L)))
+    assert(r(2L) === ((1L, 0L, 0.0, 0L)))
+  }
+
+  test("LineStats counts codepoints, not UTF-16 units") {
+    val s = spark
+    import s.implicits._
+    // 19 codepoints incl. an astral emoji (2 UTF-16 units) + '.' = 20 -> kept
+    // iff length is measured in codepoints
+    val line = "🙂" + "a" * 17 + "x."
+    assert(line.codePointCount(0, line.length) === 20)
+    val row = Seq(Tuple1(line)).toDF("text")
+      .select(LineStats(col("text")).as("st"))
+      .select(col("st.n_kept"), col("st.kept_chars")).collect()(0)
+    assert(row.getLong(0) === 1L)
+    assert(row.getLong(1) === 20L)
+  }
+
+  test("q52/q55 plans are shuffle-free scan projections") {
+    val dirE = embeddingsDir(Seq(1L -> Array(1.0f, 2.0f)))
+    val dirD = docsDir(Seq(1L -> "some text"))
+    for (plan <- Seq(
+        Curation.queries("q52_embed_quantize")(spark, dirE),
+        Curation.queries("q55_line_filter")(spark, dirD))
+        .map(_.queryExecution.executedPlan.toString)) {
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    }
+  }
+
+}
