@@ -69,6 +69,25 @@ object Curation {
           (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
           expr("percentile(n_chars, 0.5)").as("p50_chars"))),
 
+    // Token-rarity scoring: per doc, the mean corpus document-frequency of
+    // its tokens — low mean = rare-vocabulary doc (OCR noise, foreign
+    // matter, gibberish), the unigram-LM quality signal without the
+    // cross-engine float-log parity trap (counts are integers; the one
+    // division is exact-int/exact-int). Shuffles: one (token) agg, one
+    // (token) join that reuses the same key distribution, one (doc_id)
+    // agg — all partial-aggregated, nothing carries document bodies.
+    "q56_token_rarity" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
+      toks.join(df, Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("tok_df")).as("sum_df"))
+        .select(col("doc_id"), col("n_toks"),
+          (col("sum_df").cast("double") / col("n_toks")).as("avg_df"))
+    }),
+
     // C4-style line-level boilerplate filter stats: per doc, how many
     // lines are prose (≥ 20 chars, terminal punctuation) vs chrome. One
     // fused codegen pass ([[graft.functions.LineStats]]), zero shuffles.
@@ -131,6 +150,16 @@ object Curation {
         |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
         |  quantile_cont(n_chars, 0.5) AS p50_chars
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q56_token_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |df AS (SELECT tok, count(*) AS tok_df FROM toks GROUP BY tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(tok_df) AS DOUBLE) / count(*) AS avg_df
+        |FROM toks JOIN df USING (tok)
+        |GROUP BY doc_id""".stripMargin,
 
     "q55_line_filter" ->
       """WITH l AS (

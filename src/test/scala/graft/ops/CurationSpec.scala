@@ -61,6 +61,15 @@ class CurationSpec extends SparkSpec {
     assert(r(2L) === ((1L, 0L, 0.0, 0L)))
   }
 
+  test("q56: token rarity on a hand-checked corpus") {
+    // dfs: a->2, b->2, c->1
+    val dir = docsDir(Seq(1L -> "a b a", 2L -> "b c"))
+    val r = Curation.queries("q56_token_rarity")(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(1L) === ((3L, 2.0))) // (2+2+2)/3
+    assert(r(2L) === ((2L, 1.5))) // (2+1)/2
+  }
+
   test("LineStats counts codepoints, not UTF-16 units") {
     val s = spark
     import s.implicits._

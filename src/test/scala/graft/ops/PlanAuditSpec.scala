@@ -154,4 +154,46 @@ class PlanAuditSpec extends SparkSpec {
         s"$q: banded self-join no longer reuses the signature exchange:\n$p")
     }
   }
+
+  test("q47: the window runs over the cutoff bucket only, never the stratum") {
+    // the round-5 scale-killer was row_number over EVERY row of a stratum;
+    // the two-phase plan must feed its one window from the b = cutB filter
+    // (~1/65536 of the stratum) and keep the bulk on the windowless branch
+    val df = graft.SparkEntry.queries("q47_stratified_sample")(spark, sf)
+    // audit the optimized logical plan: AQE hides the physical subtree
+    // until execution, and the property is structural anyway
+    val plan = df.queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, s"expected the remainder window in:\n$plan")
+    windows.foreach { w =>
+      // the optimizer may keep b = cutB as a Filter or fold it into the
+      // broadcast join's condition — either way it must sit BELOW the window
+      val guarded = w.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.references.exists(_.name == "cutB") => f
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.condition.exists(_.references.exists(_.name == "cutB")) => j
+      }
+      assert(guarded.nonEmpty,
+        s"window input lost its cutoff-bucket filter:\n$plan")
+    }
+    // the keep-outright branch must carry no window at all
+    val union = plan.collectFirst {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(union.isDefined, s"expected the two-branch union in:\n$plan")
+    val windowless = union.get.children.filter(c => c.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty)
+    assert(windowless.nonEmpty, s"no windowless keep-outright branch in:\n$plan")
+  }
+
+  test("q56: both shuffles ride the same key families; aggs are partial") {
+    val p = planString("q56_token_rarity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // partial + final pairs for both the token-df agg and the doc agg
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
 }
