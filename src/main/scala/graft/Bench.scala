@@ -61,7 +61,11 @@ object Bench {
     // after the line would evict it from the parse window.
     try spark.stop() catch { case _: Throwable => () }
     System.setOut(realOut)
-    println(json)
+    // print through the captured stream, NOT Predef.println: scala.Console
+    // snapshots System.out at Console-object init, which can happen while
+    // stdout is redirected — println would then write the JSON to stderr
+    realOut.println(json)
+    realOut.flush()
   }
 
   /** One JSON line for the driver. The driver keeps only the LAST 2000

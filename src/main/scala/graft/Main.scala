@@ -90,6 +90,11 @@ object Main {
       case _: ArrayIndexOutOfBoundsException | _: NumberFormatException =>
         out.println(Usage); return 1
     }
+    if (dryRun && iface.isEmpty) {
+      // a stray -n must not silently run the real thing the user thought
+      // they were only previewing
+      out.println("-n requires -i IFACE"); out.println(Usage); return 1
+    }
     dir match {
       case None => out.println(Usage); 1
       case Some(d) if iface.isDefined && dryRun =>

@@ -227,13 +227,20 @@ object QuantizeStats {
     StructField("n_nonzero", LongType, nullable = false),
     StructField("mse", DoubleType, nullable = false)))
 
-  /** Shared by interpreted eval and generated code. */
+  private def elem(v: ArrayData, i: Int): Double =
+    if (v.isNullAt(i)) 0.0 else v.getFloat(i).toDouble
+
+  /** Shared by interpreted eval and generated code. NULL elements read as
+    * 0.0 EXPLICITLY (the isNullAt guard — getFloat on a null slot is
+    * undefined for UnsafeArrayData); the DuckDB oracle applies the same
+    * `coalesce(x, 0)` so a sparse-null embedding cannot diverge.
+    */
   def compute(v: ArrayData): InternalRow = {
     val n = v.numElements()
     var maxabs = 0.0
     var i = 0
     while (i < n) {
-      val ax = math.abs(v.getFloat(i).toDouble)
+      val ax = math.abs(elem(v, i))
       if (ax > maxabs) maxabs = ax
       i += 1
     }
@@ -241,7 +248,7 @@ object QuantizeStats {
     var sumq = 0L; var nnz = 0L; var mse = 0.0
     i = 0
     while (i < n) {
-      val x = v.getFloat(i).toDouble
+      val x = elem(v, i)
       var q = 0L
       if (scale != 0.0) {
         var r = math.floor(x / scale + 0.5)

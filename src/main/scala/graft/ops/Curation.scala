@@ -53,7 +53,8 @@ object Curation {
     "q53_norm_dedup" -> ((s, dir) =>
       Tables.documents(s, dir).filter(col("text").isNotNull)
         .select(col("doc_id"), normText(col("text")).as("norm"))
-        .groupBy(xxhash64(col("norm")).as("h"), length(col("norm")).as("norm_len"))
+        .groupBy(xxhash64(col("norm")).as("h"),
+          length(col("norm")).cast("long").as("norm_len"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .select(col("doc_id"), col("n_copies"), col("norm_len"))),
 
@@ -77,9 +78,10 @@ object Curation {
     // (token) join that reuses the same key distribution, one (doc_id)
     // agg — all partial-aggregated, nothing carries document bodies.
     "q56_token_rarity" -> ((s, dir) => {
+      // Dedup.tokens is THE pinned cross-engine tokenization contract
+      // (trim + \s+ split); q48/q44's oracles ride the same definition
       val toks = Tables.documents(s, dir).filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .select(col("doc_id"), explode(Dedup.tokens).as("tok"))
       val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
       toks.join(df, Seq("tok"))
         .groupBy(col("doc_id"))
@@ -111,18 +113,18 @@ object Curation {
       """WITH t AS (
         |  SELECT vec_id, embedding,
         |    coalesce(list_max(list_transform(embedding,
-        |      x -> abs(CAST(x AS DOUBLE)))), 0.0) / 127.0 AS scale
+        |      x -> abs(CAST(coalesce(x, 0) AS DOUBLE)))), 0.0) / 127.0 AS scale
         |  FROM embeddings),
         |q AS (
         |  SELECT vec_id, scale, embedding,
         |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
-        |      ELSE CAST(least(greatest(floor(CAST(x AS DOUBLE)/scale + 0.5),
+        |      ELSE CAST(least(greatest(floor(CAST(coalesce(x, 0) AS DOUBLE)/scale + 0.5),
         |                               -127.0), 127.0) AS BIGINT) END) AS qv
         |  FROM t),
         |e AS (
         |  SELECT vec_id, scale, qv, embedding,
         |    list_transform(list_zip(embedding, qv),
-        |      p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale) AS err
+        |      p -> CAST(coalesce(p[1], 0) AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale) AS err
         |  FROM q)
         |SELECT vec_id, round(scale, 6) AS scale,
         |  CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS sum_q,

@@ -22,57 +22,107 @@ object Sampling {
 
   /** Exact per-stratum `1/denom` sample, scale-safe.
     *
-    * Semantics: within each stratum, order rows by `(h, id)` where
+    * Semantics: within each stratum (a NULL stratum is its own stratum,
+    * as in a window partition), order rows by `(h, id)` where
     * `h = md5Prefix(id)`, keep the first `ceil(n/denom)` — identical to a
     * `row_number()` window over the whole stratum. But THAT plan funnels
     * every row of a stratum through one reducer task (tens of TB for a
     * dominant language at corpus scale — the round-5 verdict's named
-    * scale-killer). Two phases instead:
+    * scale-killer). Instead:
     *
-    *  1. Partial-agg per-(stratum, bucket) counts, where bucket = the high
-    *     16 bits of the 32-bit hash — 65536 ORDERED hash ranges. Fully
-    *     parallel; the shuffle carries at most |strata|·65536 tiny rows,
-    *     collected to the driver.
-    *  2. The driver walks each stratum's buckets in hash order to find the
-    *     cutoff bucket + within-bucket remainder; the (stratum, cutoff,
-    *     remainder) table — one row per stratum — is broadcast-joined back.
-    *     Rows in buckets BELOW the cutoff are kept by a map-side filter (no
-    *     shuffle, no window); only the cutoff bucket's rows — ~1/65536 of
-    *     the stratum — go through a `row_number` window to resolve the
-    *     remainder.
+    *  1. Partial-agg per-(stratum, bucket) counts, where bucket = the top
+    *     `bucketBits` bits of the 32-bit hash — 2^bucketBits ORDERED hash
+    *     ranges. Fully parallel; at most |strata|·2^bucketBits small
+    *     tuples reach the driver (4096 buckets by default — the width is
+    *     a knob precisely so driver cost stays bounded when strata number
+    *     in the hundreds).
+    *  2. The driver walks each stratum's buckets in hash order: everything
+    *     below the cutoff bucket is kept outright; the remainder is taken
+    *     inside the cutoff bucket. If a cutoff bucket still holds more
+    *     than `maxWindowRows` rows, it is REFINED: another count pass over
+    *     just that hash range with `bucketBits` more bits, repeated until
+    *     the range is small or the 32 hash bits are exhausted. Each pass
+    *     is a full-parallel scan; ≤ ⌈32/bucketBits⌉ passes total.
+    *  3. One broadcast null-safe join ships each stratum's final
+    *     `(cutLo, cutHi, rem)`: rows with `h < cutLo` pass a map-side
+    *     filter (no shuffle, no window); only rows inside
+    *     `[cutLo, cutHi)` — ≤ maxWindowRows per stratum by construction —
+    *     go through a `row_number` window to resolve the remainder.
     *
-    * Because the bucket is a PREFIX of the ordering key, `(b < cut) ∨
-    * (b = cut ∧ rank-in-bucket ≤ rem)` is exactly `rank-in-stratum ≤
-    * ceil(n/denom)`. Costs one extra scan (the count pass) — scans
-    * parallelize arbitrarily; stratum-wide windows do not. The count pass
-    * runs as a driver action at plan-construction time (like q43's
-    * documented fit sample), not per output partition.
+    * Because buckets are PREFIXES of the ordering key, `(h < cutLo) ∨
+    * (h ∈ [cutLo, cutHi) ∧ rank-in-range ≤ rem)` is exactly
+    * `rank-in-stratum ≤ ceil(n/denom)`. The count passes run as driver
+    * actions at plan-construction time (like q43's documented fit
+    * sample), not per output partition.
     */
   def stratifiedExact(df: DataFrame, stratum: String, id: String,
-                      denom: Int): DataFrame = {
+                      denom: Int, bucketBits: Int = 12,
+                      maxWindowRows: Long = 1L << 22): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val h = TextAnalysis.md5Prefix(col(id).cast("string"))
     val base = df.select(col(id), col(stratum).cast("string").as(stratum))
-      .withColumn("h", h)
-      .withColumn("b", shiftright(col("h"), 16))
-    val counts = base.groupBy(col(stratum), col("b")).count()
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val cuts = counts.groupBy(_._1).map { case (k, rows) =>
+      .withColumn("h", TextAnalysis.md5Prefix(col(id).cast("string")))
+
+    // per-stratum state: keep h < lo outright; take rem inside [lo, hi)
+    // (hi - lo is a power of two, lo aligned to it — subdividing by
+    // shiftright keeps global bucket indices valid)
+    final case class Cut(key: Option[String], lo: Long, hi: Long,
+                         rem: Long, inRange: Long)
+
+    def strKey(r: org.apache.spark.sql.Row): Option[String] =
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+
+    // walk one stratum's ordered (bucket, count) list: returns the new
+    // (lo, hi, rem, inRange) taking `take` rows from the given ranges
+    def walk(buckets: Seq[(Long, Long)], take: Long, width: Long): (Long, Long, Long, Long) = {
+      var cum = 0L
+      buckets.sortBy(_._1).foreach { case (b, c) =>
+        if (cum + c >= take && cum < take)
+          return (b * width, (b + 1) * width, take - cum, c)
+        cum += c
+      }
+      // take ≤ total rows by construction; unreachable
+      throw new IllegalStateException(s"cutoff walk overran (take=$take)")
+    }
+
+    val shift0 = 32 - bucketBits
+    val counts0 = base
+      .groupBy(col(stratum), shiftright(col("h"), shift0).as("b"))
+      .count().collect()
+      .map(r => (strKey(r), r.getLong(1), r.getLong(2)))
+    var cuts = counts0.groupBy(_._1).map { case (k, rows) =>
       val n = rows.map(_._3).sum
       val target = (n + denom - 1) / denom // = ceil(n/denom), n ≥ 1
-      var cum = 0L; var cb = -1L; var rem = 0L
-      rows.sortBy(_._2).foreach { case (_, b, c) =>
-        if (cb < 0) {
-          if (cum + c >= target) { cb = b; rem = target - cum }
-          else cum += c
-        }
+      val (lo, hi, rem, inR) =
+        walk(rows.map(t => (t._2, t._3)).toSeq, target, 1L << shift0)
+      Cut(k, lo, hi, rem, inR)
+    }.toSeq
+    var width = 1L << shift0
+    while (width > 1 && cuts.exists(_.inRange > maxWindowRows)) {
+      val bits = math.min(bucketBits, java.lang.Long.numberOfTrailingZeros(width))
+      val subShift = java.lang.Long.numberOfTrailingZeros(width) - bits
+      width = 1L << subShift
+      val (refine, done) = cuts.partition(_.inRange > maxWindowRows)
+      val ranges = broadcast(refine.map(c => (c.key, c.lo, c.hi))
+        .toDF("ck", "lo", "hi"))
+      val sub = base.join(ranges, col(stratum) <=> col("ck") &&
+          col("h") >= col("lo") && col("h") < col("hi"))
+        .groupBy(col(stratum), shiftright(col("h"), subShift).as("b"))
+        .count().collect()
+        .map(r => (strKey(r), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      cuts = done ++ refine.map { c =>
+        val (lo, hi, rem, inR) =
+          walk(sub(c.key).map(t => (t._2, t._3)).toSeq, c.rem, width)
+        Cut(c.key, lo, hi, rem, inR)
       }
-      (k, cb, rem)
-    }.toSeq.toDF(stratum, "cutB", "rem")
-    val withCut = base.join(broadcast(cuts), Seq(stratum))
-    val below = withCut.filter(col("b") < col("cutB"))
-    val atCut = withCut.filter(col("b") === col("cutB"))
+    }
+
+    val cutDf = broadcast(cuts.map(c => (c.key, c.lo, c.hi, c.rem))
+      .toDF("ck", "cutLo", "cutHi", "rem"))
+    val j = base.join(cutDf, col(stratum) <=> col("ck"))
+    val below = j.filter(col("h") < col("cutLo"))
+    val atCut = j.filter(col("h") >= col("cutLo") && col("h") < col("cutHi"))
       .withColumn("rn", row_number().over(Window.partitionBy(col(stratum))
         .orderBy(col("h").asc, col(id).asc)))
       .filter(col("rn") <= col("rem"))

@@ -49,23 +49,27 @@ object CaptureProcess {
       if (process.waitFor(ms, TimeUnit.MILLISECONDS)) Some(process.exitValue())
       else None
 
-    /** Terminate the capture: SIGTERM to every process in the tree
-      * (descendants first would race re-spawns; tcpdump spawns `-z` children
-      * transiently, so the root goes first, then survivors), a grace wait,
-      * then SIGKILL for anything still alive. Idempotent.
+    /** Terminate the capture: SIGTERM to every process in the tree, a
+      * grace wait, then SIGKILL for anything still alive. The descendant
+      * set is snapshotted both BEFORE the root's SIGTERM (a fast-exiting
+      * root would otherwise empty `descendants()` and orphan its children
+      * unkilled) and AFTER it (catching a child spawned in between); the
+      * snapshot's ProcessHandles stay valid even once orphans are
+      * reparented to init, so the final force-kill pass reaps them —
+      * `descendants()` of a dead root could not. Idempotent.
       */
     def stop(graceMs: Long = 5000): Int = {
       if (process.isAlive) {
-        val kids = process.descendants().iterator().asScala.toList
+        val before = process.descendants().iterator().asScala.toList
         process.destroy()
+        val kids =
+          (before ++ process.descendants().iterator().asScala.toList).distinct
         kids.foreach(_.destroy())
         if (!process.waitFor(graceMs, TimeUnit.MILLISECONDS)) {
-          process.descendants().iterator().asScala.foreach(_.destroyForcibly())
           process.destroyForcibly()
           process.waitFor(graceMs, TimeUnit.MILLISECONDS)
         }
-        // reap any orphaned grandchildren that survived their parent
-        process.descendants().iterator().asScala.foreach(_.destroyForcibly())
+        kids.filter(_.isAlive).foreach(_.destroyForcibly())
       }
       if (process.isAlive) -1 else process.exitValue()
     }

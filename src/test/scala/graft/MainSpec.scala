@@ -69,6 +69,14 @@ class MainSpec extends SparkSpec {
     assert(out.contains("mv "))
   }
 
+  test("-n without -i is a usage error, not a silent real run") {
+    val (code, out) = run(Array(SyntheticTraffic.ensurePcapDir(), "-n",
+      "-e", "SELECT count(*) AS n FROM requests"))
+    assert(code === 1)
+    assert(out.contains("-n requires -i"))
+    assert(!out.contains(SyntheticTraffic.ExpectedRequests.toString))
+  }
+
   test("-i launches the capture, runs the mode, and stops the capture after") {
     val buf = new ByteArrayOutputStream()
     val out = new PrintStream(buf, true, "UTF-8")

@@ -43,8 +43,22 @@ class CurationSpec extends SparkSpec {
       3L -> "HELLO\tWORLD.",
       4L -> "something else"))
     val r = Curation.queries("q53_norm_dedup")(spark, dir).collect()
-      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toList
-    assert(r.toSet === Set((1L, 3L, 11), (4L, 1L, 14)))
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toList
+    assert(r.toSet === Set((1L, 3L, 11L), (4L, 1L, 14L)))
+  }
+
+  test("QuantizeStats treats NULL elements as 0, matching the oracle coalesce") {
+    val s = spark
+    import s.implicits._
+    val row = Seq(1L).toDF("id")
+      .selectExpr("array(cast(10.0 as float), cast(null as float), cast(-10.0 as float)) as v")
+      .select(graft.functions.VectorFunctions.quantizeStats(col("v")).as("st"))
+      .select(col("st.scale"), col("st.sum_q"), col("st.n_nonzero"), col("st.mse"))
+      .collect()(0)
+    assert(row.getDouble(0) === 10.0 / 127.0)
+    assert(row.getLong(1) === 0L) // 127 + 0 + (-127)
+    assert(row.getLong(2) === 2L) // the null slot quantizes to 0
+    assert(row.getDouble(3) === 0.0)
   }
 
   test("q55: line filter keeps prose, drops chrome; counts codepoints") {

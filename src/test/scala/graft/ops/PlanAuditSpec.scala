@@ -172,9 +172,9 @@ class PlanAuditSpec extends SparkSpec {
       // broadcast join's condition — either way it must sit BELOW the window
       val guarded = w.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-            if f.condition.references.exists(_.name == "cutB") => f
+            if f.condition.references.exists(_.name == "cutLo") => f
         case j: org.apache.spark.sql.catalyst.plans.logical.Join
-            if j.condition.exists(_.references.exists(_.name == "cutB")) => j
+            if j.condition.exists(_.references.exists(_.name == "cutLo")) => j
       }
       assert(guarded.nonEmpty,
         s"window input lost its cutoff-bucket filter:\n$plan")

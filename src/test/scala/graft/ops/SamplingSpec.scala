@@ -42,15 +42,15 @@ class SamplingSpec extends SparkSpec {
   test("q47: two-phase plan equals the stratum-wide window on skewed strata") {
     val s = spark
     import s.implicits._
-    // heavily skewed strata incl. a singleton — exercises the driver-side
-    // cutoff walk (first-bucket cutoff, remainder-only strata)
+    // heavily skewed strata incl. a singleton and a NULL stratum —
+    // exercises the driver-side cutoff walk (first-bucket cutoff,
+    // remainder-only strata) and the null-safe cutoff join (a NULL
+    // stratum is its own window partition, not dropped)
     val df = ((1L to 400L).map(i => (i, "en")) ++
-      (401L to 430L).map(i => (i, "fr")) ++ Seq((431L, "xx")))
+      (401L to 430L).map(i => (i, "fr")) ++ Seq((431L, "xx")) ++
+      (432L to 450L).map(i => (i, null.asInstanceOf[String])))
       .toDF("doc_id", "lang")
-    val got = Sampling.stratifiedExact(df, "lang", "doc_id", 10)
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    // reference semantics: rank by (md5prefix, id) within stratum, keep ceil(n/10)
-    val ref = df
+    def windowRef = df
       .withColumn("h", expr("cast(conv(substring(md5(cast(doc_id as string)),1,8),16,10) as long)"))
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("lang")
@@ -59,11 +59,21 @@ class SamplingSpec extends SparkSpec {
         org.apache.spark.sql.expressions.Window.partitionBy("lang")))
       .filter(col("rn") <= ceil(col("n") / 10.0))
       .select("doc_id", "lang")
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val ref = windowRef
+    val got = Sampling.stratifiedExact(df, "lang", "doc_id", 10)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
     assert(got === ref)
-    assert(got.count(_._2 == "en") === 40)
-    assert(got.count(_._2 == "fr") === 3)
-    assert(got.count(_._2 == "xx") === 1)
+    assert(got.count(_._2.contains("en")) === 40)
+    assert(got.count(_._2.contains("fr")) === 3)
+    assert(got.count(_._2.contains("xx")) === 1)
+    assert(got.count(_._2.isEmpty) === 2) // ceil(19/10)
+    // force the hierarchical refinement (maxWindowRows=1 -> every cutoff
+    // bucket refines until the hash range is exhausted): same result set
+    val refined = Sampling.stratifiedExact(df, "lang", "doc_id", 10,
+      bucketBits = 4, maxWindowRows = 1)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(refined === ref)
   }
 
   test("q48: vocabulary stats on a hand-checked corpus") {
