@@ -40,6 +40,10 @@ object Bench {
     catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // stderr start marker: attributes any async scheduler noise (e.g.
+      // the benign late-task accumulator ERRORs after localCheckpoint
+      // cleanup) to the query that provoked it
+      System.err.println(s"[bench] $name start")
       val t0 = System.nanoTime()
       val status =
         try {
