@@ -22,6 +22,11 @@ import graft.streaming.{CaptureProcess, InspectorStream, KafkaSink}
   *   -p PORTS   comma-separated RegionServer ports (default 16020,60020)
   *   -t DIR     checkpoint dir for -k (default: a temp dir)
   *   -d MS      bound a -k run to a wall-clock duration (reference -d)
+  *   -o PREFIX  persist the 4 tables as bucketed+sorted catalog tables
+  *              PREFIX_requests/_responses/_actions/_results (the H2
+  *              persistence analogue, sink/db.clj:65-66: bucketed by the
+  *              (client, port) connection key, sorted by call_id →
+  *              exchange-free repeat analytics); exits after
   *   -i IFACE   live capture: LAUNCH the staged tcpdump rotation
   *              in-process (the reference's read-net-interface,
   *              core.clj:422-444) feeding CAPTURE_DIR, then run the
@@ -52,7 +57,7 @@ object Main {
   }
 
   private val Usage =
-    """usage: graft.Main CAPTURE_DIR [-e SQL]... [-k SPEC] [-p PORTS] [-t CKPT_DIR] [-d MS] [-i IFACE [-n]]"""
+    """usage: graft.Main CAPTURE_DIR [-e SQL]... [-k SPEC] [-o PREFIX] [-p PORTS] [-t CKPT_DIR] [-d MS] [-i IFACE [-n]]"""
 
   /** Testable core; returns a process exit code. `capture` is the live
     * capture launcher seam (`(iface, dir, ports) => handle`) — the real
@@ -69,6 +74,7 @@ object Main {
     var ckpt: Option[String] = None
     var durationMs: Option[Long] = None
     var iface: Option[String] = None
+    var save: Option[String] = None
     var dryRun = false
     var i = 0
     try {
@@ -80,6 +86,7 @@ object Main {
           case "-t" => ckpt = Some(args(i + 1)); i += 2
           case "-d" => durationMs = Some(args(i + 1).toLong); i += 2
           case "-i" => iface = Some(args(i + 1)); i += 2
+          case "-o" => save = Some(args(i + 1)); i += 2
           case "-n" => dryRun = true; i += 1
           case flag if flag.startsWith("-") =>
             out.println(s"unknown option: $flag"); out.println(Usage); return 1
@@ -117,7 +124,8 @@ object Main {
             1
           case None =>
             try {
-              if (kafka.isDefined) runKafka(spark, d, kafka.get, ports, ckpt, durationMs, out)
+              if (save.isDefined) runSave(spark, d, save.get, ports, out)
+              else if (kafka.isDefined) runKafka(spark, d, kafka.get, ports, ckpt, durationMs, out)
               else runSql(spark, d, ports, stmts, in, out)
             } finally handle.foreach { h =>
               val code = h.stop()
@@ -126,6 +134,19 @@ object Main {
         }
     }
   }
+
+  private def runSave(spark: SparkSession, dir: String, prefix: String,
+                      ports: Set[Int], out: PrintStream): Int =
+    try {
+      Inspector.saveTables(spark, dir, prefix, ports = ports)
+      Seq("requests", "responses", "actions", "results").foreach { t =>
+        val table = s"${prefix}_$t".toLowerCase(java.util.Locale.ROOT)
+        out.println(s"saved $table (${spark.table(table).count()} rows)")
+      }
+      0
+    } catch {
+      case NonFatal(e) => out.println(s"save failed: ${e.getMessage}"); 1
+    }
 
   private def runKafka(spark: SparkSession, dir: String, spec: String,
                        ports: Set[Int], ckpt: Option[String],

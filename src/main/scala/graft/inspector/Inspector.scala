@@ -126,8 +126,8 @@ object Inspector {
     * saved tables co-locate on the bucket key and skip the exchange.
     */
   def saveTables(spark: SparkSession, pcapPath: String, prefix: String,
-                 buckets: Int = 32): Unit = {
-    val recs = records(spark, pcapPath).cache()
+                 buckets: Int = 32, ports: Set[Int] = HbasePorts): Unit = {
+    val recs = records(spark, pcapPath, ports).cache()
     Seq(
       "requests" -> requests(recs), "responses" -> responses(recs),
       "actions" -> actionsTable(recs), "results" -> resultsTable(recs))

@@ -69,6 +69,21 @@ class MainSpec extends SparkSpec {
     assert(out.contains("mv "))
   }
 
+  test("-o persists the 4 bucketed tables and reports their row counts") {
+    val (code, out) = run(Array(SyntheticTraffic.ensurePcapDir(), "-o", "mainspec"))
+    assert(code === 0, out)
+    for (t <- Seq("requests", "responses", "actions", "results"))
+      assert(out.contains(s"saved mainspec_$t ("), out)
+    assert(out.contains(s"saved mainspec_requests (${SyntheticTraffic.ExpectedRequests} rows)"))
+    // the persisted table is bucketed: a self-join on the connection key
+    // over the saved tables plans without a shuffle exchange
+    val j = spark.table("mainspec_requests").as("r")
+      .join(spark.table("mainspec_responses").as("s"),
+        Seq("client", "port", "call_id"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange"), plan)
+  }
+
   test("-n without -i is a usage error, not a silent real run") {
     val (code, out) = run(Array(SyntheticTraffic.ensurePcapDir(), "-n",
       "-e", "SELECT count(*) AS n FROM requests"))
