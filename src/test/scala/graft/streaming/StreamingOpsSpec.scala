@@ -69,4 +69,27 @@ class StreamingOpsSpec extends SparkSpec {
       assert(kept === Set(1L)) // the repetitive doc is cut
     } finally query.stop()
   }
+
+  test("C4 line-filter stats run unchanged on a stream (stateless codegen map)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = graft.functions.LineStats(col("text"))
+    val stats = ms.toDS().toDF("doc_id", "text")
+      .select(col("doc_id"), out.getField("n_lines").as("n_lines"),
+        out.getField("n_kept").as("n_kept"))
+    val query = stats.writeStream.format("memory")
+      .queryName("stream_lines").outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, "menu | nav\nThis sentence is long enough to be kept, truly."),
+        (2L, "short\nstuff"))
+      query.processAllAvailable()
+      val byId = s.table("stream_lines").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(byId(1L) === ((2L, 1L)))
+      assert(byId(2L) === ((2L, 0L)))
+    } finally query.stop()
+  }
 }
