@@ -22,7 +22,7 @@ object Decontam {
   /** 8 tokens ≈ the shortest span that is vanishingly unlikely to repeat
     * by chance but survives light paraphrasing of a leaked benchmark item.
     */
-  private[ops] val GramN = 8
+  private[graft] val GramN = 8
 
   /** Training docs sharing ≥1 distinct word n-gram with the benchmark.
     * Both inputs need (doc_id, text). Output: (doc_id, n_shared) where

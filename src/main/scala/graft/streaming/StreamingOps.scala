@@ -32,6 +32,22 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("text_key", "text_len")
       .drop("text_key", "text_len")
 
+  /** Streaming benchmark decontamination: screen each micro-batch of
+    * documents against a STATIC benchmark set with the batch operator
+    * ([[graft.ops.Decontam.contaminated]]) inside `foreachBatch`. This is
+    * exact, not an approximation: a document is one row, so its grams
+    * never span micro-batches and batch-local screening equals global
+    * screening; the benchmark gram set stays broadcast exactly as in
+    * batch. `sink` receives each batch's `(doc_id, n_shared)` frame —
+    * write it, anti-join it against the batch, alert on it.
+    */
+  def contaminationScreen(docs: DataFrame, bench: DataFrame,
+                          n: Int = graft.ops.Decontam.GramN)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.ops.Decontam.contaminated(batch, bench, n), batchId)
+    }
+
   /** Stateless streaming quality filter: keep docs under the repetition
     * thresholds (Gopher-style dup_gram_ratio / top_token_ratio cuts).
     * Pure projection + filter — no state, no watermark needed.

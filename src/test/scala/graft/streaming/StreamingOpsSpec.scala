@@ -70,6 +70,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming decontamination screens each batch against the static benchmark") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val leak = "the quick brown fox jumps over the lazy dog tonight"
+    val bench = Seq((100L, leak)).toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val hits = scala.collection.mutable.Map[Long, Long]()
+    val query = StreamingOps.contaminationScreen(
+      ms.toDS().toDF("doc_id", "text"), bench) { (contam, _) =>
+        contam.collect().foreach(r => hits(r.getLong(0)) = r.getLong(1))
+      }.start()
+    try {
+      ms.addData(
+        (1L, s"prefix words then $leak and more trailing content"),
+        (2L, "completely unrelated text with no benchmark overlap at all here"))
+      query.processAllAvailable()
+      // doc 3 leaks in a LATER batch: batch-local screening still catches it
+      ms.addData((3L, leak))
+      query.processAllAvailable()
+      assert(hits.contains(1L) && hits.contains(3L))
+      assert(!hits.contains(2L))
+      assert(hits(1L) >= 1L)
+    } finally query.stop()
+  }
+
   test("C4 line-filter stats run unchanged on a stream (stateless codegen map)") {
     val s = spark
     import s.implicits._
