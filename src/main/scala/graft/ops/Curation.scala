@@ -31,6 +31,44 @@ object Curation {
       regexp_replace(translate(c, Upper, Lower), "[^a-z0-9 \\t\\n\\r]", ""),
       "[ \\t\\n\\r]+", " "))
 
+  /** Exact continuous median (= `percentile(v, 0.5)` / DuckDB
+    * `quantile_cont(v, 0.5)`) per group, computed from a VALUE HISTOGRAM
+    * instead of buffering rows. The builtin exact percentile collects
+    * every value of a group into one reducer — a dominant group at corpus
+    * scale is an OOM (the q06 caveat). For an integral column the value
+    * domain is bounded (document lengths, latencies ms): aggregate
+    * (group, value) counts — partial-agg, any row count collapses to ≤
+    * |domain| histogram rows — then a window over the HISTOGRAM (partition
+    * size ≤ |domain|, independent of corpus size) locates the two values
+    * straddling the continuous rank and interpolates exactly like the
+    * builtins do: `v_lo + (h − ⌊h⌋)·(v_hi − v_lo)`, `h = (n−1)/2`.
+    */
+  private[ops] def medianByHistogram(df: DataFrame, group: String,
+                                     value: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(group), col(value))
+      .agg(count(lit(1)).as("c"))
+    val byVal = Window.partitionBy(col(group)).orderBy(col(value))
+    val whole = Window.partitionBy(col(group))
+    val cum = hist
+      .withColumn("cumEnd", sum(col("c")).over(byVal))
+      .withColumn("cumStart", col("cumEnd") - col("c"))
+      .withColumn("n", sum(col("c")).over(whole))
+      .withColumn("h", (col("n") - 1).cast("double") / 2.0)
+      .withColumn("lo", floor(col("h")).cast("long"))
+      .withColumn("hi", ceil(col("h")).cast("long"))
+    cum.groupBy(col(group), col("h"), col("lo"))
+      .agg(
+        min(when(col("cumStart") <= col("lo") && col("lo") < col("cumEnd"),
+          col(value))).as("vLo"),
+        min(when(col("cumStart") <= col("hi") && col("hi") < col("cumEnd"),
+          col(value))).as("vHi"))
+      .select(col(group),
+        (col("vLo").cast("double") + (col("h") - col("lo").cast("double")) *
+          (col("vHi").cast("double") - col("vLo").cast("double")))
+          .as("median"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // int8 embedding quantization calibration: per-vector scale, quantized
     // checksum, sparsity, and reconstruction MSE. One fused codegen pass
@@ -59,16 +97,22 @@ object Curation {
         .select(col("doc_id"), col("n_copies"), col("norm_len"))),
 
     // Per-source curation profile: the table a pipeline operator reads
-    // before deciding per-domain sampling weights/filters. Plain partial
-    // agg; source cardinality is bounded (domains, not documents).
-    "q54_source_profile" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .groupBy(col("source"))
+    // before deciding per-domain sampling weights/filters. Counts/avg are
+    // plain partial aggs; the exact median comes from the value histogram
+    // ([[medianByHistogram]]) rather than the builtin `percentile`, which
+    // would buffer every n_chars of a dominant source on one reducer.
+    "q54_source_profile" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stats = docs.groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
           count_distinct(col("lang")).as("n_langs"),
-          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
-          expr("percentile(n_chars, 0.5)").as("p50_chars"))),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      stats.join(
+        medianByHistogram(docs, "source", "n_chars")
+          .withColumnRenamed("median", "p50_chars"),
+        Seq("source"))
+    }),
 
     // Token-rarity scoring: per doc, the mean corpus document-frequency of
     // its tokens — low mean = rare-vocabulary doc (OCR noise, foreign

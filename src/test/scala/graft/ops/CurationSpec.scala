@@ -75,6 +75,22 @@ class CurationSpec extends SparkSpec {
     assert(r(2L) === ((1L, 0L, 0.0, 0L)))
   }
 
+  test("medianByHistogram == builtin exact percentile on random groups") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7781)
+    // odd/even group sizes, duplicate-heavy values, singleton group
+    val rows = (1 to 500).map(_ =>
+      (s"g${rnd.nextInt(7)}", rnd.nextInt(40).toLong)) :+ (("solo", 99L))
+    val df = rows.toDF("source", "n_chars")
+    val hist = Curation.medianByHistogram(df, "source", "n_chars")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ref = df.groupBy(col("source"))
+      .agg(expr("percentile(n_chars, 0.5)").as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(hist === ref)
+  }
+
   test("q56: token rarity on a hand-checked corpus") {
     // dfs: a->2, b->2, c->1
     val dir = docsDir(Seq(1L -> "a b a", 2L -> "b c"))
