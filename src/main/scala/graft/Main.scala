@@ -102,6 +102,12 @@ object Main {
       // they were only previewing
       out.println("-n requires -i IFACE"); out.println(Usage); return 1
     }
+    if (save.isDefined && (kafka.isDefined || stmts.nonEmpty)) {
+      // same silent-wrong-mode class as stray -n: don't pick one and
+      // discard what the user also asked for
+      out.println("-o cannot be combined with -k or -e")
+      out.println(Usage); return 1
+    }
     dir match {
       case None => out.println(Usage); 1
       case Some(d) if iface.isDefined && dryRun =>

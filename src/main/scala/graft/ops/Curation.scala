@@ -46,7 +46,10 @@ object Curation {
   private[ops] def medianByHistogram(df: DataFrame, group: String,
                                      value: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = df.groupBy(col(group), col(value))
+    // NULL values are excluded like percentile/quantile_cont exclude them
+    // (an unguarded histogram would count them into n and shift the rank)
+    val hist = df.filter(col(value).isNotNull)
+      .groupBy(col(group), col(value))
       .agg(count(lit(1)).as("c"))
     val byVal = Window.partitionBy(col(group)).orderBy(col(value))
     val whole = Window.partitionBy(col(group))
@@ -108,10 +111,15 @@ object Curation {
           count(lit(1)).as("n_docs"),
           count_distinct(col("lang")).as("n_langs"),
           (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
-      stats.join(
-        medianByHistogram(docs, "source", "n_chars")
-          .withColumnRenamed("median", "p50_chars"),
-        Seq("source"))
+      // null-safe LEFT join: a NULL-source group survives (like the single
+      // groupBy it replaced), and a group whose every n_chars is NULL gets
+      // p50_chars = NULL (exactly percentile's behavior)
+      val med = medianByHistogram(docs, "source", "n_chars")
+        .withColumnRenamed("median", "p50_chars")
+        .withColumnRenamed("source", "med_source")
+      stats.join(med, col("source") <=> col("med_source"), "left")
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("avg_chars"), col("p50_chars"))
     }),
 
     // Token-rarity scoring: per doc, the mean corpus document-frequency of

@@ -29,16 +29,29 @@ object Decontam {
     * n_shared = number of the doc's distinct n-grams found anywhere in
     * the benchmark.
     */
-  def contaminated(train: DataFrame, bench: DataFrame, n: Int = GramN): DataFrame = {
-    def grams(df: DataFrame) = df
-      .select(col("doc_id"), explode(array_distinct(Dedup.gramsN(Dedup.tokens, n))).as("g0"))
-      .select(col("doc_id"), xxhash64(col("g0")).as("g"))
-    val benchGrams = grams(bench).select(col("g")).distinct()
-    grams(train).join(broadcast(benchGrams), "g")
+  private def grams(df: DataFrame, n: Int) = df
+    .select(col("doc_id"), explode(array_distinct(Dedup.gramsN(Dedup.tokens, n))).as("g0"))
+    .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+
+  /** Distinct xxhash64 n-gram set of the benchmark (`g` column).
+    * Precompute (and cache) this once when screening REPEATEDLY against
+    * the same benchmark — a streaming screen re-deriving it per
+    * micro-batch would re-scan/re-tokenize/re-dedup the benchmark
+    * thousands of times for no new information.
+    */
+  def benchGramSet(bench: DataFrame, n: Int = GramN): DataFrame =
+    grams(bench, n).select(col("g")).distinct()
+
+  /** [[contaminated]] against an already-derived [[benchGramSet]]. */
+  def contaminatedWithGrams(train: DataFrame, benchGrams: DataFrame,
+                            n: Int = GramN): DataFrame =
+    grams(train, n).join(broadcast(benchGrams), "g")
       // grams are distinct per doc and the bench side is distinct, so the
       // join multiplicity is 1 and a plain count is the distinct count
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-  }
+
+  def contaminated(train: DataFrame, bench: DataFrame, n: Int = GramN): DataFrame =
+    contaminatedWithGrams(train, benchGramSet(bench, n), n)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Driver form: the deterministic doc_id % 20 == 0 slice stands in for

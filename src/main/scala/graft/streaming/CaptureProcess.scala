@@ -69,6 +69,17 @@ object CaptureProcess {
           process.destroyForcibly()
           process.waitFor(graceMs, TimeUnit.MILLISECONDS)
         }
+        // the children get the SAME grace the root got before any SIGKILL:
+        // the sh wrapper dies in milliseconds on SIGTERM, so the root wait
+        // alone would force-kill an in-flight `-z` gzip/mv rotation child
+        // that was TERMed only an instant ago, losing the finished file
+        val deadline = System.nanoTime() + graceMs * 1000000L
+        kids.foreach { k =>
+          val left = deadline - System.nanoTime()
+          if (k.isAlive && left > 0)
+            try k.onExit().get(left, TimeUnit.NANOSECONDS)
+            catch { case _: Exception => () }
+        }
         kids.filter(_.isAlive).foreach(_.destroyForcibly())
       }
       if (process.isAlive) -1 else process.exitValue()

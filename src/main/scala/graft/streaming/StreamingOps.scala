@@ -43,10 +43,14 @@ object StreamingOps {
     */
   def contaminationScreen(docs: DataFrame, bench: DataFrame,
                           n: Int = graft.ops.Decontam.GramN)(
-      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // derive + cache the benchmark gram set ONCE — per-batch re-derivation
+    // would re-scan and re-tokenize the static benchmark on every trigger
+    val benchGrams = graft.ops.Decontam.benchGramSet(bench, n).cache()
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(graft.ops.Decontam.contaminated(batch, bench, n), batchId)
+      sink(graft.ops.Decontam.contaminatedWithGrams(batch, benchGrams, n), batchId)
     }
+  }
 
   /** Stateless streaming quality filter: keep docs under the repetition
     * thresholds (Gopher-style dup_gram_ratio / top_token_ratio cuts).

@@ -2,6 +2,8 @@ package graft
 
 import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
 
+import org.apache.spark.sql.functions.col
+
 import graft.inspector.SyntheticTraffic
 
 class MainSpec extends SparkSpec {
@@ -75,13 +77,33 @@ class MainSpec extends SparkSpec {
     for (t <- Seq("requests", "responses", "actions", "results"))
       assert(out.contains(s"saved mainspec_$t ("), out)
     assert(out.contains(s"saved mainspec_requests (${SyntheticTraffic.ExpectedRequests} rows)"))
-    // the persisted table is bucketed: a self-join on the connection key
-    // over the saved tables plans without a shuffle exchange
-    val j = spark.table("mainspec_requests").as("r")
-      .join(spark.table("mainspec_responses").as("s"),
-        Seq("client", "port", "call_id"))
-    val plan = j.queryExecution.executedPlan.toString
-    assert(!plan.contains("ShuffleExchange"), plan)
+    // the persisted tables are bucketed: a join ON THE BUCKET KEY plans
+    // without any exchange. Same knobs as InspectorSpec's saveTables
+    // check: broadcast off (a broadcast join would bypass the property)
+    // and auto-bucketed-scan heuristic off (it falls back to a plain scan
+    // on tiny tables, printing "Bucketed: false (disabled by query
+    // planner)" and shuffling).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val j = spark.table("mainspec_requests")
+        .groupBy(col("client"), col("port")).count()
+        .join(spark.table("mainspec_responses")
+          .groupBy(col("client"), col("port")).count(),
+          Seq("client", "port"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    }
+  }
+
+  test("-o combined with -k or -e is a usage error") {
+    val (code, out) = run(Array(SyntheticTraffic.ensurePcapDir(),
+      "-o", "pfx", "-e", "SELECT 1"))
+    assert(code === 1)
+    assert(out.contains("-o cannot be combined"))
   }
 
   test("-n without -i is a usage error, not a silent real run") {
