@@ -72,6 +72,37 @@ object Curation {
           .as("median"))
   }
 
+  /** Sequence packing: deterministic assignment of docs to fixed
+    * token-budget packs. `pack_id = shard·2⁴⁰ + startOffset div budget`
+    * where startOffset is the doc's running token offset within its hash
+    * shard (order: `(md5Prefix(id), id)` — content-stable like q46/q47).
+    * Cumulative packing is inherently sequential; the shard is the
+    * parallel unit, so each window task carries ~n/nShards rows. Pass
+    * `nShards = 0` to size shards from catalog statistics (~1M docs per
+    * shard, the q36/q43 no-plan-time-count discipline) — the explicit
+    * value exists because pack ids change with the shard count and a
+    * pinned layout (the driver oracle, resumable pipelines) needs a
+    * pinned count.
+    */
+  def packedSequences(df: DataFrame, id: String, budget: Int,
+                      nShards: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shards =
+      if (nShards > 0) nShards.toLong
+      else math.max(32L, Similarity.estimatedRowCount(df, 2048) / 1000000L)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h").asc, col(id).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(id), size(Dedup.tokens).cast("long").as("n_tok"))
+      .withColumn("h", TextAnalysis.md5Prefix(col(id).cast("string")))
+      .withColumn("shard", pmod(col("h"), lit(shards)))
+      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col(id), col("shard"),
+        (col("shard") * lit(1L << 40) + expr(s"start_off div $budget"))
+          .as("pack_id"),
+        col("n_tok"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // int8 embedding quantization calibration: per-vector scale, quantized
     // checksum, sparsity, and reconstruction MSE. One fused codegen pass
@@ -142,6 +173,20 @@ object Curation {
           (col("sum_df").cast("double") / col("n_toks")).as("avg_df"))
     }),
 
+    // Sequence packing: assign each doc to a fixed-token-budget training
+    // pack (the pre-tokenizer packing step — docs are concatenated until
+    // the context window is full). Cumulative packing is inherently
+    // sequential, so it runs per SHARD: deterministic hash shards, within
+    // each shard a running token offset (window over the shard) and
+    // pack = shard-qualified floor(startOffset / budget). The driver
+    // query pins 32 shards for oracle determinism; the library form
+    // ([[packedSequences]]) sizes shards from catalog stats so a shard's
+    // row count stays bounded at corpus scale.
+    "q57_pack" -> ((s, dir) =>
+      packedSequences(
+        Tables.documents(s, dir).filter(col("text").isNotNull),
+        "doc_id", budget = 2048, nShards = 32)),
+
     // C4-style line-level boilerplate filter stats: per doc, how many
     // lines are prose (≥ 20 chars, terminal punctuation) vs chrome. One
     // fused codegen pass ([[graft.functions.LineStats]]), zero shuffles.
@@ -204,6 +249,21 @@ object Curation {
         |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
         |  quantile_cont(n_chars, 0.5) AS p50_chars
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q57_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, h % 32 AS shard, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY h % 32 ORDER BY h, doc_id
+        |                     ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+        |  FROM t)
+        |SELECT doc_id, shard,
+        |  shard * 1099511627776 + start_off // 2048 AS pack_id, n_tok
+        |FROM c""".stripMargin,
 
     "q56_token_rarity" ->
       """WITH toks AS (

@@ -100,6 +100,29 @@ class CurationSpec extends SparkSpec {
     assert(r(2L) === ((2L, 1.5))) // (2+1)/2
   }
 
+  test("q57: packs respect the budget boundary and are content-stable") {
+    val s = spark
+    import s.implicits._
+    // 1 shard -> one deterministic sequence; budget 10; doc tokens: 4 each
+    val df = (1L to 10L).map(i => (i, "a b c d")).toDF("doc_id", "text")
+    val packs = Curation.packedSequences(df, "doc_id", budget = 10, nShards = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(packs.forall(_._3 === 4L))
+    // start offsets 0,4,8,12,... -> pack boundaries at div 10: 0,0,0,1,1,2,...
+    val byPack = packs.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byPack.values.sum === 10)
+    assert(byPack.values.forall(n => n == 2 || n == 3)) // 10-budget / 4-tok docs
+    // content-stable: hash order is corpus-independent, so growing the
+    // corpus only ever interleaves NEW docs — an existing doc's start
+    // offset (hence pack_id) can grow but never shrink or reorder
+    val bigger = ((1L to 10L) ++ (11L to 20L)).map(i => (i, "a b c d"))
+      .toDF("doc_id", "text")
+    val packs2 = Curation.packedSequences(bigger, "doc_id", budget = 10, nShards = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val packs1 = packs.map(p => p._1 -> p._2).toMap
+    (1L to 10L).foreach(id => assert(packs2(id) >= packs1(id), s"doc $id moved back"))
+  }
+
   test("LineStats counts codepoints, not UTF-16 units") {
     val s = spark
     import s.implicits._
