@@ -53,6 +53,14 @@ object Decontam {
   def contaminated(train: DataFrame, bench: DataFrame, n: Int = GramN): DataFrame =
     contaminatedWithGrams(train, benchGramSet(bench, n), n)
 
+  /** The action step: the training corpus with every contaminated doc
+    * REMOVED (left-anti join on the q49 report — the report is bounded by
+    * the contamination rate, so the anti join's right side is small).
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, n: Int = GramN): DataFrame =
+    train.join(contaminated(train, bench, n).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Driver form: the deterministic doc_id % 20 == 0 slice stands in for
     // the benchmark table (the library API takes any (doc_id, text) frame).

@@ -35,6 +35,21 @@ class DecontamSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 5L)))
   }
 
+  test("decontaminate drops exactly the contaminated docs, keeps the rest intact") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((20L, benchText)).toDF("doc_id", "text")
+    val train = Seq(
+      // contaminated: shares an 8-gram with the benchmark
+      (21L, "zulu bravo charlie delta echo foxtrot golf hotel india yankee"),
+      (22L, "lima kilo juliet india hotel golf foxtrot echo delta charlie bravo alpha"),
+      (23L, "totally unrelated words about nothing at all in particular here now")
+    ).toDF("doc_id", "text")
+    val kept = Decontam.decontaminate(train, bench)
+    assert(kept.columns.toSeq == Seq("doc_id", "text")) // full rows survive, not a projection
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(22L, 23L))
+  }
+
   test("q49 driver query: benchmark slice is excluded from the output") {
     val dir = docsDir(Seq(
       (20L, benchText),
