@@ -110,19 +110,24 @@ object Dedup {
     * Throws if `maxIters` is exhausted before convergence — a silently
     * half-merged clustering would keep several "canonical" copies of one
     * duplicate group; raise `maxIters` for unusually deep chains.
-    * Storage note: the edges table, the initial labels table, and one
-    * labels table per iteration (≤ maxIters + 2 total) stay locally
-    * persisted until context cleanup — the public Dataset API has no
-    * eager-free for checkpointed frames. Each is a (long, long)-pair
-    * table over CLUSTERED docs only, tiny relative to the corpus.
+    * Storage note: at most TWO labels tables are live at any point — the
+    * convergence check fully materializes the new iteration (lazy local
+    * checkpoints cache all missing partitions at the job's end), after
+    * which the previous one is eagerly freed via [[Materialize.free]];
+    * the edges table is freed once the loop converges. Each is a
+    * (long, long)-pair table over CLUSTERED docs only, tiny relative to
+    * the corpus.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = Materialize(
       pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
-    var labels = Materialize(
+    // prev = the materialized frame BACKING labels (labels itself may be a
+    // projection over it, which free() would not see through)
+    var prev = Materialize(
       edges.select(col("src").as("doc_id")).distinct()
         .withColumn("cluster", col("doc_id")))
+    var labels = prev
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -141,6 +146,12 @@ object Dedup {
           .groupBy(col("doc_id"))
           .agg(min(col("cluster")).as("cluster"), max(col("old")).as("old")))
       converged = next.filter(col("cluster") =!= col("old")).isEmpty
+      // The isEmpty action completed `next`'s lazy local checkpoint (all
+      // missing partitions are cached at job end), so the previous labels
+      // blocks are dead — free them now instead of riding to context
+      // cleanup.
+      Materialize.free(prev)
+      prev = next
       labels = next.select(col("doc_id"), col("cluster"))
       iter += 1
     }
@@ -148,6 +159,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters iterations; " +
           "raise maxIters (component diameter exceeds the cap)")
+    Materialize.free(edges) // the final labels frame is self-contained
     labels.withColumn("is_canonical", col("doc_id") === col("cluster"))
   }
 

@@ -35,4 +35,20 @@ private[graft] object Materialize {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .checkpoint(eager = false)
     else df.localCheckpoint(eager = false)
+
+  /** Eagerly free the block storage behind a frame returned by [[apply]]
+    * once NO later computation will read it — e.g. the previous iteration's
+    * labels in an iterative loop, after the next iteration has been fully
+    * materialized by an action. In default (local-checkpoint) mode the
+    * blocks ARE the data, so the frame is unusable afterwards — callers
+    * must drop every reference. No-op for non-checkpointed plans. In
+    * reliable mode this frees the post-checkpoint blocks; the
+    * pre-checkpoint cache entry rides until context cleanup (disk-backed,
+    * bounded by the caller's iteration count).
+    */
+  def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      lr.rdd.unpersist(blocking = false)
+    case _ => ()
+  }
 }

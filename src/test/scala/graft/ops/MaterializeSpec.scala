@@ -14,6 +14,34 @@ class MaterializeSpec extends SparkSpec {
     assert(df.agg(org.apache.spark.sql.functions.sum("x")).head().getLong(0) === 5050L)
   }
 
+  test("free releases a local-checkpointed frame's blocks; no-op on plain plans") {
+    val s = spark
+    import s.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = Materialize((1 to 100).toDF("x"))
+    assert(df.count() === 100)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
+    Materialize.free(df)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+    Materialize.free((1 to 3).toDF("x")) // non-checkpointed: must not throw
+  }
+
+  test("connectedComponents frees superseded iteration frames as it runs") {
+    val s = spark
+    import s.implicits._
+    // A 10-node path: the min label walks one hop per iteration, so this
+    // converges in ~10 rounds — without eager freeing, edges + initial +
+    // one labels frame per iteration (~12 persisted RDDs) would ride to
+    // context cleanup.
+    val pairs = (1L to 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Dedup.connectedComponents(pairs).collect()
+    assert(out.length === 10)
+    assert(out.forall(_.getLong(1) == 1L)) // one component, canonical = 1
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2, s"leaked ${leaked.size} persisted RDDs")
+  }
+
   test("reliable flag writes through the SparkContext checkpoint dir") {
     val dir = Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
