@@ -43,6 +43,43 @@ class PiiSpec extends SparkSpec {
     assert(out(0).getString(5) == "hello plain world")
   }
 
+  test("property: fuzzed PII concatenations match an independent reference fold") {
+    // Adversarial overlap surface: PII atoms glued together with empty or
+    // noisy separators (digit runs abutting phones, ids inside emails,
+    // ip-like prefixes of long digit runs). The reference is a separately
+    // written fold over the same pattern list — it pins the SQL wiring
+    // (counts over ORIGINAL text, email→ipv4→phone→id redaction order,
+    // non-overlapping leftmost matching) rather than trusting the query.
+    val atoms = Vector(
+      "a@b.io", "john.doe@example.com", "123456789@example.com",
+      "555-123-4567", "555-987-6543", "10.0.0.1", "192.168.254.254",
+      "123456789", "98765432109876", "12345678", "999", "4567",
+      "word", "x", "@", ".", "-", "example.org")
+    val seps = Vector("", " ", "", ",", " and ", "")
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val docs = (0 until 300).map { i =>
+      val n = 1 + rnd.nextInt(8)
+      val parts = Seq.fill(n)(atoms(rnd.nextInt(atoms.length)))
+      (i.toLong, parts.reduceLeft((a, b) => a + seps(rnd.nextInt(seps.length)) + b))
+    }
+    def ref(text: String) = {
+      def cnt(p: String) = p.r.findAllMatchIn(text).length.toLong
+      val red = Seq(Pii.Email -> "<EMAIL>", Pii.Ipv4 -> "<IP>",
+        Pii.Phone -> "<PHONE>", Pii.LongId -> "<ID>")
+        .foldLeft(text) { case (t, (p, r)) => t.replaceAll(p, r) }
+      (cnt(Pii.Email), cnt(Pii.Phone), cnt(Pii.Ipv4), cnt(Pii.LongId), red)
+    }
+    val out = run(docs)
+    assert(out.length == docs.length)
+    out.foreach { case (id, ne, np, ni, nl, red, tot) =>
+      val (re, rp, ri, rl, rr) = ref(docs(id.toInt)._2)
+      assert((ne, np, ni, nl) == (re, rp, ri, rl),
+        s"doc $id counts: got (${ne},${np},${ni},${nl}) want (${re},${rp},${ri},${rl}) for '${docs(id.toInt)._2}'")
+      assert(red == rr, s"doc $id redaction: got '$red' want '$rr'")
+      assert(tot == ne + np + ni + nl)
+    }
+  }
+
   test("counts are over the original text even where redactions nest") {
     // the ip is ALSO three digit runs but under 9 digits: no longid match;
     // an id inside an email is protected by the email redaction running first
