@@ -110,27 +110,68 @@ object Multimodal {
     h
   }
 
-  /** Image near-duplicate pairs over the perceptual hash: the exact q32
-    * shape applied to media — 16-bit bands of the 64-bit aHash block
-    * candidates through the capped [[Dedup.bucketPairs]] (bounded fan-out,
-    * nothing quadratic), `bit_count` verifies hamming on candidates only.
-    * Input: a [[MediaFeature]]-shaped frame; rows with phash 0 (stub /
-    * corrupt decodes) are excluded.
+  /** Near-duplicate pairs over ANY 64-bit media fingerprint (image aHash,
+    * audio energy contour): the exact q32 shape applied to media — 16-bit
+    * bands of the fingerprint block candidates through the capped
+    * [[Dedup.bucketPairs]] (bounded fan-out, nothing quadratic),
+    * `bit_count` verifies hamming on candidates only. Input:
+    * (doc_id, kind, fp); `kind` is part of the bucket key, so an image
+    * and an audio clip never pair even on a fingerprint collision. Rows
+    * with fp 0 (stub / corrupt decodes) are excluded.
     */
-  def imageNearDupPairs(features: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val imgs = features.filter(col("phash") =!= 0L)
-      .select(col("doc_id"), col("phash"))
-    val banded = imgs.select(col("doc_id"),
+  def mediaNearDupPairs(feats: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val fp = feats.filter(col("fp") =!= 0L)
+      .select(col("doc_id"), col("kind"), col("fp"))
+    val banded = fp.select(col("doc_id"), col("kind"),
       posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("phash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "key")))
-    val pairs = Dedup.bucketPairs(banded, Seq("band", "key"), cap = 200)
+    val pairs = Dedup.bucketPairs(banded, Seq("kind", "band", "key"), cap = 200)
     pairs
-      .join(imgs.select(col("doc_id").as("a"), col("phash").as("pa")), "a")
-      .join(imgs.select(col("doc_id").as("b"), col("phash").as("pb")), "b")
-      .select(col("a"), col("b"),
-        bit_count(col("pa").bitwiseXOR(col("pb"))).as("hamming"))
+      .join(fp.select(col("doc_id").as("a"), col("kind"), col("fp").as("fa")), "a")
+      .join(fp.select(col("doc_id").as("b"), col("fp").as("fb")), "b")
+      .select(col("kind"), col("a"), col("b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** [[mediaNearDupPairs]] over a [[MediaFeature]]-shaped frame's aHash. */
+  def imageNearDupPairs(features: DataFrame, maxHamming: Int = 8): DataFrame =
+    mediaNearDupPairs(
+      features.select(col("doc_id"), lit("image").as("kind"),
+        col("phash").as("fp")),
+      maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+
+  /** Deterministic 8×8 high-contrast grayscale PNG for planted-near-dup
+    * specs and the q58 driver query: the pixel pattern comes from
+    * `groupSeed` (splitmix64 per pixel — ~half bright), and ONE
+    * salt-chosen pixel is inverted. 8×8 maps one pixel to one [[aHash]]
+    * cell and keeps every cell ~105 gray levels from the mean, so two
+    * images of the same group are hamming ≤ 2 apart (each one's inverted
+    * pixel) and different groups are unrelated — no marginal bits.
+    */
+  def synthImage(groupSeed: Long, salt: Long): Array[Byte] = {
+    def mix(v: Long): Long = {
+      var x = v + 0x9E3779B97F4A7C15L
+      x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+      x ^= x >>> 27; x *= 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 64) {
+      val v = if ((mix(groupSeed * 64 + i) & 1L) == 1L) 230 else 20
+      img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val p = (mix(salt) & 0x3fL).toInt
+    val inv = 250 - (img.getRGB(p % 8, p / 8) & 0xff)
+    img.setRGB(p % 8, p / 8, (inv << 16) | (inv << 8) | inv)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** STUB decode: stands in for a full media codec. Deterministic fake —
@@ -205,6 +246,31 @@ object Multimodal {
         })
         .toDF()
         .select(col("doc_id"), col("frame_idx"), col("n_bytes"), col("checksum"))
+    }),
+    // Media near-dup blocking end to end: every doc synthesizes a REAL
+    // blob in-pipeline (even ids: PNG through the actual pixel-decode →
+    // aHash path; odd ids: WAV through the actual PCM decode → energy
+    // fingerprint, with a per-doc GAIN so planted dups are amplitude
+    // variants, not byte copies), groups of 16 consecutive ids plant the
+    // duplicates, and the banded fingerprints flow through the same
+    // capped bucketPairs as q31/q32/q34.
+    "q58_media_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val feats = Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val gid = id >> 4
+          if (id % 2 == 0) {
+            val f = decodeMedia(id, "image/png", synthImage(gid, id))
+            if (f.phash != 0L) Iterator.single((id, "image", f.phash))
+            else Iterator.empty
+          } else
+            AudioWav.features(id,
+              AudioWav.sineWav(seed = gid, gain = 0.3 + (id % 8) * 0.08))
+              .iterator.filter(_.afp != 0L).map(f => (id, "audio", f.afp))
+        })
+        .toDF("doc_id", "kind", "fp")
+      mediaNearDupPairs(feats)
     }),
     // documents.text reinterpreted as a media blob (binary col) + metadata
     // struct; features extracted per-partition in batches.

@@ -215,6 +215,29 @@ class MultimodalSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("q58 media near-dup: planted image and audio groups pair; nothing crosses kind or group") {
+    // 32 docs = two full plant groups (ids 0-15 → gid 0, 16-31 → gid 1),
+    // each 8 images (even ids) + 8 audio clips (odd ids, gain variants)
+    val dir = docsDir((0L until 32L).map(i => (i, s"doc $i text")))
+    val out = graft.SparkEntry.queries("q58_media_neardup")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (kind, a, b, h) =>
+      assert(a >> 4 === b >> 4, s"cross-group pair $a-$b")
+      assert(a % 2 === b % 2, s"cross-kind pair $a-$b")
+      assert((a % 2 == 0) === (kind == "image"))
+      assert(h <= 8)
+    }
+    // both kinds pair in both groups
+    assert(out.map(p => (p._1, p._2 >> 4)).toSet ===
+      Set(("image", 0L), ("image", 1L), ("audio", 0L), ("audio", 1L)))
+    // amplitude variants of one waveform pair up (ids 1 and 3 differ only
+    // in gain — the fingerprint is amplitude-invariant)
+    assert(out.exists { case (k, a, b, _) => k == "audio" && a == 1L && b == 3L })
+    // same-group images are one inverted pixel apart each: hamming ≤ 2
+    out.collect { case ("image", _, _, h) => assert(h <= 2) }
+  }
+
   test("ImageHeaders fuzz: random and mutated-image bytes never throw") {
     val rnd = new scala.util.Random(4242)
     for (_ <- 1 to 500) {

@@ -105,6 +105,13 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("q58: banded media candidates are cap-bounded; no cross join") {
+    val p = planString("q58_media_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bsz"), p)
+  }
+
   test("q31: no cross join anywhere; bucket pairs generated in-group") {
     val p = planString("q31_dedup_minhash")
     assert(!p.contains("CartesianProduct"), p)
