@@ -80,16 +80,48 @@ object KafkaSink {
 
   // --- driver-contract query --------------------------------------------
 
-  /** q14: the Kafka JSON record shape over the inspector pipeline output
-    * (deterministic hostname; rows-only — JSON strings are not DuckDB-
-    * comparable; shape covered by KafkaSinkSpec).
+  /** q14: the Kafka JSON record shape — [[jsonRecords]] over a
+    * record-shaped frame derived deterministically from the events table,
+    * so BOTH engines see identical input and the serialization itself
+    * (field order = struct order, string escaping, topic routing, injected
+    * hostname + sorted extra pairs) is hash-verified against DuckDB's
+    * `json_object`. Every field is non-null by construction: DuckDB keeps
+    * `"k":null` where Spark's `to_json` drops the field. The real
+    * pipeline composition (Inspector.records → jsonRecords) stays covered
+    * by KafkaSinkSpec — jsonRecords is input-schema-generic.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q14_json_records" -> ((s, _) =>
+    "q14_json_records" -> ((s, dir) =>
       jsonRecords(
-        Inspector.records(s, SyntheticTraffic.ensurePcapDir()).toDF(),
+        graft.Tables.events(s, dir).select(
+          expr("ts div 1000000").as("ts"), // nanos → epoch millis
+          (col("event_id") % 2 === 0).as("inbound"),
+          concat(lit("u"), col("user_id")).as("client"),
+          (col("user_id") % 1024 + 9000).cast("int").as("port"),
+          (col("event_id") % 100000).cast("int").as("call_id"),
+          col("event_type").as("method"),
+          length(col("props")).cast("int").as("size")),
         parseSpec("broker:9092/hbase.requests/hbase.responses?dc=test&pipeline=graft"),
         hostname = "graft-host")))
 
-  def oracles: Map[String, String] = Map()
+  def oracles: Map[String, String] = Map(
+    // json_object renders compact like Jackson (no spaces, same escapes);
+    // epoch_ns // 1000000 = Spark's `ts div 1000000` on the nanos long.
+    "q14_json_records" ->
+      """SELECT
+        |  CASE WHEN event_id % 2 = 0 THEN 'hbase.requests'
+        |       ELSE 'hbase.responses' END AS topic,
+        |  json_object(
+        |    'ts', epoch_ns(ts) // 1000000,
+        |    'inbound', event_id % 2 = 0,
+        |    'client', 'u' || CAST(user_id AS VARCHAR),
+        |    'port', CAST(user_id % 1024 + 9000 AS INTEGER),
+        |    'call_id', CAST(event_id % 100000 AS INTEGER),
+        |    'method', event_type,
+        |    'size', CAST(length(props) AS INTEGER),
+        |    'hostname', 'graft-host',
+        |    'dc', 'test',
+        |    'pipeline', 'graft')::VARCHAR AS value
+        |FROM events""".stripMargin
+  )
 }

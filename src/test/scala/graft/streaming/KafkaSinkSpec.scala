@@ -50,10 +50,18 @@ class KafkaSinkSpec extends SparkSpec {
     assert(row.getAs[Long]("call_id") === 1L)
   }
 
-  test("q14 driver entry produces rows") {
-    val df = KafkaSink.queries("q14_json_records")(spark, "")
-    assert(df.count() ===
-      (SyntheticTraffic.ExpectedRequests + SyntheticTraffic.ExpectedResponses).toLong)
+  test("q14 driver entry: one JSON record per event, both topics, fields intact") {
+    val df = KafkaSink.queries("q14_json_records")(spark, "/root/testdata/sf0.001")
     assert(df.columns.toSeq === Seq("topic", "value"))
+    assert(df.count() === 1000L)
+    assert(df.select("topic").distinct().collect().map(_.getString(0)).toSet ===
+      Set("hbase.requests", "hbase.responses"))
+    val v = df.filter(col("topic") === "hbase.requests").head().getString(1)
+    val row = spark.read.json(
+      spark.createDataset(Seq(v))(org.apache.spark.sql.Encoders.STRING)).head()
+    assert(row.getAs[String]("hostname") === "graft-host")
+    assert(row.getAs[String]("pipeline") === "graft")
+    assert(row.getAs[Boolean]("inbound"))
+    assert(row.getAs[String]("client").startsWith("u"))
   }
 }
