@@ -130,7 +130,49 @@ object Sampling {
       .unionAll(atCut.select(col(id), col(stratum)))
   }
 
+  /** The default target mixture for the q59 driver query: deliberately far
+    * from the corpus's natural language distribution so the resampling
+    * actually reweights.
+    */
+  val DefaultMix: Map[String, Double] =
+    Map("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15, "fr" -> 0.1, "es" -> 0.1)
+
+  /** Source-mixture resampling — the "data mixing" step of a training
+    * pipeline: downsample each stratum (here `lang`) so the kept corpus's
+    * char mass matches the target weight vector, WITHOUT upsampling.
+    * With mass_l = Σ n_chars per stratum, the largest achievable total is
+    * T = min_l(mass_l / w_l); each stratum keeps rate_l = w_l·T/mass_l of
+    * its mass (= 1 for the binding stratum). Doc selection is the shared
+    * deterministic md5-prefix hash: keep iff h < rate_l·2^32, so the kept
+    * set is content-stable across corpus versions like q46's split.
+    * Strata without a weight are excluded (weight 0).
+    *
+    * Scale: two corpus passes, both map-parallel — a column-pruned
+    * (lang, n_chars) aggregation (|strata| rows, the min computed by a
+    * window over that TINY frame — no driver action), then a broadcast
+    * rate join + map-side hash filter. No corpus-scale shuffle at all.
+    */
+  def mixSample(docs: DataFrame, weights: Map[String, Double] = DefaultMix): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = weights.toSeq.toDF("lang", "w")
+    val mass = docs.groupBy(col("lang"))
+      .agg(sum(col("n_chars")).cast("double").as("mass"))
+      .join(broadcast(w), "lang")
+    val rates = mass
+      .withColumn("t", min(col("mass") / col("w")).over(Window.partitionBy()))
+      .select(col("lang"), (col("w") * col("t") / col("mass")).as("rate"))
+    docs.join(broadcast(rates), "lang")
+      .filter(TextAnalysis.md5Prefix(col("doc_id").cast("string")).cast("double") <
+        col("rate") * 4294967296.0)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Resample the corpus to the target language mixture (no upsampling;
+    // binding language kept whole, others hash-downsampled).
+    "q59_mix_sample" -> ((s, dir) => mixSample(Tables.documents(s, dir))),
+
     // 80/10/10 train/val/test assignment, reproducible from doc_id alone.
     "q46_train_split" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -161,6 +203,24 @@ object Sampling {
   )
 
   def oracles: Map[String, String] = Map(
+    // Same double-arithmetic shape as the Spark side ((w·T)/mass, T = the
+    // min over the tiny mass frame) — IEEE ops on identical inputs are
+    // bit-equal cross-engine, so the hash cutoff comparison agrees.
+    "q59_mix_sample" ->
+      """WITH w(lang, w) AS (VALUES
+        |    ('en', 0.4), ('zh', 0.25), ('de', 0.15), ('fr', 0.1), ('es', 0.1)),
+        |mass AS (
+        |  SELECT d.lang, CAST(sum(d.n_chars) AS DOUBLE) AS mass,
+        |         any_value(w.w) AS w
+        |  FROM documents d JOIN w ON d.lang = w.lang GROUP BY d.lang),
+        |rates AS (
+        |  SELECT lang, w * (SELECT min(mass / w) FROM mass) / mass AS rate
+        |  FROM mass)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |           AS DOUBLE) < r.rate * 4294967296.0""".stripMargin,
+
     "q46_train_split" ->
       """SELECT doc_id, b AS bucket,
         |  CASE WHEN b < 80 THEN 'train'

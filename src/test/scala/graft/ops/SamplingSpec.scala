@@ -76,6 +76,38 @@ class SamplingSpec extends SparkSpec {
     assert(refined === ref)
   }
 
+  test("q59 mixSample: binding stratum whole, others hash-downsampled, unweighted dropped") {
+    val s = spark
+    import s.implicits._
+    // lang a: 20 docs × 100 chars = 2000; lang b: 80 × 100 = 8000
+    // weights 50/50 → T = min(4000, 16000) = 4000 → rate a = 1, b = 0.25
+    val docs = ((1 to 20).map(i => (i.toLong, "a")) ++
+      (21 to 100).map(i => (i.toLong, "b")))
+      .map { case (id, l) => (id, l, s"src${id % 3}", 100L) }
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val w = Map("a" -> 0.5, "b" -> 0.5)
+    val out = Sampling.mixSample(docs, w).collect()
+    val byLang = out.groupBy(_.getString(1))
+    assert(byLang("a").length === 20) // binding stratum kept whole
+    val nb = byLang.get("b").map(_.length).getOrElse(0)
+    assert(nb > 0 && nb < 80) // strictly downsampled, not emptied
+    // selection follows the shared md5-prefix rule, recomputed independently
+    def md5hex(v: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val kept = byLang("b").map(_.getLong(0)).toSet
+    (21 to 100).foreach { id =>
+      val h = java.lang.Long.parseLong(md5hex(id.toString).substring(0, 8), 16)
+      assert(kept.contains(id.toLong) === (h.toDouble < 0.25 * 4294967296.0),
+        s"doc $id membership diverges from the hash rule")
+    }
+    // deterministic across runs
+    assert(Sampling.mixSample(docs, w).collect().map(_.getLong(0)).sorted
+      .sameElements(out.map(_.getLong(0)).sorted))
+    // a stratum without a weight is excluded entirely
+    val onlyA = Sampling.mixSample(docs, Map("a" -> 1.0))
+    assert(onlyA.select("lang").distinct().collect().map(_.getString(0)).toSeq === Seq("a"))
+  }
+
   test("q48: vocabulary stats on a hand-checked corpus") {
     val dir = docsDir(Seq((1L, "a b a"), (2L, "b c")))
     // docsDir writes lang='en' for all docs
