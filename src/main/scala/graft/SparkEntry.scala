@@ -37,6 +37,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Sampling.oracles ++
-      Decontam.oracles ++ Pii.oracles ++ Curation.oracles ++
+      Decontam.oracles ++ Pii.oracles ++ Curation.oracles ++ Pca.oracles ++
       inspector.Inspector.oracles ++ streaming.KafkaSink.oracles
 }

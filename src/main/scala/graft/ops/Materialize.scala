@@ -26,29 +26,42 @@ private[graft] object Materialize {
   /** Session conf key; see class doc. */
   val ReliableFlag = "spark.graft.reliableCheckpoint"
 
+  // reliable mode: the pre-checkpoint CACHED frame, keyed by the returned
+  // frame's logical plan (a LogicalRDD wrapping a unique RDD — structural
+  // equality is effectively identity). [[free]] needs it because the cache
+  // lives in the plan-level CacheManager, invisible to RDD-level unpersist.
+  // Weak keys: a dropped result frame lets both entries be collected.
+  private val preCheckpoint = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]())
+
   def apply(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.getOption(ReliableFlag).exists(_.toBoolean))
+    if (df.sparkSession.conf.getOption(ReliableFlag).exists(_.toBoolean)) {
       // persist first: an unpersisted reliable checkpoint re-executes the
       // whole lineage in the checkpoint-write job (Spark's documented
       // recompute behavior) — exactly the double-compute this class exists
       // to prevent. The write job then reads the cached blocks instead.
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .checkpoint(eager = false)
-    else df.localCheckpoint(eager = false)
+      preCheckpoint.put(out.queryExecution.logical, df)
+      out
+    } else df.localCheckpoint(eager = false)
 
   /** Eagerly free the block storage behind a frame returned by [[apply]]
     * once NO later computation will read it — e.g. the previous iteration's
     * labels in an iterative loop, after the next iteration has been fully
     * materialized by an action. In default (local-checkpoint) mode the
     * blocks ARE the data, so the frame is unusable afterwards — callers
-    * must drop every reference. No-op for non-checkpointed plans. In
-    * reliable mode this frees the post-checkpoint blocks; the
-    * pre-checkpoint cache entry rides until context cleanup (disk-backed,
-    * bounded by the caller's iteration count).
+    * must drop every reference. In reliable mode the checkpoint FILES stay
+    * the source of truth, and both the pre-checkpoint cache entry and any
+    * post-checkpoint blocks are released. No-op for non-checkpointed plans.
     */
-  def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
-    case lr: org.apache.spark.sql.execution.LogicalRDD =>
-      lr.rdd.unpersist(blocking = false)
-    case _ => ()
+  def free(df: DataFrame): Unit = {
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+    Option(preCheckpoint.remove(df.queryExecution.logical))
+      .foreach(_.unpersist(blocking = false))
   }
 }

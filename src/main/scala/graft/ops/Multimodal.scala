@@ -118,10 +118,21 @@ object Multimodal {
     * (doc_id, kind, fp); `kind` is part of the bucket key, so an image
     * and an audio clip never pair even on a fingerprint collision. Rows
     * with fp 0 (stub / corrupt decodes) are excluded.
+    *
+    * Recall bound: exact-match banding GUARANTEES a shared band only for
+    * hamming ≤ 3 (pigeonhole over 4 bands); pairs at 4..maxHamming are
+    * found only when their differing bits happen to cluster, so above 3
+    * this is approximate blocking (the standard LSH trade), not an exact
+    * threshold join.
     */
   def mediaNearDupPairs(feats: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val fp = feats.filter(col("fp") =!= 0L)
-      .select(col("doc_id"), col("kind"), col("fp"))
+    // Materialized (q31-sigs precedent): the fingerprint frame feeds THREE
+    // consumers (banding + both join-back sides), and upstream is
+    // typically a per-blob DECODE pipeline — without the lineage break it
+    // would re-decode every image/clip once per consumer (AQE replans
+    // consumers independently; ReuseExchange is not reliable here).
+    val fp = Materialize(feats.filter(col("fp") =!= 0L)
+      .select(col("doc_id"), col("kind"), col("fp")))
     val banded = fp.select(col("doc_id"), col("kind"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -47,8 +47,20 @@ object Pca {
       }
       s
     }
+    // RELATIVE convergence: roundoff floors the off-norm near (eps·‖A‖)²,
+    // so an absolute threshold would force all 64 O(d³) sweeps on any
+    // large-magnitude covariance. Also stop on a no-progress sweep.
+    var fro2 = 0.0
+    var fi = 0
+    while (fi < n) {
+      var fj = 0
+      while (fj < n) { fro2 += a(fi)(fj) * a(fi)(fj); fj += 1 }
+      fi += 1
+    }
+    val tol = 1e-28 * fro2
+    var off = offNorm()
     var sweep = 0
-    while (sweep < 64 && offNorm() > 1e-18) {
+    while (sweep < 64 && off > tol) {
       var p = 0
       while (p < n - 1) {
         var q = p + 1
@@ -83,6 +95,9 @@ object Pca {
         p += 1
       }
       sweep += 1
+      val next = offNorm()
+      if (next >= off) sweep = 64 // roundoff floor reached
+      off = next
     }
     (Array.tabulate(n)(i => a(i)(i)), v)
   }
@@ -96,7 +111,10 @@ object Pca {
     val s = embs.sparkSession
     import s.implicits._
     val vecs = embs.select(col("embedding")).as[Array[Float]]
-    val d = vecs.head().length
+    val first = vecs.take(1)
+    require(first.nonEmpty, "Pca.fit: embeddings frame is empty")
+    require(first(0) != null, "Pca.fit: first embedding is NULL")
+    val d = first(0).length
     require(k >= 1 && k <= d, s"k=$k out of range for d=$d")
     // packed accumulator: [n, sum(d), upper-tri gram(d(d+1)/2)]
     val triLen = d * (d + 1) / 2
@@ -167,7 +185,12 @@ object Pca {
             var acc = 0.0
             var i = 0
             while (i < d) { acc += (e(i) - m.mean(i)) * comp(i); i += 1 }
-            out(c) = if (whiten) acc / math.sqrt(m.eigenvalues(c) + eps) else acc
+            // clamp at 0: one-pass Gram subtraction can leave tiny NEGATIVE
+            // eigenvalues on rank-deficient input, and sqrt of those would
+            // silently poison every projection with NaN
+            out(c) =
+              if (whiten) acc / math.sqrt(math.max(m.eigenvalues(c), 0.0) + eps)
+              else acc
             c += 1
           }
           (id, out)

@@ -148,20 +148,29 @@ object Sampling {
     * Strata without a weight are excluded (weight 0).
     *
     * Scale: two corpus passes, both map-parallel — a column-pruned
-    * (lang, n_chars) aggregation (|strata| rows, the min computed by a
-    * window over that TINY frame — no driver action), then a broadcast
+    * (lang, n_chars) aggregation collected as a bounded plan-time action
+    * (|strata| rows — q47's cutoff-walk precedent), then a broadcast
     * rate join + map-side hash filter. No corpus-scale shuffle at all.
+    * The driver step is also where unachievable mixtures FAIL FAST: a
+    * weighted stratum that is absent or has zero char mass would
+    * otherwise drive T to 0 (silently emptying the output) or drop out
+    * of the rate join (silently rescaling the mixture off-target).
     */
   def mixSample(docs: DataFrame, weights: Map[String, Double] = DefaultMix): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixSample: weights must be non-empty and strictly positive")
     val s = docs.sparkSession
     import s.implicits._
-    val w = weights.toSeq.toDF("lang", "w")
-    val mass = docs.groupBy(col("lang"))
-      .agg(sum(col("n_chars")).cast("double").as("mass"))
-      .join(broadcast(w), "lang")
-    val rates = mass
-      .withColumn("t", min(col("mass") / col("w")).over(Window.partitionBy()))
-      .select(col("lang"), (col("w") * col("t") / col("mass")).as("rate"))
+    val mass = docs.filter(col("lang").isin(weights.keys.toSeq: _*))
+      .groupBy(col("lang")).agg(sum(col("n_chars")).cast("double").as("mass"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val missing = weights.keySet.filterNot(l => mass.getOrElse(l, 0.0) > 0)
+    require(missing.isEmpty,
+      "mixSample: weighted strata with no char mass in the corpus: " +
+        missing.toSeq.sorted.mkString(", "))
+    val t = weights.map { case (l, w) => mass(l) / w }.min
+    val rates = weights.toSeq
+      .map { case (l, w) => (l, w * t / mass(l)) }.toDF("lang", "rate")
     docs.join(broadcast(rates), "lang")
       .filter(TextAnalysis.md5Prefix(col("doc_id").cast("string")).cast("double") <
         col("rate") * 4294967296.0)

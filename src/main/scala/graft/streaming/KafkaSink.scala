@@ -4,8 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.inspector.{Inspector, SyntheticTraffic}
-
 /** Kafka JSON sink: topic-spec parsing, record shaping, writeStream
   * plumbing (reference: sink/kafka.clj + core.clj:463-474
   * parse-kafka-spec).
@@ -50,7 +48,7 @@ object KafkaSink {
     * (reference sink/kafka.clj:45-61 send-fn/make-record); topic routing
     * by direction with empty topics filtered (kafka.clj:69-74).
     *
-    * Input: the RecordInfo-shaped DataFrame ([[Inspector.records]] —
+    * Input: the RecordInfo-shaped DataFrame ([[graft.inspector.Inspector.records]] —
     * `ts` is already epoch millis).
     */
   def jsonRecords(records: DataFrame, spec: KafkaSpec, hostname: String): DataFrame = {

@@ -49,8 +49,14 @@ class MaterializeSpec extends SparkSpec {
     try {
       val s = spark
       import s.implicits._
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val df = Materialize((1 to 50).toDF("x"))
       assert(df.count() === 50)
+      // free in reliable mode releases the pre-checkpoint CACHE entry too
+      // (checkpoint files stay the source of truth)
+      assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
+      Materialize.free(df)
+      assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
       // reliable checkpoint materializes RDD part-files under the dir on
       // the first action (lazy mode: at job end, not at plan build)
       val walk = Files.walk(Paths.get(dir))

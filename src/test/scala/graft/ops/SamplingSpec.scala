@@ -106,6 +106,15 @@ class SamplingSpec extends SparkSpec {
     // a stratum without a weight is excluded entirely
     val onlyA = Sampling.mixSample(docs, Map("a" -> 1.0))
     assert(onlyA.select("lang").distinct().collect().map(_.getString(0)).toSeq === Seq("a"))
+    // unachievable mixtures fail fast instead of silently skewing/emptying
+    assertThrows[IllegalArgumentException](
+      Sampling.mixSample(docs, Map("a" -> 0.5, "xx" -> 0.5))) // absent stratum
+    assertThrows[IllegalArgumentException](
+      Sampling.mixSample(docs, Map("a" -> 0.5, "b" -> 0.0))) // nonpositive weight
+    val zeroMass = docs.withColumn("n_chars",
+      when(col("lang") === "b", 0L).otherwise(col("n_chars")))
+    assertThrows[IllegalArgumentException](
+      Sampling.mixSample(zeroMass, w)) // weighted stratum with zero mass
   }
 
   test("q48: vocabulary stats on a hand-checked corpus") {
