@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Size-capped distinct-collect aggregate: gathers at most `cap + 1`
   * distinct longs per group, then stops accepting. Groups whose true
@@ -89,6 +90,141 @@ case class CappedCollectSetLong(
   override def withNewInputAggBufferOffset(newOffset: Int): CappedCollectSetLong =
     copy(inputAggBufferOffset = newOffset)
   override def prettyName: String = "capped_collect_set_long"
+}
+
+/** Misra–Gries heavy-hitters sketch over a string column: a bounded map
+  * of at most `cap` counters per group.
+  *
+  * Contract (the classic mergeable-summaries result): every reported
+  * count is an UNDERCOUNT by at most n/(cap+1) for a group of n items;
+  * any item with true frequency above n/(cap+1) is guaranteed to survive;
+  * and when a group's distinct cardinality is ≤ cap the counts are EXACT
+  * (no eviction ever fires — the property the driver-gate oracle relies
+  * on). Partial merge sums counters then subtracts the (cap+1)-th largest
+  * value, which preserves the bound.
+  *
+  * Why it exists (q61): exact per-token vocabulary counting shuffles the
+  * whole (group, token) space — fine at q48's scale, but at 100 TB the
+  * token space itself is the problem. This keeps a fixed-size buffer per
+  * group and ships only `cap` counters per partial aggregate across the
+  * exchange, turning top-k vocabulary into a bounded-memory, single-pass
+  * aggregation.
+  */
+case class MisraGriesTopK(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.HashMap[UTF8String, Long]] {
+
+  require(cap > 0, "cap must be positive")
+
+  private type Buf = scala.collection.mutable.HashMap[UTF8String, Long]
+
+  override def createAggregationBuffer(): Buf = new Buf
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val k = v.asInstanceOf[UTF8String]
+      buf.get(k) match {
+        case Some(c) => buf.update(k, c + 1)
+        case None if buf.size < cap => buf.update(k.clone(), 1L)
+        case None => // full: absorb the miss by decrementing every counter
+          val dead = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+          buf.foreach { case (t, c) =>
+            if (c == 1L) dead += t else buf.update(t, c - 1)
+          }
+          dead.foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    b2.foreach { case (t, c) => b1.update(t, b1.getOrElse(t, 0L) + c) }
+    if (b1.size > cap) {
+      val vals = b1.values.toArray
+      java.util.Arrays.sort(vals)
+      val cut = vals(vals.length - (cap + 1)) // (cap+1)-th largest
+      val dead = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+      b1.foreach { case (t, c) =>
+        if (c <= cut) dead += t else b1.update(t, c - cut)
+      }
+      dead.foreach(b1.remove)
+    }
+    b1
+  }
+
+  override def eval(buf: Buf): Any = {
+    val keys = new Array[Any](buf.size)
+    val vals = new Array[Any](buf.size)
+    var i = 0
+    buf.foreach { case (t, c) => keys(i) = t; vals(i) = c; i += 1 }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (t, c) =>
+      val b = t.getBytes
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new Buf
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(UTF8String.fromBytes(b), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "misra_gries_topk"
+}
+
+object MisraGriesTopK {
+
+  /** Bounded heavy-hitters counter map of `c` per group (see class doc
+    * for the exactness/undercount contract).
+    */
+  def apply(c: Column, cap: Int): Column =
+    Bridge.column(
+      new MisraGriesTopK(Bridge.expression(c), cap).toAggregateExpression())
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private[functions] val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("misra_gries_topk"),
+      new ExpressionInfo(classOf[MisraGriesTopK].getName, "misra_gries_topk"),
+      (e: Seq[Expression]) =>
+        new MisraGriesTopK(e(0),
+          e(1).eval().asInstanceOf[Number].intValue())))
 }
 
 object CappedCollectSetLong {

@@ -297,7 +297,8 @@ object VectorFunctions {
 
   /** Every graft SQL function (vector + text + aggregate registries). */
   private[functions] def allSqlFunctions =
-    sqlFunctions ++ TextFunctions.sqlFunctions ++ CappedCollectSetLong.sqlFunctions
+    sqlFunctions ++ TextFunctions.sqlFunctions ++
+      CappedCollectSetLong.sqlFunctions ++ MisraGriesTopK.sqlFunctions
 
   /** Make the functions available to `spark.sql` on a live session. */
   def register(spark: SparkSession): Unit =

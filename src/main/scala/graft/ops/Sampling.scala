@@ -196,6 +196,24 @@ object Sampling {
     "q47_stratified_sample" -> ((s, dir) =>
       stratifiedExact(Tables.documents(s, dir), "lang", "doc_id", 10)),
 
+    // Top-10 tokens per language through the bounded Misra-Gries sketch —
+    // the 100 TB form of vocabulary profiling: exact counting (q48)
+    // shuffles the whole (lang, token) space, while the sketch keeps a
+    // cap-sized buffer per group and ships only `cap` counters per
+    // partial aggregate. Exact below cap distinct tokens (the driver
+    // corpus is — so the oracle ranks exact counts); undercount bounded
+    // by n/(cap+1) beyond. Window runs over ≤ cap rows per group.
+    "q61_vocab_topk" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      toks.groupBy(col("lang"))
+        .agg(graft.functions.MisraGriesTopK(col("tok"), cap = 256).as("counters"))
+        .select(col("lang"), explode(col("counters")).as(Seq("tok", "cnt")))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("cnt").desc, col("tok").asc)))
+        .filter(col("rk") <= 10)
+    }),
+
     // Per-language vocabulary profile: corpus statistics a curation run
     // reads before setting filters. Explode + partial-agg; the only
     // shuffle carries (lang, token) pairs.
@@ -249,6 +267,19 @@ object Sampling {
         |    count(*) OVER (PARTITION BY lang) AS n
         |  FROM documents)
         |WHERE rn <= ceiling(n / 10.0)""".stripMargin,
+
+    // Exact counts rank identically because the driver corpus's per-lang
+    // vocabulary is far below the sketch cap (sketch is exact there).
+    "q61_vocab_topk" ->
+      """SELECT lang, tok, cnt, rk FROM (
+        |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY count(*) DESC, tok ASC) AS rk
+        |  FROM (SELECT lang,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY lang, tok)
+        |WHERE rk <= 10""".stripMargin,
 
     "q48_vocab_stats" ->
       """SELECT lang,

@@ -51,6 +51,81 @@ class AggFunctionsSpec extends SparkSpec {
     assert(out == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("misra-gries: exact counts below the cap, even across partitions") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 3000).map(_ => ("g", s"tok${rnd.nextInt(25)}"))
+    val df = rows.toDF("g", "t").repartition(8).cache()
+    val sketch = df.groupBy("g")
+      .agg(MisraGriesTopK(col("t"), cap = 64).as("m"))
+      .select(explode(col("m")).as(Seq("t", "c")))
+      .as[(String, Long)].collect().toMap
+    val exact = df.groupBy("t").count().as[(String, Long)].collect().toMap
+    assert(sketch === exact) // 25 distinct < 64 cap: no eviction anywhere
+    df.unpersist()
+  }
+
+  test("misra-gries: heavy hitter survives eviction within the n/(cap+1) bound") {
+    val s = spark
+    import s.implicits._
+    // one dominant token (300 of n=540) + 240 distinct singletons, cap 8:
+    // undercount per item <= n/(cap+1) = 60
+    val rnd = new scala.util.Random(9)
+    val rows = rnd.shuffle(
+      Seq.fill(300)("hh") ++ (1 to 240).map(i => s"rare$i")).map(("g", _))
+    val out = rows.toDF("g", "t").coalesce(1)
+      .groupBy("g").agg(MisraGriesTopK(col("t"), cap = 8).as("m"))
+      .select(explode(col("m")).as(Seq("t", "c")))
+      .as[(String, Long)].collect().toMap
+    assert(out.size <= 8)
+    assert(out.contains("hh"), s"heavy hitter evicted: $out")
+    assert(out("hh") <= 300L && out("hh") >= 300L - 540L / 9)
+  }
+
+  test("misra-gries: merge of over-cap partials keeps heavy hitters, respects cap") {
+    val s = spark
+    import s.implicits._
+    // every partition sees the heavy hitter plus its own disjoint noise
+    val rows = (0 until 8).flatMap { p =>
+      Seq.fill(100)((p, "hh")) ++ (1 to 30).map(i => (p, s"noise${p}_$i"))
+    }
+    val out = rows.toDF("p", "t").repartition(8, col("p"))
+      .groupBy(lit("g")).agg(MisraGriesTopK(col("t"), cap = 16).as("m"))
+      .select(explode(col("m")).as(Seq("t", "c")))
+      .as[(String, Long)].collect().toMap
+    assert(out.size <= 16)
+    // n = 1040, true hh count 800, bound n/(cap+1) ~ 61 per merge level;
+    // assert the conservative half-way floor
+    assert(out.contains("hh") && out("hh") >= 400L && out("hh") <= 800L)
+  }
+
+  test("misra-gries: registered on the SQL surface") {
+    val s = spark
+    import s.implicits._
+    VectorFunctions.register(s)
+    (1 to 30).map(i => ("g", s"t${i % 3}")).toDF("g", "t")
+      .createOrReplaceTempView("mg_sql_t")
+    val out = s.sql(
+      "SELECT misra_gries_topk(t, 8) AS m FROM mg_sql_t GROUP BY g")
+      .select(explode(col("m"))).as[(String, Long)].collect().toMap
+    assert(out === Map("t0" -> 10L, "t1" -> 10L, "t2" -> 10L))
+  }
+
+  test("q61 end to end: sketch top-10 equals exact top-10 on the fixture") {
+    val dir = docsDir(Seq(
+      (1L, "apple apple apple banana banana cherry"),
+      (2L, "apple banana date egg fig grape"),
+      (3L, "apple cherry cherry date date date")))
+    val out = graft.SparkEntry.queries("q61_vocab_topk")(spark, dir)
+      .orderBy("rk", "tok")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+    // exact counts: apple 5, date 4, banana 3, cherry 3, egg/fig/grape 1
+    assert(out.take(4).toSeq === Seq(
+      ("apple", 5L, 1), ("date", 4L, 2), ("banana", 3L, 3), ("cherry", 3L, 4)))
+    assert(out.length === 7)
+  }
+
   test("q33 equivalence: capped aggregate matches collect_set under the cap") {
     val s = spark
     import s.implicits._
