@@ -254,50 +254,102 @@ object Dedup {
         .filter(col("hamming") <= 6)
     }),
 
-    // n-gram Jaccard over the df-filtered shingle space: grams shared by
-    // 2..DfCap docs define both the candidate pairs and the Jaccard sets
-    // (a self-consistent approximation — ubiquitous grams carry no signal).
-    // Replaces round 1/2's uncapped Σdf² self-join (155 s of a 198 s bench).
-    "q33_ngram_jaccard" -> ((s, dir) => {
-      // explode directly: the generator evaluates gram3of once per doc and
-      // empty arrays vanish on their own (no size() filter that would get
-      // a second inlined copy of the expression). Grams shuffle as 64-bit
-      // hashes, not strings — the groupBy key is all that matters and the
-      // estimate tolerates the negligible collision rate.
-      val inv = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(gram3of(tokens)).as("g0"))
-        .select(col("doc_id"), xxhash64(col("g0")).as("g"))
-      // df-capped posting lists, pairs expanded in-group. Measured against
-      // the bucketPairs-style self-join: with short posting lists (df cap
-      // 50) the in-group expansion wins — it reuses the groupBy(g) shuffle
-      // instead of adding a join-back exchange; both are cap-bounded.
-      // The aggregation buffer is size-capped (CappedCollectSetLong):
-      // a plain collect_set + size filter would materialize an unbounded
-      // posting list on one reducer for a ubiquitous gram ("the end of"
-      // at billions of docs) before the filter could drop it. The capped
-      // aggregate stops at DfCap+1 distinct doc_ids — exact below the
-      // cap, disqualified above it — with no extra pass or exchange.
-      val grouped = Materialize(inv.groupBy(col("g"))
-        .agg(graft.functions.CappedCollectSetLong(col("doc_id"), DfCap).as("ids"))
-        .filter(size(col("ids")).between(2, DfCap)))
-      // effective set size per doc = number of its kept (rare) grams
-      val sizes = grouped.select(explode(col("ids")).as("doc_id"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val pairsOf = flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("a"), y.as("b")))))
-      val inter = grouped.select(explode(pairsOf).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("a"), col("b"), col("jaccard"))
+    // n-gram Jaccard over the df-filtered shingle space (see
+    // [[jaccardPairs]]). Replaces round 1/2's uncapped Σdf² self-join
+    // (155 s of a 198 s bench).
+    "q33_ngram_jaccard" -> ((s, dir) => jaccardPairs(Tables.documents(s, dir))),
+
+    // Incremental dedup: the increment (odd ids) screened against the
+    // reference snapshot (even ids) — see [[incrementalDedup]].
+    "q62_incr_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      incrementalDedup(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
     })
   )
+
+  /** q33's core: exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥
+    * `minJaccard`) over the df-capped shingle space of `docs` (doc_id,
+    * text). Grams shared by 2..DfCap docs define both the candidate pairs
+    * and the Jaccard sets (a self-consistent approximation — ubiquitous
+    * grams carry no signal).
+    */
+  def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.8): DataFrame = {
+    // explode directly: the generator evaluates gram3of once per doc and
+    // empty arrays vanish on their own (no size() filter that would get
+    // a second inlined copy of the expression). Grams shuffle as 64-bit
+    // hashes, not strings — the groupBy key is all that matters and the
+    // estimate tolerates the negligible collision rate.
+    val inv = docs
+      .select(col("doc_id"), explode(gram3of(tokens)).as("g0"))
+      .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+    // df-capped posting lists, pairs expanded in-group. Measured against
+    // the bucketPairs-style self-join: with short posting lists (df cap
+    // 50) the in-group expansion wins — it reuses the groupBy(g) shuffle
+    // instead of adding a join-back exchange; both are cap-bounded.
+    // The aggregation buffer is size-capped (CappedCollectSetLong):
+    // a plain collect_set + size filter would materialize an unbounded
+    // posting list on one reducer for a ubiquitous gram ("the end of"
+    // at billions of docs) before the filter could drop it. The capped
+    // aggregate stops at DfCap+1 distinct doc_ids — exact below the
+    // cap, disqualified above it — with no extra pass or exchange.
+    val grouped = Materialize(inv.groupBy(col("g"))
+      .agg(graft.functions.CappedCollectSetLong(col("doc_id"), DfCap).as("ids"))
+      .filter(size(col("ids")).between(2, DfCap)))
+    // effective set size per doc = number of its kept (rare) grams
+    val sizes = grouped.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairsOf = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("a"), y.as("b")))))
+    val inter = grouped.select(explode(pairsOf).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Incremental (cross-snapshot) dedup: flag each INCREMENT doc that is
+    * an n-gram-Jaccard near-dup of any REFERENCE doc — the screen a
+    * recurring crawl runs before merging an increment into the training
+    * corpus. In-increment duplicates are q33/q45's job; this pairs only
+    * ACROSS the two inputs. Output: (doc_id, dup_of, jaccard) — one row
+    * per flagged increment doc with its best reference match (max
+    * jaccard, smallest reference id on ties).
+    *
+    * Scale: the side rides ENCODED in the inverted index's id space
+    * (id·2 + side), so orienting the capped candidate pairs is free bit
+    * arithmetic — no join back against either corpus to recover sides.
+    * Everything else is [[jaccardPairs]]' capped machinery; the final
+    * per-doc argmax windows over each doc's own capped candidate set.
+    * Requires non-negative doc_ids (< 2^62 for encoding headroom), and
+    * ids must not collide across the two inputs.
+    */
+  def incrementalDedup(reference: DataFrame, increment: DataFrame,
+                       minJaccard: Double = 0.8): DataFrame = {
+    val tagged = reference
+      .select((col("doc_id") * 2).as("doc_id"), col("text"))
+      .unionByName(increment.select((col("doc_id") * 2 + 1).as("doc_id"), col("text")))
+    val newSide = pmod(col("a"), lit(2L)) === 1L
+    val cross = jaccardPairs(tagged, minJaccard)
+      .filter(pmod(col("a"), lit(2L)) =!= pmod(col("b"), lit(2L)))
+      .select(
+        shiftright(when(newSide, col("a")).otherwise(col("b")), 1).as("doc_id"),
+        shiftright(when(newSide, col("b")).otherwise(col("a")), 1).as("dup_of"),
+        col("jaccard"))
+    cross
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("jaccard").desc, col("dup_of").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("dup_of"), col("jaccard"))
+  }
 
   // q33 is oracle-able even though Spark shuffles grams as xxhash64
   // values: the hash only RENAMES grams (collisions are negligible), so
@@ -358,5 +410,22 @@ object Dedup {
     // sides of the comparison (the hash defines the signature, not just a
     // shuffle key) — not reproducible in DuckDB; rows-only + ScalaTest
     // with planted dups.
+    ,
+    // The union of both sides IS the documents table (parity split), so
+    // the gram space and df-cap match Q33Sql exactly; only the pair
+    // orientation + per-increment argmax are added. Tie-break (jaccard
+    // DESC, dup_of ASC) mirrors the Spark window.
+    "q62_incr_dedup" ->
+      s"""SELECT doc_id, dup_of, jaccard FROM (
+         |  SELECT doc_id, dup_of, jaccard,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY jaccard DESC, dup_of ASC) AS rn
+         |  FROM (
+         |    SELECT CASE WHEN a % 2 = 1 THEN a ELSE b END AS doc_id,
+         |           CASE WHEN a % 2 = 1 THEN b ELSE a END AS dup_of,
+         |           jaccard
+         |    FROM ($Q33Sql)
+         |    WHERE a % 2 <> b % 2))
+         |WHERE rn = 1""".stripMargin
   )
 }

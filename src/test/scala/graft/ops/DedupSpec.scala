@@ -111,6 +111,51 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("incrementalDedup: flags cross-side near-dups only, best reference match wins") {
+    val s = spark
+    import s.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val ref = Seq(
+      (1000000000L, base),
+      (2000000000L, "totally different reference content words written here right now"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (3000000000L, base + " kilo"), // near-dup of reference 1e9
+      (4000000000L, "unrelated increment text with its very own vocabulary entirely"),
+      // twins: near-dups of EACH OTHER (same side) — must not be flagged
+      (5000000000L, "twin increment doc sharing grams with its sibling only"),
+      (6000000000L, "twin increment doc sharing grams with its sibling only plus tail"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(ref, inc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSet === Set(3000000000L))
+    assert(out.head._2 === 1000000000L && out.head._3 >= 0.8)
+  }
+
+  test("incrementalDedup: argmax picks the highest jaccard, smallest id on ties") {
+    val s = spark
+    import s.implicits._
+    val t = "one two three four five six seven eight nine ten"
+    // increment doc is an exact copy of BOTH reference docs (jaccard 1.0
+    // against each): tie broken toward the smaller reference id
+    val ref = Seq((20L, t), (10L, t)).toDF("doc_id", "text")
+    val inc = Seq((7L, t)).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(ref, inc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((7L, 10L, 1.0)))
+  }
+
+  test("q62 driver query: odd-id increment screened against even-id reference") {
+    val base = "papa quebec romeo sierra tango uniform victor whiskey xray yankee"
+    val dir = docsDir(Seq(
+      (2L, base),
+      (3L, base + " zulu"),
+      (5L, "no overlap with anything else in this corpus at all whatsoever")))
+    val out = graft.SparkEntry.queries("q62_incr_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((3L, 2L)))
+  }
+
   test("q45 end to end: planted near-dup group clusters to the smallest doc_id") {
     val rows = Dedup.queries("q45_dedup_clusters")(spark, plantedDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
