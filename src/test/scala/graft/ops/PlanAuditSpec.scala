@@ -112,6 +112,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("bsz"), p)
   }
 
+  test("q59: rates broadcast as a local relation; the corpus filter is map-side") {
+    val p = planString("q59_mix_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the rate table is driver-computed: no Window and no second corpus
+    // aggregate may appear inside the query's own plan
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q61: the sketch aggregates partially before the lang shuffle") {
+    val p = planString("q61_vocab_topk")
+    // TypedImperativeAggregate runs as ObjectHashAggregate with a partial
+    // pass before the exchange and a merge pass after: cap counters per
+    // partial cross the wire, never the token space
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("misra_gries_topk".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q62: no cross join; argmax pruned to top-1 before its exchange") {
+    val p = planString("q62_incr_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // (the capped posting-list aggregate lives behind jaccardPairs'
+    // Materialize boundary — not visible in this plan; q33's spec owns it)
+    // row_number()=1 must run as a partial WindowGroupLimit so each task
+    // ships at most one candidate per doc into the window exchange
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q31: no cross join anywhere; bucket pairs generated in-group") {
     val p = planString("q31_dedup_minhash")
     assert(!p.contains("CartesianProduct"), p)
