@@ -275,15 +275,21 @@ object Dedup {
     * and the Jaccard sets (a self-consistent approximation — ubiquitous
     * grams carry no signal).
     */
-  def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.8): DataFrame = {
-    // explode directly: the generator evaluates gram3of once per doc and
-    // empty arrays vanish on their own (no size() filter that would get
-    // a second inlined copy of the expression). Grams shuffle as 64-bit
-    // hashes, not strings — the groupBy key is all that matters and the
-    // estimate tolerates the negligible collision rate.
-    val inv = docs
-      .select(col("doc_id"), explode(gram3of(tokens)).as("g0"))
-      .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+  def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.8): DataFrame =
+    pairsFromGrams(gramsOf(docs), minJaccard)
+
+  /** The hashed 3-gram inverted frame (doc_id, g) of a (doc_id, text)
+    * frame. Explode directly: the generator evaluates gram3of once per
+    * doc and empty arrays vanish on their own (no size() filter that
+    * would get a second inlined copy of the expression). Grams travel as
+    * 64-bit hashes, not strings — the groupBy key is all that matters
+    * and the estimate tolerates the negligible collision rate.
+    */
+  private[graft] def gramsOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(gram3of(tokens)).as("g0"))
+    .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+
+  private def pairsFromGrams(inv: DataFrame, minJaccard: Double): DataFrame = {
     // df-capped posting lists, pairs expanded in-group. Measured against
     // the bucketPairs-style self-join: with short posting lists (df cap
     // 50) the in-group expansion wins — it reuses the groupBy(g) shuffle
@@ -332,12 +338,23 @@ object Dedup {
     * ids must not collide across the two inputs.
     */
   def incrementalDedup(reference: DataFrame, increment: DataFrame,
-                       minJaccard: Double = 0.8): DataFrame = {
-    val tagged = reference
-      .select((col("doc_id") * 2).as("doc_id"), col("text"))
-      .unionByName(increment.select((col("doc_id") * 2 + 1).as("doc_id"), col("text")))
+                       minJaccard: Double = 0.8): DataFrame =
+    incrementalDedupFromGrams(
+      gramsOf(reference.select((col("doc_id") * 2).as("doc_id"), col("text"))),
+      increment, minJaccard)
+
+  /** [[incrementalDedup]] against an already-derived (and typically
+    * cached) encoded reference gram frame — the streaming screen derives
+    * the reference index ONCE instead of re-tokenizing the whole
+    * reference corpus every micro-batch.
+    */
+  private[graft] def incrementalDedupFromGrams(refGrams: DataFrame,
+                                               increment: DataFrame,
+                                               minJaccard: Double): DataFrame = {
+    val inv = refGrams.unionByName(
+      gramsOf(increment.select((col("doc_id") * 2 + 1).as("doc_id"), col("text"))))
     val newSide = pmod(col("a"), lit(2L)) === 1L
-    val cross = jaccardPairs(tagged, minJaccard)
+    val cross = pairsFromGrams(inv, minJaccard)
       .filter(pmod(col("a"), lit(2L)) =!= pmod(col("b"), lit(2L)))
       .select(
         shiftright(when(newSide, col("a")).otherwise(col("b")), 1).as("doc_id"),

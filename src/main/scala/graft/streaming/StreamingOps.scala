@@ -52,6 +52,30 @@ object StreamingOps {
     }
   }
 
+  /** Streaming incremental dedup: screen each micro-batch of incoming
+    * documents against a STATIC reference corpus
+    * ([[graft.ops.Dedup.incrementalDedup]] semantics inside
+    * `foreachBatch`). The reference's hashed-gram inverted frame is
+    * derived and cached ONCE — per-batch re-derivation would re-tokenize
+    * the whole reference corpus on every trigger. Each batch's screen is
+    * exact over (reference ∪ batch): a doc's grams never span
+    * micro-batches. What this does NOT flag — by design — is near-dups
+    * BETWEEN two increment docs of different batches; that is the batch
+    * q33/q45 job on the merged increment (or streaming [[exactDedup]]
+    * upstream for exact copies). `sink` receives each batch's
+    * `(doc_id, dup_of, jaccard)` frame.
+    */
+  def incrementalScreen(docs: DataFrame, reference: DataFrame,
+                        minJaccard: Double = 0.8)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val refGrams = graft.ops.Dedup.gramsOf(
+      reference.select((col("doc_id") * 2).as("doc_id"), col("text"))).cache()
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.ops.Dedup.incrementalDedupFromGrams(refGrams, batch, minJaccard),
+        batchId)
+    }
+  }
+
   /** Stateless streaming quality filter: keep docs under the repetition
     * thresholds (Gopher-style dup_gram_ratio / top_token_ratio cuts).
     * Pure projection + filter — no state, no watermark needed.

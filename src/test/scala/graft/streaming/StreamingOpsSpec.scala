@@ -96,6 +96,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming incremental dedup screens batches against the static reference") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val ref = Seq((10L, base)).toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val flagged = scala.collection.mutable.Map[Long, (Long, Double)]()
+    val query = StreamingOps.incrementalScreen(
+      ms.toDS().toDF("doc_id", "text"), ref) { (dups, _) =>
+        dups.collect().foreach(r =>
+          flagged(r.getLong(0)) = (r.getLong(1), r.getDouble(2)))
+      }.start()
+    try {
+      ms.addData(
+        (1L, base + " kilo"), // near-dup of the reference
+        (2L, "first batch unrelated text with its very own words entirely"))
+      query.processAllAvailable()
+      // a LATER batch still screens against the cached reference index
+      ms.addData((3L, base))
+      query.processAllAvailable()
+      assert(flagged.keySet === Set(1L, 3L))
+      assert(flagged(1L)._1 === 10L && flagged(3L)._1 === 10L)
+      assert(flagged(3L)._2 === 1.0)
+    } finally query.stop()
+  }
+
   test("C4 line-filter stats run unchanged on a stream (stateless codegen map)") {
     val s = spark
     import s.implicits._
