@@ -219,12 +219,18 @@ object MisraGriesTopK {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
+  /** SQL registry entry (`SELECT misra_gries_topk(t, 256) ...`); the cap
+    * argument must be a non-null foldable integer literal.
+    */
   private[functions] val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("misra_gries_topk"),
       new ExpressionInfo(classOf[MisraGriesTopK].getName, "misra_gries_topk"),
-      (e: Seq[Expression]) =>
-        new MisraGriesTopK(e(0),
-          e(1).eval().asInstanceOf[Number].intValue())))
+      (e: Seq[Expression]) => {
+        val cap = e(1).eval()
+        require(cap != null && cap.isInstanceOf[Number],
+          "misra_gries_topk: the cap argument must be a non-null integer literal")
+        new MisraGriesTopK(e(0), cap.asInstanceOf[Number].intValue())
+      }))
 }
 
 object CappedCollectSetLong {

@@ -205,7 +205,7 @@ object Sampling {
     // by n/(cap+1) beyond. Window runs over ≤ cap rows per group.
     "q61_vocab_topk" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
-        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .select(col("lang"), explode(Dedup.tokens).as("tok"))
       toks.groupBy(col("lang"))
         .agg(graft.functions.MisraGriesTopK(col("tok"), cap = 256).as("counters"))
         .select(col("lang"), explode(col("counters")).as(Seq("tok", "cnt")))
@@ -220,7 +220,9 @@ object Sampling {
     "q48_vocab_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("lang"),
-          explode(split(trim(col("text")), "\\s+")).as("tok"))
+          // the one shared tokenizer (Dedup.tokens): space-only trim +
+          // \s+ split, cross-engine parity notes live at its definition
+          explode(Dedup.tokens).as("tok"))
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_tokens"),

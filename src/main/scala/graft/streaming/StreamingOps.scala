@@ -53,28 +53,24 @@ object StreamingOps {
   }
 
   /** Streaming incremental dedup: screen each micro-batch of incoming
-    * documents against a STATIC reference corpus
-    * ([[graft.ops.Dedup.incrementalDedup]] semantics inside
-    * `foreachBatch`). The reference's hashed-gram inverted frame is
-    * derived and cached ONCE — per-batch re-derivation would re-tokenize
-    * the whole reference corpus on every trigger. Each batch's screen is
-    * exact over (reference ∪ batch): a doc's grams never span
-    * micro-batches. What this does NOT flag — by design — is near-dups
-    * BETWEEN two increment docs of different batches; that is the batch
+    * documents against a prebuilt STATIC reference index
+    * ([[graft.ops.Dedup.buildRefIndex]] — the caller builds it once and
+    * `free()`s it after the query stops). Per trigger this costs a
+    * map-side scan of the cached postings plus batch-scale work — the
+    * reference corpus is never re-tokenized, re-shuffled, or pair-
+    * expanded ([[graft.ops.Dedup.screenAgainstIndex]]; the gram space is
+    * reference-scope, see its doc). What this does NOT flag — by
+    * design — is near-dups BETWEEN two increment docs; that is the batch
     * q33/q45 job on the merged increment (or streaming [[exactDedup]]
     * upstream for exact copies). `sink` receives each batch's
     * `(doc_id, dup_of, jaccard)` frame.
     */
-  def incrementalScreen(docs: DataFrame, reference: DataFrame,
+  def incrementalScreen(docs: DataFrame, index: graft.ops.Dedup.RefIndex,
                         minJaccard: Double = 0.8)(
-      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val refGrams = graft.ops.Dedup.gramsOf(
-      reference.select((col("doc_id") * 2).as("doc_id"), col("text"))).cache()
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(graft.ops.Dedup.incrementalDedupFromGrams(refGrams, batch, minJaccard),
-        batchId)
+      sink(graft.ops.Dedup.screenAgainstIndex(index, batch, minJaccard), batchId)
     }
-  }
 
   /** Stateless streaming quality filter: keep docs under the repetition
     * thresholds (Gopher-style dup_gram_ratio / top_token_ratio cuts).

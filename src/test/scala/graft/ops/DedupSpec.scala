@@ -145,6 +145,32 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((7L, 10L, 1.0)))
   }
 
+  test("screenAgainstIndex: matches the one-shot screen on planted cases; cached frames freed") {
+    val s = spark
+    import s.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val ref = Seq(
+      (10L, base),
+      (20L, "totally different reference content words written here right now"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val index = Dedup.buildRefIndex(ref)
+    val inc = Seq(
+      (1L, base + " kilo"),
+      (2L, "unrelated increment text with its very own vocabulary entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.screenAgainstIndex(index, inc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq === Seq((1L, 10L)))
+    assert(out.head._3 >= 0.8)
+    // a SECOND screen reuses the same index (the streaming contract)
+    val out2 = Dedup.screenAgainstIndex(index, Seq((3L, base)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out2.toSeq === Seq((3L, 10L, 1.0)))
+    index.free()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("q62 driver query: odd-id increment screened against even-id reference") {
     val base = "papa quebec romeo sierra tango uniform victor whiskey xray yankee"
     val dir = docsDir(Seq(

@@ -102,10 +102,11 @@ class StreamingOpsSpec extends SparkSpec {
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     val ref = Seq((10L, base)).toDF("doc_id", "text")
+    val index = graft.ops.Dedup.buildRefIndex(ref)
     val ms = MemoryStream[(Long, String)]
     val flagged = scala.collection.mutable.Map[Long, (Long, Double)]()
     val query = StreamingOps.incrementalScreen(
-      ms.toDS().toDF("doc_id", "text"), ref) { (dups, _) =>
+      ms.toDS().toDF("doc_id", "text"), index) { (dups, _) =>
         dups.collect().foreach(r =>
           flagged(r.getLong(0)) = (r.getLong(1), r.getDouble(2)))
       }.start()
@@ -120,7 +121,10 @@ class StreamingOpsSpec extends SparkSpec {
       assert(flagged.keySet === Set(1L, 3L))
       assert(flagged(1L)._1 === 10L && flagged(3L)._1 === 10L)
       assert(flagged(3L)._2 === 1.0)
-    } finally query.stop()
+    } finally {
+      query.stop()
+      index.free()
+    }
   }
 
   test("C4 line-filter stats run unchanged on a stream (stateless codegen map)") {
