@@ -92,6 +92,21 @@ case class CappedCollectSetLong(
   override def prettyName: String = "capped_collect_set_long"
 }
 
+/** Shared argument validation for the capped-aggregate SQL builders: a
+  * missing, non-foldable, or NULL cap must fail with an actionable
+  * message at registration, not a raw IndexOutOfBounds/NPE from eval().
+  */
+private[functions] object AggSqlArgs {
+  def foldableCap(e: Seq[Expression], fn: String): Int = {
+    require(e.length == 2, s"$fn(col, cap) takes exactly 2 arguments, got ${e.length}")
+    require(e(1).foldable, s"$fn: the cap argument must be a literal")
+    val cap = e(1).eval()
+    require(cap != null && cap.isInstanceOf[Number],
+      s"$fn: the cap argument must be a non-null integer literal")
+    cap.asInstanceOf[Number].intValue()
+  }
+}
+
 /** Misra–Gries heavy-hitters sketch over a string column: a bounded map
   * of at most `cap` counters per group.
   *
@@ -225,12 +240,8 @@ object MisraGriesTopK {
   private[functions] val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("misra_gries_topk"),
       new ExpressionInfo(classOf[MisraGriesTopK].getName, "misra_gries_topk"),
-      (e: Seq[Expression]) => {
-        val cap = e(1).eval()
-        require(cap != null && cap.isInstanceOf[Number],
-          "misra_gries_topk: the cap argument must be a non-null integer literal")
-        new MisraGriesTopK(e(0), cap.asInstanceOf[Number].intValue())
-      }))
+      (e: Seq[Expression]) =>
+        new MisraGriesTopK(e(0), AggSqlArgs.foldableCap(e, "misra_gries_topk"))))
 }
 
 object CappedCollectSetLong {
@@ -268,5 +279,5 @@ object CappedCollectSetLong {
       new ExpressionInfo(classOf[CappedCollectSetLong].getName, "capped_collect_set_long"),
       (e: Seq[Expression]) =>
         new CappedCollectSetLong(e(0),
-          e(1).eval().asInstanceOf[Number].intValue())))
+          AggSqlArgs.foldableCap(e, "capped_collect_set_long"))))
 }

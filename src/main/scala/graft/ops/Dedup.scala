@@ -349,13 +349,19 @@ object Dedup {
         shiftright(when(newSide, col("a")).otherwise(col("b")), 1).as("doc_id"),
         shiftright(when(newSide, col("b")).otherwise(col("a")), 1).as("dup_of"),
         col("jaccard"))
+    bestMatch(cross)
+  }
+
+  /** Best reference match per flagged doc: max jaccard, smallest dup_of
+    * on ties — the ONE tie-break contract both screens share.
+    */
+  private def bestMatch(cross: DataFrame): DataFrame =
     cross
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
           .orderBy(col("jaccard").desc, col("dup_of").asc)))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("dup_of"), col("jaccard"))
-  }
 
   /** Precomputed reference index for REPEATED screening (the streaming
     * form of incremental dedup): df-capped posting lists and
@@ -396,25 +402,28 @@ object Dedup {
     */
   def screenAgainstIndex(index: RefIndex, increment: DataFrame,
                          minJaccard: Double = 0.8): DataFrame = {
-    val bGrams = gramsOf(increment).distinct()
-      .withColumnRenamed("doc_id", "b")
-    val shared = index.postings.join(broadcast(bGrams), "g")
-    val inter = shared.select(col("b"), explode(col("ids")).as("r"))
-      .groupBy(col("b"), col("r")).agg(count(lit(1)).as("inter"))
-    // increment-doc size = its distinct grams PRESENT in the index
-    val bSizes = shared.groupBy(col("b")).agg(count(lit(1)).as("sz_b"))
-    inter
-      .join(bSizes, "b")
+    // gramsOf is already distinct per doc (gram3of applies array_distinct)
+    val bGrams = gramsOf(increment).withColumnRenamed("doc_id", "b")
+    // no broadcast HINT: a typical micro-batch's gram set broadcasts on
+    // its own under the threshold, while a backlogged first trigger (or a
+    // large direct batch call) falls back to a shuffle join instead of
+    // force-collecting an unbounded set onto the driver
+    val shared = index.postings.join(bGrams, "g")
+    // ONE consumer of `shared`: per-b aggregation carries both the size
+    // (count of shared grams) and the concatenated posting lists, so the
+    // join subtree is not replayed per branch (AQE reuse is unreliable —
+    // the q31 note). Buffer per group ≤ (doc's shared grams)·DfCap ids.
+    val perB = shared.groupBy(col("b"))
+      .agg(count(lit(1)).as("sz_b"), flatten(collect_list(col("ids"))).as("rs"))
+    val inter = perB
+      .select(col("b"), col("sz_b"), explode(col("rs")).as("r"))
+      .groupBy(col("b"), col("sz_b"), col("r")).agg(count(lit(1)).as("inter"))
+    bestMatch(inter
       .join(index.sizes.select(col("doc_id").as("r"), col("sz").as("sz_r")), "r")
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sz_b") + col("sz_r") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("b").as("doc_id"), col("r").as("dup_of"), col("jaccard"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-          .orderBy(col("jaccard").desc, col("dup_of").asc)))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .select(col("b").as("doc_id"), col("r").as("dup_of"), col("jaccard")))
   }
 
   // q33 is oracle-able even though Spark shuffles grams as xxhash64

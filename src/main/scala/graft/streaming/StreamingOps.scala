@@ -41,16 +41,17 @@ object StreamingOps {
     * batch. `sink` receives each batch's `(doc_id, n_shared)` frame —
     * write it, anti-join it against the batch, alert on it.
     */
-  def contaminationScreen(docs: DataFrame, bench: DataFrame,
+  def contaminationScreen(docs: DataFrame, benchGrams: DataFrame,
                           n: Int = graft.ops.Decontam.GramN)(
-      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    // derive + cache the benchmark gram set ONCE — per-batch re-derivation
-    // would re-scan and re-tokenize the static benchmark on every trigger
-    val benchGrams = graft.ops.Decontam.benchGramSet(bench, n).cache()
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    // `benchGrams` is the caller-derived (and caller-cached/freed)
+    // [[graft.ops.Decontam.benchGramSet]] — derived ONCE, like
+    // [[incrementalScreen]]'s RefIndex: an op-owned cache inside this
+    // method would have no unpersist path and would pin executor storage
+    // for the application lifetime after the query stops.
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(graft.ops.Decontam.contaminatedWithGrams(batch, benchGrams, n), batchId)
     }
-  }
 
   /** Streaming incremental dedup: screen each micro-batch of incoming
     * documents against a prebuilt STATIC reference index

@@ -76,10 +76,12 @@ class StreamingOpsSpec extends SparkSpec {
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val leak = "the quick brown fox jumps over the lazy dog tonight"
     val bench = Seq((100L, leak)).toDF("doc_id", "text")
+    // caller-owned gram-set lifecycle (the RefIndex pattern)
+    val benchGrams = graft.ops.Decontam.benchGramSet(bench).cache()
     val ms = MemoryStream[(Long, String)]
     val hits = scala.collection.mutable.Map[Long, Long]()
     val query = StreamingOps.contaminationScreen(
-      ms.toDS().toDF("doc_id", "text"), bench) { (contam, _) =>
+      ms.toDS().toDF("doc_id", "text"), benchGrams) { (contam, _) =>
         contam.collect().foreach(r => hits(r.getLong(0)) = r.getLong(1))
       }.start()
     try {
@@ -93,7 +95,10 @@ class StreamingOpsSpec extends SparkSpec {
       assert(hits.contains(1L) && hits.contains(3L))
       assert(!hits.contains(2L))
       assert(hits(1L) >= 1L)
-    } finally query.stop()
+    } finally {
+      query.stop()
+      benchGrams.unpersist()
+    }
   }
 
   test("streaming incremental dedup screens batches against the static reference") {
