@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{AudioWav, Curation, Decontam, Dedup, Multimodal, Pca, Pii, Relational, Sampling, Similarity, TextAnalysis}
+import graft.ops.{AudioWav, Curation, Decontam, Dedup, Lm, Multimodal, Pca, Pii, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -27,7 +27,7 @@ object SparkEntry {
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Sampling.queries ++
       Decontam.queries ++ Pii.queries ++ AudioWav.queries ++
-      Curation.queries ++ Pca.queries ++
+      Curation.queries ++ Pca.queries ++ Lm.queries ++
       inspector.Inspector.queries ++ streaming.KafkaSink.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +38,6 @@ object SparkEntry {
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Sampling.oracles ++
       Decontam.oracles ++ Pii.oracles ++ Curation.oracles ++ Pca.oracles ++
+      Lm.oracles ++
       inspector.Inspector.oracles ++ streaming.KafkaSink.oracles
 }
