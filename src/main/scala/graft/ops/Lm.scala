@@ -39,10 +39,14 @@ object Lm {
   /** (unigram counts, bigram counts, vocabulary size) of the reference. */
   def bigramModel(train: DataFrame): (DataFrame, DataFrame, Long) = {
     val toks = train.select(explode(Dedup.tokens).as("w1"))
-    val uni = toks.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // materialized: consumed twice (the V count here, the score join later)
+    val uni = Materialize(toks.groupBy(col("w1")).agg(count(lit(1)).as("c1")))
     val bi = train.select(explode(bigrams(Dedup.tokens)).as("b"))
       .groupBy(col("b.bg").as("bg")).agg(count(lit(1)).as("c2"))
     val v = uni.count()
+    require(v > 0,
+      "Lm.bigramModel: the reference slice has an empty vocabulary " +
+        "(V = 0 would make every smoothed probability divide by zero)")
     (uni, bi, v)
   }
 

@@ -143,6 +143,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q63: model joins are hash joins, per-doc agg is partial") {
+    val p = planString("q63_lm_score")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_avg") ||
+      p.contains("HashAggregate"), p)
+  }
+
   test("q31: no cross join anywhere; bucket pairs generated in-group") {
     val p = planString("q31_dedup_minhash")
     assert(!p.contains("CartesianProduct"), p)
