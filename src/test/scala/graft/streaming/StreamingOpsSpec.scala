@@ -132,6 +132,30 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("bigram-LM scoring runs per micro-batch against a static model") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val train = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val (uni, bi, v) = graft.ops.Lm.bigramModel(train)
+    val ms = MemoryStream[(Long, String)]
+    val scores = scala.collection.mutable.Map[Long, Double]()
+    val query = ms.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Lm.score(batch, uni, bi, v).collect()
+          .foreach(r => scores(r.getLong(0)) = r.getDouble(2))
+      }.start()
+    try {
+      ms.addData((1L, "a b"), (2L, "z z"))
+      query.processAllAvailable()
+      ms.addData((3L, "a b a")) // later batch, same static model
+      query.processAllAvailable()
+      assert(math.abs(scores(1L) - math.log(0.75)) < 1e-12)
+      assert(math.abs(scores(2L) - math.log(0.5)) < 1e-12)
+      assert(scores.contains(3L))
+    } finally query.stop()
+  }
+
   test("C4 line-filter stats run unchanged on a stream (stateless codegen map)") {
     val s = spark
     import s.implicits._
