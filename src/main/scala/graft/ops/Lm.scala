@@ -27,22 +27,27 @@ import graft.Tables
 object Lm {
 
   /** Struct bigrams of a token array: (w1, bg="w1 w2") per adjacent pair;
-    * empty for docs with fewer than 2 tokens.
+    * empty for docs with fewer than 2 tokens. The n-gram WINDOWING comes
+    * from the one shared [[Dedup.gramsN]] definition (its doc forbids
+    * re-rolling the off-by-one-prone bound); this only zips each 2-gram
+    * with its history token.
     */
   private def bigrams(toks: Column): Column =
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1), i => struct(
-        element_at(toks, i).as("w1"),
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)).as("bg"))))
-      .otherwise(array().cast("array<struct<w1:string,bg:string>>"))
+    zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      Dedup.gramsN(toks, 2),
+      (w1, bg) => struct(w1.as("w1"), bg.as("bg")))
 
   /** (unigram counts, bigram counts, vocabulary size) of the reference. */
   def bigramModel(train: DataFrame): (DataFrame, DataFrame, Long) = {
     val toks = train.select(explode(Dedup.tokens).as("w1"))
     // materialized: consumed twice (the V count here, the score join later)
     val uni = Materialize(toks.groupBy(col("w1")).agg(count(lit(1)).as("c1")))
-    val bi = train.select(explode(bigrams(Dedup.tokens)).as("b"))
-      .groupBy(col("b.bg").as("bg")).agg(count(lit(1)).as("c2"))
+    // materialized like uni: the streaming form calls score() per
+    // micro-batch against one model — bi's reference-scale scan+shuffle
+    // must not replay every trigger
+    val bi = Materialize(train.select(explode(bigrams(Dedup.tokens)).as("b"))
+      .groupBy(col("b.bg").as("bg")).agg(count(lit(1)).as("c2")))
     val v = uni.count()
     require(v > 0,
       "Lm.bigramModel: the reference slice has an empty vocabulary " +

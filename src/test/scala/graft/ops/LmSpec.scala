@@ -58,8 +58,10 @@ class LmSpec extends SparkSpec {
     val out = graft.SparkEntry.queries("q63_lm_score")(spark, dir)
     val rows = out.orderBy("doc_id").collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(10L, 11L, 13L)) // 12 has no bigram
-    // reference doc scores itself highest; in-vocab beats out-of-vocab
     val scores = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    assert(scores(10L) > scores(11L) || scores(11L) > scores(13L))
+    // docs 10 and 11 tie by construction (every bigram of both has
+    // c2=1, c1=1 → ln(2/5) each); in-vocab beats out-of-vocab
+    assert(math.abs(scores(10L) - scores(11L)) < 1e-12)
+    assert(scores(11L) > scores(13L))
   }
 }
