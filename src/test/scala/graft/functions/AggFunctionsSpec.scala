@@ -126,6 +126,41 @@ class AggFunctionsSpec extends SparkSpec {
     assert(out.length === 7)
   }
 
+  test("misra-gries fuzz: surviving counts bounded by [true - n/(cap+1), true] at any cap") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(0xBEEF)
+    for (trial <- 0 until 8) {
+      val nDistinct = 5 + rnd.nextInt(60)
+      val cap = 2 + rnd.nextInt(40)
+      val n = 200 + rnd.nextInt(800)
+      // zipf-ish skew so some tokens are heavy
+      val rows = (0 until n).map { _ =>
+        val t = math.min(nDistinct - 1,
+          (nDistinct * math.pow(rnd.nextDouble(), 2)).toInt)
+        ("g", s"t$t")
+      }
+      val df = rows.toDF("g", "t").repartition(1 + rnd.nextInt(6))
+      val sketch = df.groupBy("g")
+        .agg(MisraGriesTopK(col("t"), cap).as("m"))
+        .select(explode(col("m")).as(Seq("t", "c")))
+        .as[(String, Long)].collect().toMap
+      val exact = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      assert(sketch.size <= cap, s"trial $trial: ${sketch.size} > cap $cap")
+      sketch.foreach { case (t, c) =>
+        val truth = exact(t)
+        assert(c <= truth, s"trial $trial: overcount $t $c > $truth")
+        assert(c >= truth - n / (cap + 1),
+          s"trial $trial: $t undercount $c < ${truth - n / (cap + 1)} (true $truth)")
+      }
+      // every item above the guarantee threshold survives
+      exact.foreach { case (t, truth) =>
+        if (truth > n.toLong / (cap + 1))
+          assert(sketch.contains(t), s"trial $trial: heavy $t ($truth) evicted")
+      }
+    }
+  }
+
   test("q33 equivalence: capped aggregate matches collect_set under the cap") {
     val s = spark
     import s.implicits._

@@ -49,6 +49,40 @@ class LmSpec extends SparkSpec {
     assert(out(10L) > out(30L), s"in-domain ${out(10L)} !> out-of-domain ${out(30L)}")
   }
 
+  test("differential fuzz: scores match an independent plain-Scala reference") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(0x5EED)
+    val vocab = Vector("a", "b", "c", "dd", "eee", "", "x1", "y2")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val trainRows = (0 until 20).map(i => (i.toLong, doc(3 + rnd.nextInt(15))))
+    val docRows = (100 until 160).map(i => (i.toLong, doc(rnd.nextInt(12))))
+    val (uni, bi, v) = Lm.bigramModel(trainRows.toDF("doc_id", "text"))
+    val got = Lm.score(docRows.toDF("doc_id", "text"), uni, bi, v).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // independent reference: plain Scala maps over the same tokenizer rule
+    def toks(t: String) = t.trim.split("\\s+").toSeq
+    val c1 = trainRows.flatMap(r => toks(r._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val c2 = trainRows.flatMap(r => toks(r._2).sliding(2).filter(_.size == 2))
+      .map(_.mkString(" ")).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(v === c1.size.toLong)
+    docRows.foreach { case (id, text) =>
+      val t = toks(text)
+      if (t.size < 2) assert(!got.contains(id), s"doc $id should be excluded")
+      else {
+        val lps = t.sliding(2).map { p =>
+          math.log((c2.getOrElse(p.mkString(" "), 0L) + 1.0) /
+            (c1.getOrElse(p.head, 0L) + v.toDouble))
+        }.toSeq
+        val (n, score) = got(id)
+        assert(n === lps.size.toLong, s"doc $id bigram count")
+        assert(math.abs(score - lps.sum / lps.size) < 1e-9,
+          s"doc $id score $score vs ${lps.sum / lps.size}")
+      }
+    }
+  }
+
   test("q63 driver query: every multi-token doc scored, reference slice included") {
     val dir = docsDir(Seq(
       (10L, "alpha beta gamma delta"), // reference slice (doc_id % 10 == 0)
