@@ -103,7 +103,42 @@ object Curation {
         col("n_tok"))
   }
 
+  /** Context-window chunking: split each document into token windows of
+    * `win` tokens starting every `stride` tokens (stride < win ⇒
+    * overlapping windows — the standard long-document treatment before
+    * tokenization, so no training sequence loses the context that ran
+    * past a hard cut). Docs at or under `win` tokens yield one chunk;
+    * the last chunk of a longer doc may be short but is never empty
+    * (stride < win guarantees every start lands inside the doc).
+    *
+    * Scale: pure map-side generate — sequence + slice inside the scan
+    * projection, zero shuffles, no state; the per-row fan-out is
+    * ceil(max(0, n-win)/stride) + 1 chunks.
+    */
+  def chunked(docs: DataFrame, win: Int = 64, stride: Int = 48): DataFrame = {
+    require(win > 0 && stride > 0 && stride < win,
+      s"need 0 < stride < win, got win=$win stride=$stride")
+    val toks = Dedup.tokens
+    val nc = (lit(1) +
+      ceil(greatest(size(toks) - win, lit(0)).cast("double") / stride)
+        .cast("long")).cast("int")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), toks.as("t"), nc.as("nc"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("nc") - 1), i =>
+          struct(i.as("chunk_idx"),
+            slice(col("t"), i * stride + 1, lit(win)).as("ct")))).as("c"))
+      .select(col("doc_id"),
+        col("c.chunk_idx").cast("long").as("chunk_idx"),
+        size(col("c.ct")).cast("long").as("n_tok"),
+        concat_ws(" ", col("c.ct")).as("chunk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Overlapping context-window chunks (win 32 / stride 24 at gate
+    // scale so multi-chunk docs actually occur in the fixture corpus).
+    "q64_chunk" -> ((s, dir) => chunked(Tables.documents(s, dir), 32, 24)),
+
     // int8 embedding quantization calibration: per-vector scale, quantized
     // checksum, sparsity, and reconstruction MSE. One fused codegen pass
     // ([[graft.functions.QuantizeStats]]), zero shuffles — the numbers that
@@ -203,6 +238,23 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    // Same tokenizer, same window arithmetic; DuckDB's 1-based inclusive
+    // list slice is clamped with least() to mirror Spark slice's
+    // auto-truncation at the array end.
+    "q64_chunk" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           |  FROM documents WHERE text IS NOT NULL),
+           |n AS (
+           |  SELECT doc_id, t,
+           |    1 + CAST(ceil(greatest(len(t) - 32, 0) / 24.0) AS BIGINT) AS nc
+           |  FROM toks)
+           |SELECT doc_id, i AS chunk_idx,
+           |  CAST(len(t[i*24+1 : least(i*24+32, len(t))]) AS BIGINT) AS n_tok,
+           |  list_aggregate(t[i*24+1 : least(i*24+32, len(t))],
+           |                 'string_agg', ' ') AS chunk
+           |FROM n, UNNEST(range(0, nc)) AS r(i)""".stripMargin,
+
     // mse: list_reduce is a sequential left fold over the same element
     // order as the Spark expression's loop — bit-identical doubles, so the
     // 6-dp rounding agrees. sum_q/n_nonzero are integers (order-free).

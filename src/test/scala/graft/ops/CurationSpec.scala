@@ -123,6 +123,37 @@ class CurationSpec extends SparkSpec {
     (1L to 10L).foreach(id => assert(packs2(id) >= packs1(id), s"doc $id moved back"))
   }
 
+  test("q64 chunked: window boundaries, overlap, short docs, never-empty last chunk") {
+    val s = spark
+    import s.implicits._
+    // 10 tokens, win 4, stride 3 → starts 0,3,6 → chunks of 4,4,4 tokens
+    // (start 6 covers t7..t10); nc = 1 + ceil((10-4)/3) = 3
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "a b"), // under the window: one chunk, whole doc
+      (3L, "x1 x2 x3 x4 x5"), // 5 tokens → starts 0,3 → 4 + 2 tokens
+      (4L, null.asInstanceOf[String])) // excluded
+      .toDF("doc_id", "text")
+    val out = Curation.chunked(docs, win = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.filter(_._1 == 1L).toSeq === Seq(
+      (1L, 0L, 4L, "w1 w2 w3 w4"),
+      (1L, 1L, 4L, "w4 w5 w6 w7"), // 1-token overlap with both neighbors
+      (1L, 2L, 4L, "w7 w8 w9 w10")))
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 2L, "a b")))
+    assert(out.filter(_._1 == 3L).toSeq === Seq(
+      (3L, 0L, 4L, "x1 x2 x3 x4"), (3L, 1L, 2L, "x4 x5"))) // short last chunk
+    assert(!out.exists(_._1 == 4L))
+    assert(out.forall(_._3 > 0L)) // never an empty chunk
+    // reconstruction property: stride-strided starts cover every token
+    val covered = out.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered === (1 to 10).map(i => s"w$i").toSet)
+    // guards
+    assertThrows[IllegalArgumentException](Curation.chunked(docs, 4, 4))
+    assertThrows[IllegalArgumentException](Curation.chunked(docs, 4, 0))
+  }
+
   test("LineStats counts codepoints, not UTF-16 units") {
     val s = spark
     import s.implicits._
