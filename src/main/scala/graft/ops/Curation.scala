@@ -122,7 +122,9 @@ object Curation {
     val nc = (lit(1) +
       ceil(greatest(size(toks) - win, lit(0)).cast("double") / stride)
         .cast("long")).cast("int")
-    docs.filter(col("text").isNotNull)
+    // whitespace-only text would tokenize to [""] and emit a phantom
+    // (chunk="", n_tok=1) row — exclude it like NULL text
+    docs.filter(col("text").isNotNull && length(trim(col("text"))) > 0)
       .select(col("doc_id"), toks.as("t"), nc.as("nc"))
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), col("nc") - 1), i =>
@@ -244,7 +246,8 @@ object Curation {
     "q64_chunk" ->
       raw"""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-           |  FROM documents WHERE text IS NOT NULL),
+           |  FROM documents
+           |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
            |n AS (
            |  SELECT doc_id, t,
            |    1 + CAST(ceil(greatest(len(t) - 32, 0) / 24.0) AS BIGINT) AS nc
