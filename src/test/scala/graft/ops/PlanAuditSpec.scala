@@ -143,6 +143,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q64: chunking is a shuffle-free scan projection") {
+    val plan = executed(graft.SparkEntry.queries("q64_chunk")(spark, sf))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      plan.toString)
+  }
+
   test("q63: model joins are hash joins, per-doc agg is partial") {
     val p = planString("q63_lm_score")
     assert(!p.contains("CartesianProduct"), p)
