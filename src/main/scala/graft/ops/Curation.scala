@@ -123,8 +123,13 @@ object Curation {
       ceil(greatest(size(toks) - win, lit(0)).cast("double") / stride)
         .cast("long")).cast("int")
     // whitespace-only text would tokenize to [""] and emit a phantom
-    // (chunk="", n_tok=1) row — exclude it like NULL text
-    docs.filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+    // (chunk="", n_tok=1) row — exclude it like NULL text. trim() strips
+    // only SPACES on both engines, so the explicit space/tab/LF/CR set is
+    // trimmed for the emptiness check (a tab-only doc is still
+    // whitespace-only); tokenization itself stays on the shared
+    // Dedup.tokens contract.
+    docs.filter(col("text").isNotNull &&
+        length(trim(col("text"), " \t\n\r")) > 0)
       .select(col("doc_id"), toks.as("t"), nc.as("nc"))
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), col("nc") - 1), i =>
@@ -247,7 +252,8 @@ object Curation {
       raw"""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
            |  FROM documents
-           |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+           |  WHERE text IS NOT NULL
+           |    AND length(trim(text, ' ' || chr(9) || chr(10) || chr(13))) > 0),
            |n AS (
            |  SELECT doc_id, t,
            |    1 + CAST(ceil(greatest(len(t) - 32, 0) / 24.0) AS BIGINT) AS nc
@@ -312,9 +318,13 @@ object Curation {
         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
         |  FROM documents WHERE text IS NOT NULL),
         |c AS (
+        |  -- windowed sum() returns HUGEINT in DuckDB; without the BIGINT
+        |  -- cast start_off AND pack_id come back HUGEINT (float64 in the
+        |  -- compare harness) while Spark emits int64 -> hash mismatch
         |  SELECT doc_id, h % 32 AS shard, n_tok,
-        |    sum(n_tok) OVER (PARTITION BY h % 32 ORDER BY h, doc_id
-        |                     ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+        |    CAST(sum(n_tok) OVER (PARTITION BY h % 32 ORDER BY h, doc_id
+        |                          ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT)
+        |      AS start_off
         |  FROM t)
         |SELECT doc_id, shard,
         |  shard * 1099511627776 + start_off // 2048 AS pack_id, n_tok

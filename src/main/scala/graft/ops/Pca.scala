@@ -110,10 +110,13 @@ object Pca {
   def fit(embs: DataFrame, k: Int): PcaModel = {
     val s = embs.sparkSession
     import s.implicits._
-    val vecs = embs.select(col("embedding")).as[Array[Float]]
+    // NULL embeddings are excluded up front (like percentile excludes NULL
+    // values) — an unguarded NULL row would otherwise surface as an opaque
+    // executor-side NullPointerException inside treeAggregate
+    val vecs = embs.select(col("embedding"))
+      .filter(col("embedding").isNotNull).as[Array[Float]]
     val first = vecs.take(1)
-    require(first.nonEmpty, "Pca.fit: embeddings frame is empty")
-    require(first(0) != null, "Pca.fit: first embedding is NULL")
+    require(first.nonEmpty, "Pca.fit: no non-NULL embeddings to fit")
     val d = first(0).length
     require(k >= 1 && k <= d, s"k=$k out of range for d=$d")
     // packed accumulator: [n, sum(d), upper-tri gram(d(d+1)/2)]
@@ -172,7 +175,10 @@ object Pca {
     import s.implicits._
     val bc = s.sparkContext.broadcast(model)
     val eps = 1e-12
-    embs.select(col(idCol), col("embedding")).as[(Long, Array[Float])]
+    // same NULL contract as fit(): a NULL embedding has no projection —
+    // the row is excluded rather than NPE-ing on an executor
+    embs.select(col(idCol), col("embedding"))
+      .filter(col("embedding").isNotNull).as[(Long, Array[Float])]
       .mapPartitions { it =>
         val m = bc.value
         val k = m.components.length
@@ -203,9 +209,15 @@ object Pca {
     // Whitened top-8 PCA coordinates for every embedding. Fit is an
     // explicit bounded train step (one tree-aggregated pass); projection
     // is shuffle-free. Rows-only: eigenvectors are not SQL-expressible.
+    // The projection is FLATTENED to scalar pc_0..pc_7 columns (rounded
+    // 6 dp): the external verify harness sorts/hashes cell values and
+    // cannot handle an array<double> cell (round-6 advice).
     "q60_pca_whiten" -> ((s, dir) => {
       val embs = Tables.embeddings(s, dir)
-      project(embs, fit(embs, k = 8), whiten = true)
+      val k = 8
+      val proj = project(embs, fit(embs, k), whiten = true)
+      proj.select(col("vec_id") +:
+        (0 until k).map(i => round(col("pc")(i), 6).as(s"pc_$i")): _*)
     }))
 
   def oracles: Map[String, String] = Map()

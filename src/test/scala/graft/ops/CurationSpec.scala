@@ -133,7 +133,9 @@ class CurationSpec extends SparkSpec {
       (2L, "a b"), // under the window: one chunk, whole doc
       (3L, "x1 x2 x3 x4 x5"), // 5 tokens → starts 0,3 → 4 + 2 tokens
       (4L, null.asInstanceOf[String]), // excluded
-      (5L, "   ")) // whitespace-only: excluded (no phantom empty chunk)
+      (5L, "   "), // whitespace-only: excluded (no phantom empty chunk)
+      (6L, "\t\n\r"), // tab/LF-only: trim() strips only spaces — still excluded
+      (7L, "\t \n")) // mixed non-space whitespace: excluded
       .toDF("doc_id", "text")
     val out = Curation.chunked(docs, win = 4, stride = 3)
       .orderBy("doc_id", "chunk_idx").collect()
@@ -145,7 +147,7 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 2L, "a b")))
     assert(out.filter(_._1 == 3L).toSeq === Seq(
       (3L, 0L, 4L, "x1 x2 x3 x4"), (3L, 1L, 2L, "x4 x5"))) // short last chunk
-    assert(!out.exists(p => p._1 == 4L || p._1 == 5L))
+    assert(!out.exists(p => p._1 >= 4L)) // 4-7 all excluded
     assert(out.forall(p => p._3 > 0L && p._4.nonEmpty)) // never an empty chunk
     // reconstruction property: stride-strided starts cover every token
     val covered = out.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet

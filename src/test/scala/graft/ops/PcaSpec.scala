@@ -75,11 +75,38 @@ class PcaSpec extends SparkSpec {
       assert(math.abs(m.components(c)(i) - m2.components(c)(i)) < 1e-6)
   }
 
-  test("q60 driver query: one whitened 8-vector per embedding row") {
+  test("q60 driver query: flat pc_0..pc_7 scalar columns, one row per embedding") {
     val out = graft.SparkEntry.queries("q60_pca_whiten")(spark, "/root/testdata/sf0.001")
+    // flat scalar schema (round-6 advice: the verify harness cannot
+    // sort/hash array cells)
+    assert(out.schema.fieldNames.toSeq ===
+      "vec_id" +: (0 until 8).map(i => s"pc_$i"))
+    assert(out.schema.fields.drop(1).forall(
+      _.dataType == org.apache.spark.sql.types.DoubleType))
     val rows = out.collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(_.getSeq[Double](1).length == 8))
     assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+  }
+
+  test("fit and project exclude NULL embeddings instead of NPE-ing") {
+    val s = spark
+    import s.implicits._
+    val withNulls = (planted.map { case (id, e) => (id, e) } :+
+      (900L, null.asInstanceOf[Array[Float]]) :+
+      (901L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val clean = planted.toDF("vec_id", "embedding")
+    val m = Pca.fit(withNulls, k = 3)       // NULL rows must not reach treeAggregate
+    val mClean = Pca.fit(clean, k = 3)
+    for (c <- 0 until 3; i <- 0 until d)    // NULLs excluded ⇒ identical model
+      assert(math.abs(m.components(c)(i) - mClean.components(c)(i)) < 1e-12)
+    val proj = Pca.project(withNulls, m, whiten = false).collect()
+    assert(proj.length === 200)             // NULL rows have no projection
+    assert(!proj.map(_.getLong(0)).exists(id => id == 900L || id == 901L))
+    // all-NULL frame: descriptive failure, not an NPE
+    val allNull = Seq((1L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException](Pca.fit(allNull, k = 2))
+    assert(ex.getMessage.contains("no non-NULL embeddings"))
   }
 }
