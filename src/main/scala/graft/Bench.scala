@@ -84,14 +84,17 @@ object Bench {
     // Locale.ROOT: the f-interpolator is locale-sensitive and a comma
     // decimal separator would produce unparseable JSON
     def d3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) => s""""$k":${d3(v)}""" }.mkString("{", ",", "}")
+    // per-query times at 2 decimals: 10 ms resolution is ample and the
+    // saved character per entry keeps 60+ queries inside the tail window
+    def d2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => s""""$k":${d2(v)}""" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, "ok") => v }.sum
     val fails = results.collect { case (k, _, s) if s != "ok" => s""""$k"""" }
-    // fails capped at 8 names so even an everything-failed render stays
+    // fails capped at 6 names so even an everything-failed render stays
     // inside the tail window; "failed" keeps the exact count.
     val failPart =
       if (fails.isEmpty) s""""failed":0"""
-      else s""""failed":${fails.length},"fails":${fails.take(8).mkString("[", ",", "]")}"""
+      else s""""failed":${fails.length},"fails":${fails.take(6).mkString("[", ",", "]")}"""
     s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,$failPart,"sf":"$sfDir"}"""
   }
 }

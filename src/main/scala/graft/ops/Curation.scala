@@ -141,10 +141,45 @@ object Curation {
         concat_ws(" ", col("c.ct")).as("chunk"))
   }
 
+  /** TF-IDF top-`k` terms per document: tf = in-doc term count, df = number
+    * of docs containing the term, score = tf · ln(N/df). The keyword-
+    * extraction primitive (per-doc topical signature for clustering,
+    * search, mixture analysis).
+    *
+    * Scale: one (doc_id, tok) partial agg, one (tok) partial agg, one
+    * (tok)-keyed join that reuses tf's distribution, and a per-doc window
+    * bounded by the doc's own distinct-token count — never a full-stratum
+    * window. N comes from a 1-row aggregate frame broadcast into a cross
+    * join (no driver action, no plan-time count). Ranking orders by the
+    * 6-dp-ROUNDED score so the cross-engine tiebreak (score desc, tok asc)
+    * can't be flipped by a 1-ulp ln() divergence.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val live = docs.filter(col("text").isNotNull)
+    val toks = live.select(col("doc_id"), explode(Dedup.tokens).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = live.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfc, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("tok").asc)))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Overlapping context-window chunks (win 32 / stride 24 at gate
     // scale so multi-chunk docs actually occur in the fixture corpus).
     "q64_chunk" -> ((s, dir) => chunked(Tables.documents(s, dir), 32, 24)),
+
+    // TF-IDF top-3 terms per doc — see [[tfidfTopK]].
+    "q65_tfidf" -> ((s, dir) => tfidfTopK(Tables.documents(s, dir))),
 
     // int8 embedding quantization calibration: per-vector scale, quantized
     // checksum, sparsity, and reconstruction MSE. One fused codegen pass
@@ -245,6 +280,29 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    // Same tokenizer, same integer tf/df, same ln; BOTH engines rank by
+    // the rounded score so ties resolve identically (tok asc). row_number
+    // is INT on the Spark side and BIGINT here — the gate stringifies
+    // integer cells, so the width difference is invisible (q16 precedent).
+    "q65_tfidf" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+           |  FROM documents WHERE text IS NOT NULL),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+           |n AS (SELECT count(*) AS n_docs
+           |      FROM documents WHERE text IS NOT NULL),
+           |scored AS (
+           |  SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf,
+           |    CAST(df AS BIGINT) AS df,
+           |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+           |  FROM tf JOIN df USING (tok), n)
+           |SELECT doc_id, tok, tf, df, score, rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |            ORDER BY score DESC, tok ASC) AS rank
+           |  FROM scored)
+           |WHERE rank <= 3""".stripMargin,
+
     // Same tokenizer, same window arithmetic; DuckDB's 1-based inclusive
     // list slice is clamped with least() to mirror Spark slice's
     // auto-truncation at the array end.

@@ -53,6 +53,38 @@ object Decontam {
   def contaminated(train: DataFrame, bench: DataFrame, n: Int = GramN): DataFrame =
     contaminatedWithGrams(train, benchGramSet(bench, n), n)
 
+  /** q49's semantics at benchmark sizes PAST the broadcast budget: the
+    * exact gram set is replaced by a bloom filter
+    * ([[graft.functions.BloomLong]] — no false negatives) for the
+    * corpus-side prescreen, and the bloom's false positives are removed by
+    * an exact confirm join over the SURVIVORS only. Output is exactly
+    * [[contaminated]]'s — same rows, same counts (the shared q49 oracle
+    * verifies that cross-engine).
+    *
+    * Scale shape: the bloom builds distributed (one OR-merge aggregation
+    * over the bench grams) and comes back as ONE bounded row
+    * (numBits/8 bytes — a documented driver step, the q43-fit class);
+    * the probe is a codegen'd expression embedded in the corpus scan
+    * projection, so the corpus-side prescreen is shuffle-free. Only
+    * survivors (true matches + fpp·|corpus grams|) reach the confirm
+    * join, whose bench side shuffles ONCE instead of broadcasting to
+    * every executor. Size `numBits` at ~10–14 bits per expected distinct
+    * bench gram; undersizing costs confirm-join traffic, never
+    * correctness.
+    */
+  def bloomContaminated(train: DataFrame, bench: DataFrame, n: Int = GramN,
+                        numBits: Long = 1L << 23, numHashes: Int = 5): DataFrame = {
+    import graft.functions.BloomFunctions
+    val bg = benchGramSet(bench, n)
+    val bloomBytes = bg
+      .agg(BloomFunctions.bloomAgg(col("g"), numBits, numHashes).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    grams(train, n)
+      .filter(BloomFunctions.mightContain(bloomBytes, col("g")))
+      .join(bg, "g") // exact confirm — kills the false positives
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** The action step: the training corpus with every contaminated doc
     * REMOVED (left-anti join on the q49 report — the report is bounded by
     * the contamination rate, so the anti join's right side is small).
@@ -69,12 +101,22 @@ object Decontam {
       contaminated(
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0))
+    }),
+
+    // Bloom-prescreened decontamination over the SAME slices — must emit
+    // exactly q49's rows (the bloom never drops a true match; the confirm
+    // join drops every false positive), which the shared oracle checks.
+    "q68_bloom_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      bloomContaminated(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
     }))
 
-  def oracles: Map[String, String] = Map(
-    // Same gram space over strings (xxhash64 only renames grams — the q33
-    // argument); DuckDB list slice t[i:i+7] is 1-based inclusive = 8 tokens.
-    "q49_decontam" ->
+  // Same gram space over strings (xxhash64 only renames grams — the q33
+  // argument); DuckDB list slice t[i:i+7] is 1-based inclusive = 8 tokens.
+  // q68 shares the SQL: the bloom path is exact by construction.
+  private val Q49Sql: String =
       raw"""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
            |),
@@ -88,5 +130,9 @@ object Decontam {
            |FROM grams gr JOIN bench USING (g)
            |WHERE gr.doc_id % 20 <> 0
            |GROUP BY gr.doc_id""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q49_decontam" -> Q49Sql,
+    "q68_bloom_decontam" -> Q49Sql
   )
 }

@@ -229,36 +229,56 @@ object Similarity {
     * driver-side fit stops being free — pass `nlistHint` with an
     * externally-trained codebook for larger deployments.
     */
-  def annIvf(s: SparkSession, dir: String, nHint: Option[Long] = None,
-             nlistHint: Option[Int] = None, nprobe: Int = 1): DataFrame = {
-    import s.implicits._
-    val e = Tables.embeddings(s, dir)
-    val n = nHint.getOrElse(estimatedRowCount(e, EmbeddingRowBytes))
-    val nlist = nlistHint.getOrElse(
-      math.max(4, math.min(1024, math.ceil(math.sqrt(n.toDouble)).toInt)))
+  /** √n-clamped IVF list count (nlist) from a row-count estimate. */
+  private def nlistFor(n: Long): Int =
+    math.max(4, math.min(1024, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** The documented bounded train step shared by q43/q66: fit KMeansLite
+    * centroids on a deterministic UNBIASED sample — the `sampleCap` rows
+    * with the smallest xxhash64(vec_id), executed as a distributed top-k
+    * (TakeOrderedAndProject; only `cap` rows reach the driver).
+    */
+  private[ops] def fitCentroids(e: DataFrame, nlist: Int): Array[Array[Float]] = {
     val sampleCap = math.min(math.max(256, 32 * nlist), 32768)
     val sample = e.select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
       .limit(sampleCap)
       .select(col("embedding"))
       .collect().map(_.getSeq[Float](0).toArray)
-    val cents = KMeansLite.fit(sample, nlist, iters = 3)
-    val bc = s.sparkContext.broadcast(cents)
-    val assigned = Materialize(
-      e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-        .mapPartitions { it =>
-          val cs = bc.value
-          it.map { case (id, v) =>
-            var best = 0L; var bestCos = -2.0
-            var i = 0
-            while (i < cs.length) {
-              val c = KMeansLite.cos(cs(i), v)
-              if (c > bestCos) { bestCos = c; best = i.toLong }
-              i += 1
-            }
-            (id, v, best)
+    KMeansLite.fit(sample, nlist, iters = 3)
+  }
+
+  /** Broadcast-centroid argmax-cosine assignment: one mapPartitions pass,
+    * no join fan-out, no shuffle. Output (vec_id, embedding, bucket).
+    */
+  private def assignClusters(s: SparkSession, e: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]): DataFrame = {
+    import s.implicits._
+    e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var best = 0L; var bestCos = -2.0
+          var i = 0
+          while (i < cs.length) {
+            val c = KMeansLite.cos(cs(i), v)
+            if (c > bestCos) { bestCos = c; best = i.toLong }
+            i += 1
           }
-        }.toDF("vec_id", "embedding", "bucket"))
+          (id, v, best)
+        }
+      }.toDF("vec_id", "embedding", "bucket")
+  }
+
+  def annIvf(s: SparkSession, dir: String, nHint: Option[Long] = None,
+             nlistHint: Option[Int] = None, nprobe: Int = 1): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val n = nHint.getOrElse(estimatedRowCount(e, EmbeddingRowBytes))
+    val nlist = nlistHint.getOrElse(nlistFor(n))
+    val cents = fitCentroids(e, nlist)
+    val bc = s.sparkContext.broadcast(cents)
+    val assigned = Materialize(assignClusters(s, e, bc))
     // queries probe their `nprobe` closest centroid lists (the standard
     // IVF recall/cost knob); the probe fan-out rides the tiny broadcast
     // query side, the corpus is still touched once
@@ -280,8 +300,59 @@ object Similarity {
     topKPerQuery(s, scored, TopK)
   }
 
+  /** Semantic dedup (the SemDeDup recipe): k-means clusters the embedding
+    * space, then near-duplicate candidates are generated WITHIN each
+    * cluster — two-level blocking where the coarse level is data-aware
+    * (cluster structure) and the fine level is the same banded
+    * random-hyperplane LSH as q34, keyed by (band, cluster, bucket)
+    * through the capped [[Dedup.bucketPairs]].
+    *
+    * Why two levels: SemDeDup's published form computes all pairs inside
+    * each cluster, which only works when nlist is raised with the corpus
+    * (k ∝ n) — infeasible for a driver-side fit. Conditioning q34's
+    * banding on the cluster keeps nlist bounded (√n clamp) while the LSH
+    * bits absorb cluster growth: bits are sized for the EXPECTED CLUSTER
+    * SIZE n/nlist, and past the bit clamp the bucket cap bounds the work.
+    * Candidates a plain q34 finds across unrelated regions of the space
+    * are suppressed (they share a bucket but not a cluster) — the
+    * precision gain SemDeDup exists for.
+    *
+    * Same output contract as q34: exact cosine verified on candidates
+    * only, deterministic top of the similarity ranking.
+    */
+  def semDedupPairs(e: DataFrame, nHint: Option[Long] = None,
+                    nlistHint: Option[Int] = None): DataFrame = {
+    val s = e.sparkSession
+    val n = nHint.getOrElse(estimatedRowCount(e, EmbeddingRowBytes))
+    val nlist = nlistHint.getOrElse(nlistFor(n))
+    val cents = fitCentroids(e, nlist)
+    val bc = s.sparkContext.broadcast(cents)
+    val assigned = assignClusters(s, e, bc)
+    val bits = lshBitsFor(math.max(1L, n / math.max(1, cents.length)))
+    // (doc_id, band, cluster, bucket): like q34's banding with the cluster
+    // folded into the blocking key; all three consumers of the banded
+    // frame share the exchange (ReuseExchange — the bucketPairs note)
+    val banded = assigned.select(col("vec_id").as("doc_id"),
+      col("bucket").as("cluster"),
+      posexplode(array((0 until NeardupBands).map(b =>
+        lshBucket(col("embedding"), bits, BandSeed + b)): _*))
+        .as(Seq("band", "lsh")))
+    val pairs = Dedup.bucketPairs(banded, Seq("band", "cluster", "lsh"),
+      NeardupBucketCap)
+    val emb = e.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .orderBy(col("cos").desc, col("a").asc, col("b").asc)
+      .limit(100)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_embed_neardup" -> ((s, dir) => embedNearDup(s, dir)),
+
+    "q66_semdedup" -> ((s, dir) => semDedupPairs(Tables.embeddings(s, dir))),
 
     // Brute-force cosine top-k for a broadcast query set.
     "q35_ann_topk" -> ((s, dir) => {

@@ -45,7 +45,7 @@ object TextAnalysis {
     * q46's split buckets; keep both engines' forms in sync through this
     * one definition.
     */
-  private[ops] def md5Prefix(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def md5Prefix(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -157,6 +157,37 @@ class CurationSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Curation.chunked(docs, 4, 0))
   }
 
+  test("q65 tfidf: hand-checked scores, rounded-score tiebreak, top-k cut") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date"),
+      (4L, null.asInstanceOf[String])) // excluded (and not counted in N)
+      .toDF("doc_id", "text")
+    val out = Curation.tfidfTopK(docs, k = 3)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    // N=3; df: apple 1, banana 2, cherry 2, date 1
+    def sc(tf: Long, df: Long) =
+      math.rint(tf * math.log(3.0 / df) * 1e6) / 1e6
+    assert(out.filter(_._1 == 1L).toSeq === Seq(
+      (1L, "apple", 2L, 1L, sc(2, 1), 1),
+      (1L, "banana", 1L, 2L, sc(1, 2), 2)))
+    // doc 2: banana and cherry tie exactly (tf=1, df=2) → tok asc decides
+    assert(out.filter(_._1 == 2L).map(t => (t._2, t._6)).toSeq ===
+      Seq(("banana", 1), ("cherry", 2)))
+    assert(out.filter(_._1 == 3L).toSeq === Seq(
+      (3L, "cherry", 3L, 2L, sc(3, 2), 1),
+      (3L, "date", 1L, 1L, sc(1, 1), 2)))
+    assert(!out.exists(_._1 == 4L))
+    // top-k actually cuts: a doc with > k distinct tokens emits exactly k
+    val wide = Seq((9L, "a b c d e f g h")).toDF("doc_id", "text")
+    assert(Curation.tfidfTopK(wide, k = 3).count() === 3L)
+  }
+
   test("LineStats counts codepoints, not UTF-16 units") {
     val s = spark
     import s.implicits._

@@ -50,6 +50,28 @@ class DecontamSpec extends SparkSpec {
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(22L, 23L))
   }
 
+  test("q68 bloom path emits exactly q49's rows, even with a tiny saturated bloom") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    def sentence(i: Int) =
+      (0 until 20).map(_ => s"w${rnd.nextInt(40)}").mkString(" ")
+    val bench = (0 until 10).map(i => (i.toLong, sentence(i))).toDF("doc_id", "text")
+    val train = ((100 until 160).map(i => (i.toLong, sentence(i))) ++
+      Seq((200L, benchText), (201L, "zulu " + benchText))).toDF("doc_id", "text")
+    val benchPlus = bench.union(Seq((20L, benchText)).toDF("doc_id", "text"))
+    val exact = Decontam.contaminated(train, benchPlus)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val viaBloom = Decontam.bloomContaminated(train, benchPlus)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaBloom === exact)
+    // 64-bit bloom is fully saturated (every probe true → prescreen passes
+    // everything): the exact confirm join still kills ALL false positives
+    val saturated = Decontam.bloomContaminated(train, benchPlus, numBits = 64)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(saturated === exact)
+  }
+
   test("q49 driver query: benchmark slice is excluded from the output") {
     val dir = docsDir(Seq(
       (20L, benchText),

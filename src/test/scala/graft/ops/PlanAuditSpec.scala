@@ -242,6 +242,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(windowless.nonEmpty, s"no windowless keep-outright branch in:\n$plan")
   }
 
+  test("q65: per-doc window is group-limited; N rides a 1-row broadcast") {
+    val p = planString("q65_tfidf")
+    assert(!p.contains("CartesianProduct"), p)
+    // rank<=k over row_number must prune per-task before the window
+    // exchange (a full (doc, tok) spill into one window would regress the
+    // bounded-window promise)
+    assert(p.contains("WindowGroupLimit"), p)
+    // tf/df aggs both partial
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    // the N frame joins as a broadcast (1 row), never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q66: cluster-conditioned candidates are cap-bounded; no cross join") {
+    val p = planString("q66_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bsz"), p)
+  }
+
+  test("q68: bloom prescreen filters the corpus before any exchange") {
+    val df = graft.SparkEntry.queries("q68_bloom_decontam")(spark, sf)
+    val plan = executed(df)
+    assert(!plan.toString.contains("CartesianProduct"), plan.toString)
+    // the probe expression must run below EVERY shuffle that sits over the
+    // corpus scan — the whole point is that non-matching grams die map-side
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    shuffles.foreach { s =>
+      val scansBelow = s.child.collect {
+        case f if f.nodeName.contains("Scan parquet") => f
+      }
+      val probeBelow = s.child.toString.contains("bloom_might_contain")
+      assert(scansBelow.isEmpty || probeBelow,
+        s"corpus-scale rows crossed a shuffle without the bloom prescreen:\n$s")
+    }
+    assert(plan.toString.contains("bloom_might_contain"), plan.toString)
+  }
+
   test("q56: both shuffles ride the same key families; aggs are partial") {
     val p = planString("q56_token_rarity")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -131,6 +131,27 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getDouble(2) > 0.999999)
   }
 
+  test("q66 semdedup: planted duplicates surface as top pairs within their cluster") {
+    // exact copies of one member of each planted cluster: same argmax
+    // centroid, same LSH signs in every band → candidate pair guaranteed
+    val dups = (0 until 5).map(c =>
+      ((9000 + c).toLong, corpus(c * 40)._2.clone()))
+    val d = embeddingsDir(corpus ++ dups)
+    val e = graft.Tables.embeddings(spark, d)
+    val pairs = Similarity.semDedupPairs(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every planted (original, copy) pair is found with cos ≈ 1
+    for (c <- 0 until 5) {
+      val orig = (c * 40).toLong; val copy = (9000 + c).toLong
+      val hit = pairs.find(p => p._1 == orig && p._2 == copy)
+      assert(hit.nonEmpty, s"planted pair ($orig, $copy) missing")
+      assert(hit.get._3 > 0.999999)
+    }
+    // output is the deterministic top of the ranking: descending cosine
+    val cos = pairs.map(_._3).toSeq
+    assert(cos === cos.sorted.reverse)
+  }
+
   test("simhash64: deterministic, token-order-insensitive, discriminative") {
     val s = spark
     import s.implicits._
