@@ -64,7 +64,9 @@ object BloomLong {
   }
 
   def add(words: Array[Long], v: Long, k: Int): Unit = {
-    val m = words.length * 64
+    // Long arithmetic: words.length * 64 in Int wraps past 2^31 bits —
+    // exactly the multi-hundred-million-gram sizes the filter exists for
+    val m = words.length.toLong * 64
     val h1 = mix(v)
     val h2 = mix(h1) | 1L
     var i = 0
@@ -76,7 +78,7 @@ object BloomLong {
   }
 
   def mightContain(words: Array[Long], v: Long, k: Int): Boolean = {
-    val m = words.length * 64
+    val m = words.length.toLong * 64
     val h1 = mix(v)
     val h2 = mix(h1) | 1L
     var i = 0

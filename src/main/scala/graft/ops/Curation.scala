@@ -156,8 +156,16 @@ object Curation {
     */
   def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val live = docs.filter(col("text").isNotNull)
+    // chunked()'s whitespace contract: trim() strips only spaces, so the
+    // explicit set catches tab/newline-only docs (they'd tokenize to
+    // empty strings and rank "" as a keyword)
+    val live = docs.filter(col("text").isNotNull &&
+      length(trim(col("text"), " \t\n\r")) > 0)
+    // leading/trailing non-space whitespace still yields empty tokens
+    // (split keeps them; both engines agree) — garbage as KEYWORDS, so
+    // they're excluded from the tf space, mirrored in the oracle
     val toks = live.select(col("doc_id"), explode(Dedup.tokens).as("tok"))
+      .filter(col("tok") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = live.agg(count(lit(1)).as("n_docs"))
@@ -285,13 +293,18 @@ object Curation {
     // is INT on the Spark side and BIGINT here — the gate stringifies
     // integer cells, so the width difference is invisible (q16 precedent).
     "q65_tfidf" ->
-      raw"""WITH toks AS (
-           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
-           |  FROM documents WHERE text IS NOT NULL),
+      raw"""WITH live AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE text IS NOT NULL
+           |    AND length(trim(text, ' ' || chr(9) || chr(10) || chr(13))) > 0),
+           |toks AS (
+           |  SELECT doc_id, tok FROM (
+           |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+           |    FROM live)
+           |  WHERE tok <> ''),
            |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
            |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-           |n AS (SELECT count(*) AS n_docs
-           |      FROM documents WHERE text IS NOT NULL),
+           |n AS (SELECT count(*) AS n_docs FROM live),
            |scored AS (
            |  SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf,
            |    CAST(df AS BIGINT) AS df,

@@ -240,7 +240,11 @@ object Similarity {
     */
   private[ops] def fitCentroids(e: DataFrame, nlist: Int): Array[Array[Float]] = {
     val sampleCap = math.min(math.max(256, 32 * nlist), 32768)
+    // NULL embeddings excluded up front (the Pca.fit contract): an
+    // unguarded NULL row in the sample would NPE on the driver here, or
+    // inside the executor-side argmax in assignClusters
     val sample = e.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
       .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
       .limit(sampleCap)
       .select(col("embedding"))
@@ -254,7 +258,9 @@ object Similarity {
   private def assignClusters(s: SparkSession, e: DataFrame,
       bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]): DataFrame = {
     import s.implicits._
-    e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    // same NULL contract as fitCentroids: a NULL embedding has no cluster
+    e.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull).as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bc.value
         it.map { case (id, v) =>
@@ -327,7 +333,12 @@ object Similarity {
     val nlist = nlistHint.getOrElse(nlistFor(n))
     val cents = fitCentroids(e, nlist)
     val bc = s.sparkContext.broadcast(cents)
-    val assigned = assignClusters(s, e, bc)
+    // materialized like annIvf's assignment: bucketPairs consumes the
+    // banded frame under two exchange shapes (the smallBuckets aggregate
+    // and the kept-join twins) and ReuseExchange only dedups the twins —
+    // without the boundary the broadcast-centroid argmax pass would rerun
+    // per consumer, and it is the kernel this operator exists to amortize
+    val assigned = Materialize(assignClusters(s, e, bc))
     val bits = lshBitsFor(math.max(1L, n / math.max(1, cents.length)))
     // (doc_id, band, cluster, bucket): like q34's banding with the cluster
     // folded into the blocking key; all three consumers of the banded

@@ -14,9 +14,23 @@ class BloomSpec extends SparkSpec {
     // the bloom contract: every inserted key answers true, always
     assert(members.forall(BloomLong.mightContain(words, _, 5)))
     // false-positive rate near the ~1% theory value for 10 bits/key, k=5
-    val probes = Array.fill(20000)(rnd.nextLong()).filterNot(members.contains)
+    val memberSet = members.toSet
+    val probes = Array.fill(20000)(rnd.nextLong()).filterNot(memberSet)
     val fp = probes.count(BloomLong.mightContain(words, _, 5))
     assert(fp.toDouble / probes.length < 0.05, s"fpp ${fp.toDouble / probes.length}")
+  }
+
+  test("bit positions stay in range past 2^31 bits (Long arithmetic)") {
+    // (2^31 + 64) bits: an Int `words.length * 64` wraps negative here and
+    // indexed far outside the array before the Long fix
+    val words = new Array[Long]((((1L << 31) + 64) / 64).toInt)
+    val rnd = new scala.util.Random(5)
+    val keys = Array.fill(200)(rnd.nextLong())
+    keys.foreach(BloomLong.add(words, _, 5))
+    assert(keys.forall(BloomLong.mightContain(words, _, 5)))
+    // 200 keys x 5 bits in 2^31 bits: a non-member probe is ~never positive
+    val absent = Array.fill(200)(rnd.nextLong()).filterNot(keys.toSet)
+    assert(absent.count(BloomLong.mightContain(words, _, 5)) === 0)
   }
 
   test("BloomLong serialize/deserialize roundtrip preserves bits and k") {

@@ -188,6 +188,22 @@ class CurationSpec extends SparkSpec {
     assert(Curation.tfidfTopK(wide, k = 3).count() === 3L)
   }
 
+  test("q65 tfidf: empty tokens are never keywords; whitespace-only docs vanish") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "\t\n"), // tab/LF-only: excluded entirely (and not counted in N)
+      (2L, "alpha beta\n"), // trailing LF tokenizes to an extra "" token
+      (3L, "\tgamma")) // leading tab tokenizes to a leading "" token
+      .toDF("doc_id", "text")
+    val out = Curation.tfidfTopK(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(!out.exists(_._1 == 1L))
+    assert(out.forall(_._2.nonEmpty), out.mkString(", "))
+    // N = 2 (doc 1 excluded): df(alpha)=1 under the post-filter doc count
+    assert(out.collect { case (2L, "alpha", df) => df }.head === 1L)
+  }
+
   test("LineStats counts codepoints, not UTF-16 units") {
     val s = spark
     import s.implicits._

@@ -263,22 +263,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("bsz"), p)
   }
 
-  test("q68: bloom prescreen filters the corpus before any exchange") {
+  test("q68: bloom prescreen sits on the corpus side below any join/aggregate") {
+    // audit the optimized LOGICAL plan (the q47 note: AQE wraps the
+    // physical tree in AdaptiveSparkPlanExec until execution, so a
+    // physical ShuffleExchangeExec collect here would be vacuously empty)
+    import org.apache.spark.sql.catalyst.plans.logical
     val df = graft.SparkEntry.queries("q68_bloom_decontam")(spark, sf)
-    val plan = executed(df)
-    assert(!plan.toString.contains("CartesianProduct"), plan.toString)
-    // the probe expression must run below EVERY shuffle that sits over the
-    // corpus scan — the whole point is that non-matching grams die map-side
-    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
-    shuffles.foreach { s =>
-      val scansBelow = s.child.collect {
-        case f if f.nodeName.contains("Scan parquet") => f
-      }
-      val probeBelow = s.child.toString.contains("bloom_might_contain")
-      assert(scansBelow.isEmpty || probeBelow,
-        s"corpus-scale rows crossed a shuffle without the bloom prescreen:\n$s")
+    val plan = df.queryExecution.optimizedPlan
+    val probes = plan.collect {
+      case f: logical.Filter if f.condition.exists(
+        _.isInstanceOf[graft.functions.BloomMightContain]) => f
     }
-    assert(plan.toString.contains("bloom_might_contain"), plan.toString)
+    assert(probes.nonEmpty, s"bloom prescreen filter vanished:\n$plan")
+    probes.foreach { f =>
+      // the prescreen runs in the corpus-side MAP phase: directly over the
+      // gram explode of the scan, with no join/aggregate underneath it —
+      // deleting the .filter(mightContain(...)) or hoisting it above the
+      // confirm join fails here
+      assert(f.collectFirst { case g: logical.Generate => g }.nonEmpty,
+        s"prescreen no longer sits over the gram explode:\n$f")
+      assert(f.collectFirst {
+        case j: logical.Join => j
+        case a: logical.Aggregate => a
+      }.isEmpty, s"prescreen has a join/aggregate below it (not map-side):\n$f")
+    }
+    // and the confirm join is still there ABOVE the prescreen (exactness)
+    assert(plan.collectFirst { case j: logical.Join => j }.nonEmpty, plan.toString)
   }
 
   test("q56: both shuffles ride the same key families; aggs are partial") {

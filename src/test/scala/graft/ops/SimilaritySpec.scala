@@ -136,7 +136,9 @@ class SimilaritySpec extends SparkSpec {
     // centroid, same LSH signs in every band → candidate pair guaranteed
     val dups = (0 until 5).map(c =>
       ((9000 + c).toLong, corpus(c * 40)._2.clone()))
-    val d = embeddingsDir(corpus ++ dups)
+    // a NULL embedding row must be skipped, not NPE the fit or the assign
+    val withNull = Seq((9998L, null.asInstanceOf[Array[Float]]))
+    val d = embeddingsDir(corpus ++ dups ++ withNull)
     val e = graft.Tables.embeddings(spark, d)
     val pairs = Similarity.semDedupPairs(e)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
