@@ -259,6 +259,9 @@ object Dedup {
     // (155 s of a 198 s bench).
     "q33_ngram_jaccard" -> ((s, dir) => jaccardPairs(Tables.documents(s, dir))),
 
+    // Duplicated-span coverage per doc — see [[dupSpans]].
+    "q69_dup_spans" -> ((s, dir) => dupSpans(Tables.documents(s, dir))),
+
     // Incremental dedup: the increment (odd ids) screened against the
     // reference snapshot (even ids) — see [[incrementalDedup]].
     "q62_incr_dedup" -> ((s, dir) => {
@@ -268,6 +271,39 @@ object Dedup {
         docs.filter(col("doc_id") % 2 =!= 0))
     })
   )
+
+  /** Duplicated-span coverage (the exact-substring-dedup signal): per
+    * document, how many of its `w`-token window positions start a span
+    * that also appears in ANOTHER document. High dup_ratio = the doc is
+    * largely boilerplate/mirrored content even when no whole-doc near-dup
+    * fires — the doc-level report the "train on unique text" policies
+    * act on. Docs shorter than `w` tokens have no span and are excluded.
+    *
+    * Scale: positional grams travel as xxhash64 longs; the distinct
+    * (g, doc_id) aggregation and the gdf count are both partial-agged
+    * hash aggregates over long keys (q48's exact-shuffle class — heavy
+    * but linear, no posting list ever materializes since only the COUNT
+    * of distinct docs is needed, never their ids); the join back to the
+    * positional frame reuses the g distribution, and everything after is
+    * doc_id-keyed. Within-doc repeats don't count (gdf is distinct-doc).
+    */
+  def dupSpans(docs: DataFrame, w: Int = 16): DataFrame = {
+    val grams = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(gramsN(tokens, w)).as("g0"))
+      .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+    val shared = grams.distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") >= 2)
+      .select(col("g"))
+    val perDoc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val dup = grams.join(shared, "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"), 6)
+          .as("dup_ratio"))
+  }
 
   /** q33's core: exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥
     * `minJaccard`) over the df-capped shingle space of `docs` (doc_id,
@@ -459,6 +495,28 @@ object Dedup {
     "q30_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    // Positional gram space over strings (xxhash64 only renames grams);
+    // non-distinct grams in `grams` (one row per position), distinct-doc
+    // df for the >= 2 docs filter.
+    "q69_dup_spans" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           |  FROM documents WHERE text IS NOT NULL),
+           |grams AS (
+           |  SELECT doc_id, list_aggregate(t[i:i+15], 'string_agg', ' ') AS g
+           |  FROM toks, UNNEST(range(1, len(t) - 14)) AS r(i)
+           |  WHERE len(t) >= 16),
+           |shared AS (
+           |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams)
+           |  GROUP BY g HAVING count(*) >= 2),
+           |perdoc AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+           |dup AS (SELECT doc_id, count(*) AS n_dup
+           |        FROM grams JOIN shared USING (g) GROUP BY doc_id)
+           |SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+           |  CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup,
+           |  round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / p.n_grams, 6)
+           |    AS dup_ratio
+           |FROM perdoc p LEFT JOIN dup d USING (doc_id)""".stripMargin,
     "q33_ngram_jaccard" -> Q33Sql,
     // Connected components as transitive closure: fine at oracle SF where
     // components are tiny (the Spark side is the scalable label

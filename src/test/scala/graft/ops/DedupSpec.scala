@@ -111,6 +111,29 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("q69 dupSpans: positional cross-doc coverage; within-doc repeats don't count") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),       // 3 spans; "a b c","b c d" shared with doc 2
+      (2L, "x a b c d y"),     // 4 spans; 2 shared with doc 1
+      (3L, "p q r"),           // 1 span, duplicated verbatim by doc 5
+      (4L, "m m m m"),         // within-doc repeat ONLY: gdf=1, no dup
+      (5L, "p q r"),           // exact copy of doc 3
+      (6L, "s t"),             // shorter than w: no spans, excluded
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, w = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) === ((3L, 2L, math.rint(2.0 / 3 * 1e6) / 1e6)))
+    assert(out(2L) === ((4L, 2L, 0.5)))
+    assert(out(3L) === ((1L, 1L, 1.0)))
+    assert(out(4L) === ((2L, 0L, 0.0)))
+    assert(out(5L) === ((1L, 1L, 1.0)))
+    assert(!out.contains(6L) && !out.contains(7L))
+  }
+
   test("incrementalDedup: flags cross-side near-dups only, best reference match wins") {
     val s = spark
     import s.implicits._

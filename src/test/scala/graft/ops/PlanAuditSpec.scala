@@ -291,6 +291,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.collectFirst { case j: logical.Join => j }.nonEmpty, plan.toString)
   }
 
+  test("q69: long-keyed hash aggs all partial; no posting list, no cross join") {
+    val p = planString("q69_dup_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // distinct + gdf + perDoc + dup aggregations, each with a map-side
+    // partial pass — the operator's whole 100 TB story is that only
+    // COUNTS aggregate over the gram space, never collected doc ids
+    assert("HashAggregate".r.findAllIn(p).size >= 6, p)
+    assert(!p.contains("collect_list") && !p.contains("collect_set"), p)
+  }
+
   test("q56: both shuffles ride the same key families; aggs are partial") {
     val p = planString("q56_token_rarity")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
