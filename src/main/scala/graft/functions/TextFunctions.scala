@@ -154,6 +154,80 @@ object LineStats {
     Bridge.column(LineStats(Bridge.expression(text)))
 }
 
+/** Strip every `w`-token window starting at one of `positions` (0-based
+  * token indexes, any order) from a token array; returns
+  * `struct(n_tok, n_kept, text_clean)` with the kept tokens re-joined by
+  * single spaces. The apply step of duplicated-span removal (q70): q69's
+  * machinery marks which window starts are cross-doc duplicates, this
+  * expression cuts them out of the document map-side.
+  *
+  * One fused pass (sort positions + two-pointer coverage sweep —
+  * O(n log n) in the dup-position count, O(tokens) in the doc) inside
+  * whole-stage codegen; the HOF `filter(exists(...))` form would be
+  * CodegenFallback AND O(tokens x positions).
+  */
+case class StripSpans(left: Expression, right: Expression, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  require(w > 0, s"w must be positive, got $w")
+
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(LongType))
+  override def dataType: DataType = StripSpans.schema
+  override def prettyName: String = "strip_spans"
+
+  override def nullSafeEval(toks: Any, pos: Any): Any =
+    StripSpans.compute(toks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      pos.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, p) =>
+      s"${ev.value} = ${classOf[StripSpans].getName.stripSuffix("$")}$$.MODULE$$" +
+        s".compute($t, $p, $w);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object StripSpans {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_tok", LongType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("text_clean", StringType, nullable = false)))
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(toks: ArrayData, pos: ArrayData, w: Int): InternalRow = {
+    val n = toks.numElements()
+    val np = pos.numElements()
+    val ps = new Array[Long](np)
+    var i = 0
+    while (i < np) { ps(i) = pos.getLong(i); i += 1 }
+    java.util.Arrays.sort(ps)
+    val sb = new java.lang.StringBuilder
+    var kept = 0L
+    var cover = Long.MinValue // strip token t while t < cover
+    var j = 0
+    i = 0
+    while (i < n) {
+      while (j < np && ps(j) <= i) {
+        val end = ps(j) + w
+        if (end > cover) cover = end
+        j += 1
+      }
+      if (i >= cover) {
+        if (kept > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i).toString)
+        kept += 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      n.toLong, kept, UTF8String.fromString(sb.toString)))
+  }
+}
+
 /** SQL registrations for the text expressions (concatenated into the
   * session/extension registry by [[VectorFunctions.register]] and
   * [[GraftExtensions]]).
@@ -162,11 +236,22 @@ object TextFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
+  def stripSpans(tokens: Column, positions: Column, w: Int): Column =
+    Bridge.column(StripSpans(
+      Bridge.expression(tokens), Bridge.expression(positions), w))
+
   private[functions] val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
       (e: Seq[Expression]) => RepetitionStats(e(0))),
     (FunctionIdentifier("line_stats"),
       new ExpressionInfo(classOf[LineStats].getName, "line_stats"),
-      (e: Seq[Expression]) => LineStats(e(0))))
+      (e: Seq[Expression]) => LineStats(e(0))),
+    (FunctionIdentifier("strip_spans"),
+      new ExpressionInfo(classOf[StripSpans].getName, "strip_spans"),
+      (e: Seq[Expression]) => {
+        require(e.length == 3 && e(2).foldable && e(2).eval() != null,
+          "strip_spans(tokens, positions, w) needs a non-null literal w")
+        StripSpans(e(0), e(1), e(2).eval().asInstanceOf[Number].intValue())
+      }))
 }

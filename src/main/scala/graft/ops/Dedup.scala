@@ -262,6 +262,9 @@ object Dedup {
     // Duplicated-span coverage per doc — see [[dupSpans]].
     "q69_dup_spans" -> ((s, dir) => dupSpans(Tables.documents(s, dir))),
 
+    // Duplicated-span REMOVAL — see [[stripDupSpans]].
+    "q70_strip_spans" -> ((s, dir) => stripDupSpans(Tables.documents(s, dir))),
+
     // Incremental dedup: the increment (odd ids) screened against the
     // reference snapshot (even ids) — see [[incrementalDedup]].
     "q62_incr_dedup" -> ((s, dir) => {
@@ -303,6 +306,41 @@ object Dedup {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"), 6)
           .as("dup_ratio"))
+  }
+
+  /** The ACTION step of duplicated-span analysis: remove every cross-doc
+    * duplicated `w`-token span from every document (the "dedup the
+    * substring, keep the document" policy — a doc survives but its
+    * boilerplate/mirrored spans are cut). Output per doc with ≥1 token:
+    * (doc_id, n_tok, n_kept, text_clean); `text_clean` is the kept tokens
+    * re-joined with single spaces (whitespace-NORMALIZED — the tokenized
+    * contract, not byte-preserving).
+    *
+    * Scale: detection is [[dupSpans]]' counts-only machinery plus ONE
+    * per-doc position list (bounded by the doc's own token count — never
+    * corpus-scale state); the strip itself is the fused codegen
+    * [[graft.functions.StripSpans]] sweep in a map-side projection.
+    */
+  def stripDupSpans(docs: DataFrame, w: Int = 16): DataFrame = {
+    val live = docs.filter(col("text").isNotNull)
+    val grams = live
+      .select(col("doc_id"), posexplode(gramsN(tokens, w)).as(Seq("pos", "g0")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("g0")).as("g"))
+    val shared = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") >= 2)
+      .select(col("g"))
+    val dupPos = grams.join(shared, "g")
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("ps"))
+    live.join(dupPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.stripSpans(tokens,
+          coalesce(col("ps"), array().cast("array<long>")), w).as("st"))
+      .select(col("doc_id"),
+        col("st.n_tok").as("n_tok"),
+        col("st.n_kept").as("n_kept"),
+        col("st.text_clean").as("text_clean"))
   }
 
   /** q33's core: exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥
@@ -517,6 +555,38 @@ object Dedup {
            |  round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / p.n_grams, 6)
            |    AS dup_ratio
            |FROM perdoc p LEFT JOIN dup d USING (doc_id)""".stripMargin,
+    // Same dup-position space (1-based here, 0-based in Spark — the
+    // coverage predicate p <= i < p+16 is index-base-invariant); a token
+    // is kept iff no duplicated span covers it; kept tokens re-join with
+    // single spaces in input order.
+    "q70_strip_spans" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           |  FROM documents WHERE text IS NOT NULL),
+           |grams AS (
+           |  SELECT doc_id, i AS p, list_aggregate(t[i:i+15], 'string_agg', ' ') AS g
+           |  FROM toks, UNNEST(range(1, len(t) - 14)) AS r(i)
+           |  WHERE len(t) >= 16),
+           |shared AS (
+           |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams)
+           |  GROUP BY g HAVING count(*) >= 2),
+           |dpos AS (SELECT doc_id, p FROM grams JOIN shared USING (g)),
+           |tk AS (
+           |  SELECT doc_id, i, t[i] AS tok
+           |  FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)),
+           |kept AS (
+           |  SELECT tk.doc_id, tk.i, tk.tok FROM tk
+           |  WHERE NOT EXISTS (SELECT 1 FROM dpos d
+           |                    WHERE d.doc_id = tk.doc_id
+           |                      AND d.p <= tk.i AND tk.i < d.p + 16)),
+           |agg AS (
+           |  SELECT doc_id, count(*) AS n_kept,
+           |    string_agg(tok, ' ' ORDER BY i) AS text_clean
+           |  FROM kept GROUP BY doc_id)
+           |SELECT s.doc_id, CAST(len(s.t) AS BIGINT) AS n_tok,
+           |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           |  coalesce(a.text_clean, '') AS text_clean
+           |FROM toks s LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q33_ngram_jaccard" -> Q33Sql,
     // Connected components as transitive closure: fine at oracle SF where
     // components are tiny (the Spark side is the scalable label

@@ -30,7 +30,7 @@ class BenchSpec extends AnyFunSuite {
   test("render is valid JSON shape (balanced, no locale commas in numbers)") {
     val json = Bench.renderJson(Seq(("q01", 1.5, "ok"), ("q02", 0.25, "fail")), sfDir)
     val expected = """{"metric":"total","value":1.500,"unit":"sec",""" +
-      """"queries":{"q01":1.50,"q02":0.25},"failed":1,"fails":["q02"],""" +
+      """"queries":{"q01":1.50},"failed":1,"fails":["q02"],""" +
       s""""sf":"$sfDir"}"""
     assert(json == expected)
   }

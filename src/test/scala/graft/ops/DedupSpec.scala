@@ -134,6 +134,46 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(6L) && !out.contains(7L))
   }
 
+  test("q70 stripDupSpans: duplicated windows cut, overlaps merged, rest normalized") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),   // spans "a b c"(0),"b c d"(1) shared with doc 2
+      (2L, "x a b c d y"), // spans at 1,2 shared -> tokens 1..4 covered
+      (3L, "p q r"),       // fully duplicated by doc 4: everything stripped
+      (4L, "p q r"),
+      (5L, "solo words only here"), // nothing shared: whitespace-normalized copy
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(docs, w = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // doc 1: dup starts {0,1} cover tokens 0..3 -> only "e" survives
+    assert(out(1L) === ((5L, 1L, "e")))
+    // doc 2: dup starts {1,2} cover tokens 1..4 -> "x" and "y" survive
+    assert(out(2L) === ((6L, 2L, "x y")))
+    assert(out(3L) === ((3L, 0L, "")))
+    assert(out(4L) === ((3L, 0L, "")))
+    assert(out(5L) === ((4L, 4L, "solo words only here")))
+    assert(!out.contains(6L))
+  }
+
+  test("StripSpans expression: unsorted positions, boundary windows, empty list") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Seq("t0", "t1", "t2", "t3", "t4", "t5"), Seq(3L, 0L)), // unsorted input
+      (Seq("t0", "t1", "t2"), Seq.empty[Long]),
+      (Seq("t0", "t1", "t2", "t3"), Seq(2L))) // window runs past the end
+      .toDF("t", "ps")
+      .select(graft.functions.TextFunctions.stripSpans(col("t"), col("ps"), 2).as("st"))
+      .select("st.n_tok", "st.n_kept", "st.text_clean")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(df(0) === ((6L, 2L, "t2 t5"))) // {3,0} cover 0,1 and 3,4
+    assert(df(1) === ((3L, 3L, "t0 t1 t2")))
+    assert(df(2) === ((4L, 2L, "t0 t1"))) // start 2 covers 2,3
+  }
+
   test("incrementalDedup: flags cross-side near-dups only, best reference match wins") {
     val s = spark
     import s.implicits._

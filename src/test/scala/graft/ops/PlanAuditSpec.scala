@@ -302,6 +302,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("collect_list") && !p.contains("collect_set"), p)
   }
 
+  test("q70: strip runs as the fused expression in a projection; no cross join") {
+    val p = planString("q70_strip_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the cut itself is the codegen expression, not a HOF filter
+    assert(p.contains("strip_spans"), p)
+    assert(!p.contains("ArrayFilter") && !p.contains("ArrayExists"), p)
+    // the only collect_list is the per-doc position list (bounded by the
+    // doc's own token count)
+    assert("collect_list".r.findAllIn(p).size <= 2, p)
+  }
+
   test("q56: both shuffles ride the same key families; aggs are partial") {
     val p = planString("q56_token_rarity")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
