@@ -28,7 +28,7 @@ object SparkEntry {
       Similarity.queries ++ Multimodal.queries ++ Sampling.queries ++
       Decontam.queries ++ Pii.queries ++ AudioWav.queries ++
       Curation.queries ++ Pca.queries ++ Lm.queries ++
-      sources.JsonLines.queries ++
+      sources.JsonLines.queries ++ sources.Warc.queries ++
       inspector.Inspector.queries ++ streaming.KafkaSink.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,6 +39,6 @@ object SparkEntry {
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Sampling.oracles ++
       Decontam.oracles ++ Pii.oracles ++ Curation.oracles ++ Pca.oracles ++
-      Lm.oracles ++ sources.JsonLines.oracles ++
+      Lm.oracles ++ sources.JsonLines.oracles ++ sources.Warc.oracles ++
       inspector.Inspector.oracles ++ streaming.KafkaSink.oracles
 }
