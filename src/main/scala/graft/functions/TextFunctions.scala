@@ -154,6 +154,86 @@ object LineStats {
     Bridge.column(LineStats(Bridge.expression(text)))
 }
 
+/** 64-bit hashes of ALL word n-grams of a token array, in order,
+  * duplicates kept; empty array for docs under n tokens (the
+  * [[graft.ops.Dedup.gramsN]] window contract, hashed).
+  *
+  * Why it exists: every gram pipeline (Jaccard dedup, decontamination,
+  * duplicated-span analysis) used to build the gram STRING
+  * (`concat_ws(" ", slice(...))` — up to n tokens of byte copying per
+  * position) only to `xxhash64` it one projection later. The hash is all
+  * that ever leaves the row, so this expression computes it directly:
+  * one XXH64 per token, then an O(tokens) polynomial rolling combine —
+  * no gram string, no slice, no per-position re-concatenation. The hash
+  * family differs from `xxhash64(gram-string)` but that only RENAMES
+  * grams (the q33 oracle argument): df-caps, distinct sets,
+  * intersections and counts are identical, and the DuckDB oracles
+  * compute over gram strings independently.
+  *
+  * Collisions: token hashes are XXH64 (seed 42, Spark's xxhash64 seed);
+  * the window combine is an order-sensitive degree-(n-1) polynomial in
+  * an odd prime over Z/2^64 — two windows collide with ~2^-64
+  * probability, the same class as the xxhash64-rename argument.
+  */
+case class HashedGrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n > 0, s"n must be positive, got $n")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_grams"
+
+  override def nullSafeEval(input: Any): Any =
+    HashedGrams.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = ${classOf[HashedGrams].getName.stripSuffix("$")}$$.MODULE$$" +
+        s".compute($v, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedGrams {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  /** Odd multiplier for the rolling polynomial (splitmix64's constant). */
+  private val P = 0x9E3779B97F4A7C15L
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    // one XXH64 per token (Spark's xxhash64 seed), reused by every window
+    val th = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      val t = toks.getUTF8String(i)
+      th(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
+      i += 1
+    }
+    // pN = P^(n-1): the weight the outgoing token carries in the window
+    var pN = 1L
+    i = 1
+    while (i < n) { pN *= P; i += 1 }
+    val out = new Array[Long](len - n + 1)
+    var h = 0L
+    i = 0
+    while (i < n) { h = h * P + th(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i <= len - n) {
+      h = (h - th(i - 1) * pN) * P + th(i + n - 1)
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Strip every `w`-token window starting at one of `positions` (0-based
   * token indexes, any order) from a token array; returns
   * `struct(n_tok, n_kept, text_clean)` with the kept tokens re-joined by
@@ -239,6 +319,9 @@ object TextFunctions {
   def stripSpans(tokens: Column, positions: Column, w: Int): Column =
     Bridge.column(StripSpans(
       Bridge.expression(tokens), Bridge.expression(positions), w))
+
+  def hashedGrams(tokens: Column, n: Int): Column =
+    Bridge.column(HashedGrams(Bridge.expression(tokens), n))
 
   private[functions] val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("repetition_stats"),

@@ -30,8 +30,8 @@ object Decontam {
     * the benchmark.
     */
   private def grams(df: DataFrame, n: Int) = df
-    .select(col("doc_id"), explode(array_distinct(Dedup.gramsN(Dedup.tokens, n))).as("g0"))
-    .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+    .select(col("doc_id"), explode(array_distinct(
+      graft.functions.TextFunctions.hashedGrams(Dedup.tokens, n))).as("g"))
 
   /** Distinct xxhash64 n-gram set of the benchmark (`g` column).
     * Precompute (and cache) this once when screening REPEATEDLY against
@@ -75,7 +75,11 @@ object Decontam {
   def bloomContaminated(train: DataFrame, bench: DataFrame, n: Int = GramN,
                         numBits: Long = 1L << 23, numHashes: Int = 5): DataFrame = {
     import graft.functions.BloomFunctions
-    val bg = benchGramSet(bench, n)
+    // materialized once: the gram set feeds BOTH the bloom build (an
+    // eager action here) and the confirm join in the returned plan —
+    // without the boundary the bench-side scan+tokenize+distinct pipeline
+    // runs twice
+    val bg = Materialize(benchGramSet(bench, n))
     val bloomBytes = bg
       .agg(BloomFunctions.bloomAgg(col("g"), numBits, numHashes).as("bf"))
       .head.getAs[Array[Byte]](0)

@@ -36,7 +36,7 @@ object Dedup {
   private val BucketCap = 200
 
   /** Whitespace tokens of `text`. */
-  private[ops] def tokens: Column = split(trim(col("text")), "\\s+")
+  private[graft] def tokens: Column = split(trim(col("text")), "\\s+")
 
   /** ALL word n-grams of a token array, in order, duplicates kept; empty
     * array for docs with fewer than n tokens (round-2 verdict: the old
@@ -44,7 +44,7 @@ object Dedup {
     * docs — single definition so that off-by-one can't reappear in one
     * copy). Width 3 for the dedup ops; width 8 for decontamination.
     */
-  private[ops] def gramsN(toks: Column, n: Int): Column =
+  private[graft] def gramsN(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
@@ -196,9 +196,10 @@ object Dedup {
     // CollapseProject inlines them into every consumer, so the plan
     // re-tokenized each doc ~20x.
     "q31_dedup_minhash" -> ((s, dir) => {
-      val grams = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(gram3of(tokens)).as("g"))
-      val hashed = grams.select(col("doc_id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
+      val hashed = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.TextFunctions.hashedGrams(tokens, 3))).as("g"))
+        .select(col("doc_id"), pmod(col("g"), lit(P)).as("h"))
       val minCols = (0 until NumHashes).map(i =>
         min(pmod(col("h") * permMul(i), lit(P))).as(s"m$i"))
       // one row per doc, 17 longs — materialized once ([[Materialize]])
@@ -292,8 +293,8 @@ object Dedup {
     */
   def dupSpans(docs: DataFrame, w: Int = 16): DataFrame = {
     val grams = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), explode(gramsN(tokens, w)).as("g0"))
-      .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.hashedGrams(tokens, w)).as("g"))
     val shared = grams.distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") >= 2)
@@ -324,9 +325,9 @@ object Dedup {
   def stripDupSpans(docs: DataFrame, w: Int = 16): DataFrame = {
     val live = docs.filter(col("text").isNotNull)
     val grams = live
-      .select(col("doc_id"), posexplode(gramsN(tokens, w)).as(Seq("pos", "g0")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        xxhash64(col("g0")).as("g"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextFunctions.hashedGrams(tokens, w)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("g"))
     val shared = grams.select(col("doc_id"), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") >= 2)
@@ -353,15 +354,18 @@ object Dedup {
     pairsFromGrams(gramsOf(docs), minJaccard)
 
   /** The hashed 3-gram inverted frame (doc_id, g) of a (doc_id, text)
-    * frame. Explode directly: the generator evaluates gram3of once per
-    * doc and empty arrays vanish on their own (no size() filter that
-    * would get a second inlined copy of the expression). Grams travel as
-    * 64-bit hashes, not strings — the groupBy key is all that matters
-    * and the estimate tolerates the negligible collision rate.
+    * frame. Explode directly: the generator evaluates the gram expression
+    * once per doc and empty arrays vanish on their own (no size() filter
+    * that would get a second inlined copy of the expression). Grams
+    * travel as 64-bit hashes, not strings — computed by the fused
+    * [[graft.functions.HashedGrams]] rolling pass (round 7: the old form
+    * built every gram STRING via concat_ws only to hash it one projection
+    * later); the groupBy key is all that matters and the estimate
+    * tolerates the negligible collision rate.
     */
   private[graft] def gramsOf(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"), explode(gram3of(tokens)).as("g0"))
-    .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+    .select(col("doc_id"), explode(array_distinct(
+      graft.functions.TextFunctions.hashedGrams(tokens, 3))).as("g"))
 
   private def pairsFromGrams(inv: DataFrame, minJaccard: Double): DataFrame = {
     // df-capped posting lists, pairs expanded in-group. Measured against

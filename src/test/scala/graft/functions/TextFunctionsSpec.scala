@@ -53,4 +53,36 @@ class TextFunctionsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan) // map-side only — the point
     assert(plan.contains("*(1)"), plan) // the whole query is ONE codegen stage
   }
+
+  test("HashedGrams: window contract and equality structure match string grams") {
+    val s = spark
+    import s.implicits._
+    // adversarial shapes: repeats, shared windows, short docs, empties
+    val rnd = new scala.util.Random(17)
+    val docs = (Seq(
+      "a b c d e", "c d e a b", "a a a a", "x", "", "a b",
+      "a b c a b c a b c") ++
+      (0 until 50).map(_ => (0 until rnd.nextInt(30)).map(_ => s"t${rnd.nextInt(6)}").mkString(" ")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for (n <- Seq(2, 3, 8)) {
+      val rows = docs.toDF("id", "text")
+        .select(col("id"),
+          TextFunctions.hashedGrams(graft.ops.Dedup.tokens, n).as("h"),
+          graft.ops.Dedup.gramsN(graft.ops.Dedup.tokens, n).as("g"))
+        .collect()
+        .map(r => (r.getSeq[Long](1), r.getSeq[String](2)))
+      rows.foreach { case (h, g) =>
+        assert(h.length === g.length) // same window count incl. short docs
+        // the hash distinguishes exactly the pairs the strings distinguish
+        for (i <- h.indices; j <- i + 1 until h.length)
+          assert((h(i) == h(j)) === (g(i) == g(j)), s"n=$n windows $i,$j")
+      }
+      // cross-doc: equal gram strings hash equal (the join-key contract)
+      val all = rows.flatMap { case (h, g) => h.zip(g) }
+      all.groupBy(_._2).values.foreach(grp =>
+        assert(grp.map(_._1).distinct.length === 1))
+      // ... and distinct gram strings get distinct hashes at this scale
+      assert(all.map(_._1).distinct.length === all.map(_._2).distinct.length)
+    }
+  }
 }

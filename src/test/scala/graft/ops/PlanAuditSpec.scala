@@ -275,18 +275,21 @@ class PlanAuditSpec extends SparkSpec {
         _.isInstanceOf[graft.functions.BloomMightContain]) => f
     }
     assert(probes.nonEmpty, s"bloom prescreen filter vanished:\n$plan")
-    probes.foreach { f =>
-      // the prescreen runs in the corpus-side MAP phase: directly over the
-      // gram explode of the scan, with no join/aggregate underneath it —
-      // deleting the .filter(mightContain(...)) or hoisting it above the
-      // confirm join fails here
-      assert(f.collectFirst { case g: logical.Generate => g }.nonEmpty,
-        s"prescreen no longer sits over the gram explode:\n$f")
-      assert(f.collectFirst {
-        case j: logical.Join => j
-        case a: logical.Aggregate => a
-      }.isEmpty, s"prescreen has a join/aggregate below it (not map-side):\n$f")
+    // the prescreen must run in the corpus-side MAP phase: at least one
+    // probe filter directly over the gram explode with no join/aggregate
+    // underneath — deleting the .filter(mightContain(...)) or hoisting it
+    // above the confirm join fails here. (The optimizer may INFER extra
+    // copies of the predicate onto the other join side — those are
+    // harmless and not the subject.)
+    val mapSide = probes.filter { f =>
+      f.collectFirst { case g: logical.Generate => g }.nonEmpty &&
+        f.collectFirst {
+          case j: logical.Join => j
+          case a: logical.Aggregate => a
+        }.isEmpty
     }
+    assert(mapSide.nonEmpty,
+      s"no map-side prescreen over the gram explode:\n$plan")
     // and the confirm join is still there ABOVE the prescreen (exactness)
     assert(plan.collectFirst { case j: logical.Join => j }.nonEmpty, plan.toString)
   }
