@@ -26,28 +26,38 @@ import graft.Tables
   */
 object Lm {
 
-  /** Struct bigrams of a token array: (w1, bg="w1 w2") per adjacent pair;
-    * empty for docs with fewer than 2 tokens. The n-gram WINDOWING comes
-    * from the one shared [[Dedup.gramsN]] definition (its doc forbids
-    * re-rolling the off-by-one-prone bound); this only zips each 2-gram
-    * with its history token.
+  /** Hashed (w1, bigram) key pairs of a token array, aligned by position:
+    * struct array of (history-token hash, bigram hash) per adjacent pair;
+    * empty for docs with fewer than 2 tokens. Both sides come from the
+    * fused [[graft.functions.HashedGrams]] rolling pass (1-grams ARE the
+    * token hashes) zipped by the codegen-capable `arrays_zip` — round 7:
+    * the old form built every "w1 w2" STRING inside an interpreted
+    * `zip_with` (HOFs are CodegenFallback) and joined on string keys.
+    * Hashes only rename tokens/bigrams: the counts, the smoothed
+    * probabilities, and the oracle (which recomputes over strings in
+    * DuckDB) are unchanged.
     */
-  private def bigrams(toks: Column): Column =
-    zip_with(
-      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-      Dedup.gramsN(toks, 2),
-      (w1, bg) => struct(w1.as("w1"), bg.as("bg")))
+  private def bigramKeys(toks: Column): Column = {
+    import graft.functions.TextFunctions.hashedGrams
+    arrays_zip(
+      slice(hashedGrams(toks, 1), lit(1), greatest(size(toks) - 1, lit(0))),
+      hashedGrams(toks, 2))
+  }
 
-  /** (unigram counts, bigram counts, vocabulary size) of the reference. */
+  /** (unigram counts, bigram counts, vocabulary size) of the reference.
+    * Tables are keyed by 64-bit token/bigram hashes (`w1`, `bg`).
+    */
   def bigramModel(train: DataFrame): (DataFrame, DataFrame, Long) = {
-    val toks = train.select(explode(Dedup.tokens).as("w1"))
+    import graft.functions.TextFunctions.hashedGrams
+    val toks = train.select(explode(hashedGrams(Dedup.tokens, 1)).as("w1"))
     // materialized: consumed twice (the V count here, the score join later)
     val uni = Materialize(toks.groupBy(col("w1")).agg(count(lit(1)).as("c1")))
     // materialized like uni: the streaming form calls score() per
     // micro-batch against one model — bi's reference-scale scan+shuffle
     // must not replay every trigger
-    val bi = Materialize(train.select(explode(bigrams(Dedup.tokens)).as("b"))
-      .groupBy(col("b.bg").as("bg")).agg(count(lit(1)).as("c2")))
+    val bi = Materialize(
+      train.select(explode(hashedGrams(Dedup.tokens, 2)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c2")))
     val v = uni.count()
     require(v > 0,
       "Lm.bigramModel: the reference slice has an empty vocabulary " +
@@ -60,8 +70,8 @@ object Lm {
     */
   def score(docs: DataFrame, uni: DataFrame, bi: DataFrame, v: Long): DataFrame =
     docs
-      .select(col("doc_id"), explode(bigrams(Dedup.tokens)).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bg"))
+      .select(col("doc_id"), explode(bigramKeys(Dedup.tokens)).as("b"))
+      .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("bg"))
       .join(bi, Seq("bg"), "left")
       .join(uni, Seq("w1"), "left")
       .select(col("doc_id"),
