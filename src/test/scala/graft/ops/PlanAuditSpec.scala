@@ -323,4 +323,18 @@ class PlanAuditSpec extends SparkSpec {
     // partial + final pairs for both the token-df agg and the doc agg
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
+
+  test("q72: term filter under the explode; heap top-k, never a global sort") {
+    val p = planString("q72_bm25")
+    assert(!p.contains("CartesianProduct"), p)
+    // the global top-k is per-partition heaps + driver merge
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // df (≤|terms| rows) and the 1-row stats frame join as broadcasts
+    assert(!p.contains("SortMergeJoin"), p)
+    // tf/df/doc aggs all partial
+    assert("HashAggregate".r.findAllIn(p).size >= 6, p)
+    // the isin(term) filter must sit with the generate (map-side), not
+    // after a shuffle: no exchange may carry the un-filtered token stream
+    assert(p.contains("spark") && p.contains("INSET") || p.contains("IN ("), p)
+  }
 }
