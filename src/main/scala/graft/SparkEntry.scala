@@ -29,6 +29,7 @@ object SparkEntry {
       Decontam.queries ++ Pii.queries ++ AudioWav.queries ++
       Curation.queries ++ Pca.queries ++ Lm.queries ++ Search.queries ++
       sources.JsonLines.queries ++ sources.Warc.queries ++
+      sources.TfRecord.queries ++
       inspector.Inspector.queries ++ streaming.KafkaSink.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       Decontam.oracles ++ Pii.oracles ++ Curation.oracles ++ Pca.oracles ++
       Lm.oracles ++ Search.oracles ++
       sources.JsonLines.oracles ++ sources.Warc.oracles ++
+      sources.TfRecord.oracles ++
       inspector.Inspector.oracles ++ streaming.KafkaSink.oracles
 }
