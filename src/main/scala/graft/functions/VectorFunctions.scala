@@ -298,6 +298,7 @@ object VectorFunctions {
   /** Every graft SQL function (vector + text + aggregate registries). */
   private[functions] def allSqlFunctions =
     sqlFunctions ++ TextFunctions.sqlFunctions ++
+      HtmlFunctions.sqlFunctions ++
       CappedCollectSetLong.sqlFunctions ++ MisraGriesTopK.sqlFunctions
 
   /** Make the functions available to `spark.sql` on a live session. */

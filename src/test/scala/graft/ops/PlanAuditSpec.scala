@@ -149,6 +149,15 @@ class PlanAuditSpec extends SparkSpec {
       plan.toString)
   }
 
+  test("q74: html extraction is a shuffle-free codegen scan projection") {
+    val plan = executed(graft.SparkEntry.queries("q74_html_extract")(spark, sf))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      plan.toString)
+    // the expression must sit inside a whole-stage-codegen span ("*(n)"
+    // in simpleString), not an interpreted fallback project
+    assert(plan.toString.contains("*(1) Project"), plan.toString)
+  }
+
   test("q63: model joins are hash joins, per-doc agg is partial") {
     val p = planString("q63_lm_score")
     assert(!p.contains("CartesianProduct"), p)
