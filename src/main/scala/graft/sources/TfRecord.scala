@@ -265,21 +265,25 @@ object TfRecord {
         .select(col("doc_id"), col("text"), col("n_chars"))
         .as[(Long, String, Long)]
         .mapPartitions { it =>
-          val recs = it.map { case (id, text, nChars) =>
-            encodeExample(Seq(
-              "doc_id" -> Feature.of(id),
-              "text" -> Feature.of(text),
-              "n_chars" -> Feature.of(nChars)))
-          }.toSeq
-          val fileBytes = render(recs, gzip = true)
-          recordsAuto("part.tfrecord.gz", fileBytes).map { bytes =>
-            val f = decodeExample(bytes)
-            val id = f("doc_id").asInstanceOf[Int64Feature].values.head
-            val text = new String(
-              f("text").asInstanceOf[BytesFeature].values.head,
-              StandardCharsets.UTF_8)
-            val nChars = f("n_chars").asInstanceOf[Int64Feature].values.head
-            (id, nChars, text)
+          // bounded chunks, never the whole partition in memory (the q71
+          // shape): the rendered shard is a transient roundtrip buffer
+          it.grouped(256).flatMap { chunk =>
+            val recs = chunk.map { case (id, text, nChars) =>
+              encodeExample(Seq(
+                "doc_id" -> Feature.of(id),
+                "text" -> Feature.of(text),
+                "n_chars" -> Feature.of(nChars)))
+            }
+            val fileBytes = render(recs, gzip = true)
+            recordsAuto("part.tfrecord.gz", fileBytes).map { bytes =>
+              val f = decodeExample(bytes)
+              val id = f("doc_id").asInstanceOf[Int64Feature].values.head
+              val text = new String(
+                f("text").asInstanceOf[BytesFeature].values.head,
+                StandardCharsets.UTF_8)
+              val nChars = f("n_chars").asInstanceOf[Int64Feature].values.head
+              (id, nChars, text)
+            }
           }
         }
         .toDF("doc_id", "n_chars", "text")

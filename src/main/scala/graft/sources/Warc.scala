@@ -139,29 +139,60 @@ object Warc {
 
   /** Render records as WARC bytes; `gzipPerRecord` writes one gzip member
     * per record (the Common Crawl layout, enables per-record skipping).
+    * One Deflater serves every member (reset between records) — a fresh
+    * GZIPOutputStream per record costs a native deflater alloc/free each,
+    * which dominates sink throughput on small records.
     */
   def render(recs: Seq[WarcRecord], gzipPerRecord: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    recs.foreach { r =>
-      val one = new ByteArrayOutputStream()
-      val h = new StringBuilder()
-        .append("WARC/1.0\r\n")
-        .append(s"WARC-Type: ${r.warcType}\r\n")
-        .append(s"WARC-Record-ID: ${r.recordId}\r\n")
-        .append(s"WARC-Date: ${r.date}\r\n")
-      if (r.targetUri.nonEmpty) h.append(s"WARC-Target-URI: ${r.targetUri}\r\n")
-      h.append(s"Content-Type: ${r.contentType}\r\n")
-        .append(s"Content-Length: ${r.content.length}\r\n")
-        .append("\r\n")
-      one.write(h.toString.getBytes(StandardCharsets.ISO_8859_1))
-      one.write(r.content)
-      one.write("\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1))
-      if (gzipPerRecord) {
-        val gz = new java.util.zip.GZIPOutputStream(out)
-        gz.write(one.toByteArray); gz.finish()
-      } else out.write(one.toByteArray)
-    }
+    val deflater =
+      if (gzipPerRecord) new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      else null
+    try {
+      recs.foreach { r =>
+        val one = new ByteArrayOutputStream()
+        val h = new StringBuilder()
+          .append("WARC/1.0\r\n")
+          .append(s"WARC-Type: ${r.warcType}\r\n")
+          .append(s"WARC-Record-ID: ${r.recordId}\r\n")
+          .append(s"WARC-Date: ${r.date}\r\n")
+        if (r.targetUri.nonEmpty) h.append(s"WARC-Target-URI: ${r.targetUri}\r\n")
+        h.append(s"Content-Type: ${r.contentType}\r\n")
+          .append(s"Content-Length: ${r.content.length}\r\n")
+          .append("\r\n")
+        one.write(h.toString.getBytes(StandardCharsets.ISO_8859_1))
+        one.write(r.content)
+        one.write("\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1))
+        if (gzipPerRecord) writeGzipMember(out, one.toByteArray, deflater)
+        else out.write(one.toByteArray)
+      }
+    } finally if (deflater != null) deflater.end()
     out.toByteArray
+  }
+
+  /** One RFC 1952 gzip member from a reusable raw deflater: 10-byte
+    * header, raw-deflate body, CRC32 + ISIZE trailer (both LE).
+    */
+  private def writeGzipMember(
+      out: ByteArrayOutputStream,
+      data: Array[Byte],
+      deflater: java.util.zip.Deflater): Unit = {
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte))
+    deflater.reset()
+    deflater.setInput(data)
+    deflater.finish()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+    }
+    val crc = new java.util.zip.CRC32
+    crc.update(data)
+    val trailer = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(crc.getValue.toInt).putInt(data.length)
+    out.write(trailer.array())
   }
 
   /** WARC files → one row per record (binaryFile source, one file = one
@@ -197,16 +228,21 @@ object Warc {
         .filter(col("text").isNotNull)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions { it =>
-          val recs = it.map { case (id, text) =>
-            WarcRecord("response", s"<urn:uuid:$id>", s"doc://$id",
-              "2026-01-01T00:00:00Z", "text/plain",
-              text.getBytes(StandardCharsets.UTF_8))
-          }.toSeq
-          val fileBytes = render(recs, gzipPerRecord = true)
-          recordsAuto("part.warc.gz", fileBytes).map { r =>
-            (r.targetUri.stripPrefix("doc://").toLong,
-              r.content.length.toLong,
-              new String(r.content, StandardCharsets.UTF_8))
+          // bounded chunks, never the whole partition in memory — the
+          // rendered bytes are a transient roundtrip buffer, and at 100 TB
+          // a partition-sized one is an OOM
+          it.grouped(256).flatMap { chunk =>
+            val recs = chunk.map { case (id, text) =>
+              WarcRecord("response", s"<urn:uuid:$id>", s"doc://$id",
+                "2026-01-01T00:00:00Z", "text/plain",
+                text.getBytes(StandardCharsets.UTF_8))
+            }
+            val fileBytes = render(recs, gzipPerRecord = true)
+            recordsAuto("part.warc.gz", fileBytes).map { r =>
+              (r.targetUri.stripPrefix("doc://").toLong,
+                r.content.length.toLong,
+                new String(r.content, StandardCharsets.UTF_8))
+            }
           }
         }
         .toDF("doc_id", "n_bytes", "text")
