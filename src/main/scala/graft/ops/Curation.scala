@@ -181,7 +181,63 @@ object Curation {
         col("score"), col("rank"))
   }
 
+  /** Fused curation verdict (q76): the whole C4/Gopher-style document
+    * filter chain — length bounds, vocabulary diversity, word shape,
+    * gram/token repetition, PII exposure — evaluated in ONE scan-stage
+    * projection. Each signal exists as its own operator (q38/q44/q50);
+    * production pipelines run the verdict, not the signals: at 100 TB,
+    * five separate passes read the corpus five times, while this plan
+    * reads it once, keeps everything in whole-stage codegen, and shuffles
+    * nothing.
+    *
+    * Reasons are a fixed-order `;`-joined string (not an array — the
+    * verify harness can't hash array cells) and `keep_flag` is 1 iff no
+    * reason fired. Thresholds are corpus-tuning knobs, defaulted here to
+    * values that discriminate on the driver testdata.
+    */
+  def curationVerdict(docs: DataFrame): DataFrame = {
+    import graft.functions.RepetitionStats
+    val piiCount =
+      Seq(Pii.Email, Pii.Phone, Pii.Ipv4, Pii.LongId)
+        .map(p => size(regexp_extract_all(col("text"), lit(p), lit(0))))
+        .reduce(_ + _).cast("long")
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("n_chars"),
+        RepetitionStats(col("text")).as("st"),
+        size(array_distinct(split(trim(col("text")), "\\s+"))).cast("long")
+          .as("n_uniq"),
+        piiCount.as("n_pii"))
+    val nWords = col("st.n_toks")
+    val uniqRatio = col("n_uniq").cast("double") / nWords
+    val charsPerWord = col("n_chars").cast("double") / nWords
+    val dupGram = when(col("st.ng") > 0,
+      lit(1.0) - col("st.nu").cast("double") / col("st.ng")).otherwise(lit(0.0))
+    val topToken = col("st.top").cast("double") / nWords
+    // fixed evaluation order = fixed reason string; thresholds compare the
+    // UNROUNDED doubles (identical IEEE expressions on both engines)
+    val reasons = concat(
+      when(nWords < 20, lit("too_short;")).otherwise(lit("")),
+      when(uniqRatio < 0.5, lit("low_diversity;")).otherwise(lit("")),
+      when(charsPerWord < 5.0 || charsPerWord > 6.0, lit("word_shape;"))
+        .otherwise(lit("")),
+      when(dupGram > 0.05 || topToken > 0.2, lit("repetitive;"))
+        .otherwise(lit("")),
+      when(col("n_pii") > 0, lit("pii;")).otherwise(lit("")))
+    base.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(uniqRatio, 6).as("uniq_ratio"),
+      round(dupGram, 6).as("dup_gram_ratio"),
+      round(topToken, 6).as("top_token_ratio"),
+      col("n_pii"),
+      reasons.as("reject_reasons"),
+      when(reasons === "", lit(1L)).otherwise(lit(0L)).as("keep_flag"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_curation_verdict" -> ((s, dir) =>
+      curationVerdict(Tables.documents(s, dir))),
+
     // Overlapping context-window chunks (win 32 / stride 24 at gate
     // scale so multi-chunk docs actually occur in the fixture corpus).
     "q64_chunk" -> ((s, dir) => chunked(Tables.documents(s, dir), 32, 24)),
@@ -288,6 +344,57 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    // The verdict composes the q38/q44/q50 oracle expressions verbatim
+    // (same tokenizer, same gram space, same regexes); the CASE chain
+    // mirrors the fixed reason order and compares the same unrounded
+    // doubles.
+    "q76_curation_verdict" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id, n_chars, text,
+           |         regexp_split_to_array(trim(text), '\s+') AS tk
+           |  FROM documents WHERE text IS NOT NULL),
+           |g AS (
+           |  SELECT doc_id, n_chars, text, len(tk) AS n_words,
+           |    len(list_distinct(tk)) AS n_uniq,
+           |    CASE WHEN len(tk) >= 3 THEN len(tk) - 2 ELSE 0 END AS ng,
+           |    CASE WHEN len(tk) >= 3
+           |         THEN len(list_distinct(list_transform(
+           |                generate_series(1, len(tk) - 2),
+           |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+           |         ELSE 0 END AS nu,
+           |    list_max(list_transform(list_distinct(tk),
+           |      x -> len(list_filter(tk, y -> y = x)))) AS top,
+           |    len(regexp_extract_all(text, '${Pii.Email}'))
+           |      + len(regexp_extract_all(text, '${Pii.Phone}'))
+           |      + len(regexp_extract_all(text, '${Pii.Ipv4}'))
+           |      + len(regexp_extract_all(text, '${Pii.LongId}')) AS n_pii
+           |  FROM t),
+           |s AS (
+           |  SELECT doc_id, n_words, n_pii,
+           |    CAST(n_uniq AS DOUBLE) / n_words AS uniq_ratio,
+           |    CAST(n_chars AS DOUBLE) / n_words AS cpw,
+           |    CASE WHEN ng > 0 THEN 1.0 - CAST(nu AS DOUBLE) / ng
+           |         ELSE 0.0 END AS dup_gram_ratio,
+           |    CAST(top AS DOUBLE) / n_words AS top_token_ratio
+           |  FROM g),
+           |r AS (
+           |  SELECT *,
+           |    (CASE WHEN n_words < 20 THEN 'too_short;' ELSE '' END)
+           |    || (CASE WHEN uniq_ratio < 0.5 THEN 'low_diversity;' ELSE '' END)
+           |    || (CASE WHEN cpw < 5.0 OR cpw > 6.0 THEN 'word_shape;' ELSE '' END)
+           |    || (CASE WHEN dup_gram_ratio > 0.05 OR top_token_ratio > 0.2
+           |             THEN 'repetitive;' ELSE '' END)
+           |    || (CASE WHEN n_pii > 0 THEN 'pii;' ELSE '' END) AS reject_reasons
+           |  FROM s)
+           |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           |  round(uniq_ratio, 6) AS uniq_ratio,
+           |  round(dup_gram_ratio, 6) AS dup_gram_ratio,
+           |  round(top_token_ratio, 6) AS top_token_ratio,
+           |  CAST(n_pii AS BIGINT) AS n_pii, reject_reasons,
+           |  CAST(CASE WHEN reject_reasons = '' THEN 1 ELSE 0 END AS BIGINT)
+           |    AS keep_flag
+           |FROM r""".stripMargin,
+
     // Same tokenizer, same integer tf/df, same ln; BOTH engines rank by
     // the rounded score so ties resolve identically (tok asc). row_number
     // is INT on the Spark side and BIGINT here — the gate stringifies

@@ -229,4 +229,37 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q76 verdict: each reason branch fires alone, keep iff none fire") {
+    import spark.implicits._
+    def doc(words: Seq[String]) = {
+      val t = words.mkString(" ")
+      (t, t.length.toLong)
+    }
+    val keepDoc = doc((1 to 25).map(i => f"wrd$i%02d")) // 5-char, distinct
+    val short = doc((1 to 10).map(i => f"wrd$i%02d"))
+    val spam = doc(Seq.fill(30)("spamo")) // low diversity + repetitive
+    val tiny = doc((0 until 25).map(i => f"$i%02d")) // 25 distinct 2-char words
+    val pii = doc((1 to 24).map(i => f"wd$i%02d") :+ "bob@example.com")
+    val rows = Seq(
+      (1L, keepDoc._1, keepDoc._2), (2L, short._1, short._2),
+      (3L, spam._1, spam._2), (4L, tiny._1, tiny._2),
+      (5L, pii._1, pii._2), (6L, null.asInstanceOf[String], 0L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Curation.curationVerdict(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("reject_reasons"), r.getAs[Long]("keep_flag"))).toMap
+    assert(got.size === 5) // NULL text excluded
+    assert(got(1L) === ("", 1L))
+    assert(got(2L) === ("too_short;", 0L))
+    assert(got(3L) === ("low_diversity;repetitive;", 0L))
+    assert(got(4L) === ("word_shape;", 0L))
+    assert(got(5L) === ("pii;", 0L))
+  }
+
+  test("q76 verdict plan is a shuffle-free scan projection") {
+    val df = graft.SparkEntry.queries("q76_curation_verdict")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
 }
