@@ -1,0 +1,236 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (q77) — the vector-compression layer an ANN
+  * system needs once the corpus outgrows RAM: split each d-dim embedding
+  * into `m` subvectors, k-means each subspace, store only the `m`
+  * centroid indices. Here m=8 × k=16 over 64-dim floats packs a 256-byte
+  * vector into ONE LONG (4 bits/subspace) — 32× smaller, and asymmetric
+  * distance (ADC) search scans codes with a per-query lookup table
+  * instead of touching floats.
+  *
+  * Scale posture: codebook fitting is driver-side on a BOUNDED unbiased
+  * sample (smallest-xxhash64 rows — the q43 fit contract; codebooks are
+  * ~4 KB); encoding is a broadcast-codebook mapPartitions pass — zero
+  * shuffles, the corpus is read once; ADC search is per-partition top-k
+  * heaps + a tiny final merge (the q35 shape). Nothing in the plan holds
+  * state proportional to corpus size.
+  *
+  * PQ needs L2 geometry per-subspace (subvectors are not normalized, so
+  * the cosine KMeansLite is the wrong metric) — [[KMeansL2]] below is the
+  * deterministic L2 twin of KMeansLite's farthest-point + Lloyd loop.
+  */
+object Pq {
+
+  /** [m][k][subDim] codebooks + the packing geometry. */
+  final case class Model(m: Int, k: Int, subDim: Int,
+      codebooks: Array[Array[Array[Float]]]) {
+    val bits: Int = 32 - Integer.numberOfLeadingZeros(k - 1) // ceil(log2 k)
+    require(m * bits <= 64, s"codes must pack into one long: m=$m k=$k")
+  }
+
+  private val SampleCap = 16384
+
+  /** Fit m×k codebooks on a bounded deterministic unbiased sample. */
+  def fit(e: DataFrame, m: Int = 8, k: Int = 16): Model = {
+    require(m > 0 && k > 1, s"need m>0 subspaces and k>1 centroids, got m=$m k=$k")
+    val sample = e.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(SampleCap)
+      .select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "Pq.fit: no non-null embeddings to sample")
+    val d = sample(0).length
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val subDim = d / m
+    val codebooks = Array.tabulate(m) { s =>
+      val slices = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      KMeansL2.fit(slices, k, iters = 8)
+    }
+    Model(m, k, subDim, codebooks)
+  }
+
+  /** Encode every vector: (vec_id, pq_code, recon_mse). Map-side only —
+    * the codebooks ride one broadcast, codes pack little-end-first
+    * (subspace 0 in the lowest bits).
+    */
+  def encode(s: SparkSession, e: DataFrame, model: Model): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(model)
+    e.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val mod = bc.value
+        it.map { case (id, v) =>
+          var code = 0L
+          var errSum = 0.0
+          var sub = 0
+          while (sub < mod.m) {
+            val cb = mod.codebooks(sub)
+            var best = 0; var bestDist = Double.MaxValue
+            var ci = 0
+            while (ci < cb.length) {
+              val dist = KMeansL2.sqDist(v, sub * mod.subDim, cb(ci))
+              if (dist < bestDist) { bestDist = dist; best = ci }
+              ci += 1
+            }
+            code |= best.toLong << (sub * mod.bits)
+            errSum += bestDist
+            sub += 1
+          }
+          (id, code, errSum / v.length)
+        }
+      }.toDF("vec_id", "pq_code", "recon_mse")
+  }
+
+  /** ADC top-k: for each query, one m×k table of partial squared
+    * distances, then a code scan with table lookups — per-partition heaps,
+    * tiny final merge (the q35 shape). Returns (query_id, vec_id, rank,
+    * adc_dist).
+    */
+  def adcTopK(s: SparkSession, codes: DataFrame, model: Model,
+      queries: Array[(Long, Array[Float])], topK: Int = 10): DataFrame = {
+    import s.implicits._
+    require(topK > 0, s"topK must be positive, got $topK")
+    val bc = s.sparkContext.broadcast(model)
+    val bq = s.sparkContext.broadcast(queries)
+    val mask = (1L << bc.value.bits) - 1
+    val candidates = codes.select(col("vec_id"), col("pq_code"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val mod = bc.value
+        val qs = bq.value
+        // per-query LUT: lut(q)(sub*k + ci) = ||q_sub - c_ci||²
+        val luts = qs.map { case (_, qv) =>
+          val lut = new Array[Double](mod.m * mod.k)
+          var sub = 0
+          while (sub < mod.m) {
+            val cb = mod.codebooks(sub)
+            var ci = 0
+            while (ci < cb.length) {
+              lut(sub * mod.k + ci) = KMeansL2.sqDist(qv, sub * mod.subDim, cb(ci))
+              ci += 1
+            }
+            sub += 1
+          }
+          lut
+        }
+        it.flatMap { case (id, code) =>
+          qs.indices.map { qi =>
+            val lut = luts(qi)
+            var dist = 0.0
+            var sub = 0
+            while (sub < mod.m) {
+              val ci = ((code >>> (sub * mod.bits)) & mask).toInt
+              dist += lut(sub * mod.k + ci)
+              sub += 1
+            }
+            (qs(qi)._1, id, dist)
+          }
+        }
+      }.toDF("query_id", "vec_id", "adc_dist")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    // the per-query window runs over corpus-size rows only in this naive
+    // form; Bench/driver use is spec-scale — production search would keep
+    // per-partition heaps as q35 does (the limit pushes into
+    // TakeOrderedAndProject per query via the rank filter)
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+        round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-vector PQ codes + reconstruction error over the embeddings
+    // table. Data-dependent (k-means) → rows-only; PqSpec pins the
+    // semantics (exact reconstruction on grid data, determinism, packing,
+    // ADC recall vs exact search).
+    "q77_pq" -> ((s, dir) => {
+      val e = graft.Tables.embeddings(s, dir)
+      val model = fit(e, m = 8, k = 16)
+      encode(s, e, model)
+        .select(col("vec_id"), col("pq_code"),
+          round(col("recon_mse"), 6).as("recon_mse"))
+    }))
+
+  def oracles: Map[String, String] = Map.empty
+}
+
+/** Deterministic L2 k-means: farthest-point seeding (max min squared
+  * distance) + Lloyd with mean updates; empty clusters keep their
+  * previous centroid. The cosine twin lives in [[KMeansLite]].
+  */
+private[ops] object KMeansL2 {
+
+  /** ||v[off..off+len) - c||² where len = c.length. */
+  def sqDist(v: Array[Float], off: Int, c: Array[Float]): Double = {
+    var sum = 0.0
+    var i = 0
+    while (i < c.length) {
+      val d = v(off + i).toDouble - c(i).toDouble
+      sum += d * d
+      i += 1
+    }
+    sum
+  }
+
+  def fit(points: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    require(points.nonEmpty, "KMeansL2.fit: empty input")
+    val k2 = math.max(1, math.min(k, points.length))
+    val dims = points(0).length
+
+    val seeds = scala.collection.mutable.ArrayBuffer(points(0))
+    while (seeds.length < k2) {
+      var best = points(0); var bestScore = -1.0
+      var i = 0
+      while (i < points.length) {
+        val p = points(i)
+        var minDist = Double.MaxValue
+        var j = 0
+        while (j < seeds.length) {
+          val d = sqDist(p, 0, seeds(j)); if (d < minDist) minDist = d; j += 1
+        }
+        if (minDist > bestScore) { bestScore = minDist; best = p }
+        i += 1
+      }
+      seeds += best
+    }
+    var cents = seeds.toArray.map(_.clone())
+
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dims))
+      val counts = new Array[Int](cents.length)
+      var i = 0
+      while (i < points.length) {
+        val p = points(i)
+        var best = 0; var bestDist = Double.MaxValue
+        var j = 0
+        while (j < cents.length) {
+          val d = sqDist(p, 0, cents(j))
+          if (d < bestDist) { bestDist = d; best = j }
+          j += 1
+        }
+        var x = 0
+        while (x < dims) { sums(best)(x) += p(x); x += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        if (counts(ci) == 0) old
+        else {
+          val c = new Array[Float](dims)
+          var x = 0
+          while (x < dims) { c(x) = (sums(ci)(x) / counts(ci)).toFloat; x += 1 }
+          c
+        }
+      }
+    }
+    cents
+  }
+}
