@@ -28,10 +28,18 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("render is valid JSON shape (balanced, no locale commas in numbers)") {
-    val json = Bench.renderJson(Seq(("q01", 1.5, "ok"), ("q02", 0.25, "fail")), sfDir)
+    val json = Bench.renderJson(
+      Seq(("q01_method_counts", 1.5, "ok"), ("q02_filter_project", 0.25, "fail")),
+      sfDir)
     val expected = """{"metric":"total","value":1.500,"unit":"sec",""" +
-      """"queries":{"q01":1.50},"failed":1,"fails":["q02"],""" +
+      """"queries":{"q01":1.50},"failed":1,"fails":["q02_filter_project"],""" +
       s""""sf":"$sfDir"}"""
     assert(json == expected)
+  }
+
+  test("shortened query keys stay unique across the real query set") {
+    val short = names.map(n => n.split('_').head)
+    assert(short.distinct.length === names.length,
+      s"colliding qNN prefixes: ${short.diff(short.distinct).distinct}")
   }
 }
