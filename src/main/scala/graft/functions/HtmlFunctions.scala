@@ -85,6 +85,23 @@ object HtmlToText {
     -1
   }
 
+  /** First REAL close tag of a raw-text element at/after `from`: the name
+    * match must be followed by `>`, `/`, whitespace, or EOF — HTML5 does
+    * not close `<style>` at `</stylesheet>`.
+    */
+  private def findRawClose(html: String, name: String, from: Int): Int = {
+    val target = "</" + name
+    var idx = indexOfIgnoreCase(html, target, from)
+    while (idx >= 0) {
+      val after = idx + target.length
+      if (after >= html.length) return idx // truncated at EOF
+      val c = html.charAt(after)
+      if (c == '>' || c == '/' || Character.isWhitespace(c)) return idx
+      idx = indexOfIgnoreCase(html, target, idx + 1)
+    }
+    -1
+  }
+
   /** Decode the entity starting at `s(i) == '&'` into `out`; returns the
     * index after what was consumed (just the `&` when it decodes nothing).
     */
@@ -131,20 +148,28 @@ object HtmlToText {
           while (j < n && (isLetter(html.charAt(j)) ||
               (html.charAt(j) >= '0' && html.charAt(j) <= '9'))) j += 1
           val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+          // quotes delimit a value only right after '=' (whitespace
+          // allowed between) — HTML5's before-attribute-value state. A
+          // stray apostrophe in an unquoted value (<p class=don't>) is
+          // just a value character, NOT an unterminated quote that would
+          // swallow the rest of the document.
           var quote: Char = 0
           var end = -1
+          var afterEq = false
           while (j < n && end < 0) {
             val ch = html.charAt(j)
             if (quote != 0) { if (ch == quote) quote = 0 }
-            else if (ch == '"' || ch == '\'') quote = ch
+            else if ((ch == '"' || ch == '\'') && afterEq) { quote = ch; afterEq = false }
             else if (ch == '>') end = j
+            else if (ch == '=') afterEq = true
+            else if (!Character.isWhitespace(ch)) afterEq = false
             j += 1
           }
           if (end < 0) i = n // unterminated tag: rest is markup, drop it
           else {
             i = end + 1
             if (!closing && (name == "script" || name == "style")) {
-              val close = indexOfIgnoreCase(html, "</" + name, i)
+              val close = findRawClose(html, name, i)
               if (close < 0) i = n
               else {
                 val gt = html.indexOf('>', close)

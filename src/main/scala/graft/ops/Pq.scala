@@ -65,6 +65,11 @@ object Pq {
       .mapPartitions { it =>
         val mod = bc.value
         it.map { case (id, v) =>
+          // fit() validates only its sample; a stray wrong-width vector
+          // must fail with its id, not an opaque executor AIOOBE (or a
+          // silently wrong mse for over-length vectors)
+          require(v.length == mod.m * mod.subDim,
+            s"Pq.encode: vec $id has dim ${v.length}, model expects ${mod.m * mod.subDim}")
           var code = 0L
           var errSum = 0.0
           var sub = 0

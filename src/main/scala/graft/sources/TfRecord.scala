@@ -77,15 +77,32 @@ object TfRecord {
       private var nextRec: Array[Byte] = null
       private var done = false
 
+      // grow in bounded chunks: a forged length header (its CRC covers
+      // only the attacker-supplied length bytes) must not drive a 1 GiB
+      // upfront allocation for payload bytes that never arrive
       private def readFully(n: Int): Array[Byte] = {
-        val out = new Array[Byte](n)
-        var off = 0
-        while (off < n) {
-          val r = in.read(out, off, n - off)
-          if (r < 0) throw new EOFException
-          off += r
+        val chunk = 1 << 20
+        if (n <= chunk) {
+          val out = new Array[Byte](n)
+          var off = 0
+          while (off < n) {
+            val r = in.read(out, off, n - off)
+            if (r < 0) throw new EOFException
+            off += r
+          }
+          out
+        } else {
+          val out = new ByteArrayOutputStream(chunk)
+          val buf = new Array[Byte](chunk)
+          var remaining = n
+          while (remaining > 0) {
+            val r = in.read(buf, 0, math.min(chunk, remaining))
+            if (r < 0) throw new EOFException
+            out.write(buf, 0, r)
+            remaining -= r
+          }
+          out.toByteArray
         }
-        out
       }
 
       private def le32(b: Array[Byte]): Int =
@@ -107,7 +124,10 @@ object TfRecord {
           if (le32(readFully(4)) != maskedCrc(data)) { done = true; return }
           nextRec = data
         } catch {
-          case _: EOFException => done = true
+          // EOF, truncation, AND stream-level corruption (a bad gzip
+          // member throws ZipException ⊂ IOException): one corrupt shard
+          // ends ITS iteration — it must not kill a 1000-shard read job
+          case _: java.io.IOException => done = true
         }
       }
 
@@ -124,12 +144,16 @@ object TfRecord {
       }
     }
 
-  /** Records of in-memory TFRecord bytes; `.gz` names get a gzip wrapper. */
+  /** Records of in-memory TFRecord bytes; `.gz` names get a gzip wrapper.
+    * A destroyed gzip header throws at STREAM CONSTRUCTION — caught here
+    * so a corrupt shard yields an empty iteration, not a dead job.
+    */
   def recordsAuto(name: String, bytes: Array[Byte]): Iterator[Array[Byte]] = {
     val base = new java.io.ByteArrayInputStream(bytes)
-    records(
+    try records(
       if (name.endsWith(".gz")) new java.util.zip.GZIPInputStream(base)
       else base)
+    catch { case _: java.io.IOException => Iterator.empty }
   }
 
   /** Render records with TFRecord framing (+ optional whole-file gzip —

@@ -61,15 +61,31 @@ object Warc {
       if (s.endsWith("\r")) s.substring(0, s.length - 1) else s
     }
 
+    // grow in bounded chunks: a forged Content-Length must not drive a
+    // 1 GiB upfront allocation for payload bytes that never arrive
     private def readFully(n: Int): Array[Byte] = {
-      val out = new Array[Byte](n)
-      var off = 0
-      while (off < n) {
-        val r = in.read(out, off, n - off)
-        if (r < 0) throw new EOFException
-        off += r
+      val chunk = 1 << 20
+      if (n <= chunk) {
+        val out = new Array[Byte](n)
+        var off = 0
+        while (off < n) {
+          val r = in.read(out, off, n - off)
+          if (r < 0) throw new EOFException
+          off += r
+        }
+        out
+      } else {
+        val out = new ByteArrayOutputStream(chunk)
+        val buf = new Array[Byte](chunk)
+        var remaining = n
+        while (remaining > 0) {
+          val r = in.read(buf, 0, math.min(chunk, remaining))
+          if (r < 0) throw new EOFException
+          out.write(buf, 0, r)
+          remaining -= r
+        }
+        out.toByteArray
       }
-      out
     }
 
     private def advance(): Unit = {
@@ -111,7 +127,10 @@ object Warc {
         val body = readFully(contentLength.toInt)
         nextRec = WarcRecord(warcType, recordId, targetUri, date, contentType, body)
       } catch {
-        case _: EOFException => done = true
+        // EOF, truncation, AND stream-level corruption (a bad gzip member
+        // throws ZipException ⊂ IOException): one corrupt capture ends
+        // ITS iteration, never the read job
+        case _: java.io.IOException => done = true
       }
     }
 
@@ -130,11 +149,14 @@ object Warc {
 
   /** Records of in-memory WARC bytes; `.gz` names get a gzip wrapper
     * (multi-member safe — GZIPInputStream reads concatenated members).
+    * A destroyed gzip header throws at STREAM CONSTRUCTION — caught here
+    * so a corrupt capture yields an empty iteration, not a dead job.
     */
   def recordsAuto(name: String, bytes: Array[Byte]): Iterator[WarcRecord] = {
     val base = new java.io.ByteArrayInputStream(bytes)
-    records(
+    try records(
       if (name.endsWith(".gz")) new java.util.zip.GZIPInputStream(base) else base)
+    catch { case _: java.io.IOException => Iterator.empty }
   }
 
   /** Render records as WARC bytes; `gzipPerRecord` writes one gzip member

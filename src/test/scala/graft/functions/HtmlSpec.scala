@@ -29,6 +29,11 @@ class HtmlSpec extends SparkSpec {
     assert(toText("<img alt=\"x>y\">after") === "after")
     // unquoted attributes still terminate at >
     assert(toText("<a href=u>t</a>") === "t")
+    // quotes open a value only right after '=' (whitespace allowed): a
+    // stray apostrophe in an unquoted value must NOT swallow the document
+    assert(toText("<p class=don't>hello</p> world") === "hello\n world")
+    assert(toText("<a data-x=a'b href=u>t</a>") === "t")
+    assert(toText("<a href = 'u>v'>t</a>") === "t") // spaced = still quotes
   }
 
   test("script/style raw-text skipped, case-insensitive close, unclosed drops rest") {
@@ -39,6 +44,11 @@ class HtmlSpec extends SparkSpec {
     // a </script> inside a double-quoted JS string still closes per the
     // HTML5 lexer (browsers do NOT parse JS strings) — pin that behavior
     assert(toText("a<script>s=\"</script>\"visible") === "a\"visible")
+    // </stylesheet> does NOT close <style> (close-tag name must end at
+    // >, /, or whitespace) — the style element stays open to EOF here
+    assert(toText("<style>a{}</stylesheet><p>leaked</p>") === "")
+    // but a real close followed by whitespace-then-attrs still closes
+    assert(toText("a<style>x</style >b") === "ab")
   }
 
   test("comments, doctype, and processing instructions dropped") {
@@ -115,7 +125,6 @@ class HtmlSpec extends SparkSpec {
       "")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, t.length.toLong) }
       .toDF("doc_id", "text", "n_chars")
-    df.createOrReplaceTempView("documents_tmp")
     val rows = Html.queries("q74_html_extract")(spark, "/root/testdata/sf0.001")
     assert(rows.columns.toSeq === Seq("doc_id", "n_chars_out", "text_hash"))
     // on the synthetic frame: run the same pipeline shape directly

@@ -132,6 +132,13 @@ class PqSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException](Pq.fit(allNull, 8, 16))
     assert(err.getMessage.contains("no non-null"))
     intercept[IllegalArgumentException](Pq.fit(df, 7, 16)) // 64 % 7 != 0
+    // a stray wrong-width vector fails with its id, not an executor AIOOBE
+    val mixed = Seq((1L, Array.fill(64)(0.5f)), (7L, Array.fill(63)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[org.apache.spark.SparkException](
+      Pq.encode(spark, mixed, model).collect())
+    assert(e2.getCause != null &&
+      e2.getCause.getMessage.contains("vec 7 has dim 63"))
   }
 
   test("q77 driver query: one row per embedding, codes span multiple values") {

@@ -42,7 +42,9 @@ class UrlsSpec extends SparkSpec {
       "http://e.com/p?id=5#frag" -> "http://e.com/p?id=5",
       "http://e.com/p#frag" -> "http://e.com/p",
       // utm must match as a PREFIX of a param, not anywhere in it
-      "http://e.com/p?xutm_source=1" -> "http://e.com/p?xutm_source=1")
+      "http://e.com/p?xutm_source=1" -> "http://e.com/p?xutm_source=1",
+      // bare (value-less) click-ids are tracking params too
+      "http://e.com/p?fbclid&id=1&gclid" -> "http://e.com/p?id=1")
   }
 
   test("unparseable input and NULL stay NULL; non-http schemes pass through") {

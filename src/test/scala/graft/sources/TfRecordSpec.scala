@@ -57,16 +57,30 @@ class TfRecordSpec extends SparkSpec {
     val got = records(new java.io.ByteArrayInputStream(cut)).toSeq
     assert(got.length === 1 && new String(got.head, StandardCharsets.UTF_8)
       .startsWith("first"))
-    // a valid length header whose masked CRC passes but length is absurd
-    // cannot be crafted without also writing 1 GiB; the guard is covered by
-    // the unit bound below: lengths past MaxRecordLength are rejected even
-    // with a correct CRC
-    val big = java.nio.ByteBuffer.allocate(12)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      .putLong((1L << 30) + 1).putInt(maskedCrc(java.nio.ByteBuffer.allocate(8)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong((1L << 30) + 1).array()))
-      .array()
-    assert(records(new java.io.ByteArrayInputStream(big)).isEmpty)
+    // a length header's CRC covers only the (attacker-supplied) length
+    // bytes, so a valid-CRC absurd length IS craftable in 12 bytes:
+    // past MaxRecordLength it's rejected outright...
+    def lenHeader(len: Long) = {
+      val lb = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(len).array()
+      java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put(lb).putInt(maskedCrc(lb)).array()
+    }
+    assert(records(new java.io.ByteArrayInputStream(lenHeader((1L << 30) + 1))).isEmpty)
+    // ...and AT the cap (1 GiB claimed, zero bytes present) the chunked
+    // reader stops at actual EOF without a 1 GiB upfront allocation —
+    // this returns promptly instead of OOMing the executor
+    assert(records(new java.io.ByteArrayInputStream(lenHeader(1L << 30))).isEmpty)
+  }
+
+  test("corrupt gzip member ends the shard's iteration instead of throwing") {
+    val good = render(Seq("payload".getBytes(StandardCharsets.UTF_8)), gzip = true)
+    val broken = good.clone()
+    broken(good.length / 2) = (broken(good.length / 2) ^ 0x55).toByte // deflate stream hit
+    recordsAuto("x.tfrecord.gz", broken).foreach(_ => ()) // must not throw
+    val headerHit = good.clone()
+    headerHit(1) = 0x00 // gzip magic destroyed -> ZipException at construction
+    recordsAuto("x.tfrecord.gz", headerHit).foreach(_ => ())
   }
 
   test("Example encode matches hand-computed protoc bytes") {

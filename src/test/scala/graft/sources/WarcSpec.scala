@@ -46,6 +46,20 @@ class WarcSpec extends SparkSpec {
     // non-numeric Content-Length
     val bad = ("WARC/1.0\r\nContent-Length: NaN\r\n\r\n").getBytes(StandardCharsets.ISO_8859_1)
     assert(Warc.recordsAuto("x.warc", bad).isEmpty)
+    // a valid-looking huge Content-Length with no payload behind it: the
+    // chunked reader stops at actual EOF, no 1 GiB upfront allocation
+    val huge = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 1073741824\r\n\r\n").getBytes(StandardCharsets.ISO_8859_1)
+    assert(Warc.recordsAuto("x.warc", huge).isEmpty)
+    // corrupt gzip member (deflate hit + destroyed magic): iteration ends,
+    // never throws — one corrupt capture must not kill the read job
+    val gz = Warc.render(Seq(rec(1, "payload")), gzipPerRecord = true)
+    val deflateHit = gz.clone()
+    deflateHit(gz.length / 2) = (deflateHit(gz.length / 2) ^ 0x55).toByte
+    Warc.recordsAuto("x.warc.gz", deflateHit).foreach(_ => ())
+    val magicHit = gz.clone()
+    magicHit(1) = 0x00
+    Warc.recordsAuto("x.warc.gz", magicHit).foreach(_ => ())
   }
 
   test("read(): one row per record across plain and gzipped files") {
