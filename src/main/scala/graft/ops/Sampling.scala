@@ -177,7 +177,34 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Quality-weighted (importance) sampling (q79): keep each doc with
+    * probability = its vocabulary-diversity score, decided by a
+    * content-stable hash — Bernoulli(p_doc) without randomness. The
+    * standard "prefer higher-quality data without a hard cutoff" pass.
+    *
+    * Map-side only (a filter inside the scan projection), deterministic,
+    * and growth-stable (q46's virtue: adding documents never flips
+    * another document's keep decision — `randomSplit`-style sampling
+    * re-rolls everything on every partitioning change).
+    */
+  def importanceSample(docs: DataFrame): DataFrame = {
+    val w = split(trim(col("text")), "\\s+")
+    val p = size(array_distinct(w)).cast("double") / size(w)
+    // u ~ Uniform[0,1): 32-bit md5 prefix / 2^32 — exact division by a
+    // power of two, so both engines compare identical doubles
+    val u = TextAnalysis.md5Prefix(col("doc_id").cast("string")) /
+      lit(4294967296.0)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), p.as("p"), u.as("u"))
+      .filter(col("u") < col("p"))
+      .select(col("doc_id"), round(col("p"), 6).as("p"),
+        round(col("u"), 6).as("u"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_importance_sample" -> ((s, dir) =>
+      importanceSample(Tables.documents(s, dir))),
+
     // Resample the corpus to the target language mixture (no upsampling;
     // binding language kept whole, others hash-downsampled).
     "q59_mix_sample" -> ((s, dir) => mixSample(Tables.documents(s, dir))),
@@ -232,6 +259,19 @@ object Sampling {
   )
 
   def oracles: Map[String, String] = Map(
+    // q38's tokenizer, q46's md5 hash: p and u are identical IEEE doubles
+    // on both engines, so the Bernoulli comparison agrees exactly.
+    "q79_importance_sample" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+           |      AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')) AS p,
+           |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |      / 4294967296.0 AS u
+           |  FROM documents WHERE text IS NOT NULL)
+           |SELECT doc_id, round(p, 6) AS p, round(u, 6) AS u
+           |FROM t WHERE u < p""".stripMargin,
+
     // Same double-arithmetic shape as the Spark side ((w·T)/mass, T = the
     // min over the tiny mass frame) — IEEE ops on identical inputs are
     // bit-equal cross-engine, so the hash cutoff comparison agrees.

@@ -117,6 +117,32 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixSample(zeroMass, w)) // weighted stratum with zero mass
   }
 
+  test("q79 importanceSample: Bernoulli(p) by content hash, growth-stable") {
+    import spark.implicits._
+    def docs(n: Int) = (0 until n).map { i =>
+      // diversity varies by construction: doc i repeats one word i%4+1
+      // times then pads with distinct words
+      val rep = Seq.fill(i % 4 + 1)("again")
+      val distinct = (0 until 8).map(j => s"w${i}_$j")
+      (i.toLong, (rep ++ distinct).mkString(" "))
+    }.toDF("doc_id", "text")
+    val small = Sampling.importanceSample(docs(50)).collect()
+      .map(r => r.getLong(0)).toSet
+    val grown = Sampling.importanceSample(docs(200)).collect()
+      .map(r => r.getLong(0)).toSet
+    // growth stability: the original docs' keep decisions never flip
+    assert((grown & (0L until 50L).toSet) === small)
+    // p = 1 docs (all-distinct) are always kept: u < 1 by construction
+    val allDistinct = (0 until 30)
+      .map(i => (i.toLong, (0 until 9).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Sampling.importanceSample(allDistinct).count() === 30)
+    // kept docs carry their (p, u) evidence with u < p
+    Sampling.importanceSample(docs(100)).collect().foreach { r =>
+      assert(r.getDouble(2) < r.getDouble(1) + 1e-6, r.toString)
+    }
+  }
+
   test("q48: vocabulary stats on a hand-checked corpus") {
     val dir = docsDir(Seq((1L, "a b a"), (2L, "b c")))
     // docsDir writes lang='en' for all docs

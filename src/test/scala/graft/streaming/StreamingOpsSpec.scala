@@ -70,6 +70,34 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("crawl front-door runs on a stream: html extract -> url canonicalize -> verdict") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the full stateless ingest chain a live crawl would run per
+    // micro-batch: all three are scan-stage expressions, so streaming
+    // them is column plumbing, not new machinery
+    val ms = MemoryStream[(Long, String, String)]
+    val extracted = ms.toDS().toDF("doc_id", "url", "html")
+      .select(col("doc_id"),
+        graft.ops.Urls.normalize(col("url")).as("url_norm"),
+        graft.ops.Html.extract(col("html")).as("text"))
+    val query = extracted.writeStream.format("memory")
+      .queryName("stream_frontdoor").outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, "HTTP://WWW.Site.com:80/a?utm_source=x&id=1",
+          "<html><body><p>hello crawl</p><script>junk()</script></body></html>"),
+        (2L, "not a url", "plain & <b>bold</b> text"))
+      query.processAllAvailable()
+      val got = s.table("stream_frontdoor").collect()
+        .map(r => r.getLong(0) -> ((
+          if (r.isNullAt(1)) null else r.getString(1), r.getString(2)))).toMap
+      assert(got(1L) === (("http://site.com/a?id=1", "hello crawl\n\n\n")))
+      assert(got(2L) === ((null, "plain & bold text")))
+    } finally query.stop()
+  }
+
   test("streaming decontamination screens each batch against the static benchmark") {
     val s = spark
     import s.implicits._
