@@ -67,7 +67,7 @@ object Bpe {
       maxWordTable: Int = 50000): Model = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     val freqs = docs.filter(col("text").isNotNull)
-      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(explode(TextAnalysis.words).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc)
@@ -108,7 +108,7 @@ object Bpe {
     * standard inference rule, which reproduces training segmentations for
     * training words.
     */
-  def encodeWord(word: String, model: Model): Vector[String] = {
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
     var sym = symbolsOf(word)
     var done = false
     while (!done && sym.length > 1) {
@@ -116,7 +116,7 @@ object Bpe {
       var bi = -1
       var i = 0
       while (i + 1 < sym.length) {
-        model.ranks.get((sym(i), sym(i + 1))).foreach { r =>
+        ranks.get((sym(i), sym(i + 1))).foreach { r =>
           if (r < bestRank) { bestRank = r; bi = i }
         }
         i += 1
@@ -127,23 +127,28 @@ object Bpe {
     sym
   }
 
-  /** Per-doc BPE token counts: one broadcast of the ranks map, one
-    * map-side pass (per-partition encode cache — Zipf again: most words
-    * repeat within a partition).
+  def encodeWord(word: String, model: Model): Vector[String] =
+    encodeWord(word, model.ranks)
+
+  /** Per-doc BPE token counts: one broadcast of the RANKS MAP ONLY (the
+    * model's segmentations table is driver-side evidence — shipping it
+    * would add |word table| vectors to every executor), one map-side pass
+    * (per-partition encode cache — Zipf again: most words repeat within
+    * a partition).
     */
   def encodeCounts(s: SparkSession, docs: DataFrame, model: Model): DataFrame = {
     import s.implicits._
-    val bc = s.sparkContext.broadcast(model)
+    val bc = s.sparkContext.broadcast(model.ranks)
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
-        val m = bc.value
+        val ranks = bc.value
         val cache = scala.collection.mutable.HashMap.empty[String, Int]
         it.map { case (id, text) =>
           val words = text.trim.split("\\s+").filter(_.nonEmpty)
           var n = 0L
           words.foreach { w =>
-            n += cache.getOrElseUpdate(w, encodeWord(w, m).length)
+            n += cache.getOrElseUpdate(w, encodeWord(w, ranks).length)
           }
           (id, words.length.toLong, n)
         }

@@ -178,9 +178,14 @@ object Sampling {
   }
 
   /** Quality-weighted (importance) sampling (q79): keep each doc with
-    * probability = its vocabulary-diversity score, decided by a
-    * content-stable hash — Bernoulli(p_doc) without randomness. The
-    * standard "prefer higher-quality data without a hard cutoff" pass.
+    * probability = its vocabulary-diversity score damped by a length
+    * floor, decided by a content-stable hash — Bernoulli(p_doc) without
+    * randomness. The standard "prefer higher-quality data without a hard
+    * cutoff" pass.
+    *
+    * p = uniq_ratio · min(1, n_words/20): the damping term matters —
+    * bare uniq_ratio is trivially 1.0 for empty/one-word docs, which
+    * would keep the WORST documents with certainty.
     *
     * Map-side only (a filter inside the scan projection), deterministic,
     * and growth-stable (q46's virtue: adding documents never flips
@@ -188,8 +193,9 @@ object Sampling {
     * re-rolls everything on every partitioning change).
     */
   def importanceSample(docs: DataFrame): DataFrame = {
-    val w = split(trim(col("text")), "\\s+")
-    val p = size(array_distinct(w)).cast("double") / size(w)
+    val w = TextAnalysis.words
+    val p = size(array_distinct(w)).cast("double") / size(w) *
+      least(lit(1.0), size(w).cast("double") / 20.0)
     // u ~ Uniform[0,1): 32-bit md5 prefix / 2^32 — exact division by a
     // power of two, so both engines compare identical doubles
     val u = TextAnalysis.md5Prefix(col("doc_id").cast("string")) /
@@ -265,7 +271,10 @@ object Sampling {
       raw"""WITH t AS (
            |  SELECT doc_id,
            |    CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
-           |      AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')) AS p,
+           |      AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+'))
+           |      * least(1.0,
+           |          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+           |          / 20.0) AS p,
            |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
            |      / 4294967296.0 AS u
            |  FROM documents WHERE text IS NOT NULL)

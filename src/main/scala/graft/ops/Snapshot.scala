@@ -22,14 +22,18 @@ object Snapshot {
 
   /** Diff rows (id, status ∈ added|removed|changed) between two corpus
     * versions; unchanged documents are not emitted. NULL text hashes as
-    * NULL: two NULLs compare equal (null-safe), NULL vs text is a change.
+    * NULL (guarded below — bare xxhash64 would hash NULL to its seed,
+    * making NULL indistinguishable from a seed-colliding text): two NULLs
+    * compare equal via `<=>`, NULL vs text is a change.
     */
   def diff(a: DataFrame, b: DataFrame, idCol: String = "doc_id",
       contentCol: String = "text"): DataFrame = {
+    def h(c: String) =
+      when(col(c).isNull, lit(null)).otherwise(xxhash64(col(c)))
     val av = a.select(col(idCol).as("id"),
-      xxhash64(col(contentCol)).as("ha"), lit(1).as("in_a"))
+      h(contentCol).as("ha"), lit(1).as("in_a"))
     val bv = b.select(col(idCol).as("id"),
-      xxhash64(col(contentCol)).as("hb"), lit(1).as("in_b"))
+      h(contentCol).as("hb"), lit(1).as("in_b"))
     av.join(bv, Seq("id"), "full_outer")
       .withColumn("status",
         when(col("in_b").isNull, lit("removed"))
@@ -55,8 +59,11 @@ object Snapshot {
         .withColumn("text",
           when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")))
+      // fresh ids offset far past any real doc_id (2^40 — corpus ids grow
+      // with sf; a small constant offset would collide at large scale and
+      // break both the join semantics and the oracle agreement)
       val added = base.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text"))
       diff(base, survived.unionByName(added))
     }))
 
@@ -64,7 +71,7 @@ object Snapshot {
     "q80_snapshot_diff" ->
       """SELECT doc_id, 'removed' AS status FROM documents WHERE doc_id % 7 = 0
         |UNION ALL
-        |SELECT doc_id + 1000000, 'added' FROM documents WHERE doc_id % 11 = 0
+        |SELECT doc_id + 1099511627776, 'added' FROM documents WHERE doc_id % 11 = 0
         |UNION ALL
         |SELECT doc_id, 'changed' FROM documents
         |WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0 AND text IS NOT NULL""".stripMargin)

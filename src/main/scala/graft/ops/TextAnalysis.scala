@@ -24,8 +24,12 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ein", "eine", "zu", "mit"),
     "zh" -> Seq("de", "le", "shi", "zai", "you", "wo", "ta", "men"))
 
-  /** Whitespace tokenization shared by several ops. */
-  private def words = split(trim(col("text")), "\\s+")
+  /** Whitespace tokenization of the `text` column — THE shared
+    * definition (q38/q48's oracle form `regexp_split_to_array(trim(text),
+    * '\s+')`); ops outside this file reuse it so a tokenizer tweak can
+    * never drift between queries.
+    */
+  private[graft] def words = split(trim(col("text")), "\\s+")
 
   /** The repetition-quality ratios over a [[graft.functions.RepetitionStats]]
     * struct column — ONE definition shared by batch q44 and the streaming

@@ -17,11 +17,15 @@ class BpeSpec extends SparkSpec {
 
   /** Independent naive reference: same tie rules, written over a plain
     * freq map with sliding/groupMapReduce instead of the mutable loop.
+    * Splits per CODEPOINT (via codePoints), like production — a UTF-16
+    * char split would bar astral-plane chars from the differential.
     */
   private def refLearn(wordFreq: Map[String, Long],
       numMerges: Int): Vector[(String, String)] = {
     var table = wordFreq.toVector.map { case (w, c) =>
-      (w.map(_.toString).toVector :+ Bpe.Eow, c)
+      val cps = w.codePoints().toArray.toVector
+        .map(cp => new String(Character.toChars(cp)))
+      (cps :+ Bpe.Eow, c)
     }
     var out = Vector.empty[(String, String)]
     var stop = false
@@ -69,8 +73,11 @@ class BpeSpec extends SparkSpec {
   test("differential: Spark learn == naive reference on random corpora") {
     val rnd = new Random(17)
     (0 until 15).foreach { round =>
+      // alphabet includes an astral-plane char so the differential
+      // exercises the codepoint-splitting path too
+      val alphabet = Vector("a", "b", "c", "d", "😀")
       val vocab = Seq.fill(12)(
-        (0 until rnd.nextInt(5) + 2).map(_ => ('a' + rnd.nextInt(4)).toChar)
+        (0 until rnd.nextInt(5) + 2).map(_ => alphabet(rnd.nextInt(alphabet.length)))
           .mkString)
       val words = Seq.fill(60)(vocab(rnd.nextInt(vocab.length)))
       val freq = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }

@@ -132,11 +132,19 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getLong(0)).toSet
     // growth stability: the original docs' keep decisions never flip
     assert((grown & (0L until 50L).toSet) === small)
-    // p = 1 docs (all-distinct) are always kept: u < 1 by construction
+    // p = 1 docs (all-distinct AND >= 20 words) are always kept: u < 1
+    // by construction
     val allDistinct = (0 until 30)
-      .map(i => (i.toLong, (0 until 9).map(j => s"u${i}_$j").mkString(" ")))
+      .map(i => (i.toLong, (0 until 25).map(j => s"u${i}_$j").mkString(" ")))
       .toDF("doc_id", "text")
     assert(Sampling.importanceSample(allDistinct).count() === 30)
+    // the length damper: empty/one-word docs are LOW-probability, never
+    // certain keeps (bare uniq_ratio would invert the quality preference)
+    val junk = (100 until 200)
+      .map(i => (i.toLong, if (i % 2 == 0) "" else "word"))
+      .toDF("doc_id", "text")
+    val keptJunk = Sampling.importanceSample(junk).count()
+    assert(keptJunk < 20, s"$keptJunk junk docs kept (p should be 0.05)")
     // kept docs carry their (p, u) evidence with u < p
     Sampling.importanceSample(docs(100)).collect().foreach { r =>
       assert(r.getDouble(2) < r.getDouble(1) + 1e-6, r.toString)
