@@ -207,9 +207,30 @@ object Sampling {
         round(col("u"), 6).as("u"))
   }
 
+  /** Vocabulary finalization (q81): contiguous token ids by frequency
+    * rank — the step between BPE merges and the trainer (embedding rows
+    * are indexed by exactly this table). One (token) partial-agg shuffle
+    * over the corpus; the ranking window then runs over the VOCAB table
+    * (bounded — further clipped by `minCount`), not the corpus, so the
+    * single-partition row_number is |vocab| rows regardless of corpus
+    * size. Deterministic: ties rank lexicographically.
+    */
+  def vocabIds(docs: DataFrame, minCount: Long = 2L): DataFrame = {
+    val counts = docs.filter(col("text").isNotNull)
+      .select(explode(TextAnalysis.words).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    counts.withColumn("token_id",
+      row_number().over(Window.orderBy(col("n").desc, col("token").asc))
+        .cast("long") - 1)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_importance_sample" -> ((s, dir) =>
       importanceSample(Tables.documents(s, dir))),
+
+    "q81_vocab_ids" -> ((s, dir) => vocabIds(Tables.documents(s, dir))),
 
     // Resample the corpus to the target language mixture (no upsampling;
     // binding language kept whole, others hash-downsampled).
@@ -280,6 +301,18 @@ object Sampling {
            |  FROM documents WHERE text IS NOT NULL)
            |SELECT doc_id, round(p, 6) AS p, round(u, 6) AS u
            |FROM t WHERE u < p""".stripMargin,
+
+    // Exact mirror: same tokenizer, same tie order, same 0-based ids.
+    "q81_vocab_ids" ->
+      raw"""WITH c AS (
+           |  SELECT tok AS token, count(*) AS n FROM (
+           |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           |    FROM documents WHERE text IS NOT NULL)
+           |  WHERE tok <> '' GROUP BY tok HAVING count(*) >= 2)
+           |SELECT token, CAST(n AS BIGINT) AS n,
+           |  CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS BIGINT)
+           |    AS token_id
+           |FROM c""".stripMargin,
 
     // Same double-arithmetic shape as the Spark side ((w·T)/mass, T = the
     // min over the tiny mass frame) — IEEE ops on identical inputs are

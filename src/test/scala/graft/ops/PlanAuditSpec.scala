@@ -149,6 +149,25 @@ class PlanAuditSpec extends SparkSpec {
       plan.toString)
   }
 
+  test("q75/q79: url canonicalization and importance sampling are shuffle-free") {
+    Seq("q75_url_normalize", "q79_importance_sample").foreach { q =>
+      val plan = executed(graft.SparkEntry.queries(q)(spark, sf))
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"$q:\n$plan")
+    }
+  }
+
+  test("q81: the ranking window runs over the vocab aggregate, not the corpus") {
+    val p = planString("q81_vocab_ids")
+    // partial + final agg pair = map-side combine before the token shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // the row_number window must sit ABOVE the aggregate (vocab-scale) —
+    // no window directly over the exploded token stream
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx, p) // plan prints top-down
+  }
+
   test("q74: html extraction is a shuffle-free codegen scan projection") {
     val plan = executed(graft.SparkEntry.queries("q74_html_extract")(spark, sf))
     assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,

@@ -151,6 +151,25 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("q81 vocabIds: frequency-ranked contiguous ids, lexicographic ties, minCount clip") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran"),
+      (3L, "a hapax appears once"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Sampling.vocabIds(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._3)
+    // the:3, cat:2, everything else hapax (clipped by minCount=2)
+    assert(got.toSeq === Seq(("the", 3L, 0L), ("cat", 2L, 1L)))
+    // tie order is lexicographic: equal counts rank by token
+    val tied = Seq((1L, "bb aa bb aa")).toDF("doc_id", "text")
+    val ids = Sampling.vocabIds(tied).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(ids === Map("aa" -> 0L, "bb" -> 1L))
+  }
+
   test("q48: vocabulary stats on a hand-checked corpus") {
     val dir = docsDir(Seq((1L, "a b a"), (2L, "b c")))
     // docsDir writes lang='en' for all docs
