@@ -52,7 +52,51 @@ object TextAnalysis {
   private[graft] def md5Prefix(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Compression-ratio quality signal (q82): deflated bytes / raw bytes
+    * of the UTF-8 text — the CCNet/RedPajama-style heuristic (machine-
+    * generated or heavily repetitive text compresses far below prose;
+    * random noise doesn't compress at all). Map-side only; ONE Deflater
+    * per partition, reset per row (the WARC sink lesson: per-row native
+    * deflater churn dominates small-document throughput). Deterministic
+    * for a given zlib level, so rows are stable across runs; no SQL
+    * oracle exists (DuckDB has no deflate) — the spec pins closed-form
+    * orderings instead.
+    */
+  def compressionRatio(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        val buf = new Array[Byte](1 << 16)
+        val out = it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          val ratio = if (raw.length == 0) 1.0 else n.toDouble / raw.length
+          (id, raw.length.toLong, n, math.rint(ratio * 1e6) / 1e6)
+        }
+        // the iterator is fully drained before this task ends, so the
+        // deflater outlives every use; end() frees its native memory
+        new Iterator[(Long, Long, Long, Double)] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) deflater.end()
+            h
+          }
+          def next(): (Long, Long, Long, Double) = out.next()
+        }
+      }.toDF("doc_id", "n_bytes", "n_deflated", "compress_ratio")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_compress_ratio" -> ((s, dir) =>
+      compressionRatio(s, Tables.documents(s, dir))),
+
     // Doc quality profile: token counts, vocabulary richness, word shape.
     "q38_quality_score" -> ((s, dir) =>
       Tables.documents(s, dir)

@@ -71,6 +71,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(3L)._3 === 0.0)       // guarded division
   }
 
+  test("q82 compressionRatio: repetition compresses, noise doesn't, determinism holds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val noise = (0 until 2000).map(_ => (33 + rnd.nextInt(90)).toChar).mkString
+    val docs = Seq(
+      (1L, "spam " * 400),           // heavy repetition
+      (2L, noise),                    // incompressible printable noise
+      (3L, ""),                       // empty: ratio pinned to 1.0
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(spark, docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size === 3) // NULL excluded
+    val (spamBytes, spamDef, spamRatio) = got(1L)
+    val (_, _, noiseRatio) = got(2L)
+    assert(spamBytes === 2000L)
+    assert(spamRatio < 0.05, s"repetitive ratio $spamRatio")
+    assert(noiseRatio > 0.8, s"noise ratio $noiseRatio")
+    assert(got(3L) === ((0L, 2L, 1.0))) // empty still pays the 2-byte terminator
+    assert(spamDef > 0L)
+    // deterministic across runs (same zlib level, same JVM)
+    val again = TextAnalysis.compressionRatio(spark, docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(again(1L) === spamRatio && again(2L) === noiseRatio)
+  }
+
   test("q38/q39: counts on a fixed doc") {
     val dir = docsDir(Seq((1L, "aa bb aa cc1 !")))
     val q38 = TextAnalysis.queries("q38_quality_score")(spark, dir).collect()(0)
