@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{AudioWav, Bpe, Curation, Decontam, Dedup, Html, Lm, Multimodal, Pca, Pii, Pq, Relational, Sampling, Search, Similarity, Snapshot, TextAnalysis, Urls}
+import graft.ops.{AudioWav, Bpe, Curation, Decontam, Dedup, Html, Lm, Multimodal, Pca, Pii, Pq, Profile, Relational, Sampling, Search, Similarity, Snapshot, TextAnalysis, Urls}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -29,7 +29,7 @@ object SparkEntry {
       Decontam.queries ++ Pii.queries ++ AudioWav.queries ++
       Curation.queries ++ Html.queries ++ Pca.queries ++ Lm.queries ++
       Search.queries ++ Urls.queries ++ Pq.queries ++ Bpe.queries ++
-      Snapshot.queries ++
+      Snapshot.queries ++ Profile.queries ++
       sources.JsonLines.queries ++ sources.Warc.queries ++
       sources.TfRecord.queries ++
       inspector.Inspector.queries ++ streaming.KafkaSink.queries
@@ -43,7 +43,7 @@ object SparkEntry {
       Similarity.oracles ++ Multimodal.oracles ++ Sampling.oracles ++
       Decontam.oracles ++ Pii.oracles ++ Curation.oracles ++ Html.oracles ++
       Pca.oracles ++ Lm.oracles ++ Search.oracles ++ Urls.oracles ++
-      Pq.oracles ++ Bpe.oracles ++ Snapshot.oracles ++
+      Pq.oracles ++ Bpe.oracles ++ Snapshot.oracles ++ Profile.oracles ++
       sources.JsonLines.oracles ++ sources.Warc.oracles ++
       sources.TfRecord.oracles ++
       inspector.Inspector.oracles ++ streaming.KafkaSink.oracles
