@@ -204,8 +204,7 @@ object Curation {
     val base = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("n_chars"),
         RepetitionStats(col("text")).as("st"),
-        size(array_distinct(split(trim(col("text")), "\\s+"))).cast("long")
-          .as("n_uniq"),
+        size(array_distinct(TextAnalysis.words)).cast("long").as("n_uniq"),
         piiCount.as("n_pii"))
     val nWords = col("st.n_toks")
     val uniqRatio = col("n_uniq").cast("double") / nWords

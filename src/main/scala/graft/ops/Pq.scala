@@ -123,8 +123,19 @@ object Pq {
           }
           lut
         }
-        it.flatMap { case (id, code) =>
-          qs.indices.map { qi =>
+        // per-partition top-k heaps (the q35 shape): only
+        // |queries| × topK candidates leave each partition, so the final
+        // per-query rank window runs over |partitions| × topK rows — never
+        // the corpus
+        // natural (dist, id) max-heap: head = worst kept candidate —
+        // largest distance, then largest id (rank tiebreak is id ASC)
+        val heapOrd = Ordering.Tuple2(
+          Ordering.Double.TotalOrdering, Ordering.Long)
+        val heaps = qs.map(_ =>
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](heapOrd))
+        it.foreach { case (id, code) =>
+          var qi = 0
+          while (qi < qs.length) {
             val lut = luts(qi)
             var dist = 0.0
             var sub = 0
@@ -133,17 +144,21 @@ object Pq {
               dist += lut(sub * mod.k + ci)
               sub += 1
             }
-            (qs(qi)._1, id, dist)
+            val h = heaps(qi)
+            if (h.size < topK) h.enqueue((dist, id))
+            else if (heapOrd.lt((dist, id), h.head)) {
+              h.dequeue(); h.enqueue((dist, id))
+            }
+            qi += 1
           }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (d, id) => (qs(qi)._1, id, d) }
         }
       }.toDF("query_id", "vec_id", "adc_dist")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
-    // the per-query window runs over corpus-size rows only in this naive
-    // form; Bench/driver use is spec-scale — production search would keep
-    // per-partition heaps as q35 does (the limit pushes into
-    // TakeOrderedAndProject per query via the rank filter)
     candidates
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
