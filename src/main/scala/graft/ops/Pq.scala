@@ -146,8 +146,14 @@ object Pq {
             }
             val h = heaps(qi)
             if (h.size < topK) h.enqueue((dist, id))
-            else if (heapOrd.lt((dist, id), h.head)) {
-              h.dequeue(); h.enqueue((dist, id))
+            else {
+              // primitive compare on the common reject path — building a
+              // tuple per candidate×query just to test it would dominate
+              // allocation in this loop
+              val (hd, hid) = h.head
+              if (dist < hd || (dist == hd && id < hid)) {
+                h.dequeue(); h.enqueue((dist, id))
+              }
             }
             qi += 1
           }

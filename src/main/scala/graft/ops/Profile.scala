@@ -11,11 +11,17 @@ import graft.Tables
   * is the point of having the numbers.
   *
   * Scale posture: ONE aggregation over the table computes every column's
-  * stats (Catalyst expands multiple DISTINCT aggregates into one pass;
-  * partials combine map-side), then an explode of the single result row
-  * into (column, stats) rows — the unpivot costs nothing. min/max are
-  * surfaced as strings so one schema serves every column type; bigint
-  * and UTF-8 binary string orderings render identically cross-engine.
+  * stats (Catalyst expands multiple DISTINCT aggregates into one pass),
+  * then an explode of the single result row into (column, stats) rows —
+  * the unpivot costs nothing. DISTINCT counts run over md5 of the
+  * string rendering, NOT the raw value: the distinct partial must ship
+  * every distinct value through its exchange, and for a text column
+  * that is the whole corpus — 32 hex chars per row keeps the repo's
+  * "bodies never cross the exchange" posture (128-bit collisions are
+  * the accepted fingerprint risk everywhere else). min/max partials
+  * collapse to one value per partition either way; they stay on the raw
+  * column, string-rendered (bigint and UTF-8 byte orderings render
+  * identically cross-engine).
   */
 object Profile {
 
@@ -25,7 +31,7 @@ object Profile {
     val aggs = columns.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__nn"),
-        count_distinct(col(c)).as(s"${c}__nd"),
+        count_distinct(md5(col(c).cast("string"))).as(s"${c}__nd"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
@@ -49,13 +55,15 @@ object Profile {
 
   def oracles: Map[String, String] = Map(
     // one UNION branch per column — counts + casts mirror exactly
-    // (count(col) excludes NULLs, count(DISTINCT) excludes NULLs, string
-    // min/max are byte-order on both engines)
+    // (count(col) excludes NULLs, count(DISTINCT md5(...)) excludes
+    // NULLs and fingerprints the same rendered strings, string min/max
+    // are byte-order on both engines)
     "q83_column_stats" -> Seq("doc_id", "text", "lang", "source", "n_chars")
       .map { c =>
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,
            |  count(*) - count($c) AS n_null,
-           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(count(DISTINCT md5(CAST($c AS VARCHAR))) AS BIGINT)
+           |    AS n_distinct,
            |  CAST(min($c) AS VARCHAR) AS min_val,
            |  CAST(max($c) AS VARCHAR) AS max_val
            |FROM documents""".stripMargin

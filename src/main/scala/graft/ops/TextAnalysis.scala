@@ -69,8 +69,13 @@ object TextAnalysis {
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(
           java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        // end() must run even when the consumer short-circuits (limit/
+        // take/failure leave the iterator partially drained) — the task
+        // completion listener is the only hook that always fires
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 16)
-        val out = it.map { case (id, text) =>
+        it.map { case (id, text) =>
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           deflater.reset()
           deflater.setInput(raw)
@@ -79,16 +84,6 @@ object TextAnalysis {
           while (!deflater.finished()) n += deflater.deflate(buf)
           val ratio = if (raw.length == 0) 1.0 else n.toDouble / raw.length
           (id, raw.length.toLong, n, math.rint(ratio * 1e6) / 1e6)
-        }
-        // the iterator is fully drained before this task ends, so the
-        // deflater outlives every use; end() frees its native memory
-        new Iterator[(Long, Long, Long, Double)] {
-          def hasNext: Boolean = {
-            val h = out.hasNext
-            if (!h) deflater.end()
-            h
-          }
-          def next(): (Long, Long, Long, Double) = out.next()
         }
       }.toDF("doc_id", "n_bytes", "n_deflated", "compress_ratio")
   }
