@@ -98,6 +98,58 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("trainer-shard sink: each micro-batch lands as parseable .tfrecord.gz shards") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.sources.TfRecord
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_tfr")
+    val ms = MemoryStream[(Long, String)]
+    val query = ms.toDS().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // one shard per partition per trigger, written EXECUTOR-SIDE —
+        // the production layout (shard count = upstream parallelism; no
+        // driver collect, no coalesce bottleneck). local[n] executors
+        // share the test filesystem, so the parse-back below sees them.
+        val dir = outDir.toString
+        batch.select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            val recs = it.map { case (id, text) =>
+              TfRecord.encodeExample(Seq(
+                "doc_id" -> TfRecord.Feature.of(id),
+                "text" -> TfRecord.Feature.of(text)))
+            }.toSeq
+            if (recs.isEmpty) Iterator.empty
+            else {
+              val name = s"b$batchId-${java.util.UUID.randomUUID()}.tfrecord.gz"
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dir, name),
+                TfRecord.render(recs, gzip = true))
+              Iterator(1)
+            }
+          }.foreach(_ => ())
+        ()
+      }
+      .start()
+    try {
+      ms.addData((1L, "first doc"), (2L, "second doc"))
+      query.processAllAvailable()
+      ms.addData((3L, "third doc arrives later"))
+      query.processAllAvailable()
+      val shards = java.nio.file.Files.list(outDir).iterator()
+      val ids = scala.collection.mutable.Set.empty[Long]
+      shards.forEachRemaining { p =>
+        TfRecord.recordsAuto(p.getFileName.toString,
+          java.nio.file.Files.readAllBytes(p)).foreach { rec =>
+          ids += TfRecord.decodeExample(rec)("doc_id")
+            .asInstanceOf[TfRecord.Int64Feature].values.head
+        }
+      }
+      assert(ids === Set(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
   test("streaming decontamination screens each batch against the static benchmark") {
     val s = spark
     import s.implicits._
