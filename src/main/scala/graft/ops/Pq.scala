@@ -172,7 +172,99 @@ object Pq {
         round(col("adc_dist"), 6).as("adc_dist"))
   }
 
+  /** IVF-PQ composed ANN (q84) — the production index shape (faiss
+    * IVFPQ): the IVF coarse quantizer (q43's fit/assign) prunes the
+    * candidate set to `nprobe` clusters, PQ codes + a per-query ADC
+    * lookup table rank ONLY those candidates. The corpus is touched once
+    * to encode (bucket + one-long code per vector); at query time the
+    * scan reads codes, not floats, and the cluster filter prunes before
+    * any distance math.
+    *
+    * Returns (query_id, vec_id, rank, adc_dist) for the q43-style query
+    * set (first [[Similarity.QueryK]] vectors).
+    */
+  def ivfPqTopK(s: SparkSession, e: DataFrame, nlist: Int, m: Int = 8,
+      k: Int = 16, nprobe: Int = 2, topK: Int = 10): DataFrame = {
+    import s.implicits._
+    val cents = Similarity.fitCentroids(e, nlist)
+    val bcCents = s.sparkContext.broadcast(cents)
+    val model = fit(e, m, k)
+    val assigned = Similarity.assignClusters(s, e, bcCents)
+    // the index relation: (vec_id, bucket, pq_code) — what a production
+    // deployment persists once and queries forever
+    val codes = assigned.select(col("vec_id"), col("bucket"))
+      .join(encode(s, e, model).select(col("vec_id"), col("pq_code")), "vec_id")
+    val queries = e.filter(col("vec_id") < Similarity.QueryK)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect()
+    val probes = math.max(1, math.min(nprobe, cents.length))
+    // tiny (query, probed-bucket) relation, broadcast by AQE
+    val probed = queries.flatMap { case (qid, qv) =>
+      cents.indices.map(i => (KMeansLite.cos(cents(i), qv), i))
+        .sortBy { case (c, i) => (-c, i) }.take(probes)
+        .map { case (_, b) => (qid, b.toLong) }
+    }.toSeq.toDF("query_id", "bucket")
+    val candidates = codes.join(broadcast(probed), "bucket")
+      .select(col("query_id"), col("vec_id"), col("pq_code"))
+    adcRank(s, candidates, model, queries, topK)
+  }
+
+  /** ADC-rank pre-paired (query_id, vec_id, pq_code) candidates. */
+  private def adcRank(s: SparkSession, candidates: DataFrame, model: Model,
+      queries: Array[(Long, Array[Float])], topK: Int): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(model)
+    val bq = s.sparkContext.broadcast(queries)
+    val mask = (1L << model.bits) - 1
+    val scored = candidates.as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        val mod = bc.value
+        val luts = bq.value.map { case (qid, qv) =>
+          val lut = new Array[Double](mod.m * mod.k)
+          var sub = 0
+          while (sub < mod.m) {
+            val cb = mod.codebooks(sub)
+            var ci = 0
+            while (ci < cb.length) {
+              lut(sub * mod.k + ci) = KMeansL2.sqDist(qv, sub * mod.subDim, cb(ci))
+              ci += 1
+            }
+            sub += 1
+          }
+          qid -> lut
+        }.toMap
+        it.map { case (qid, id, code) =>
+          val lut = luts(qid)
+          var dist = 0.0
+          var sub = 0
+          while (sub < mod.m) {
+            val ci = ((code >>> (sub * mod.bits)) & mask).toInt
+            dist += lut(sub * mod.k + ci)
+            sub += 1
+          }
+          (qid, id, dist)
+        }
+      }.toDF("query_id", "vec_id", "adc_dist")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+        round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IVF-PQ composed search over the embeddings table (nlist from the
+    // q43 stats heuristic). Data-dependent (two k-means fits) →
+    // rows-only; PqSpec pins recall vs exact search and the pruning.
+    "q84_ivfpq" -> ((s, dir) => {
+      val e = graft.Tables.embeddings(s, dir)
+      val n = Similarity.estimatedRowCount(e, Similarity.EmbeddingRowBytes)
+      ivfPqTopK(s, e, nlist = Similarity.nlistFor(n))
+    }),
+
     // Per-vector PQ codes + reconstruction error over the embeddings
     // table. Data-dependent (k-means) → rows-only; PqSpec pins the
     // semantics (exact reconstruction on grid data, determinism, packing,

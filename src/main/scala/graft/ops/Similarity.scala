@@ -122,7 +122,7 @@ object Similarity {
   private val NeardupBucketCap = 200
 
   /** First `k` vec_ids form the query set for ANN demos. */
-  private val QueryK = 5
+  private[ops] val QueryK = 5
   private val TopK   = 10
 
   /** Exact top-k per query without shuffling the scored corpus: bounded
@@ -230,7 +230,7 @@ object Similarity {
     * externally-trained codebook for larger deployments.
     */
   /** √n-clamped IVF list count (nlist) from a row-count estimate. */
-  private def nlistFor(n: Long): Int =
+  private[ops] def nlistFor(n: Long): Int =
     math.max(4, math.min(1024, math.ceil(math.sqrt(n.toDouble)).toInt))
 
   /** The documented bounded train step shared by q43/q66: fit KMeansLite
@@ -255,7 +255,7 @@ object Similarity {
   /** Broadcast-centroid argmax-cosine assignment: one mapPartitions pass,
     * no join fan-out, no shuffle. Output (vec_id, embedding, bucket).
     */
-  private def assignClusters(s: SparkSession, e: DataFrame,
+  private[ops] def assignClusters(s: SparkSession, e: DataFrame,
       bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]): DataFrame = {
     import s.implicits._
     // same NULL contract as fitCentroids: a NULL embedding has no cluster

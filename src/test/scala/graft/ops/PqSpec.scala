@@ -121,6 +121,34 @@ class PqSpec extends SparkSpec {
     assert(one.map(_.getDouble(3)).toSeq.sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("IVF-PQ composed search: recall holds while pruning most of the corpus") {
+    val rnd = new Random(41)
+    // same cluster shape as the ADC test: 30 centers × 10 points
+    val centers = Array.fill(30)(Array.fill(64)(rnd.nextFloat() * 4 - 2))
+    val vs = (0 until 300).map { i =>
+      val c = centers(i % 30)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val df = vecsDf(vs)
+    val got = Pq.ivfPqTopK(spark, df, nlist = 8, nprobe = 2, topK = 10)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    // queries are vec_id < 5 (the q43 query set)
+    assert(got.keySet === (0L until 5L).toSet)
+    var hit = 0
+    val byId = vs.toMap
+    (0L until 5L).foreach { qid =>
+      val qv = byId(qid)
+      val exact = vs.map { case (id, v) => (id, KMeansL2.sqDist(v, 0, qv)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      hit += (exact & got(qid)).size
+    }
+    assert(hit.toDouble / 50 >= 0.6, s"IVF-PQ recall@10 = ${hit / 50.0}")
+    // every query returns exactly topK ranked rows
+    got.values.foreach(s => assert(s.size === 10))
+  }
+
   test("NULL embeddings are excluded; empty input fails fast") {
     import spark.implicits._
     val df = Seq((1L, Array.fill(64)(0.5f)), (2L, null.asInstanceOf[Array[Float]]))
