@@ -171,16 +171,36 @@ object Inspector {
       .toDF("ts_ms", "src_addr", "src_port", "dst_addr", "dst_port", "seq", "length")
   }
 
-  // --- driver-contract queries (rows-only: the pipeline is not
-  // SQL-expressible; semantics covered by ScalaTest) ----------------------
+  // --- driver-contract queries -------------------------------------------
 
+  /** q20-q22 run the real pipeline over the synthetic captures; `ts` is
+    * projected to epoch millis so both engines hash a BIGINT (the same
+    * convention the A-queries use). [[SyntheticTraffic.ensureFixtures]]
+    * also writes the oracle's expected tables as parquet.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_packets" -> ((s, _) =>
-      packets(s, SyntheticTraffic.ensurePcapDir())),
+      packets(s, SyntheticTraffic.ensureFixtures(s))),
     "q21_inspector_requests" -> ((s, _) =>
-      requests(records(s, SyntheticTraffic.ensurePcapDir()))),
+      requests(records(s, SyntheticTraffic.ensureFixtures(s)))
+        .withColumn("ts", unix_millis(col("ts")))),
     "q22_inspector_responses" -> ((s, _) =>
-      responses(records(s, SyntheticTraffic.ensurePcapDir()))))
+      responses(records(s, SyntheticTraffic.ensureFixtures(s)))
+        .withColumn("ts", unix_millis(col("ts")))))
 
-  def oracles: Map[String, String] = Map()
+  /** DuckDB side of the q20-q22 hash-compare: the HAND-DERIVED expected
+    * tables ([[SyntheticTraffic.expectedRecords]]) — an independent
+    * derivation of the same traffic, not the pipeline's own output.
+    */
+  def oracles: Map[String, String] = {
+    val parent =
+      java.nio.file.Paths.get(SyntheticTraffic.ensurePcapDir()).getParent
+    Map(
+      "q20_packets" ->
+        s"SELECT * FROM read_parquet('$parent/expected_packets/*.parquet')",
+      "q21_inspector_requests" ->
+        s"SELECT * FROM read_parquet('$parent/expected_requests/*.parquet')",
+      "q22_inspector_responses" ->
+        s"SELECT * FROM read_parquet('$parent/expected_responses/*.parquet')")
+  }
 }

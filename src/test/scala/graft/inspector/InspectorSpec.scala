@@ -73,6 +73,25 @@ class InspectorSpec extends SparkSpec {
     assert(responses.count().toInt === SyntheticTraffic.ExpectedResponses)
   }
 
+  test("pipeline output equals the hand-derived oracle tables (q20-q22)") {
+    // exactly what the driver's DuckDB compare sees: pipeline vs the
+    // independently-derived expected parquet written by ensureFixtures
+    val fixDir = SyntheticTraffic.ensureFixtures(spark)
+    val parent = java.nio.file.Paths.get(fixDir).getParent
+    def same(got: org.apache.spark.sql.DataFrame, expName: String): Unit = {
+      val exp = spark.read.parquet(s"$parent/$expName")
+      assert(got.schema.map(f => (f.name, f.dataType)) ===
+        exp.schema.map(f => (f.name, f.dataType)), expName)
+      val extra = got.exceptAll(exp).count()
+      val missing = exp.exceptAll(got).count()
+      assert(extra === 0L && missing === 0L,
+        s"$expName: $extra unexpected, $missing missing")
+    }
+    same(requests.withColumn("ts", unix_millis(col("ts"))), "expected_requests")
+    same(responses.withColumn("ts", unix_millis(col("ts"))), "expected_responses")
+    same(Inspector.packets(spark, fixDir), "expected_packets")
+  }
+
   test("get request/response with elapsed") {
     val rq = reqRow(1)
     assert(rq.getAs[String]("method") === "get")
