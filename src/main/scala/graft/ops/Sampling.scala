@@ -210,20 +210,33 @@ object Sampling {
   /** Vocabulary finalization (q81): contiguous token ids by frequency
     * rank — the step between BPE merges and the trainer (embedding rows
     * are indexed by exactly this table). One (token) partial-agg shuffle
-    * over the corpus; the ranking window then runs over the VOCAB table
-    * (bounded — further clipped by `minCount`), not the corpus, so the
-    * single-partition row_number is |vocab| rows regardless of corpus
-    * size. Deterministic: ties rank lexicographically.
+    * over the corpus builds the vocab; the global rank is a
+    * range-partitioned sort + `zipWithIndex`, NOT a global row_number
+    * window: the sort spreads the vocab across tasks on sampled range
+    * boundaries, and zipWithIndex adds per-partition offsets with one
+    * extra partition-count job — no task ever holds the whole table. (A
+    * 100 TB web corpus exceeds 10^8 distinct tokens even at minCount=2 —
+    * typos, unicode junk — so the pre-round-8 unpartitioned window was a
+    * single-reducer funnel at exactly the scale this table exists for.)
+    * Deterministic: (n desc, token asc) is a total order because tokens
+    * are distinct after the groupBy; ties rank lexicographically. The
+    * RDD hop is the documented exception to DataFrame-only: Spark has no
+    * partition-offset rank primitive, and this is the standard shape.
     */
   def vocabIds(docs: DataFrame, minCount: Long = 2L): DataFrame = {
+    val s = docs.sparkSession
     val counts = docs.filter(col("text").isNotNull)
       .select(explode(TextAnalysis.words).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-    counts.withColumn("token_id",
-      row_number().over(Window.orderBy(col("n").desc, col("token").asc))
-        .cast("long") - 1)
+    val sorted = counts.orderBy(col("n").desc, col("token").asc)
+    val schema = sorted.schema
+      .add("token_id", org.apache.spark.sql.types.LongType, nullable = false)
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    s.createDataFrame(ranked, schema)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -168,15 +168,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q81: the ranking window runs over the vocab aggregate, not the corpus") {
-    val p = planString("q81_vocab_ids")
-    // partial + final agg pair = map-side combine before the token shuffle
-    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
-    // the row_number window must sit ABOVE the aggregate (vocab-scale) —
-    // no window directly over the exploded token stream
-    val winIdx = p.indexOf("Window")
-    val aggIdx = p.indexOf("HashAggregate")
-    assert(winIdx >= 0 && aggIdx > winIdx, p) // plan prints top-down
+  test("q81: global rank is sort+zipWithIndex — no single-partition window") {
+    // the pre-round-8 plan ranked with an UNPARTITIONED row_number window
+    // (one reducer holds the whole vocabulary — the round-7 verdict's
+    // `weak` item); the fix is a range-partitioned sort + zipWithIndex,
+    // so no Window node may appear anywhere in the final plan
+    val df = graft.SparkEntry.queries("q81_vocab_ids")(spark, "/root/testdata/sf0.001")
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      df.queryExecution.executedPlan.toString)
+    // and the rank contract survived: token_id contiguous from 0 in
+    // (n desc, token asc) order
+    val rows = df.collect().sortBy(_.getLong(2))
+    assert(rows.map(_.getLong(2)).toSeq === rows.indices.map(_.toLong))
+    val key = rows.map(r => (-r.getLong(1), r.getString(0)))
+    assert(key.toSeq === key.sorted.toSeq)
   }
 
   test("q74: html extraction is a shuffle-free codegen scan projection") {
