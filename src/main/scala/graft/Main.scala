@@ -22,6 +22,10 @@ import graft.streaming.{CaptureProcess, InspectorStream, KafkaSink}
   *   -p PORTS   comma-separated RegionServer ports (default 16020,60020)
   *   -t DIR     checkpoint dir for -k (default: a temp dir)
   *   -d MS      bound a -k run to a wall-clock duration (reference -d)
+  *   -c N       max records to process (reference -c packet cap,
+  *              core.clj:51-53): batch modes take-bound the record
+  *              stream; -k runs one file per trigger under an
+  *              AvailableNow replay and stop once N records are emitted
   *   -o PREFIX  persist the 4 tables as bucketed+sorted catalog tables
   *              PREFIX_requests/_responses/_actions/_results (the H2
   *              persistence analogue, sink/db.clj:65-66: bucketed by the
@@ -34,6 +38,10 @@ import graft.streaming.{CaptureProcess, InspectorStream, KafkaSink}
   *              growing directory; the capture is stopped when the run
   *              ends
   *   -n         with -i: print the capture command instead of running it
+  *   -v         verbose: per-file load lines, decoded record counts,
+  *              per-trigger streaming progress (reference -v +
+  *              report-interval ticks, core.clj:60-62)
+  *   -h         print usage and exit 0
   * }}}
   * With neither `-e` nor `-k`: interactive — one SQL statement per line
   * against requests/responses/actions/results; empty line or EOF quits
@@ -57,7 +65,21 @@ object Main {
   }
 
   private val Usage =
-    """usage: graft.Main CAPTURE_DIR [-e SQL]... [-k SPEC] [-o PREFIX] [-p PORTS] [-t CKPT_DIR] [-d MS] [-i IFACE [-n]]"""
+    """usage: graft.Main CAPTURE_DIR [-e SQL]... [-k SPEC] [-o PREFIX] [-p PORTS] [-t CKPT_DIR] [-d MS] [-c N] [-i IFACE [-n]] [-v] [-h]
+      |  -e SQL     run a statement and print it (repeatable); exit after
+      |  -k SPEC    stream records to Kafka (SERVERS/T1/T2[?k=v&...])
+      |  -o PREFIX  persist the 4 tables as bucketed catalog tables; exit
+      |  -p PORTS   comma-separated RegionServer ports (default 16020,60020)
+      |  -t DIR     checkpoint dir for -k (default: a temp dir)
+      |  -d MS      bound a -k run to a wall-clock duration
+      |  -c N       max records to process (batch take-bound; -k: stop
+      |             once N records are emitted, one file per trigger)
+      |  -i IFACE   launch staged tcpdump capture into CAPTURE_DIR first
+      |  -n         with -i: print the capture command instead of running
+      |  -v         verbose: per-file load lines + per-trigger progress
+      |  -h         print this help and exit
+      |with neither -e nor -k: interactive SQL over requests/responses/
+      |actions/results (empty line or EOF quits)""".stripMargin
 
   /** Testable core; returns a process exit code. `capture` is the live
     * capture launcher seam (`(iface, dir, ports) => handle`) — the real
@@ -73,9 +95,11 @@ object Main {
     var ports = Inspector.HbasePorts
     var ckpt: Option[String] = None
     var durationMs: Option[Long] = None
+    var maxRecords: Option[Int] = None
     var iface: Option[String] = None
     var save: Option[String] = None
     var dryRun = false
+    var verbose = false
     var i = 0
     try {
       while (i < args.length) {
@@ -85,9 +109,12 @@ object Main {
           case "-p" => ports = args(i + 1).split(',').map(_.trim.toInt).toSet; i += 2
           case "-t" => ckpt = Some(args(i + 1)); i += 2
           case "-d" => durationMs = Some(args(i + 1).toLong); i += 2
+          case "-c" => maxRecords = Some(args(i + 1).toInt); i += 2
           case "-i" => iface = Some(args(i + 1)); i += 2
           case "-o" => save = Some(args(i + 1)); i += 2
           case "-n" => dryRun = true; i += 1
+          case "-v" => verbose = true; i += 1
+          case "-h" => out.println(Usage); return 0
           case flag if flag.startsWith("-") =>
             out.println(s"unknown option: $flag"); out.println(Usage); return 1
           case path => dir = Some(path); i += 1
@@ -96,6 +123,10 @@ object Main {
     } catch {
       case _: ArrayIndexOutOfBoundsException | _: NumberFormatException =>
         out.println(Usage); return 1
+    }
+    if (maxRecords.exists(_ <= 0)) {
+      out.println("-c requires a positive record count")
+      out.println(Usage); return 1
     }
     if (dryRun && iface.isEmpty) {
       // a stray -n must not silently run the real thing the user thought
@@ -130,9 +161,15 @@ object Main {
             1
           case None =>
             try {
-              if (save.isDefined) runSave(spark, d, save.get, ports, out)
-              else if (kafka.isDefined) runKafka(spark, d, kafka.get, ports, ckpt, durationMs, out)
-              else runSql(spark, d, ports, stmts, in, out)
+              // reference -v progress: say what the load is about to read
+              // (long directory loads are otherwise silent until done)
+              if (verbose) listCaptureFiles(d, out)
+              if (save.isDefined)
+                runSave(spark, d, save.get, ports, maxRecords, out)
+              else if (kafka.isDefined)
+                runKafka(spark, d, kafka.get, ports, ckpt, durationMs,
+                  maxRecords, verbose, out)
+              else runSql(spark, d, ports, stmts, maxRecords, verbose, in, out)
             } finally handle.foreach { h =>
               val code = h.stop()
               out.println(s"capture stopped (exit $code)")
@@ -141,10 +178,24 @@ object Main {
     }
   }
 
+  /** `-v` load preamble: the capture files the pipeline is about to read
+    * (dot-prefixed in-progress staging files are excluded, exactly as the
+    * binaryFile source excludes them).
+    */
+  private def listCaptureFiles(dir: String, out: PrintStream): Unit = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+    out.println(s"[v] ${files.length} capture files in $dir")
+    files.foreach(f => out.println(s"[v]   ${f.getName} (${f.length()} bytes)"))
+  }
+
   private def runSave(spark: SparkSession, dir: String, prefix: String,
-                      ports: Set[Int], out: PrintStream): Int =
+                      ports: Set[Int], maxRecords: Option[Int],
+                      out: PrintStream): Int =
     try {
-      Inspector.saveTables(spark, dir, prefix, ports = ports)
+      Inspector.saveTables(spark, dir, prefix, ports = ports,
+        maxRecords = maxRecords)
       Seq("requests", "responses", "actions", "results").foreach { t =>
         val table = s"${prefix}_$t".toLowerCase(java.util.Locale.ROOT)
         out.println(s"saved $table (${spark.table(table).count()} rows)")
@@ -156,31 +207,60 @@ object Main {
 
   private def runKafka(spark: SparkSession, dir: String, spec: String,
                        ports: Set[Int], ckpt: Option[String],
-                       durationMs: Option[Long], out: PrintStream): Int =
+                       durationMs: Option[Long], maxRecords: Option[Int],
+                       verbose: Boolean, out: PrintStream): Int =
     try {
       val parsed = KafkaSink.parseSpec(spec)
-      val records = InspectorStream.recordsFromPcapDir(spark, dir, ports = ports).toDF()
+      // -c: one file per trigger so the emitted-record cap reacts at file
+      // granularity, under an AvailableNow replay that terminates once the
+      // directory's current contents are drained
+      val records = InspectorStream.recordsFromPcapDir(spark, dir, ports = ports,
+        maxFilesPerTrigger = maxRecords.map(_ => 1)).toDF()
       val json = KafkaSink.jsonRecords(records, parsed,
         java.net.InetAddress.getLocalHost.getHostName)
       val checkpoint = ckpt.getOrElse(
         java.nio.file.Files.createTempDirectory("graft_kafka_ckpt").toString)
-      val query = KafkaSink.writeStream(json, parsed, checkpoint).start()
-      out.println(s"streaming $dir -> kafka ${parsed.servers} " +
-        s"(requests='${parsed.topic1}', responses='${parsed.topic2}')")
-      durationMs match {
-        case Some(ms) => InspectorStream.awaitBounded(query, ms)
-        case None     => query.awaitTermination()
-      }
+      val name = s"graft-kafka-${java.util.UUID.randomUUID()}"
+      var writer = KafkaSink.writeStream(json, parsed, checkpoint).queryName(name)
+      if (maxRecords.isDefined)
+        writer = writer.trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val report: (Long, Long, Long) => Unit =
+        if (verbose) (batch, n, total) =>
+          out.println(s"[v] trigger $batch: $n records ($total total)")
+        else (_, _, _) => ()
+      val tracker = new InspectorStream.ProgressTracker(name, report)
+      // registered BEFORE start: a fast first trigger must not slip past
+      spark.streams.addListener(tracker)
+      try {
+        val query = writer.start()
+        out.println(s"streaming $dir -> kafka ${parsed.servers} " +
+          s"(requests='${parsed.topic1}', responses='${parsed.topic2}')")
+        (maxRecords, durationMs) match {
+          case (Some(cap), _) =>
+            InspectorStream.awaitCapped(query, tracker, cap, durationMs)
+          case (None, Some(ms)) => InspectorStream.awaitBounded(query, ms)
+          case (None, None)     => query.awaitTermination()
+        }
+      } finally spark.streams.removeListener(tracker)
       0
     } catch {
       case NonFatal(e) => out.println(s"kafka run failed: ${e.getMessage}"); 1
     }
 
   private def runSql(spark: SparkSession, dir: String, ports: Set[Int],
-                     stmts: Vector[String], in: BufferedReader,
+                     stmts: Vector[String], maxRecords: Option[Int],
+                     verbose: Boolean, in: BufferedReader,
                      out: PrintStream): Int = {
-    Inspector.registerViews(spark, dir, ports)
+    Inspector.registerViews(spark, dir, ports, maxRecords)
     graft.functions.VectorFunctions.register(spark)
+    if (verbose) {
+      // materializes the shared cache once; every later statement reuses it
+      val nReq = spark.table("requests").count()
+      val nRes = spark.table("responses").count()
+      out.println(s"[v] decoded $nReq requests, $nRes responses" +
+        maxRecords.fold("")(n => s" (capped at $n records)"))
+    }
     def one(sql: String): Boolean =
       try { render(spark.sql(sql), out); true }
       catch { case NonFatal(e) =>

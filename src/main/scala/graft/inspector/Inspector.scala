@@ -109,11 +109,16 @@ object Inspector {
 
   /** SQL surface: 4 temp views over one cached pipeline run + spark.sql
     * passthrough (reference sink/db.clj:101-113 shell/web — arbitrary SQL
-    * over requests/responses/actions/results).
+    * over requests/responses/actions/results). `maxRecords` is the
+    * reference's `-c` count cap (core.clj:51-53): a take-bound on the
+    * record stream for "grab the first N and look" runs — which N is
+    * processing-order-dependent, exactly like the reference's packet cap.
     */
   def registerViews(spark: SparkSession, path: String,
-                    ports: Set[Int] = HbasePorts): Unit = {
-    val recs = records(spark, path, ports).cache()
+                    ports: Set[Int] = HbasePorts,
+                    maxRecords: Option[Int] = None): Unit = {
+    val all = records(spark, path, ports)
+    val recs = maxRecords.fold(all)(n => all.limit(n)).cache()
     requests(recs).createOrReplaceTempView("requests")
     responses(recs).createOrReplaceTempView("responses")
     actionsTable(recs).createOrReplaceTempView("actions")
@@ -126,8 +131,10 @@ object Inspector {
     * saved tables co-locate on the bucket key and skip the exchange.
     */
   def saveTables(spark: SparkSession, pcapPath: String, prefix: String,
-                 buckets: Int = 32, ports: Set[Int] = HbasePorts): Unit = {
-    val recs = records(spark, pcapPath, ports).cache()
+                 buckets: Int = 32, ports: Set[Int] = HbasePorts,
+                 maxRecords: Option[Int] = None): Unit = {
+    val all = records(spark, pcapPath, ports)
+    val recs = maxRecords.fold(all)(n => all.limit(n)).cache()
     Seq(
       "requests" -> requests(recs), "responses" -> responses(recs),
       "actions" -> actionsTable(recs), "results" -> resultsTable(recs))

@@ -81,6 +81,52 @@ object InspectorStream {
                    durationMs: Long): Unit =
     if (!query.awaitTermination(durationMs)) query.stop()
 
+  /** Per-trigger progress + cumulative output counter (reference `-c`
+    * count cap and `-v` 1 s progress ticks, core.clj:47-63): accumulates
+    * each completed trigger's sink output rows (records emitted; falls
+    * back to input rows for sinks that don't report) and invokes `report`
+    * per trigger. Matches queries BY NAME so it can be registered BEFORE
+    * `start()` — registering after would race a fast first trigger.
+    * The caller polls [[total]] and stops the query from its own thread
+    * ([[awaitCapped]]): stopping from inside the listener bus would have
+    * the bus thread wait on itself.
+    */
+  final class ProgressTracker(queryName: String,
+      report: (Long, Long, Long) => Unit = (_, _, _) => ())
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val seen =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+    @volatile private var acc = 0L
+    def total: Long = acc
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      if (e.progress.name == queryName && seen.add(e.progress.batchId)) {
+        val sinkRows = e.progress.sink.numOutputRows
+        val n = if (sinkRows >= 0) sinkRows else e.progress.numInputRows
+        acc += n
+        report(e.progress.batchId, n, acc)
+      }
+  }
+
+  /** Block until the query stops on its own, the wall-clock budget (if
+    * any) elapses, or the tracker's cumulative output reaches `cap` —
+    * then stop it gracefully. Granularity is one trigger (pair the cap
+    * with `maxFilesPerTrigger = 1` so it reacts per capture file): the
+    * reference checks its `-c` counter per packet; a micro-batch engine
+    * checks per trigger.
+    */
+  def awaitCapped(query: org.apache.spark.sql.streaming.StreamingQuery,
+                  tracker: ProgressTracker, cap: Long,
+                  durationMs: Option[Long] = None): Unit = {
+    val deadline = durationMs.map(ms => System.nanoTime() + ms * 1000000L)
+    while (query.isActive && tracker.total < cap &&
+        !deadline.exists(System.nanoTime() >= _))
+      query.awaitTermination(100)
+    if (query.isActive) query.stop()
+  }
+
   /** The OS half of live capture. The reference opens the NIC in-process
     * (pcap.clj:16-33 live-handle: BPF filter, snaplen, promiscuous mode);
     * a distributed engine deliberately does not — tcpdump owns the NIC and

@@ -151,6 +151,39 @@ class MainSpec extends SparkSpec {
     assert(text.contains("device-gone"))
   }
 
+  test("-h prints the full usage and exits 0") {
+    val (code, out) = run(Array("-h"))
+    assert(code === 0)
+    assert(out.contains("usage:"))
+    assert(out.contains("-c N") && out.contains("-v") && out.contains("-h"))
+  }
+
+  test("-c caps the records the SQL surface sees") {
+    val (code, out) = run(Array(SyntheticTraffic.ensurePcapDir(), "-c", "5",
+      "-e", "SELECT (SELECT count(*) FROM requests) + " +
+        "(SELECT count(*) FROM responses) AS n"))
+    assert(code === 0, out)
+    // 29 records exist in the synthetic captures; the take-bound keeps 5
+    assert(out.linesIterator.exists(_.trim === "5"), out)
+  }
+
+  test("-c with a non-positive count is a usage error") {
+    val (code, out) = run(Array(SyntheticTraffic.ensurePcapDir(), "-c", "0",
+      "-e", "SELECT 1"))
+    assert(code === 1)
+    assert(out.contains("-c requires"))
+  }
+
+  test("-v prints per-file load lines and decoded record counts") {
+    val (code, out) = run(Array(SyntheticTraffic.ensurePcapDir(), "-v",
+      "-e", "SELECT count(*) AS n FROM requests"))
+    assert(code === 0, out)
+    assert(out.contains("[v] 2 capture files"), out)
+    assert(out.contains("capture-00001.pcap"), out)
+    assert(out.contains(s"[v] decoded ${SyntheticTraffic.ExpectedRequests} " +
+      s"requests, ${SyntheticTraffic.ExpectedResponses} responses"), out)
+  }
+
   test("-p filters to the given ports (none match -> empty tables, not errors)") {
     val (code, out) = run(Array(SyntheticTraffic.ensurePcapDir(),
       "-p", "9999",

@@ -213,6 +213,39 @@ class InspectorStreamSpec extends SparkSpec {
     assert(query.recentProgress.count(_.numInputRows > 0) >= 2)
   }
 
+  test("record cap (-c streaming form): tracker reports per trigger, awaitCapped stops at the cap") {
+    val s = spark
+    import java.nio.file.{Files, Paths}
+    val srcDir = Files.createTempDirectory("graft_record_cap")
+    val pcaps = Paths.get(SyntheticTraffic.ensurePcapDir())
+    Files.copy(pcaps.resolve("capture-00001.pcap"), srcDir.resolve("c1.pcap"))
+    Files.copy(pcaps.resolve("capture-00002.pcap"), srcDir.resolve("c2.pcap"))
+    val progress = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val tracker = new InspectorStream.ProgressTracker("record_cap",
+      (_, n, total) => progress.add((n, total)))
+    s.streams.addListener(tracker)
+    try {
+      // a CONTINUOUS query (no AvailableNow): after draining the dir it
+      // would wait for new files forever — only the cap ends the run
+      val query = InspectorStream
+        .recordsFromPcapDir(s, srcDir.toString, withIdleTimeout = false,
+          maxFilesPerTrigger = Some(1))
+        .writeStream.format("memory").queryName("record_cap")
+        .outputMode("append").start()
+      val t0 = System.nanoTime()
+      InspectorStream.awaitCapped(query, tracker, cap = 5L,
+        durationMs = Some(120000L))
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(!query.isActive)
+      assert(tracker.total >= 5L, s"cap never reached: ${tracker.total}")
+      assert(elapsedMs < 60000L, s"stopped by duration backstop, not the cap")
+      // per-trigger reporting fired with a growing cumulative count
+      val seen = progress.toArray(Array.empty[(Long, Long)])
+      assert(seen.nonEmpty)
+      assert(seen.map(_._2).toSeq === seen.map(_._2).toSeq.sorted)
+    } finally s.streams.removeListener(tracker)
+  }
+
   test("awaitBounded stops a continuous query after the duration budget") {
     val s = spark
     val srcDir = java.nio.file.Files.createTempDirectory("graft_duration_bound")
