@@ -34,10 +34,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warmup: session/codegen/noop-sink init otherwise lands entirely on
-    // the first timed query (alphabetically q01).
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+    // the first timed query (alphabetically q01). Warm on a table the
+    // queries actually read (events is q01's own input) and SAY SO when
+    // warmup fails — a silent no-op hands q01 ~1 s of codegen init.
+    try spark.read.parquet(s"$sfDir/events.parquet").limit(1000)
       .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed (q01 will absorb init): $e")
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // stderr start marker: attributes any async scheduler noise (e.g.
@@ -96,7 +100,12 @@ object Bench {
       val cut = k.indexOf('_')
       if (cut > 0) k.substring(0, cut) else k
     }
-    val qs = results.collect { case (k, v, "ok") => s""""${short(k)}":${d2(v)}""" }
+    // two names sharing a qNN prefix would silently collide into duplicate
+    // JSON keys; fall back to the full names for just those
+    val collide = results.map(t => short(t._1))
+      .groupBy(identity).collect { case (p, g) if g.size > 1 => p }.toSet
+    def key(k: String): String = if (collide(short(k))) k else short(k)
+    val qs = results.collect { case (k, v, "ok") => s""""${key(k)}":${d2(v)}""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, "ok") => v }.sum
     val fails = results.collect { case (k, _, s) if s != "ok" => s""""$k"""" }

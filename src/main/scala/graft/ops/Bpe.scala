@@ -145,7 +145,11 @@ object Bpe {
         val ranks = bc.value
         val cache = scala.collection.mutable.HashMap.empty[String, Int]
         it.map { case (id, text) =>
-          val words = text.trim.split("\\s+").filter(_.nonEmpty)
+          // the shared JVM-side tokenizer — learn() tokenizes with the
+          // TextAnalysis.words Spark expression; a locally-duplicated
+          // trim/split here could drift (Java trim strips control chars
+          // that SQL trim keeps)
+          val words = TextAnalysis.wordsLocal(text)
           var n = 0L
           words.foreach { w =>
             n += cache.getOrElseUpdate(w, encodeWord(w, ranks).length)

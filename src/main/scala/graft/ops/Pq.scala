@@ -27,6 +27,9 @@ object Pq {
   /** [m][k][subDim] codebooks + the packing geometry. */
   final case class Model(m: Int, k: Int, subDim: Int,
       codebooks: Array[Array[Array[Float]]]) {
+    // fit() guards k>1 but Model is public: k=1 would give bits=0/mask=0
+    // and silently pack every subspace index into bit 0
+    require(k > 1, s"need k>1 centroids per subspace, got k=$k")
     val bits: Int = 32 - Integer.numberOfLeadingZeros(k - 1) // ceil(log2 k)
     require(m * bits <= 64, s"codes must pack into one long: m=$m k=$k")
   }

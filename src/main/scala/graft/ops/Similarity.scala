@@ -30,8 +30,9 @@ import graft.Tables
   *     statistics ([[estimatedRowCount]] — `sizeInBytes` of the scan, no
   *     job), never from a `.count()` pass over the corpus. q43's k-means
   *     fit is the one documented exception: an explicit, bounded train step
-  *     (a `limit(sampleCap)` collect — first partitions only, never a full
-  *     pass).
+  *     — an UNBIASED cap-sized draw via distributed TakeOrderedAndProject
+  *     on `xxhash64(vec_id)` (see [[fitCentroids]]; the round-5 `limit`
+  *     collect read first-partitions-only and round 6 replaced it).
   *
   * Hot-path vector math (dot/cosine/LSH buckets) runs through the native
   * codegen'd Catalyst expressions in [[graft.functions.VectorFunctions]];

@@ -31,6 +31,22 @@ object TextAnalysis {
     */
   private[graft] def words = split(trim(col("text")), "\\s+")
 
+  /** JVM-side twin of [[words]] for driver / `mapPartitions` code, with
+    * the `filter(token =!= "")` every consumer of [[words]] applies.
+    * Strips SPACES only — SQL `trim` semantics; Java's `String.trim` also
+    * strips every control char <= U+0020 and would silently diverge on
+    * text edged with a non-whitespace control char (the
+    * RepetitionStats.compute note). A property spec
+    * cross-checks the two on whitespace soups.
+    */
+  private[graft] def wordsLocal(text: String): Array[String] = {
+    var lo = 0
+    var hi = text.length
+    while (lo < hi && text.charAt(lo) == ' ') lo += 1
+    while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+    text.substring(lo, hi).split("\\s+").filter(_.nonEmpty)
+  }
+
   /** The repetition-quality ratios over a [[graft.functions.RepetitionStats]]
     * struct column — ONE definition shared by batch q44 and the streaming
     * quality filter so the two paths cannot drift.

@@ -92,16 +92,27 @@ object TfRecord {
           }
           out
         } else {
-          val out = new ByteArrayOutputStream(chunk)
-          val buf = new Array[Byte](chunk)
+          // chunk list + one final assembly: peak memory ~2n (the previous
+          // ByteArrayOutputStream peaked at ~3n near the cap from growth
+          // doubling plus the toByteArray copy), while a forged length
+          // still only allocates what actually arrives before EOF
+          val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
           var remaining = n
           while (remaining > 0) {
-            val r = in.read(buf, 0, math.min(chunk, remaining))
-            if (r < 0) throw new EOFException
-            out.write(buf, 0, r)
-            remaining -= r
+            val buf = new Array[Byte](math.min(chunk, remaining))
+            var off = 0
+            while (off < buf.length) {
+              val r = in.read(buf, off, buf.length - off)
+              if (r < 0) throw new EOFException
+              off += r
+            }
+            chunks += buf
+            remaining -= buf.length
           }
-          out.toByteArray
+          val out = new Array[Byte](n)
+          var pos = 0
+          chunks.foreach { b => System.arraycopy(b, 0, out, pos, b.length); pos += b.length }
+          out
         }
       }
 

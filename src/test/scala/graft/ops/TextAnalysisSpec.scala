@@ -98,6 +98,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again(1L) === spamRatio && again(2L) === noiseRatio)
   }
 
+  test("wordsLocal is the exact JVM twin of the shared words expression") {
+    import spark.implicits._
+    // whitespace soups: ASCII whitespace, non-\s control chars (SQL trim
+    // keeps them, Java trim would strip them at the edges — the drift
+    // wordsLocal exists to prevent), NBSP (not \s), and letters
+    val alphabet = Array('a', 'b', ' ', '\t', '\n', '\r', '\f',
+      '\u000b', '\u0001', '\u00a0')
+    val rnd = new scala.util.Random(4242)
+    val soups = Seq.tabulate(300) { _ =>
+      val n = rnd.nextInt(24)
+      String.valueOf(Array.fill(n)(alphabet(rnd.nextInt(alphabet.length))))
+    }
+    val sparkSide = soups.toDF("text")
+      .select(filter(TextAnalysis.words, _ =!= "").as("w"))
+      .collect().map(_.getSeq[String](0))
+    soups.lazyZip(sparkSide).foreach { (text, expect) =>
+      assert(TextAnalysis.wordsLocal(text).toSeq === expect,
+        s"drift on ${text.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
   test("q38/q39: counts on a fixed doc") {
     val dir = docsDir(Seq((1L, "aa bb aa cc1 !")))
     val q38 = TextAnalysis.queries("q38_quality_score")(spark, dir).collect()(0)
