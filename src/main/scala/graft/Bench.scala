@@ -43,7 +43,15 @@ object Bench {
       System.err.println(s"[bench] warmup failed (q01 will absorb init): $e")
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q48,q59 runs the named queries (qNN prefix or full
+    // name) in isolation — the knob for attributing interleaving effects
+    // (GC/codegen-cache pressure from neighbors) vs real plan changes.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean =
+      only.forall(s => s.contains(name) || s.exists(name.startsWith))
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(t => selected(t._1)).map { case (name, fn) =>
       // stderr start marker: attributes any async scheduler noise (e.g.
       // the benign late-task accumulator ERRORs after localCheckpoint
       // cleanup) to the query that provoked it
