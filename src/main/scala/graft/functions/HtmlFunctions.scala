@@ -111,13 +111,21 @@ object HtmlToText {
     val body = s.substring(i + 1, semi)
     if (body.startsWith("#")) {
       val num = body.substring(1)
+      // digit-class check before parseInt: Java's parseInt accepts a
+      // leading +/- sign, which would decode "&#+5;" — an invalid
+      // character reference browsers keep literal
+      // ASCII classes only (Character.digit / parseInt also accept
+      // unicode digit blocks, which are not valid in a char reference)
+      val hex = num.length > 1 && (num.charAt(0) == 'x' || num.charAt(0) == 'X') &&
+        num.substring(1).forall(ch => (ch >= '0' && ch <= '9') ||
+          (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F'))
+      val dec = num.nonEmpty && num.forall(ch => ch >= '0' && ch <= '9')
       val cp =
         try {
-          if (num.length > 1 && (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
-            Integer.parseInt(num.substring(1), 16)
-          else if (num.nonEmpty) Integer.parseInt(num)
+          if (hex) Integer.parseInt(num.substring(1), 16)
+          else if (dec) Integer.parseInt(num)
           else -1
-        } catch { case _: NumberFormatException => -1 }
+        } catch { case _: NumberFormatException => -1 } // overflow digits
       val valid = cp >= 0 && cp <= 0x10ffff && !(cp >= 0xd800 && cp <= 0xdfff)
       if (valid) { out.appendCodePoint(cp); semi + 1 }
       else { out.append('&'); i + 1 }

@@ -7,6 +7,129 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.ops.Html
 
+/** Clean-room second implementation of the HtmlToText extraction contract
+  * (HtmlFunctions.scala scaladoc) for differential fuzzing. Structured
+  * differently on purpose: `regionMatches` case-insensitive scans instead
+  * of per-char lowering, regex classification for entities, BigInt for
+  * numeric overflow. Only the CONTRACT is shared.
+  */
+private object NaiveRef {
+
+  private val blocks = Set(
+    "p", "div", "li", "ul", "ol", "dl", "dt", "dd",
+    "h1", "h2", "h3", "h4", "h5", "h6",
+    "table", "thead", "tbody", "tfoot", "tr",
+    "blockquote", "pre", "section", "article", "header", "footer",
+    "main", "nav", "aside", "figure", "figcaption", "form", "fieldset",
+    "address", "details", "summary", "head", "body", "html")
+
+  private val named = Map("amp" -> "&", "lt" -> "<", "gt" -> ">",
+    "quot" -> "\"", "apos" -> "'", "nbsp" -> " ")
+
+  private val Hex = "[xX]([0-9a-fA-F]+)".r
+  private val Dec = "([0-9]+)".r
+
+  private def letter(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  private def alnum(c: Char) = letter(c) || (c >= '0' && c <= '9')
+
+  /** Decoded entity text + chars consumed, or None (literal '&'). */
+  private def entity(s: String, at: Int): Option[(String, Int)] = {
+    val semi = s.indexOf(';', at + 1)
+    if (semi < 0 || semi - at > 12) return None
+    val body = s.substring(at + 1, semi)
+    val decoded: Option[String] =
+      if (body.startsWith("#")) {
+        val cp: Option[BigInt] = body.substring(1) match {
+          case Hex(h) => Some(BigInt(h, 16))
+          case Dec(d) => Some(BigInt(d))
+          case _ => None
+        }
+        cp.filter(v => v <= 0x10ffff && !(v >= 0xd800 && v <= 0xdfff))
+          .map(v => new String(Character.toChars(v.toInt)))
+      } else named.get(body)
+    decoded.map(_ -> (semi + 1 - at))
+  }
+
+  /** End of the raw-text run opened by `name`: index just past the close
+    * tag's '>', or the end of the document.
+    */
+  private def rawEnd(s: String, name: String, from: Int): Int = {
+    val tgt = "</" + name
+    var i = from
+    while (i + tgt.length <= s.length) {
+      if (s.regionMatches(true, i, tgt, 0, tgt.length)) {
+        val a = i + tgt.length
+        if (a >= s.length) return s.length
+        val c = s.charAt(a)
+        if (c == '>' || c == '/' || Character.isWhitespace(c)) {
+          val gt = s.indexOf('>', i)
+          return if (gt < 0) s.length else gt + 1
+        }
+      }
+      i += 1
+    }
+    s.length
+  }
+
+  /** (name, closing, index past '>'), or None when the tag never closes. */
+  private def tag(s: String, at: Int): Option[(String, Boolean, Int)] = {
+    val closing = s.charAt(at + 1) == '/'
+    var i = at + (if (closing) 2 else 1)
+    val start = i
+    while (i < s.length && alnum(s.charAt(i))) i += 1
+    val name = s.substring(start, i).toLowerCase(java.util.Locale.ROOT)
+    // attribute walk: a quote delimits a value only in the
+    // before-attribute-value position (just after '=', whitespace ok)
+    var expectValue = false
+    var inQuote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote != 0) { if (c == inQuote) inQuote = 0 }
+      else if (c == '>') return Some((name, closing, i + 1))
+      else if ((c == '"' || c == '\'') && expectValue) { inQuote = c; expectValue = false }
+      else if (c == '=') expectValue = true
+      else if (!Character.isWhitespace(c)) expectValue = false
+      i += 1
+    }
+    None
+  }
+
+  def extract(s: String): String = {
+    val out = new StringBuilder
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<' && s.regionMatches(i, "<!--", 0, 4)) {
+        val e = s.indexOf("-->", i + 4)
+        i = if (e < 0) n else e + 3
+      } else if (c == '<' && i + 1 < n &&
+          (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+        val e = s.indexOf('>', i + 2)
+        i = if (e < 0) n else e + 1
+      } else if (c == '<' && i + 1 < n && (letter(s.charAt(i + 1)) ||
+          (s.charAt(i + 1) == '/' && i + 2 < n && letter(s.charAt(i + 2))))) {
+        tag(s, i) match {
+          case None => i = n
+          case Some((name, closing, next)) =>
+            i = next
+            if (!closing && (name == "script" || name == "style"))
+              i = rawEnd(s, name, next)
+            else if (name == "br" || name == "hr") out.append('\n')
+            else if (closing && blocks(name)) out.append('\n')
+        }
+      } else if (c == '<') { out.append('<'); i += 1 }
+      else if (c == '&') {
+        entity(s, i) match {
+          case Some((txt, used)) => out.append(txt); i += used
+          case None => out.append('&'); i += 1
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+}
+
 class HtmlSpec extends SparkSpec {
   import HtmlToText.toText
 
@@ -111,6 +234,36 @@ class HtmlSpec extends SparkSpec {
       val t = toText(html)
       assert(!t.contains('<') && !t.contains('>'))
       words.foreach(w => assert(t.contains(w)))
+    }
+  }
+
+  test("differential fuzz: lexer agrees with an independent naive extractor") {
+    // NaiveRef re-implements the documented extraction contract with a
+    // deliberately different structure (regionMatches scanning, regex
+    // entity classification, BigInt overflow handling) — two independent
+    // readings of the same contract; a disagreement on any soup is a bug
+    // in one of them.
+    val rnd = new Random(20260813)
+    val frags = Vector(
+      "text", "a b", "<", ">", "&", ";", "=", "'", "\"", " ", "\n", "\t",
+      "&amp;", "&AMP;", "&nbsp;", "&nope;", "&averylongentity;", "&;",
+      "&#65;", "&#x41;", "&#x1F600;", "&#xD800;", "&#x110000;", "&#;",
+      "&#x;", "&#xzz;", "&#+5;", "&#-5;", "&#99999999999;", "&#x" ,
+      "<p>", "</p>", "<P >", "</DIV>", "<li>", "</h2>", "</table>",
+      "<span>", "</span>", "<br>", "<hr/>", "</br>", "<div/>",
+      "<div class=\"a>b\">", "<a title='c>d'>", "<p class=don't>",
+      "<a href = 'u>v'>", "<a data-x=a'b href=u>", "<unclosed",
+      "<script>", "var x = '<p>';", "</script>", "</script >",
+      "</scriptx>", "<style>", "p { }", "</style>", "<SCRIPT>",
+      "<!-- c -->", "<!--", "-->", "<!doctype html>", "<? pi >",
+      "<![CDATA[x]]>", "<!>", "</3>", "<3 hearts", "İ", "𝒳", " ")
+    (0 until 600).foreach { seed =>
+      val s = Seq.fill(rnd.nextInt(24))(frags(rnd.nextInt(frags.length)))
+        .mkString
+      val got = toText(s)
+      val expect = NaiveRef.extract(s)
+      assert(got === expect,
+        s"seed $seed disagreement on:\n$s\nlexer: $got\nnaive: $expect")
     }
   }
 
