@@ -141,6 +141,40 @@ object Curation {
         concat_ws(" ", col("c.ct")).as("chunk"))
   }
 
+  /** Chunk-level exact dedup (q85): duplication measured at the
+    * granularity the trainer actually consumes — [[chunked]]'s context
+    * windows. Doc-level dedup (q30/q53) misses the re-hosted page whose
+    * boilerplate differs but whose body windows are identical; this
+    * reports, per document, how many of its chunks already occurred
+    * earlier in the corpus ("earlier" = smaller (doc_id, chunk_idx),
+    * encoded as one long so both engines order identically).
+    *
+    * Scale posture: chunking is map-side (q64); chunks shuffle ONCE on
+    * their (xxhash64, length) fingerprint — chunk TEXT never crosses the
+    * exchange on the aggregate side and the first-occurrence reduction is
+    * a partial-agg `min`, never a window (a boilerplate chunk repeated in
+    * millions of docs is a single min-reduction, not a single-task
+    * window); the join back rides the same key so the exchange is reused.
+    * The per-doc rollup is the second and last shuffle.
+    */
+  def chunkDedup(docs: DataFrame, win: Int = 32, stride: Int = 24): DataFrame = {
+    // order encoding: doc_id * 2^20 + chunk_idx (chunk counts are far
+    // below 2^20 — win/stride bound chunks per doc by n_tokens/stride)
+    val ord = col("doc_id") * lit(1L << 20) + col("chunk_idx")
+    val ch = chunked(docs, win, stride)
+      .select(col("doc_id"), ord.as("ord"),
+        xxhash64(col("chunk")).as("h"), length(col("chunk")).as("len"))
+    val firsts = ch.groupBy(col("h"), col("len"))
+      .agg(min(col("ord")).as("first_ord"))
+    ch.join(firsts, Seq("h", "len"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum((col("ord") =!= col("first_ord")).cast("long")).as("dup_chunks"))
+      .withColumn("dup_ratio",
+        round(col("dup_chunks").cast("double") / col("n_chunks"), 6))
+  }
+
   /** TF-IDF top-`k` terms per document: tf = in-doc term count, df = number
     * of docs containing the term, score = tf · ln(N/df). The keyword-
     * extraction primitive (per-doc topical signature for clustering,
@@ -240,6 +274,10 @@ object Curation {
     // Overlapping context-window chunks (win 32 / stride 24 at gate
     // scale so multi-chunk docs actually occur in the fixture corpus).
     "q64_chunk" -> ((s, dir) => chunked(Tables.documents(s, dir), 32, 24)),
+
+    // Chunk-granularity duplication per document — see [[chunkDedup]].
+    "q85_chunk_dedup" -> ((s, dir) =>
+      chunkDedup(Tables.documents(s, dir), 32, 24)),
 
     // TF-IDF top-3 terms per doc — see [[tfidfTopK]].
     "q65_tfidf" -> ((s, dir) => tfidfTopK(Tables.documents(s, dir))),
@@ -440,6 +478,35 @@ object Curation {
            |  list_aggregate(t[i*24+1 : least(i*24+32, len(t))],
            |                 'string_agg', ' ') AS chunk
            |FROM n, UNNEST(range(0, nc)) AS r(i)""".stripMargin,
+
+    // q64's chunking CTEs verbatim; the oracle groups by the chunk STRING
+    // where Spark groups by (xxhash64, length) — equivalent up to 64-bit
+    // fingerprint collision (the q30 convention).
+    "q85_chunk_dedup" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           |  FROM documents
+           |  WHERE text IS NOT NULL
+           |    AND length(trim(text, ' ' || chr(9) || chr(10) || chr(13))) > 0),
+           |n AS (
+           |  SELECT doc_id, t,
+           |    1 + CAST(ceil(greatest(len(t) - 32, 0) / 24.0) AS BIGINT) AS nc
+           |  FROM toks),
+           |chunks AS (
+           |  SELECT doc_id, doc_id * 1048576 + i AS ord,
+           |    list_aggregate(t[i*24+1 : least(i*24+32, len(t))],
+           |                   'string_agg', ' ') AS chunk
+           |  FROM n, UNNEST(range(0, nc)) AS r(i)),
+           |firsts AS (
+           |  SELECT chunk, min(ord) AS first_ord FROM chunks GROUP BY chunk)
+           |SELECT c.doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_chunks,
+           |  CAST(sum(CASE WHEN c.ord <> f.first_ord THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS dup_chunks,
+           |  round(sum(CASE WHEN c.ord <> f.first_ord THEN 1 ELSE 0 END)
+           |    / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+           |FROM chunks c JOIN firsts f ON c.chunk = f.chunk
+           |GROUP BY c.doc_id""".stripMargin,
 
     // mse: list_reduce is a sequential left fold over the same element
     // order as the Spark expression's loop — bit-identical doubles, so the

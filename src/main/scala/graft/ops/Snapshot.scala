@@ -44,6 +44,47 @@ object Snapshot {
       .select(col("id").as("doc_id"), col("status"))
   }
 
+  /** Token-distribution drift between two corpus snapshots (q86) — the
+    * retraining tripwire q80's id-level diff cannot see: ids may be
+    * stable while the LANGUAGE shifts (a source changes template, a
+    * scraper breaks, spam floods in). Laplace-smoothed unigram
+    * distributions over the union vocabulary; token t's contribution to
+    * KL(A‖B) is p_a·ln(p_a/p_b), reported per-million (nats·1e6) with
+    * the top-`k` |contribution| tokens returned — the "what changed"
+    * list, not just a scalar.
+    *
+    * Scale posture: one (token) partial-agg shuffle builds the per-token
+    * counts; the totals ride a 1-row broadcast (the q65/q72 shape, no
+    * driver action); top-k is TakeOrderedAndProject (per-partition heaps
+    * + driver merge of k rows), never a global sort. Ordering ties break
+    * on the ROUNDED contribution then token, so the cut is deterministic
+    * and engine-independent.
+    */
+  def tokenDrift(a: DataFrame, b: DataFrame, k: Int = 50): DataFrame = {
+    def toks(df: DataFrame, inA: Boolean) = df
+      .filter(col("text").isNotNull)
+      .select(lit(inA).as("in_a"),
+        explode(TextAnalysis.words).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = toks(a, inA = true).unionByName(toks(b, inA = false))
+      .groupBy(col("tok")).agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.agg(
+      sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"),
+      count(lit(1)).as("v"))
+    val pA = (col("n_a") + 1).cast("double") / (col("ta") + col("v")).cast("double")
+    val pB = (col("n_b") + 1).cast("double") / (col("tb") + col("v")).cast("double")
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p_a_ppm", round(pA * 1e6, 6))
+      .withColumn("p_b_ppm", round(pB * 1e6, 6))
+      .withColumn("contrib_ppm", round(pA * log(pA / pB) * 1e6, 6))
+      .orderBy(abs(col("contrib_ppm")).desc, col("tok").asc)
+      .limit(k)
+      .select(col("tok"), col("n_a"), col("n_b"),
+        col("p_a_ppm"), col("p_b_ppm"), col("contrib_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Snapshot B is DERIVED from the corpus deterministically (drop
     // doc_id%7=0, edit text of doc_id%5=0, add fresh ids for doc_id%11=0)
@@ -65,6 +106,14 @@ object Snapshot {
       val added = base.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text"))
       diff(base, survived.unionByName(added))
+    }),
+
+    // Drift between the deterministic even/odd doc_id halves — two
+    // "snapshots" both engines can reconstruct exactly.
+    "q86_token_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      tokenDrift(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -74,5 +123,32 @@ object Snapshot {
         |SELECT doc_id + 1099511627776, 'added' FROM documents WHERE doc_id % 11 = 0
         |UNION ALL
         |SELECT doc_id, 'changed' FROM documents
-        |WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0 AND text IS NOT NULL""".stripMargin)
+        |WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0 AND text IS NOT NULL""".stripMargin,
+
+    // Same smoothing arithmetic on identical integer inputs → identical
+    // IEEE doubles; ln agrees to the 6-dp rounding (the q63 precedent);
+    // the order key is the ROUNDED contribution + token, so the top-50
+    // cut is the same set on both engines.
+    "q86_token_drift" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id % 2 = 0 AS in_a,
+           |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           |  FROM documents WHERE text IS NOT NULL),
+           |counts AS (
+           |  SELECT tok,
+           |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+           |  FROM toks WHERE tok <> '' GROUP BY tok),
+           |tot AS (
+           |  SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS v FROM counts)
+           |SELECT tok, n_a, n_b,
+           |  round((n_a + 1) / CAST(ta + v AS DOUBLE) * 1e6, 6) AS p_a_ppm,
+           |  round((n_b + 1) / CAST(tb + v AS DOUBLE) * 1e6, 6) AS p_b_ppm,
+           |  round((n_a + 1) / CAST(ta + v AS DOUBLE)
+           |    * ln(((n_a + 1) / CAST(ta + v AS DOUBLE))
+           |         / ((n_b + 1) / CAST(tb + v AS DOUBLE))) * 1e6, 6)
+           |    AS contrib_ppm
+           |FROM counts, tot
+           |ORDER BY abs(contrib_ppm) DESC, tok ASC
+           |LIMIT 50""".stripMargin)
 }

@@ -157,6 +157,46 @@ class CurationSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Curation.chunked(docs, 4, 0))
   }
 
+  test("q85 chunkDedup: planted duplicate chunks counted, first occurrence wins") {
+    val s = spark
+    import s.implicits._
+    // win 4 / stride 3 over 4-token docs → exactly one chunk per doc
+    val docs = Seq(
+      (1L, "a b c d"),   // first occurrence
+      (2L, "a b c d"),   // exact dup of doc 1's chunk
+      (3L, "e f g h"),   // unique
+      (4L, "a b c d"),   // another dup
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Curation.chunkDedup(docs, win = 4, stride = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((1L, 0L, 0.0)),   // first: not a dup
+      2L -> ((1L, 1L, 1.0)),
+      3L -> ((1L, 0L, 0.0)),
+      4L -> ((1L, 1L, 1.0))))
+    // multi-chunk doc repeating its own window: self-dups count too.
+    // 10 toks, win 4 / stride 3 → starts 0,3,6 land on the period of the
+    // repetition, so all three chunks are "a b c a" → 2 self-dups
+    val self = Seq((7L, "a b c a b c a b c a")).toDF("doc_id", "text")
+    val sg = Curation.chunkDedup(self, win = 4, stride = 3).collect()(0)
+    assert((sg.getLong(1), sg.getLong(2)) === ((3L, 2L)))
+  }
+
+  test("q85 plan: first-occurrence is a partial-agg min, never a window") {
+    val df = graft.SparkEntry.queries("q85_chunk_dedup")(
+      spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // chunk text is hashed before the aggregate side: the min-reduction
+    // shuffles (h, len, ord), not chunk strings
+    assert(p.contains("xxhash64"), p)
+    // both aggs (firsts + per-doc rollup) run with map-side partials
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
   test("q65 tfidf: hand-checked scores, rounded-score tiebreak, top-k cut") {
     val s = spark
     import s.implicits._

@@ -35,6 +35,44 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.diff(empty, a).collect().map(_.getString(1)).toSet === Set("added"))
   }
 
+  test("q86 tokenDrift: flooded token tops the list, stable token near zero") {
+    import spark.implicits._
+    // snapshot A: balanced; snapshot B: "spam" floods in, "stable" stays
+    val a = (1L to 40L).map(i => (i, "stable alpha beta")).toDF("doc_id", "text")
+    val b = (41L to 80L).map(i => (i, "stable spam spam spam")).toDF("doc_id", "text")
+    val rows = Snapshot.tokenDrift(a, b, k = 10).collect()
+    val byTok = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(5)))).toMap
+    // counts: A has 40 stable/alpha/beta; B has 40 stable, 120 spam
+    assert(byTok("spam")._1 === 0L && byTok("spam")._2 === 120L)
+    assert(byTok("alpha")._1 === 40L && byTok("alpha")._2 === 0L)
+    // the top |contribution| token is one of the fully-shifted ones
+    val top = rows.head.getString(0)
+    assert(Set("spam", "alpha", "beta").contains(top), top)
+    // spam's KL contribution is NEGATIVE from A's view (underrepresented
+    // in A) and alpha's positive; both dwarf stable's near-zero drift
+    assert(byTok("spam")._3 < 0.0)
+    assert(byTok("alpha")._3 > 0.0)
+    assert(math.abs(byTok("stable")._3) < math.abs(byTok("alpha")._3) / 10)
+    // hand-check alpha: ta=120, tb=160, union vocab 4
+    // p_a = (40+1)/(120+4), p_b = (0+1)/(160+4)
+    val pa = 41.0 / 124.0; val pb = 1.0 / 164.0
+    val expect = BigDecimal(pa * math.log(pa / pb) * 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byTok("alpha")._3 === expect)
+  }
+
+  test("q86 plan: top-k is a heap TakeOrderedAndProject, totals broadcast") {
+    val df = graft.SparkEntry.queries("q86_token_drift")(
+      spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // token-count agg is partial (map-side combine before the shuffle)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("bodies never cross the exchange: both sides project to hashes pre-join") {
     val df = graft.SparkEntry.queries("q80_snapshot_diff")(
       spark, "/root/testdata/sf0.001")
