@@ -42,12 +42,20 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed (q01 will absorb init): $e")
     }
+    // pre-write the q20-q22 oracle fixtures so a fresh /tmp doesn't
+    // charge three parquet-write jobs to the first inspector query's
+    // timed region (round-8 review)
+    try inspector.SyntheticTraffic.ensureFixtures(spark)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] fixture pre-write failed: $e")
+    }
 
     // SPARK_GRAFT_ONLY=q48,q59 runs the named queries (qNN prefix or full
     // name) in isolation — the knob for attributing interleaving effects
     // (GC/codegen-cache pressure from neighbors) vs real plan changes.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // SPARK_GRAFT_ONLY= (empty) means "no filter"
     def selected(name: String): Boolean =
       only.forall(s => s.contains(name) || s.exists(name.startsWith))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

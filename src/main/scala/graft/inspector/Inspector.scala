@@ -198,6 +198,14 @@ object Inspector {
   /** DuckDB side of the q20-q22 hash-compare: the HAND-DERIVED expected
     * tables ([[SyntheticTraffic.expectedRecords]]) — an independent
     * derivation of the same traffic, not the pipeline's own output.
+    *
+    * Ordering contract: the referenced parquet is written by
+    * [[SyntheticTraffic.ensureFixtures]], which runs inside the paired
+    * `queries` closures — the driver's Verify executes every query
+    * BEFORE dumping oracle SQL, so the files exist when DuckDB reads
+    * them. A flow that evaluates these statements without first running
+    * the queries (or after clearing /tmp in between) must call
+    * `ensureFixtures` itself.
     */
   def oracles: Map[String, String] = {
     val parent =

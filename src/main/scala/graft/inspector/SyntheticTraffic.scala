@@ -385,11 +385,46 @@ object SyntheticTraffic {
     val reqCols = Seq("ts", "client", "port", "call_id", "server", "method",
       "size", "batch", "table", "region", "row", "stoprow", "cells",
       "durability").map(col)
+    def deleteTree(p: Path): Unit =
+      try {
+        val walk = Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+            .foreach(Files.deleteIfExists(_))
+        } finally walk.close()
+      } catch { case _: Throwable => () }
     def write(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val target = parent.resolve(name)
-      if (!Files.exists(target))
-        df.coalesce(1).write.mode("overwrite").parquet(target.toString)
+      if (!Files.exists(target)) {
+        // stage + atomic rename, like the pcap writes above: a concurrent
+        // JVM must never see a half-written parquet dir, and a JVM killed
+        // mid-write must not leave a partial dir that later runs accept
+        val tmp = parent.resolve(
+          s".tmp_${name}_${java.util.UUID.randomUUID().toString.take(8)}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        try Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: Throwable =>
+          // another JVM won the race (same hash-named parent → identical
+          // content) — or the move failed; either way drop the staging dir
+          if (Files.exists(target)) deleteTree(tmp) else throw
+            new java.io.IOException(s"could not publish oracle fixture $target")
+        }
+      }
     }
+    // best-effort sweep of staging dirs orphaned by a killed JVM — only
+    // stale ones (an active writer's staging dir is seconds old)
+    try {
+      val cutoff = System.currentTimeMillis() - 10 * 60 * 1000L
+      val listing = Files.list(parent)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith(".tmp_") &&
+            Files.getLastModifiedTime(p).toMillis < cutoff)
+          .toSeq.foreach(deleteTree)
+      } finally listing.close()
+    } catch { case _: Throwable => () }
     val recs = expectedRecords.toDS()
     write("expected_requests", recs.filter(_.inbound).toDF().select(reqCols: _*))
     write("expected_responses", recs.filter(!_.inbound).toDF()
@@ -408,12 +443,23 @@ object SyntheticTraffic {
     * never enters the pipeline's `binaryFile` listing. Returns the pcap
     * subdirectory.
     */
+  /** Identity of the oracle fixtures: the content hash must cover the
+    * EXPECTED tables too, not just the pcap bytes — an oracle-only edit
+    * (a corrected cell value, a column change) would otherwise reuse
+    * stale expected_* parquet from an older code version via the
+    * Files.exists guard (round-8 review).
+    */
+  private def oracleDigest: String =
+    (expectedRecords.map(_.toString) ++ expectedPackets.map(_.toString))
+      .mkString("\n")
+
   def ensurePcapDir(): String = synchronized {
     val file1 = toPcap(connA)
     val file2 = toPcap(connB ++ noise)
     val hash = {
       val md = java.security.MessageDigest.getInstance("MD5")
       md.update(file1); md.update(file2)
+      md.update(oracleDigest.getBytes(UTF_8))
       md.digest().take(4).map(b => f"${b & 0xff}%02x").mkString
     }
     val tmpRoot = Paths.get(sys.props("java.io.tmpdir"))

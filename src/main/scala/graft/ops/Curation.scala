@@ -158,19 +158,21 @@ object Curation {
     * The per-doc rollup is the second and last shuffle.
     */
   def chunkDedup(docs: DataFrame, win: Int = 32, stride: Int = 24): DataFrame = {
-    // order encoding: doc_id * 2^20 + chunk_idx (chunk counts are far
-    // below 2^20 — win/stride bound chunks per doc by n_tokens/stride)
-    val ord = col("doc_id") * lit(1L << 20) + col("chunk_idx")
+    // occurrence order is the (doc_id, chunk_idx) STRUCT — both engines
+    // min/compare structs lexicographically, and unlike an arithmetic
+    // doc_id*K+idx encoding it cannot overflow or collide for any id
+    // range (round-8 review)
+    val occ = struct(col("doc_id"), col("chunk_idx"))
     val ch = chunked(docs, win, stride)
-      .select(col("doc_id"), ord.as("ord"),
+      .select(col("doc_id"), occ.as("occ"),
         xxhash64(col("chunk")).as("h"), length(col("chunk")).as("len"))
     val firsts = ch.groupBy(col("h"), col("len"))
-      .agg(min(col("ord")).as("first_ord"))
+      .agg(min(col("occ")).as("first"))
     ch.join(firsts, Seq("h", "len"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
-        sum((col("ord") =!= col("first_ord")).cast("long")).as("dup_chunks"))
+        sum((col("occ") =!= col("first")).cast("long")).as("dup_chunks"))
       .withColumn("dup_ratio",
         round(col("dup_chunks").cast("double") / col("n_chunks"), 6))
   }
@@ -493,18 +495,19 @@ object Curation {
            |    1 + CAST(ceil(greatest(len(t) - 32, 0) / 24.0) AS BIGINT) AS nc
            |  FROM toks),
            |chunks AS (
-           |  SELECT doc_id, doc_id * 1048576 + i AS ord,
+           |  SELECT doc_id, i AS chunk_idx,
            |    list_aggregate(t[i*24+1 : least(i*24+32, len(t))],
            |                   'string_agg', ' ') AS chunk
            |  FROM n, UNNEST(range(0, nc)) AS r(i)),
            |firsts AS (
-           |  SELECT chunk, min(ord) AS first_ord FROM chunks GROUP BY chunk)
+           |  SELECT chunk, min((doc_id, chunk_idx)) AS first
+           |  FROM chunks GROUP BY chunk)
            |SELECT c.doc_id,
            |  CAST(count(*) AS BIGINT) AS n_chunks,
-           |  CAST(sum(CASE WHEN c.ord <> f.first_ord THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS dup_chunks,
-           |  round(sum(CASE WHEN c.ord <> f.first_ord THEN 1 ELSE 0 END)
-           |    / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+           |  CAST(sum(CASE WHEN (c.doc_id, c.chunk_idx) <> f.first
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+           |  round(sum(CASE WHEN (c.doc_id, c.chunk_idx) <> f.first
+           |    THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
            |FROM chunks c JOIN firsts f ON c.chunk = f.chunk
            |GROUP BY c.doc_id""".stripMargin,
 

@@ -191,10 +191,15 @@ class CurationSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
     // chunk text is hashed before the aggregate side: the min-reduction
-    // shuffles (h, len, ord), not chunk strings
+    // shuffles (h, len, occ), not chunk strings
     assert(p.contains("xxhash64"), p)
-    // both aggs (firsts + per-doc rollup) run with map-side partials
-    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    // both aggs run with map-side partials: the struct-min firsts
+    // reduction compiles to a partial+final SortAggregate pair (struct
+    // min is not hash-aggregable) and the per-doc rollup to a
+    // HashAggregate pair
+    assert(p.contains("partial_min"), p)
+    assert("SortAggregate".r.findAllIn(p).size >= 2, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
   test("q65 tfidf: hand-checked scores, rounded-score tiebreak, top-k cut") {
