@@ -81,6 +81,10 @@ object Search {
       .agg(max(col("dl")).as("dl"), count(lit(1)).as("n_terms"),
         round(sum(idf * (col("tf") * lit(k1 + 1)) / denom), 6).as("score"))
     val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    // rank over the ALREADY-limited top-k: this unpartitioned window (the
+    // one remaining `WindowExec: No Partition Defined` in the logs) sees
+    // at most k rows by construction — the corpus-scale work happened in
+    // the TakeOrderedAndProject above it
     top.withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id").asc)))
       .select(col("doc_id"), col("dl"), col("n_terms"), col("score"),
