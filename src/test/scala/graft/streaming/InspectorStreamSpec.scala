@@ -213,6 +213,70 @@ class InspectorStreamSpec extends SparkSpec {
     assert(query.recentProgress.count(_.numInputRows > 0) >= 2)
   }
 
+  test("checkpoint restart: reassembly + correlation state survive a stop/start") {
+    // the StateEnvelope exists for exactly this path, but only a REAL
+    // stop → new-query-from-checkpoint cycle proves the snapshot
+    // round-trips through the state store: a request frame is split
+    // across two capture files, and the second file arrives only after
+    // the first query instance has terminated
+    val s = spark
+    import java.nio.file.Files
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.pcap.{LinkDecode, PcapFile}
+    import graft.proto.ProtoWire.writer
+    val src = Files.createTempDirectory("graft_ckpt_src")
+    val ckpt = Files.createTempDirectory("graft_ckpt_state")
+    val outDir = Files.createTempDirectory("graft_ckpt_out")
+    val rowKey = "r" * 400
+    val reqBody = writer.varint(1, 9L).string(3, "Get").bool(4, true).toDelimitedBytes ++
+      writer.msg(1, writer.varint(1, 1L)
+          .bytes(2, SyntheticTraffic.regionName("tckpt").getBytes(UTF_8)))
+        .msg(2, writer.bytes(1, rowKey.getBytes(UTF_8))).toDelimitedBytes
+    val resBody = writer.varint(1, 9L).toDelimitedBytes ++
+      writer.msg(1, writer.varint(2, 1L)).toDelimitedBytes
+    def frame(body: Array[Byte]): Array[Byte] =
+      Array[Byte]((body.length >>> 24).toByte, (body.length >>> 16).toByte,
+        (body.length >>> 8).toByte, body.length.toByte) ++ body
+    val (reqA, reqB) = frame(reqBody).splitAt(frame(reqBody).length / 2)
+    def pcap(recs: (Long, Boolean, Array[Byte])*): Array[Byte] = {
+      val w = new PcapFile.Writer
+      recs.foreach { case (ts, inbound, payload) =>
+        val fr =
+          if (inbound) LinkDecode.encode("10.9.9.1", 41000, "10.9.9.9", 16020, payload)
+          else LinkDecode.encode("10.9.9.9", 16020, "10.9.9.1", 41000, payload)
+        w.record(ts * 1000L, fr)
+      }
+      w.toBytes
+    }
+    def runOnce(): Unit = {
+      val q = InspectorStream
+        .recordsFromPcapDir(s, src.toString, withIdleTimeout = false)
+        .toDF()
+        .select(col("ts"), col("client"), col("call_id"), col("method"),
+          col("row"), col("inbound"), col("elapsed"))
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow run must terminate")
+    }
+    Files.write(src.resolve("c1.pcap"), pcap((1000L, true, reqA)))
+    runOnce() // half a frame: nothing emitted, buffered bytes checkpointed
+    Files.write(src.resolve("c2.pcap"),
+      pcap((1005L, true, reqB), (1010L, false, frame(resBody))))
+    runOnce() // NEW query instance restores the connection from the checkpoint
+    val rows = s.read.parquet(outDir.toString).collect()
+    assert(rows.length === 2, rows.mkString("; "))
+    val req = rows.find(_.getAs[Boolean]("inbound")).get
+    assert(req.getAs[String]("row") === rowKey) // reassembled ACROSS the restart
+    assert(req.getAs[String]("method") === "get")
+    assert(req.getAs[Long]("ts") === 1005L) // completes at the 2nd segment
+    val res = rows.find(!_.getAs[Boolean]("inbound")).get
+    assert(res.getAs[Long]("elapsed") === 5L) // correlation state survived too
+  }
+
   test("record cap (-c streaming form): tracker reports per trigger, awaitCapped stops at the cap") {
     val s = spark
     import java.nio.file.{Files, Paths}
