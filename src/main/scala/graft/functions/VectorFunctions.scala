@@ -267,6 +267,66 @@ object QuantizeStats {
   }
 }
 
+/** L2 distance from a float vector to a CONSTANT double-precision point
+  * (q87's kernel): the point rides inside the expression (a codegen
+  * reference object), so the per-row cost is one primitive loop — no
+  * array-literal column, no HOF lambda interpretation. Accumulation is a
+  * left fold from 0.0 in index order over `(v_i - p_i)²` in double;
+  * DuckDB's `list_reduce` over the same zipped list folds identically
+  * (its init-free fold starts at element 1, and 0.0 + x ≡ x), and IEEE
+  * sqrt is correctly rounded on both engines — so the oracle's doubles
+  * are bit-identical.
+  */
+case class DistToPoint(child: Expression, point: Seq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dist_to_point"
+
+  @transient private lazy val pointArr: Array[Double] = point.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    DistToPoint.dist(input.asInstanceOf[ArrayData], pointArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("point", pointArr, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $ref.length);
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $diff = ((double) $v.getFloat($i)) - $ref[$i];
+         |  $acc += $diff * $diff;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DistToPoint {
+  def dist(v: ArrayData, p: Array[Double]): Double = {
+    val n = math.min(v.numElements(), p.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = v.getFloat(i).toDouble - p(i)
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+}
+
 object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
@@ -276,6 +336,9 @@ object VectorFunctions {
 
   def lshBucket(vec: Column, nbits: Int, seed: Long = 42L): Column =
     Bridge.column(LshBucket(Bridge.expression(vec), nbits, seed))
+
+  def distToPoint(vec: Column, point: Seq[Double]): Column =
+    Bridge.column(DistToPoint(Bridge.expression(vec), point))
 
   def quantizeStats(vec: Column): Column =
     Bridge.column(QuantizeStats(Bridge.expression(vec)))

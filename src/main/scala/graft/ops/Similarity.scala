@@ -361,8 +361,55 @@ object Similarity {
       .select(col("a"), col("b"), col("cos"))
   }
 
+  /** Embedding outliers (q87): the k vectors farthest from the corpus's
+    * reference mean — the screen run BEFORE clustering / semantic dedup
+    * (corrupt encodes, wrong-modality rows, and spam clusters surface
+    * here; SemDeDup-style pipelines drop or quarantine them first).
+    *
+    * Cross-engine exactness by construction: the mean comes from a
+    * bounded UNBIASED deterministic sample — the `sampleN` smallest
+    * `md5Prefix(vec_id)` (the shared q46 hash, so the oracle reproduces
+    * the sample exactly) — summed in sample order as a left fold on the
+    * driver (bounded step, ≤ sampleN·d doubles); the per-row distance is
+    * the native codegen [[graft.functions.DistToPoint]] whose index-order
+    * double fold DuckDB's `list_reduce` matches bit for bit. Top-k is
+    * TakeOrderedAndProject (per-partition heaps); the order key is the
+    * ROUNDED distance + vec_id, so the cut is engine-independent.
+    *
+    * Scale: the sample draw is a distributed TakeOrderedAndProject (the
+    * q43 fit contract); the scoring pass is map-side-only inside the scan
+    * projection; nothing else shuffles.
+    */
+  def embedOutliers(e: DataFrame, k: Int = 50, sampleN: Int = 2048): DataFrame = {
+    val live = e.filter(col("embedding").isNotNull)
+    val sample = live
+      .orderBy(TextAnalysis.md5Prefix(col("vec_id").cast("string")).asc,
+        col("vec_id").asc)
+      .limit(sampleN)
+      .select(col("embedding"))
+      .collect().map(_.getSeq[Float](0))
+    require(sample.nonEmpty, "embedOutliers: no non-null embeddings")
+    val d = sample.head.length
+    val sums = new Array[Double](d)
+    sample.foreach { v =>
+      var j = 0
+      while (j < d) { sums(j) += v(j); j += 1 }
+    }
+    val mu = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      sums.map(_ / sample.length))
+    live
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.VectorFunctions.distToPoint(col("embedding"), mu), 6)
+          .as("dist"))
+      .orderBy(col("dist").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_embed_neardup" -> ((s, dir) => embedNearDup(s, dir)),
+
+    "q87_embed_outliers" -> ((s, dir) =>
+      embedOutliers(Tables.embeddings(s, dir))),
 
     "q66_semdedup" -> ((s, dir) => semDedupPairs(Tables.embeddings(s, dir))),
 
@@ -402,7 +449,36 @@ object Similarity {
         |                            ORDER BY cos DESC, vec_id ASC) AS rnk
         |  FROM scored)
         |SELECT qid, vec_id, cos, CAST(rnk AS INT) AS rank
-        |FROM ranked WHERE rnk <= 10""".stripMargin)
+        |FROM ranked WHERE rnk <= 10""".stripMargin,
+
+    // The sample is the 2048 smallest md5Prefix(vec_id) — reproduced here
+    // with the same shared hash; the per-dim sum and the per-row distance
+    // are LEFT FOLDS in the same order as the Spark side (list_reduce's
+    // init-free fold starts at element 1; 0.0 + x ≡ x), so every double
+    // agrees bit for bit before the 6-dp rounding.
+    "q87_embed_outliers" ->
+      """WITH samp AS (
+        |  SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |              ORDER BY h, vec_id) AS vs
+        |  FROM (SELECT vec_id, embedding,
+        |          ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |        FROM embeddings WHERE embedding IS NOT NULL
+        |        ORDER BY h, vec_id LIMIT 2048)),
+        |mu AS (
+        |  SELECT len(vs) AS n,
+        |    list_reduce(vs, (a, b) ->
+        |      list_transform(list_zip(a, b), p -> p[1] + p[2])) AS sums
+        |  FROM samp),
+        |muv AS (SELECT list_transform(sums, x -> x / n) AS mu FROM mu)
+        |SELECT e.vec_id, e.label,
+        |  round(sqrt(list_reduce(
+        |    list_transform(list_zip(e.embedding, m.mu),
+        |      p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+        |    (a, b) -> a + b)), 6) AS dist
+        |FROM embeddings e, muv m
+        |WHERE e.embedding IS NOT NULL
+        |ORDER BY dist DESC, vec_id ASC
+        |LIMIT 50""".stripMargin)
 }
 
 /** Tiny deterministic k-means for the IVF coarse quantizer. Driver-side on

@@ -167,6 +167,41 @@ class SimilaritySpec extends SparkSpec {
     assert(m(1L) !== m(3L))
   }
 
+  test("q87 embedOutliers: planted far vector ranks first, dist hand-checked") {
+    val s = spark
+    import s.implicits._
+    val d = 8
+    val base = (0L until 100L).map(i =>
+      (i, Seq.fill(d)(0.1f), (i % 10).toInt))
+    val outlier = (999L, Seq.fill(d)(5.0f), 3)
+    val e = (base :+ outlier).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.embedOutliers(e, k = 3).collect()
+    assert(rows.length === 3)
+    assert(rows.head.getLong(0) === 999L)
+    assert(rows.head.getInt(1) === 3) // label carried through
+    // hand-check the distance: mean per dim = (100·0.1f + 5f)/101
+    val mu = (100.0 * 0.1f.toDouble + 5.0f.toDouble) / 101.0
+    val expect = math.sqrt(d * (5.0 - mu) * (5.0 - mu))
+    assert(math.abs(rows.head.getDouble(2) - expect) < 1e-6, rows.head)
+    // the remaining top rows are base vectors, all equidistant: the
+    // rounded-dist tie breaks on vec_id ascending
+    assert(rows(1).getLong(0) === 0L && rows(2).getLong(0) === 1L)
+    // NULL embeddings are excluded, not scored
+    val withNull = e.unionByName(Seq((1000L,
+      null.asInstanceOf[Seq[Float]], 0)).toDF("vec_id", "embedding", "label"))
+    assert(!Similarity.embedOutliers(withNull, k = 200).collect()
+      .exists(_.getLong(0) === 1000L))
+  }
+
+  test("q87 plan: scoring is a map-side scan projection + top-k heap") {
+    val df = graft.SparkEntry.queries("q87_embed_outliers")(
+      spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("dist_to_point"), p) // the native codegen kernel
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
   test("lshBitsFor scales with corpus and clamps") {
     assert(Similarity.lshBitsFor(100) === 4)
     assert(Similarity.lshBitsFor(64 * 1024) === 10)
