@@ -177,6 +177,48 @@ object Curation {
         round(col("dup_chunks").cast("double") / col("n_chunks"), 6))
   }
 
+  /** Chunk-overlap near-dup pairs (q88): document pairs sharing at least
+    * `minShared` distinct context-window chunks, with the overlap
+    * coefficient n_shared / (na + nb − n_shared) — [[chunkDedup]]'s
+    * per-doc signal lifted to the PAIR level (which documents duplicate
+    * each other, not just how much each one repeats the corpus).
+    *
+    * Scale posture is q33's inverted-index shape at chunk granularity:
+    * distinct (doc, chunk-fingerprint) rows shuffle once on the
+    * fingerprint; buckets above `cap` members (boilerplate chunks shared
+    * by everything — they carry no pair signal, only quadratic fan-out)
+    * are SKIPPED before the in-bucket self-join, so Σ|bucket|² ≤
+    * cap·Σ|bucket|; pair counts aggregate with map-side partials; the
+    * per-doc size joins are doc-count-scale. No posting list, no
+    * cartesian.
+    */
+  def chunkOverlapPairs(docs: DataFrame, win: Int = 32, stride: Int = 24,
+      cap: Int = 64, minShared: Int = 2): DataFrame = {
+    val ch = chunked(docs, win, stride)
+      .select(col("doc_id"), xxhash64(col("chunk")).as("h"),
+        length(col("chunk")).as("len"))
+      .distinct()
+    val perDoc = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
+    val small = ch.groupBy(col("h"), col("len"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, cap))
+      .select(col("h"), col("len"))
+    val kept = ch.join(small, Seq("h", "len"))
+    val l = kept.select(col("h"), col("len"), col("doc_id").as("a"))
+    val r = kept.select(col("h"), col("len"), col("doc_id").as("b"))
+    val shared = l.join(r, Seq("h", "len")).where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    shared
+      .join(perDoc.select(col("doc_id").as("a"), col("nc").as("na")), Seq("a"))
+      .join(perDoc.select(col("doc_id").as("b"), col("nc").as("nb")), Seq("b"))
+      .withColumn("overlap",
+        round(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")), 6))
+      .select(col("a"), col("b"), col("n_shared"), col("na"), col("nb"),
+        col("overlap"))
+  }
+
   /** TF-IDF top-`k` terms per document: tf = in-doc term count, df = number
     * of docs containing the term, score = tf · ln(N/df). The keyword-
     * extraction primitive (per-doc topical signature for clustering,
@@ -280,6 +322,10 @@ object Curation {
     // Chunk-granularity duplication per document — see [[chunkDedup]].
     "q85_chunk_dedup" -> ((s, dir) =>
       chunkDedup(Tables.documents(s, dir), 32, 24)),
+
+    // Pair-level chunk overlap — see [[chunkOverlapPairs]].
+    "q88_chunk_overlap" -> ((s, dir) =>
+      chunkOverlapPairs(Tables.documents(s, dir), 32, 24)),
 
     // TF-IDF top-3 terms per doc — see [[tfidfTopK]].
     "q65_tfidf" -> ((s, dir) => tfidfTopK(Tables.documents(s, dir))),
@@ -510,6 +556,47 @@ object Curation {
            |    THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
            |FROM chunks c JOIN firsts f ON c.chunk = f.chunk
            |GROUP BY c.doc_id""".stripMargin,
+
+    // q64's chunk CTEs again; the bucket cap (2..64 members) and the
+    // minShared floor are applied on the same group cardinalities, so both
+    // engines keep exactly the same pairs (chunk-string groups here vs
+    // (xxhash64, length) fingerprints on the Spark side — the q30
+    // collision convention).
+    "q88_chunk_overlap" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           |  FROM documents
+           |  WHERE text IS NOT NULL
+           |    AND length(trim(text, ' ' || chr(9) || chr(10) || chr(13))) > 0),
+           |n AS (
+           |  SELECT doc_id, t,
+           |    1 + CAST(ceil(greatest(len(t) - 32, 0) / 24.0) AS BIGINT) AS nc
+           |  FROM toks),
+           |chunks AS (
+           |  SELECT doc_id,
+           |    list_aggregate(t[i*24+1 : least(i*24+32, len(t))],
+           |                   'string_agg', ' ') AS chunk
+           |  FROM n, UNNEST(range(0, nc)) AS r(i)),
+           |ch AS (SELECT DISTINCT doc_id, chunk FROM chunks),
+           |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc
+           |           FROM ch GROUP BY doc_id),
+           |small AS (SELECT chunk FROM ch GROUP BY chunk
+           |          HAVING count(*) BETWEEN 2 AND 64),
+           |kept AS (SELECT c.doc_id, c.chunk
+           |         FROM ch c JOIN small s ON c.chunk = s.chunk),
+           |shared AS (
+           |  SELECT l.doc_id AS a, r.doc_id AS b,
+           |    CAST(count(*) AS BIGINT) AS n_shared
+           |  FROM kept l JOIN kept r
+           |    ON l.chunk = r.chunk AND l.doc_id < r.doc_id
+           |  GROUP BY l.doc_id, r.doc_id
+           |  HAVING count(*) >= 2)
+           |SELECT s.a, s.b, s.n_shared, pa.nc AS na, pb.nc AS nb,
+           |  round(s.n_shared / CAST(pa.nc + pb.nc - s.n_shared AS DOUBLE), 6)
+           |    AS overlap
+           |FROM shared s
+           |JOIN perdoc pa ON s.a = pa.doc_id
+           |JOIN perdoc pb ON s.b = pb.doc_id""".stripMargin,
 
     // mse: list_reduce is a sequential left fold over the same element
     // order as the Spark expression's loop — bit-identical doubles, so the

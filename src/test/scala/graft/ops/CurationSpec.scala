@@ -202,6 +202,48 @@ class CurationSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q88 chunkOverlapPairs: shared chunks counted per pair, cap skips boilerplate") {
+    val s = spark
+    import s.implicits._
+    // win 4 / stride 3: an 7-token doc has 2 chunks (starts 0, 3)
+    val docs = Seq(
+      (1L, "a b c d e f g"),   // chunks: "a b c d", "d e f g"
+      (2L, "a b c d e f g"),   // identical → shares both chunks with 1
+      (3L, "a b c d x y z"),   // shares only the first chunk with 1/2
+      (4L, "p q r s t u v"))   // disjoint
+      .toDF("doc_id", "text")
+    val got = Curation.chunkOverlapPairs(docs, win = 4, stride = 3,
+        cap = 64, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // (1,2): 2 shared of 2+2 → overlap 2/(2+2-2)=1.0
+    assert(got((1L, 2L)) === ((2L, 2L, 2L, 1.0)))
+    // (1,3) and (2,3): 1 shared → 1/(2+2-1)
+    assert(got((1L, 3L))._1 === 1L)
+    assert(got((1L, 3L))._4 === BigDecimal(1.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.contains((2L, 3L)) && !got.keys.exists(_._2 == 4L))
+    // minShared=2 drops the single-chunk overlaps
+    val strict = Curation.chunkOverlapPairs(docs, 4, 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict === Set((1L, 2L)))
+    // a chunk present in MORE than cap docs is skipped entirely
+    val boiler = (10L until 20L).map(i => (i, "same same same same"))
+      .toDF("doc_id", "text")
+    assert(Curation.chunkOverlapPairs(boiler, 4, 3, cap = 5, minShared = 1)
+      .count() === 0L)
+  }
+
+  test("q88 plan: capped in-bucket join, no cartesian, no posting list") {
+    val df = graft.SparkEntry.queries("q88_chunk_overlap")(
+      spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bsz"), p) // the bucket-size cap survived planning
+    assert(!p.contains("collect_list") && !p.contains("collect_set"), p)
+  }
+
   test("q65 tfidf: hand-checked scores, rounded-score tiebreak, top-k cut") {
     val s = spark
     import s.implicits._
