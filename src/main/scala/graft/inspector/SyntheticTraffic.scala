@@ -404,11 +404,11 @@ object SyntheticTraffic {
           s".tmp_${name}_${java.util.UUID.randomUUID().toString.take(8)}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         try Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: Throwable =>
+        catch { case e: Throwable =>
           // another JVM won the race (same hash-named parent → identical
           // content) — or the move failed; either way drop the staging dir
           if (Files.exists(target)) deleteTree(tmp) else throw
-            new java.io.IOException(s"could not publish oracle fixture $target")
+            new java.io.IOException(s"could not publish oracle fixture $target", e)
         }
       }
     }

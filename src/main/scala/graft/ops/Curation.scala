@@ -146,8 +146,9 @@ object Curation {
     * windows. Doc-level dedup (q30/q53) misses the re-hosted page whose
     * boilerplate differs but whose body windows are identical; this
     * reports, per document, how many of its chunks already occurred
-    * earlier in the corpus ("earlier" = smaller (doc_id, chunk_idx),
-    * encoded as one long so both engines order identically).
+    * earlier in the corpus ("earlier" = lexicographically smaller
+    * (doc_id, chunk_idx) struct — both engines min/compare structs
+    * field by field).
     *
     * Scale posture: chunking is map-side (q64); chunks shuffle ONCE on
     * their (xxhash64, length) fingerprint — chunk TEXT never crosses the
@@ -178,19 +179,28 @@ object Curation {
   }
 
   /** Chunk-overlap near-dup pairs (q88): document pairs sharing at least
-    * `minShared` distinct context-window chunks, with the overlap
-    * coefficient n_shared / (na + nb − n_shared) — [[chunkDedup]]'s
-    * per-doc signal lifted to the PAIR level (which documents duplicate
-    * each other, not just how much each one repeats the corpus).
+    * `minShared` distinct context-window chunks, scored with the JACCARD
+    * index n_shared / (na + nb − n_shared) — [[chunkDedup]]'s per-doc
+    * signal lifted to the PAIR level (which documents duplicate each
+    * other, not just how much each one repeats the corpus).
+    *
+    * The metric is Jaccard over each document's NON-BOILERPLATE chunks:
+    * chunks whose bucket exceeds `cap` are excluded from numerator AND
+    * denominator. Excluding them from only one side would skew the score
+    * both ways — counted in the denominator they make two
+    * boilerplate-heavy near-identical docs look barely related; ignored
+    * everywhere but kept in na/nb they still cannot enter n_shared.
+    * Singleton chunks (genuine per-doc content) stay in the denominator:
+    * two docs sharing one chunk among many unique ones ARE barely
+    * related.
     *
     * Scale posture is q33's inverted-index shape at chunk granularity:
     * distinct (doc, chunk-fingerprint) rows shuffle once on the
-    * fingerprint; buckets above `cap` members (boilerplate chunks shared
-    * by everything — they carry no pair signal, only quadratic fan-out)
-    * are SKIPPED before the in-bucket self-join, so Σ|bucket|² ≤
-    * cap·Σ|bucket|; pair counts aggregate with map-side partials; the
-    * per-doc size joins are doc-count-scale. No posting list, no
-    * cartesian.
+    * fingerprint; the bucket-size frame is computed ONCE and feeds both
+    * the boilerplate exclusion and the 2..cap pair-generation filter, so
+    * Σ|bucket|² ≤ cap·Σ|bucket| in the self-join; pair counts aggregate
+    * with map-side partials; the per-doc size joins are doc-count-scale.
+    * No posting list, no cartesian.
     */
   def chunkOverlapPairs(docs: DataFrame, win: Int = 32, stride: Int = 24,
       cap: Int = 64, minShared: Int = 2): DataFrame = {
@@ -198,12 +208,14 @@ object Curation {
       .select(col("doc_id"), xxhash64(col("chunk")).as("h"),
         length(col("chunk")).as("len"))
       .distinct()
-    val perDoc = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
-    val small = ch.groupBy(col("h"), col("len"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz").between(2, cap))
-      .select(col("h"), col("len"))
-    val kept = ch.join(small, Seq("h", "len"))
+    val sizes = ch.groupBy(col("h"), col("len")).agg(count(lit(1)).as("bsz"))
+    val perDoc = ch
+      .join(sizes.filter(col("bsz") <= cap).select(col("h"), col("len")),
+        Seq("h", "len"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
+    val kept = ch.join(
+      sizes.filter(col("bsz").between(2, cap)).select(col("h"), col("len")),
+      Seq("h", "len"))
     val l = kept.select(col("h"), col("len"), col("doc_id").as("a"))
     val r = kept.select(col("h"), col("len"), col("doc_id").as("b"))
     val shared = l.join(r, Seq("h", "len")).where(col("a") < col("b"))
@@ -212,11 +224,11 @@ object Curation {
     shared
       .join(perDoc.select(col("doc_id").as("a"), col("nc").as("na")), Seq("a"))
       .join(perDoc.select(col("doc_id").as("b"), col("nc").as("nb")), Seq("b"))
-      .withColumn("overlap",
+      .withColumn("jaccard",
         round(col("n_shared").cast("double") /
           (col("na") + col("nb") - col("n_shared")), 6))
       .select(col("a"), col("b"), col("n_shared"), col("na"), col("nb"),
-        col("overlap"))
+        col("jaccard"))
   }
 
   /** TF-IDF top-`k` terms per document: tf = in-doc term count, df = number
@@ -578,12 +590,14 @@ object Curation {
            |                   'string_agg', ' ') AS chunk
            |  FROM n, UNNEST(range(0, nc)) AS r(i)),
            |ch AS (SELECT DISTINCT doc_id, chunk FROM chunks),
-           |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc
-           |           FROM ch GROUP BY doc_id),
-           |small AS (SELECT chunk FROM ch GROUP BY chunk
-           |          HAVING count(*) BETWEEN 2 AND 64),
+           |sizes AS (SELECT chunk, count(*) AS bsz FROM ch GROUP BY chunk),
+           |perdoc AS (
+           |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS nc
+           |  FROM ch c JOIN sizes s ON c.chunk = s.chunk
+           |  WHERE s.bsz <= 64 GROUP BY c.doc_id),
            |kept AS (SELECT c.doc_id, c.chunk
-           |         FROM ch c JOIN small s ON c.chunk = s.chunk),
+           |         FROM ch c JOIN sizes s ON c.chunk = s.chunk
+           |         WHERE s.bsz BETWEEN 2 AND 64),
            |shared AS (
            |  SELECT l.doc_id AS a, r.doc_id AS b,
            |    CAST(count(*) AS BIGINT) AS n_shared
@@ -593,7 +607,7 @@ object Curation {
            |  HAVING count(*) >= 2)
            |SELECT s.a, s.b, s.n_shared, pa.nc AS na, pb.nc AS nb,
            |  round(s.n_shared / CAST(pa.nc + pb.nc - s.n_shared AS DOUBLE), 6)
-           |    AS overlap
+           |    AS jaccard
            |FROM shared s
            |JOIN perdoc pa ON s.a = pa.doc_id
            |JOIN perdoc pb ON s.b = pb.doc_id""".stripMargin,

@@ -392,12 +392,21 @@ object Similarity {
     val d = sample.head.length
     val sums = new Array[Double](d)
     sample.foreach { v =>
+      // guard ragged rows: a truncated vector must not crash the driver
+      // fold (it is excluded from scoring below anyway)
       var j = 0
-      while (j < d) { sums(j) += v(j); j += 1 }
+      val n = math.min(d, v.length)
+      while (j < n) { sums(j) += v(j); j += 1 }
     }
     val mu = scala.collection.immutable.ArraySeq.unsafeWrapArray(
       sums.map(_ / sample.length))
-    live
+    // full-dimension rows only: a truncated/corrupt vector has no
+    // well-defined distance to the mean — both engines exclude it the
+    // same way (DistToPoint would score the common prefix while the
+    // oracle's list_zip pads with NULL; agreeing to skip is the only
+    // consistent contract, and such rows deserve a schema check, not an
+    // outlier rank)
+    live.filter(size(col("embedding")) === d)
       .select(col("vec_id"), col("label"),
         round(graft.functions.VectorFunctions.distToPoint(col("embedding"), mu), 6)
           .as("dist"))
@@ -476,7 +485,7 @@ object Similarity {
         |      p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
         |    (a, b) -> a + b)), 6) AS dist
         |FROM embeddings e, muv m
-        |WHERE e.embedding IS NOT NULL
+        |WHERE e.embedding IS NOT NULL AND len(e.embedding) = len(m.mu)
         |ORDER BY dist DESC, vec_id ASC
         |LIMIT 50""".stripMargin)
 }

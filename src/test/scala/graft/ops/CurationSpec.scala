@@ -216,7 +216,7 @@ class CurationSpec extends SparkSpec {
         cap = 64, minShared = 1).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
-    // (1,2): 2 shared of 2+2 → overlap 2/(2+2-2)=1.0
+    // (1,2): 2 shared of 2+2 → jaccard 2/(2+2-2)=1.0
     assert(got((1L, 2L)) === ((2L, 2L, 2L, 1.0)))
     // (1,3) and (2,3): 1 shared → 1/(2+2-1)
     assert(got((1L, 3L))._1 === 1L)
@@ -232,6 +232,15 @@ class CurationSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(Curation.chunkOverlapPairs(boiler, 4, 3, cap = 5, minShared = 1)
       .count() === 0L)
+    // boilerplate must not DILUTE either: two docs identical apart from a
+    // corpus-wide chunk score 1.0 — the capped chunk leaves the
+    // denominator along with the numerator
+    val diluted = ((10L until 22L).map(i => (i, "s s s s")) ++
+      Seq((30L, "s s s s r r r"), (31L, "s s s s r r r")))
+      .toDF("doc_id", "text")
+    val dg = Curation.chunkOverlapPairs(diluted, 4, 3, cap = 5, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(dg === Map((30L, 31L) -> 1.0))
   }
 
   test("q88 plan: capped in-bucket join, no cartesian, no posting list") {
