@@ -193,7 +193,11 @@ object Inspector {
         .withColumn("ts", unix_millis(col("ts")))),
     "q22_inspector_responses" -> ((s, _) =>
       responses(records(s, SyntheticTraffic.ensureFixtures(s)))
-        .withColumn("ts", unix_millis(col("ts")))))
+        .withColumn("ts", unix_millis(col("ts")))),
+    "q23_inspector_actions" -> ((s, _) =>
+      actionsTable(records(s, SyntheticTraffic.ensureFixtures(s)))),
+    "q24_inspector_results" -> ((s, _) =>
+      resultsTable(records(s, SyntheticTraffic.ensureFixtures(s)))))
 
   /** DuckDB side of the q20-q22 hash-compare: the HAND-DERIVED expected
     * tables ([[SyntheticTraffic.expectedRecords]]) — an independent
@@ -216,6 +220,10 @@ object Inspector {
       "q21_inspector_requests" ->
         s"SELECT * FROM read_parquet('$parent/expected_requests/*.parquet')",
       "q22_inspector_responses" ->
-        s"SELECT * FROM read_parquet('$parent/expected_responses/*.parquet')")
+        s"SELECT * FROM read_parquet('$parent/expected_responses/*.parquet')",
+      "q23_inspector_actions" ->
+        s"SELECT * FROM read_parquet('$parent/expected_actions/*.parquet')",
+      "q24_inspector_results" ->
+        s"SELECT * FROM read_parquet('$parent/expected_results/*.parquet')")
   }
 }

@@ -362,6 +362,39 @@ object SyntheticTraffic {
       rec(T0 + 120, b, bp, 99, "unknown", B.unkRes, inbound = false))
   }
 
+  /** Hand-derived expected child rows (q23 actions / q24 results): only
+    * the batch-3 multi (conn A call 6) produces children — a
+    * single-action multi merges into its parent and emits none. Request
+    * side: the three actions in region order (get carries no cells);
+    * response side: per-action results zipped with the actions — the
+    * put's ResultOrException is the EXCEPTION, so its cells are null and
+    * the error rides along.
+    */
+  val expectedActions: Seq[ChildRow] = {
+    def t(name: String) = (Some(name), Some(encodedRegion(name)))
+    val (t1, r1) = t("t1"); val (t2, r2) = t("t2")
+    Seq(
+      ChildRow("10.0.0.1", 40001, 6, "get", t1, r1, Some("g1"),
+        cells = None, durability = None, error = None),
+      ChildRow("10.0.0.1", 40001, 6, "put", t1, r1, Some("p1"),
+        cells = Some(2), durability = Some("use_default"), error = None),
+      ChildRow("10.0.0.1", 40001, 6, "delete", t2, r2, Some("d1"),
+        cells = Some(1), durability = Some("use_default"), error = None))
+  }
+
+  val expectedResults: Seq[ChildRow] = {
+    def t(name: String) = (Some(name), Some(encodedRegion(name)))
+    val (t1, r1) = t("t1"); val (t2, r2) = t("t2")
+    Seq(
+      ChildRow("10.0.0.1", 40001, 6, "get", t1, r1, Some("g1"),
+        cells = Some(1), durability = None, error = None),
+      ChildRow("10.0.0.1", 40001, 6, "put", t1, r1, Some("p1"),
+        cells = None, durability = Some("use_default"),
+        error = Some("org.foo.PerActionError")),
+      ChildRow("10.0.0.1", 40001, 6, "delete", t2, r2, Some("d1"),
+        cells = Some(2), durability = Some("use_default"), error = None))
+  }
+
   /** Expected q20 rows: one per data-carrying segment, straight from the
     * event list (seq is always 0 — the generator writes literal frames).
     */
@@ -431,6 +464,8 @@ object SyntheticTraffic {
       .select(reqCols :+ col("error") :+ col("elapsed"): _*))
     write("expected_packets", expectedPackets.toDF(
       "ts_ms", "src_addr", "src_port", "dst_addr", "dst_port", "seq", "length"))
+    write("expected_actions", expectedActions.toDS().toDF().drop("error"))
+    write("expected_results", expectedResults.toDS().toDF())
     pcapDir
   }
 
@@ -450,7 +485,8 @@ object SyntheticTraffic {
     * Files.exists guard (round-8 review).
     */
   private def oracleDigest: String =
-    (expectedRecords.map(_.toString) ++ expectedPackets.map(_.toString))
+    (expectedRecords.map(_.toString) ++ expectedPackets.map(_.toString) ++
+      expectedActions.map(_.toString) ++ expectedResults.map(_.toString))
       .mkString("\n")
 
   def ensurePcapDir(): String = synchronized {

@@ -90,6 +90,8 @@ class InspectorSpec extends SparkSpec {
     same(requests.withColumn("ts", unix_millis(col("ts"))), "expected_requests")
     same(responses.withColumn("ts", unix_millis(col("ts"))), "expected_responses")
     same(Inspector.packets(spark, fixDir), "expected_packets")
+    same(Inspector.actionsTable(recs), "expected_actions")
+    same(Inspector.resultsTable(recs), "expected_results")
   }
 
   test("get request/response with elapsed") {
