@@ -13,8 +13,35 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the plan to the aggregated columns only, which under-times
   * wide projections. Failures are recorded per-query (`"status"`) instead of
   * being silently timed as successes.
+  *
+  * Between queries the harness unpersists every persistent RDD and clears
+  * the plan cache (outside the timed region): localCheckpoint blocks from
+  * [[graft.ops.Materialize]] consumers otherwise accumulate for the whole
+  * 80+-query run — ContextCleaner only reclaims them on a driver GC, which
+  * a 128 GiB heap rarely triggers — and the block-manager pressure taxes
+  * every later query (the round-8 "alphabetical back half 2-4× slower"
+  * drift). No query shares cached state with another (q20-q24 share only
+  * on-disk fixtures), so the sweep is safe.
   */
 object Bench {
+
+  /** Unique qNN prefix of a query name ("q66_semdedup" → "q66"). Shared
+    * by the JSON renderer and the SPARK_GRAFT_ONLY matcher so the two
+    * agree on what a short name means.
+    */
+  def short(k: String): String = {
+    val cut = k.indexOf('_')
+    if (cut > 0) k.substring(0, cut) else k
+  }
+
+  /** SPARK_GRAFT_ONLY membership: a token selects a query by its full
+    * name or by EXACT equality with its qNN short name — `q4` selects
+    * nothing rather than silently matching q40-q49 (round-8 advice).
+    * None = no filter.
+    */
+  private[graft] def selected(only: Option[Set[String]], name: String): Boolean =
+    only.forall(s => s.contains(name) || s.contains(short(name)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -42,7 +69,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed (q01 will absorb init): $e")
     }
-    // pre-write the q20-q22 oracle fixtures so a fresh /tmp doesn't
+    // pre-write the q20-q24 oracle fixtures so a fresh /tmp doesn't
     // charge three parquet-write jobs to the first inspector query's
     // timed region (round-8 review)
     try inspector.SyntheticTraffic.ensureFixtures(spark)
@@ -50,16 +77,17 @@ object Bench {
       System.err.println(s"[bench] fixture pre-write failed: $e")
     }
 
-    // SPARK_GRAFT_ONLY=q48,q59 runs the named queries (qNN prefix or full
+    // SPARK_GRAFT_ONLY=q48,q59 runs the named queries (qNN token or full
     // name) in isolation — the knob for attributing interleaving effects
     // (GC/codegen-cache pressure from neighbors) vs real plan changes.
+    // Tokens match the underscore-cut prefix EXACTLY: a raw startsWith
+    // would let "q4" silently select q40-q49 and corrupt the very
+    // attribution runs the knob exists for (round-8 advice).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty) // SPARK_GRAFT_ONLY= (empty) means "no filter"
-    def selected(name: String): Boolean =
-      only.forall(s => s.contains(name) || s.exists(name.startsWith))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(t => selected(t._1)).map { case (name, fn) =>
+      .filter(t => selected(only, t._1)).map { case (name, fn) =>
       // stderr start marker: attributes any async scheduler noise (e.g.
       // the benign late-task accumulator ERRORs after localCheckpoint
       // cleanup) to the query that provoked it
@@ -75,9 +103,28 @@ object Bench {
             "fail"
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      // per-query state sweep, OUTSIDE the timed region (see class doc)
+      try {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] post-$name cleanup failed: $e")
+      }
       (name, sec, status)
     }
-    val json = renderJson(results, sfDir)
+    // Regression guard: compare each time to the committed per-query
+    // baseline and SAY SO when one blows past it — round 8 shipped docs
+    // claiming 49.4 s while the gate recorded 77.9 s with one query 12×
+    // over, and nothing in the output flagged it.
+    val slow = results.collect {
+      case (name, sec, "ok")
+        if expected.get(short(name)).exists(e => sec > 3 * e && sec - e > 1.5) =>
+        System.err.println(
+          f"[bench] GUARD: $name took $sec%.2f s vs ~${expected(short(name))}%.2f s baseline (>3x)")
+        short(name)
+    }
+    val json = renderJson(results, sfDir, slow)
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), json)
     catch { case _: Throwable => () }
     // Stop Spark (and its late-task log noise) BEFORE the JSON line: the
@@ -92,6 +139,35 @@ object Bench {
     realOut.flush()
   }
 
+  /** Per-query baseline seconds (sf0.1, local[32]) for the >3x guard —
+    * the better of the round-7/round-8 driver gate runs (BENCH_r07/r08
+    * .json), except q81 where the accepted zipWithIndex scale fix set a
+    * new legitimate level. Queries without history (added later) simply
+    * aren't guarded until a gate run records them here.
+    */
+  private[graft] val expected: Map[String, Double] = Map(
+    "q01" -> 0.93, "q02" -> 0.32, "q03" -> 1.64, "q04" -> 0.23,
+    "q05" -> 0.42, "q06" -> 0.62, "q07" -> 0.35, "q08" -> 0.40,
+    "q09" -> 0.77, "q10" -> 1.52, "q11" -> 0.60, "q12" -> 0.56,
+    "q13" -> 0.51, "q14" -> 0.37, "q15" -> 0.57, "q16" -> 0.40,
+    "q17" -> 0.35, "q18" -> 0.57, "q20" -> 0.24, "q21" -> 0.39,
+    "q22" -> 0.27, "q23" -> 0.32, "q24" -> 0.26, "q30" -> 0.24,
+    "q31" -> 1.17, "q32" -> 1.70, "q33" -> 2.25, "q34" -> 0.82,
+    "q35" -> 0.34, "q36" -> 0.26, "q37" -> 0.33, "q38" -> 0.17,
+    "q39" -> 0.28, "q40" -> 0.42, "q41" -> 0.17, "q42" -> 0.29,
+    "q43" -> 0.73, "q44" -> 0.19, "q45" -> 2.88, "q46" -> 0.14,
+    "q47" -> 0.56, "q48" -> 0.41, "q49" -> 0.73, "q50" -> 0.45,
+    "q51" -> 0.32, "q52" -> 0.14, "q53" -> 0.64, "q54" -> 0.66,
+    "q55" -> 0.12, "q56" -> 0.46, "q57" -> 0.28, "q58" -> 1.97,
+    "q59" -> 0.85, "q60" -> 0.65, "q61" -> 0.50, "q62" -> 2.05,
+    "q63" -> 0.76, "q64" -> 0.32, "q65" -> 1.10, "q66" -> 0.95,
+    "q67" -> 0.66, "q68" -> 0.61, "q69" -> 0.89, "q70" -> 0.90,
+    "q71" -> 0.45, "q72" -> 0.77, "q73" -> 0.39, "q74" -> 0.25,
+    "q75" -> 1.33, "q76" -> 0.49, "q77" -> 0.31, "q78" -> 0.28,
+    "q79" -> 0.29, "q80" -> 0.32, "q81" -> 1.02, "q82" -> 0.19,
+    "q83" -> 0.78, "q84" -> 0.95, "q85" -> 1.17, "q86" -> 0.45,
+    "q87" -> 0.23, "q88" -> 0.85)
+
   /** One JSON line for the driver. The driver keeps only the LAST 2000
     * characters of stdout and parses the JSON line out of that window —
     * round 4's line (with a per-query status map) grew to 2045 chars and
@@ -100,24 +176,18 @@ object Bench {
     * and BenchSpec pins the worst-case rendered length well under the
     * window minus sbt's trailing output.
     */
-  def renderJson(results: Seq[(String, Double, String)], sfDir: String): String = {
+  def renderJson(results: Seq[(String, Double, String)], sfDir: String,
+                 slow: Seq[String] = Nil): String = {
     // Locale.ROOT: the f-interpolator is locale-sensitive and a comma
     // decimal separator would produce unparseable JSON
     def d3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // per-query times at 2 decimals: 10 ms resolution is ample and the
     // saved character per entry keeps 60+ queries inside the tail window
     def d2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    // only successful queries carry a meaningful time — failed ones are
-    // named in "fails" instead, which also keeps the worst-case render
-    // (everything failed) far inside the tail window. Keys are shortened
-    // to their unique "qNN" prefix: the full names cost ~15 chars each,
-    // which at 69 queries is the whole tail-window budget.
-    def short(k: String): String = {
-      val cut = k.indexOf('_')
-      if (cut > 0) k.substring(0, cut) else k
-    }
-    // two names sharing a qNN prefix would silently collide into duplicate
-    // JSON keys; fall back to the full names for just those
+    // Keys are shortened to their unique "qNN" prefix: the full names cost
+    // ~15 chars each, which at 69 queries is the whole tail-window budget.
+    // Two names sharing a qNN prefix would silently collide into duplicate
+    // JSON keys; fall back to the full names for just those.
     val collide = results.map(t => short(t._1))
       .groupBy(identity).collect { case (p, g) if g.size > 1 => p }.toSet
     def key(k: String): String = if (collide(short(k))) k else short(k)
@@ -130,6 +200,11 @@ object Bench {
     val failPart =
       if (fails.isEmpty) s""""failed":0"""
       else s""""failed":${fails.length},"fails":${fails.take(6).mkString("[", ",", "]")}"""
-    s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,$failPart,"sf":"$sfDir"}"""
+    // >3x-baseline guard hits, qNN names capped at 4 (tail-window budget);
+    // absent entirely in the normal all-green render
+    val slowPart =
+      if (slow.isEmpty) ""
+      else s""","slow":${slow.take(4).map(s => s""""$s"""").mkString("[", ",", "]")}"""
+    s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,$failPart$slowPart,"sf":"$sfDir"}"""
   }
 }

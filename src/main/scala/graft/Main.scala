@@ -31,12 +31,14 @@ import graft.streaming.{CaptureProcess, InspectorStream, KafkaSink}
   *              persistence analogue, sink/db.clj:65-66: bucketed by the
   *              (client, port) connection key, sorted by call_id →
   *              exchange-free repeat analytics); exits after
-  *   -i IFACE   live capture: LAUNCH the staged tcpdump rotation
+  *   -i [IFACE] live capture: LAUNCH the staged tcpdump rotation
   *              in-process (the reference's read-net-interface,
   *              core.clj:422-444) feeding CAPTURE_DIR, then run the
   *              selected mode (interactive SQL, -e, or -k) against the
   *              growing directory; the capture is stopped when the run
-  *              ends
+  *              ends. With no IFACE, lists the JVM-visible devices and
+  *              prompts for one (the reference's no-interface flow,
+  *              core.clj:443-451)
   *   -n         with -i: print the capture command instead of running it
   *   -v         verbose: per-file load lines, decoded record counts,
   *              per-trigger streaming progress (reference -v +
@@ -65,7 +67,7 @@ object Main {
   }
 
   private val Usage =
-    """usage: graft.Main CAPTURE_DIR [-e SQL]... [-k SPEC] [-o PREFIX] [-p PORTS] [-t CKPT_DIR] [-d MS] [-c N] [-i IFACE [-n]] [-v] [-h]
+    """usage: graft.Main CAPTURE_DIR [-e SQL]... [-k SPEC] [-o PREFIX] [-p PORTS] [-t CKPT_DIR] [-d MS] [-c N] [-i [IFACE] [-n]] [-v] [-h]
       |  -e SQL     run a statement and print it (repeatable); exit after
       |  -k SPEC    stream records to Kafka (SERVERS/T1/T2[?k=v&...])
       |  -o PREFIX  persist the 4 tables as bucketed catalog tables; exit
@@ -74,7 +76,8 @@ object Main {
       |  -d MS      bound a -k run to a wall-clock duration
       |  -c N       max records to process (batch take-bound; -k: stop
       |             once N records are emitted, one file per trigger)
-      |  -i IFACE   launch staged tcpdump capture into CAPTURE_DIR first
+      |  -i [IFACE] launch staged tcpdump capture into CAPTURE_DIR first;
+      |             with no IFACE: list the devices and prompt for one
       |  -n         with -i: print the capture command instead of running
       |  -v         verbose: per-file load lines + per-trigger progress
       |  -h         print this help and exit
@@ -88,7 +91,9 @@ object Main {
   def execute(spark: SparkSession, args: Array[String],
               in: BufferedReader, out: PrintStream,
               capture: (String, String, Set[Int]) => CaptureProcess.Handle =
-                CaptureProcess.start(_, _, _)): Int = {
+                CaptureProcess.start(_, _, _),
+              listIfs: () => Seq[(String, String)] =
+                () => defaultInterfaces()): Int = {
     var dir: Option[String] = None
     var stmts = Vector.empty[String]
     var kafka: Option[String] = None
@@ -97,6 +102,7 @@ object Main {
     var durationMs: Option[Long] = None
     var maxRecords: Option[Int] = None
     var iface: Option[String] = None
+    var promptIface = false
     var save: Option[String] = None
     var dryRun = false
     var verbose = false
@@ -110,7 +116,12 @@ object Main {
           case "-t" => ckpt = Some(args(i + 1)); i += 2
           case "-d" => durationMs = Some(args(i + 1).toLong); i += 2
           case "-c" => maxRecords = Some(args(i + 1).toInt); i += 2
-          case "-i" => iface = Some(args(i + 1)); i += 2
+          case "-i" if i + 1 < args.length && !args(i + 1).startsWith("-") =>
+            iface = Some(args(i + 1)); i += 2
+          // bare -i (end of args or followed by another flag): the
+          // reference's no-interface path lists the capture devices and
+          // prompts for one (core.clj:443-451) instead of erroring
+          case "-i" => promptIface = true; i += 1
           case "-o" => save = Some(args(i + 1)); i += 2
           case "-n" => dryRun = true; i += 1
           case "-v" => verbose = true; i += 1
@@ -128,16 +139,20 @@ object Main {
       out.println("-c requires a positive record count")
       out.println(Usage); return 1
     }
-    if (dryRun && iface.isEmpty) {
+    if (dryRun && iface.isEmpty && !promptIface) {
       // a stray -n must not silently run the real thing the user thought
       // they were only previewing
-      out.println("-n requires -i IFACE"); out.println(Usage); return 1
+      out.println("-n requires -i"); out.println(Usage); return 1
     }
     if (save.isDefined && (kafka.isDefined || stmts.nonEmpty)) {
       // same silent-wrong-mode class as stray -n: don't pick one and
       // discard what the user also asked for
       out.println("-o cannot be combined with -k or -e")
       out.println(Usage); return 1
+    }
+    if (promptIface) selectInterface(listIfs(), in, out) match {
+      case Some(name) => iface = Some(name)
+      case None       => return 1
     }
     dir match {
       case None => out.println(Usage); 1
@@ -175,6 +190,45 @@ object Main {
               out.println(s"capture stopped (exit $code)")
             }
         }
+    }
+  }
+
+  /** JVM-visible capture devices as (name, human description) — the seam
+    * behind [[execute]]'s bare `-i` prompt. The real list comes from
+    * `java.net.NetworkInterface`, the JVM-public equivalent of the
+    * reference's pcap device listing (core.clj:443-451); specs inject a
+    * fixed list.
+    */
+  def defaultInterfaces(): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    try java.net.NetworkInterface.getNetworkInterfaces.asScala.toSeq
+      .sortBy(_.getIndex)
+      .map(ni => ni.getName -> Option(ni.getDisplayName).getOrElse(""))
+    catch { case NonFatal(_) => Seq.empty }
+  }
+
+  /** Bare `-i`: number the devices, prompt on `out`, read a 1-based
+    * selection from `in` (the reference's choose-an-interface flow,
+    * core.clj:443-451). None = no devices, EOF, or an invalid answer —
+    * the caller exits 1 rather than capture on a guessed device.
+    */
+  private def selectInterface(ifs: Seq[(String, String)], in: BufferedReader,
+                              out: PrintStream): Option[String] = {
+    if (ifs.isEmpty) { out.println("no capture interfaces found"); return None }
+    out.println("available interfaces:")
+    ifs.zipWithIndex.foreach { case ((name, desc), idx) =>
+      val extra = if (desc.nonEmpty && desc != name) s" ($desc)" else ""
+      out.println(s"  ${idx + 1}: $name$extra")
+    }
+    out.print(s"choose interface [1-${ifs.length}]: ")
+    out.flush()
+    Option(in.readLine()).map(_.trim).filter(_.nonEmpty) match {
+      case Some(line) =>
+        line.toIntOption.filter(n => n >= 1 && n <= ifs.length) match {
+          case Some(n) => Some(ifs(n - 1)._1)
+          case None    => out.println(s"invalid selection: $line"); None
+        }
+      case None => out.println("no selection made"); None
     }
   }
 
@@ -218,8 +272,14 @@ object Main {
         maxFilesPerTrigger = maxRecords.map(_ => 1)).toDF()
       val json = KafkaSink.jsonRecords(records, parsed,
         java.net.InetAddress.getLocalHost.getHostName)
-      val checkpoint = ckpt.getOrElse(
-        java.nio.file.Files.createTempDirectory("graft_kafka_ckpt").toString)
+      // self-created temp checkpoints are deleted in the finally below —
+      // repeated capped/bounded runs were accumulating graft_kafka_ckpt*
+      // state dirs in /tmp (round-8 advice). A user-supplied -t dir is
+      // the user's resume state and is never touched.
+      val ownCkpt = if (ckpt.isEmpty)
+        Some(java.nio.file.Files.createTempDirectory("graft_kafka_ckpt"))
+      else None
+      val checkpoint = ckpt.getOrElse(ownCkpt.get.toString)
       val name = s"graft-kafka-${java.util.UUID.randomUUID()}"
       var writer = KafkaSink.writeStream(json, parsed, checkpoint).queryName(name)
       if (maxRecords.isDefined)
@@ -242,7 +302,19 @@ object Main {
           case (None, Some(ms)) => InspectorStream.awaitBounded(query, ms)
           case (None, None)     => query.awaitTermination()
         }
-      } finally spark.streams.removeListener(tracker)
+      } finally {
+        spark.streams.removeListener(tracker)
+        ownCkpt.foreach { p =>
+          try {
+            val walk = java.nio.file.Files.walk(p)
+            try {
+              import scala.jdk.CollectionConverters._
+              walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+            } finally walk.close()
+          } catch { case NonFatal(_) => () }
+        }
+      }
       0
     } catch {
       case NonFatal(e) => out.println(s"kafka run failed: ${e.getMessage}"); 1

@@ -14,6 +14,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // the q20-q24 oracle SQL references expected_* parquet fixtures in
+    // /tmp: write them HERE, not only as a side effect of the paired
+    // queries running, so oracle_sql.json is valid standalone — e.g. a
+    // driver that re-evaluates the SQL after a /tmp sweep, or without
+    // re-running the queries (round-8 advice)
+    try inspector.SyntheticTraffic.ensureFixtures(spark)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] fixture pre-write failed: ${e.getMessage}")
+    }
     val status = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -22,6 +31,16 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         name -> s"fail: ${e.getClass.getSimpleName}"
+      } finally {
+        // per-query sweep of persisted blocks (localCheckpoint/cache):
+        // queries share no cached state, and letting blocks accumulate
+        // across 80+ queries pressures the block manager for the whole
+        // tail of the run (Bench class doc)
+        try {
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          spark.catalog.clearCache()
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -503,12 +503,19 @@ object SyntheticTraffic {
     val dir: Path = parent.resolve("pcap")
     // best-effort cleanup of fixtures minted by older traffic versions
     // (content-hashed dirs would otherwise accumulate forever; the old
-    // pre-round-8 prefix was graft_synth_pcap_<hash>)
+    // pre-round-8 prefix was graft_synth_pcap_<hash>). AGE-SCOPED: only
+    // dirs untouched for an hour — a different-version build running
+    // CONCURRENTLY (sbt test alongside a bench, two checkouts sharing
+    // /tmp) has a live, minutes-old fixture dir of its own, and deleting
+    // every non-current hash would yank it mid-run (round-8 advice)
     try {
+      val cutoff = System.currentTimeMillis() - 60 * 60 * 1000L
       val listing = Files.list(tmpRoot)
       try listing.iterator().forEachRemaining { p =>
           val n = p.getFileName.toString
-          if (n.startsWith("graft_synth") && p != parent) {
+          if (n.startsWith("graft_synth") && p != parent &&
+              (try Files.getLastModifiedTime(p).toMillis < cutoff
+               catch { case _: Throwable => false })) {
             val walk = Files.walk(p)
             try {
               import scala.jdk.CollectionConverters._

@@ -366,8 +366,11 @@ object Similarity {
     * (corrupt encodes, wrong-modality rows, and spam clusters surface
     * here; SemDeDup-style pipelines drop or quarantine them first).
     *
-    * Cross-engine exactness by construction: the mean comes from a
-    * bounded UNBIASED deterministic sample — the `sampleN` smallest
+    * Cross-engine exactness by construction: the corpus dimension is the
+    * MODAL embedding length (one tiny agg, total order: count desc then
+    * length asc) and ragged rows are excluded from both the sample and
+    * the scoring on both engines; the mean comes from a bounded UNBIASED
+    * deterministic sample — the `sampleN` smallest
     * `md5Prefix(vec_id)` (the shared q46 hash, so the oracle reproduces
     * the sample exactly) — summed in sample order as a left fold on the
     * driver (bounded step, ≤ sampleN·d doubles); the per-row distance is
@@ -382,31 +385,42 @@ object Similarity {
     */
   def embedOutliers(e: DataFrame, k: Int = 50, sampleN: Int = 2048): DataFrame = {
     val live = e.filter(col("embedding").isNotNull)
-    val sample = live
+    // the corpus dimension = the MODAL embedding length (count desc, then
+    // smallest length — a total, engine-independent order). Ragged rows
+    // are excluded from BOTH the sample and the scoring pass on BOTH
+    // engines: the previous contract took d from the first sampled row
+    // and kept ragged rows in the mean, where Spark's driver fold scored
+    // their prefix while the oracle's list_zip padded with NULL and
+    // poisoned the per-dim sums — any ragged row in the sample broke the
+    // cross-engine hash (round-8 advice). One tiny distributed agg
+    // (|distinct lengths| rows) buys a well-defined d.
+    val d = live.groupBy(size(col("embedding")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("d").asc)
+      .limit(1)
+      .collect() match {
+        case Array(row) => row.getInt(0)
+        case _ => throw new IllegalArgumentException(
+          "embedOutliers: no non-null embeddings")
+      }
+    val whole = live.filter(size(col("embedding")) === d)
+    val sample = whole
       .orderBy(TextAnalysis.md5Prefix(col("vec_id").cast("string")).asc,
         col("vec_id").asc)
       .limit(sampleN)
       .select(col("embedding"))
       .collect().map(_.getSeq[Float](0))
-    require(sample.nonEmpty, "embedOutliers: no non-null embeddings")
-    val d = sample.head.length
     val sums = new Array[Double](d)
     sample.foreach { v =>
-      // guard ragged rows: a truncated vector must not crash the driver
-      // fold (it is excluded from scoring below anyway)
       var j = 0
-      val n = math.min(d, v.length)
-      while (j < n) { sums(j) += v(j); j += 1 }
+      while (j < d) { sums(j) += v(j); j += 1 }
     }
     val mu = scala.collection.immutable.ArraySeq.unsafeWrapArray(
       sums.map(_ / sample.length))
     // full-dimension rows only: a truncated/corrupt vector has no
-    // well-defined distance to the mean — both engines exclude it the
-    // same way (DistToPoint would score the common prefix while the
-    // oracle's list_zip pads with NULL; agreeing to skip is the only
-    // consistent contract, and such rows deserve a schema check, not an
-    // outlier rank)
-    live.filter(size(col("embedding")) === d)
+    // well-defined distance to the mean — such rows deserve a schema
+    // check, not an outlier rank
+    whole
       .select(col("vec_id"), col("label"),
         round(graft.functions.VectorFunctions.distToPoint(col("embedding"), mu), 6)
           .as("dist"))
@@ -460,18 +474,26 @@ object Similarity {
         |SELECT qid, vec_id, cos, CAST(rnk AS INT) AS rank
         |FROM ranked WHERE rnk <= 10""".stripMargin,
 
-    // The sample is the 2048 smallest md5Prefix(vec_id) — reproduced here
-    // with the same shared hash; the per-dim sum and the per-row distance
-    // are LEFT FOLDS in the same order as the Spark side (list_reduce's
-    // init-free fold starts at element 1; 0.0 + x ≡ x), so every double
-    // agrees bit for bit before the 6-dp rounding.
+    // The corpus dimension is the modal len(embedding) (count desc, len
+    // asc — the same total order as the Spark side), and ragged rows are
+    // excluded from sample and scoring alike. The sample is the 2048
+    // smallest md5Prefix(vec_id) among full-dimension rows — reproduced
+    // here with the same shared hash; the per-dim sum and the per-row
+    // distance are LEFT FOLDS in the same order as the Spark side
+    // (list_reduce's init-free fold starts at element 1; 0.0 + x ≡ x), so
+    // every double agrees bit for bit before the 6-dp rounding.
     "q87_embed_outliers" ->
-      """WITH samp AS (
+      """WITH dim AS (
+        |  SELECT len(embedding) AS d FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |  GROUP BY 1 ORDER BY count(*) DESC, 1 ASC LIMIT 1),
+        |samp AS (
         |  SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE))
         |              ORDER BY h, vec_id) AS vs
         |  FROM (SELECT vec_id, embedding,
         |          ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
-        |        FROM embeddings WHERE embedding IS NOT NULL
+        |        FROM embeddings, dim
+        |        WHERE embedding IS NOT NULL AND len(embedding) = dim.d
         |        ORDER BY h, vec_id LIMIT 2048)),
         |mu AS (
         |  SELECT len(vs) AS n,

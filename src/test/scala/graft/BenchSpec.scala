@@ -16,9 +16,32 @@ class BenchSpec extends AnyFunSuite {
   private val budget = 1800
 
   test("all-ok render with max-width times fits the driver tail window") {
-    val json = Bench.renderJson(names.map(n => (n, 999.999, "ok")), sfDir)
+    // worst realistic case includes a non-empty guard list (capped at 4)
+    val json = Bench.renderJson(names.map(n => (n, 999.999, "ok")), sfDir,
+      slow = Seq("q66", "q65", "q58", "q45", "q33"))
     assert(json.length <= budget, s"bench JSON line ${json.length} > $budget chars")
     assert(json.startsWith("""{"metric":"total""""))
+    assert(json.contains(""""slow":["q66","q65","q58","q45"]"""))
+  }
+
+  test("SPARK_GRAFT_ONLY tokens match qNN exactly, not as a prefix") {
+    val only = Some(Set("q4"))
+    assert(!Bench.selected(only, "q45_dedup_clusters"),
+      "a short token must not prefix-match q40-q49")
+    assert(Bench.selected(Some(Set("q45")), "q45_dedup_clusters"))
+    assert(Bench.selected(Some(Set("q45_dedup_clusters")), "q45_dedup_clusters"))
+    assert(!Bench.selected(Some(Set("q45")), "q45x_other"),
+      "q45 must not select a q45x short name")
+    assert(Bench.selected(None, "anything"))
+  }
+
+  test("bench guard covers every current query except none") {
+    // every query in the suite has a baseline to be guarded against —
+    // a new query added without a baseline entry shows up here as a
+    // reminder to record its first gate time (guard simply skips it,
+    // but the map should trail the suite by at most one round)
+    val missing = names.map(Bench.short).filterNot(Bench.expected.contains)
+    assert(missing.isEmpty, s"queries without a guard baseline: $missing")
   }
 
   test("everything-failed render still fits (fails list capped)") {

@@ -136,6 +136,71 @@ class MainSpec extends SparkSpec {
     assert(text.contains(SyntheticTraffic.ExpectedRequests.toString))
   }
 
+  test("bare -i lists the devices, prompts, and captures on the selection") {
+    val buf = new ByteArrayOutputStream()
+    val out = new PrintStream(buf, true, "UTF-8")
+    var launched: Option[String] = None
+    val code = Main.execute(spark,
+      // -i followed by another flag = no IFACE given (reference
+      // core.clj:443-451: list the devices and ask)
+      Array(SyntheticTraffic.ensurePcapDir(), "-i",
+        "-e", "SELECT count(*) AS n FROM requests"),
+      new BufferedReader(new StringReader("2\n")), out,
+      capture = (ifc, d, _) => {
+        launched = Some(ifc)
+        graft.streaming.CaptureProcess.startCommand("sleep 60", d)
+      },
+      listIfs = () => Seq("lo" -> "loopback", "eth0" -> "eth0"))
+    val text = buf.toString("UTF-8")
+    assert(code === 0, text)
+    assert(text.contains("available interfaces:"))
+    assert(text.contains("1: lo (loopback)"))
+    assert(text.contains("2: eth0"))
+    assert(text.contains("choose interface [1-2]:"))
+    assert(launched === Some("eth0"))
+    assert(text.contains(SyntheticTraffic.ExpectedRequests.toString))
+  }
+
+  test("bare -i -n prompts, then previews the command for the selection") {
+    val buf = new ByteArrayOutputStream()
+    val out = new PrintStream(buf, true, "UTF-8")
+    val code = Main.execute(spark, Array("/var/capture", "-i", "-n"),
+      new BufferedReader(new StringReader("1\n")), out,
+      listIfs = () => Seq("en1" -> ""))
+    val text = buf.toString("UTF-8")
+    assert(code === 0, text)
+    assert(text.contains("tcpdump -i 'en1'"))
+  }
+
+  test("bare -i with an invalid or absent selection fails, no capture") {
+    for (stdin <- Seq("7\n", "x\n", "")) {
+      val buf = new ByteArrayOutputStream()
+      val out = new PrintStream(buf, true, "UTF-8")
+      var launched = false
+      val code = Main.execute(spark,
+        Array(SyntheticTraffic.ensurePcapDir(), "-i", "-e", "SELECT 1"),
+        new BufferedReader(new StringReader(stdin)), out,
+        capture = (_, d, _) => {
+          launched = true
+          graft.streaming.CaptureProcess.startCommand("sleep 60", d)
+        },
+        listIfs = () => Seq("lo" -> "loopback"))
+      assert(code === 1, s"stdin=$stdin: ${buf.toString("UTF-8")}")
+      assert(!launched, s"stdin=$stdin launched a capture")
+    }
+  }
+
+  test("bare -i with no devices at all fails with a message") {
+    val buf = new ByteArrayOutputStream()
+    val out = new PrintStream(buf, true, "UTF-8")
+    val code = Main.execute(spark,
+      Array(SyntheticTraffic.ensurePcapDir(), "-i", "-e", "SELECT 1"),
+      new BufferedReader(new StringReader("1\n")), out,
+      listIfs = () => Seq.empty)
+    assert(code === 1)
+    assert(buf.toString("UTF-8").contains("no capture interfaces found"))
+  }
+
   test("-i with a capture that dies immediately fails the run with its log") {
     val buf = new ByteArrayOutputStream()
     val out = new PrintStream(buf, true, "UTF-8")
