@@ -116,8 +116,12 @@ object Bench {
     // Regression guard: compare each time to the committed per-query
     // baseline and SAY SO when one blows past it — round 8 shipped docs
     // claiming 49.4 s while the gate recorded 77.9 s with one query 12×
-    // over, and nothing in the output flagged it.
-    val slow = results.collect {
+    // over, and nothing in the output flagged it. Full runs only: an
+    // isolation run (SPARK_GRAFT_ONLY) charges session/codegen init to
+    // its one query, which reads as a 3× blow-through of a full-run
+    // baseline and would false-flag the very attribution runs the knob
+    // exists for.
+    val slow = if (only.isDefined) Nil else results.collect {
       case (name, sec, "ok")
         if expected.get(short(name)).exists(e => sec > 3 * e && sec - e > 1.5) =>
         System.err.println(
