@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -70,6 +70,48 @@ object Curation {
         (col("vLo").cast("double") + (col("h") - col("lo").cast("double")) *
           (col("vHi").cast("double") - col("vLo").cast("double")))
           .as("median"))
+  }
+
+  /** Exact continuous quantile (`quantile_cont` / `percentile` semantics)
+    * of an integral column, computed GLOBALLY from a value histogram: one
+    * partial-agg shuffle collapses any row count to ≤ |value domain|
+    * histogram rows, which a bounded driver walk turns into the
+    * interpolated cutoff `v_lo + (h − ⌊h⌋)·(v_hi − v_lo)`, `h = (n−1)·p`.
+    *
+    * Why not [[medianByHistogram]]'s window: a GLOBAL quantile has one
+    * group, and a single-partition window is exactly the WindowExec
+    * shape this codebase evicted in rounds 8-9. The driver walk is the
+    * cleaner contract — the collected histogram is bounded by the value
+    * domain (token counts, char lengths: ≤ a few 10⁵ distinct values at
+    * any corpus size), the same bounded-driver-step class as the q43/q87
+    * sample fits. Why not the builtin `percentile`: it buffers every
+    * value on one reducer — the q06 caveat, an OOM at corpus scale.
+    */
+  private[ops] def quantileCont(df: DataFrame, value: Column, p: Double): Double = {
+    require(p >= 0.0 && p <= 1.0, s"quantile fraction out of range: $p")
+    val hist = df.select(value.cast("long").as("v")).filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(hist.nonEmpty, "quantileCont: no non-null values")
+    val n = hist.iterator.map(_._2).sum
+    val h = (n - 1) * p
+    val lo = math.floor(h).toLong
+    def valueAt(rank: Long): Long = {
+      var cum = 0L
+      var i = 0
+      while (i < hist.length) {
+        cum += hist(i)._2
+        if (rank < cum) return hist(i)._1
+        i += 1
+      }
+      hist.last._1
+    }
+    val vLo = valueAt(lo)
+    val vHi = valueAt(math.ceil(h).toLong)
+    // same association as DuckDB's interpolation (lower + frac·(upper −
+    // lower)) so the emitted cutoff agrees bit for bit; exact when
+    // vLo == vHi (integer arithmetic, frac·0 ≡ 0)
+    vLo + (h - lo) * (vHi - vLo)
   }
 
   /** Sequence packing: deterministic assignment of docs to fixed
@@ -425,6 +467,22 @@ object Curation {
         Tables.documents(s, dir).filter(col("text").isNotNull),
         "doc_id", budget = 2048, nShards = 32)),
 
+    // Global exact-quantile admission cutoff: keep the docs whose
+    // whitespace-token count clears the corpus P90 — the "keep the long
+    // tail of substantive documents" curation gate, and the pattern for
+    // ANY quantile-thresholded filter (quality score, LM loss) at scale:
+    // histogram-agg + bounded driver walk for the cutoff
+    // ([[quantileCont]]), then a second map-side pass admits rows. Two
+    // scans by design — the alternative (a global sort or a one-reducer
+    // percentile) does not survive corpus scale.
+    "q89_quantile_cutoff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), size(Dedup.tokens).cast("long").as("n_tok"))
+      val cut = quantileCont(docs, col("n_tok"), 0.9)
+      docs.filter(col("n_tok") >= cut)
+        .select(col("doc_id"), col("n_tok"), round(lit(cut), 6).as("cutoff"))
+    }),
+
     // C4-style line-level boilerplate filter stats: per doc, how many
     // lines are prose (≥ 20 chars, terminal punctuation) vs chrome. One
     // fused codegen pass ([[graft.functions.LineStats]]), zero shuffles.
@@ -441,6 +499,19 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    // Same token definition as q39's ws_tokens; quantile_cont is the
+    // same h=(n−1)·p continuous interpolation quantileCont mirrors, and
+    // both engines compare the raw (unrounded) cutoff for admission.
+    "q89_quantile_cutoff" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           |      AS n_tok
+           |  FROM documents WHERE text IS NOT NULL),
+           |c AS (SELECT quantile_cont(n_tok, 0.9) AS cut FROM t)
+           |SELECT t.doc_id, t.n_tok, round(c.cut, 6) AS cutoff
+           |FROM t, c WHERE t.n_tok >= c.cut""".stripMargin,
+
     // The verdict composes the q38/q44/q50 oracle expressions verbatim
     // (same tokenizer, same gram space, same regexes); the CASE chain
     // mirrors the fixed reason order and compares the same unrounded

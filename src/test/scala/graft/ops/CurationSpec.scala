@@ -91,6 +91,56 @@ class CurationSpec extends SparkSpec {
     assert(hist === ref)
   }
 
+  test("quantileCont == builtin exact percentile at several fractions") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(4242)
+    val rows = (1 to 500).map(_ => rnd.nextInt(60).toLong)
+    val df = rows.toDF("v")
+    for (p <- Seq(0.0, 0.1, 0.5, 0.9, 0.99, 1.0)) {
+      val got = Curation.quantileCont(df, col("v"), p)
+      val ref = df.agg(expr(s"percentile(v, $p)")).collect()(0).getDouble(0)
+      assert(got === ref, s"p=$p")
+    }
+  }
+
+  test("quantileCont: single value, all-equal values, NULLs excluded") {
+    val s = spark
+    import s.implicits._
+    assert(Curation.quantileCont(Seq(7L).toDF("v"), col("v"), 0.9) === 7.0)
+    assert(Curation.quantileCont(
+      Seq.fill(10)(3L).toDF("v"), col("v"), 0.25) === 3.0)
+    val withNulls = Seq[Option[Long]](Some(1L), None, Some(3L), None)
+      .toDF("v")
+    // NULLs excluded like percentile: median of {1, 3} = 2
+    assert(Curation.quantileCont(withNulls, col("v"), 0.5) === 2.0)
+    intercept[IllegalArgumentException] {
+      Curation.quantileCont(Seq.empty[Long].toDF("v"), col("v"), 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.quantileCont(Seq(1L).toDF("v"), col("v"), 1.5)
+    }
+  }
+
+  test("q89: admitted set is exactly the docs at or above the P90 cutoff") {
+    val q = graft.SparkEntry.queries("q89_quantile_cutoff")
+    val got = q(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val cutoff = got.head._3
+    assert(got.forall(_._3 === cutoff), "cutoff must be constant")
+    assert(got.forall(t => t._2 >= cutoff), "an admitted doc sits below the cutoff")
+    // cross-check the cutoff and the admitted count against the builtin
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("text").isNotNull)
+      .select(size(Dedup.tokens).cast("long").as("n_tok"))
+    val ref = docs.agg(expr("percentile(n_tok, 0.9)")).collect()(0).getDouble(0)
+    assert(math.abs(cutoff - BigDecimal(ref).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    val nRef = docs.filter(col("n_tok") >= ref).count()
+    assert(got.length.toLong === nRef)
+  }
+
   test("q56: token rarity on a hand-checked corpus") {
     // dfs: a->2, b->2, c->1
     val dir = docsDir(Seq(1L -> "a b a", 2L -> "b c"))

@@ -380,5 +380,20 @@ class PlanAuditSpec extends SparkSpec {
     // the isin(term) filter must sit with the generate (map-side), not
     // after a shuffle: no exchange may carry the un-filtered token stream
     assert(p.contains("spark") && p.contains("INSET") || p.contains("IN ("), p)
+    // the rank is window-free (one sorted ≤k-row partition + id counter):
+    // an unpartitioned rank window would warn per execution, and Spark 4's
+    // EliminateWindowPartitions folds a constant partition key right back
+    // to that case (round-9 fix)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q87: dimension probe and scoring are both partial-agg / scan-side") {
+    val p = planString("q87_embed_outliers")
+    // the modal-dimension probe + md5 sample ran at plan-construction
+    // time (bounded driver steps); what remains must be the map-side
+    // scoring projection feeding a top-k heap — no join, no window
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
   }
 }

@@ -81,4 +81,30 @@ class UrlsSpec extends SparkSpec {
     assert(kept.size === 2)
     assert(kept("http://site.com/page?id=7") === 1L)
   }
+
+  test("q90 hostProfile: hand-checked groups, spellings collapse, NULL text") {
+    import spark.implicits._
+    // a.com appears under three spellings of TWO pages; b.com has one doc
+    // with NULL text (counts toward n_docs, not toward token/char sums)
+    val docs = Seq(
+      ("HTTP://WWW.A.com:80/p?utm_source=x&id=1", "one two", Some(7L)),
+      ("http://a.com/p?id=1", "three", Some(5L)),
+      ("https://a.com/q", "four five six", Some(13L)),
+      ("http://b.com/", null, None))
+      .toDF("url", "text", "n_chars")
+    val got = Urls.hostProfile(docs, col("url"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+    assert(got.keySet === Set("a.com", "b.com"))
+    // a.com: 3 docs, 2 distinct canonical urls (the first two collapse),
+    // 2+1+3 tokens, avg chars (7+5+13)/3 rounded to 6dp
+    assert(got("a.com") === ((3L, 2L, 6L,
+      BigDecimal(25.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)))
+    // b.com: the NULL-text doc counts as a doc/page but contributes no
+    // tokens or chars — both sums stay NULL, like the oracle's
+    assert(got("b.com") === ((1L, 1L, null, null)))
+  }
 }
