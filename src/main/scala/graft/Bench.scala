@@ -25,6 +25,20 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** The per-query block sweep unpersists localCheckpoint'd RDDs once
+    * their query has fully materialized; RDD.unpersist then warns "was
+    * locally checkpointed ... cannot be recomputed" through the concrete
+    * RDD class logger, dozens of which would land in the same pre-JSON
+    * stderr tail the WindowExec warnings polluted in round 8. Silenced
+    * HERE (Bench/Verify processes only), not in log4j2.properties — the
+    * interactive CLI keeps the whole org.apache.spark.rdd WARN surface
+    * (corrupt-input skips etc. are actionable there).
+    */
+  private[graft] def quietRddWarnings(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
   /** Unique qNN prefix of a query name ("q66_semdedup" → "q66"). Shared
     * by the JSON renderer and the SPARK_GRAFT_ONLY matcher so the two
     * agree on what a short name means.
@@ -59,6 +73,7 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    quietRddWarnings()
 
     // Warmup: session/codegen/noop-sink init otherwise lands entirely on
     // the first timed query (alphabetically q01). Warm on a table the
@@ -146,8 +161,11 @@ object Bench {
   /** Per-query baseline seconds (sf0.1, local[32]) for the >3x guard —
     * the better of the round-7/round-8 driver gate runs (BENCH_r07/r08
     * .json), except q81 where the accepted zipWithIndex scale fix set a
-    * new legitimate level. Queries without history (added later) simply
-    * aren't guarded until a gate run records them here.
+    * new legitimate level, and q89/q90 (added round 9) whose values come
+    * from that round's committed full-suite sf0.1 run. Queries without
+    * such a measurement simply aren't guarded until one records them
+    * here — never invent a number (BenchSpec enforces only that no
+    * baseline outlives its query).
     */
   private[graft] val expected: Map[String, Double] = Map(
     "q01" -> 0.93, "q02" -> 0.32, "q03" -> 1.64, "q04" -> 0.23,
@@ -170,7 +188,7 @@ object Bench {
     "q75" -> 1.33, "q76" -> 0.49, "q77" -> 0.31, "q78" -> 0.28,
     "q79" -> 0.29, "q80" -> 0.32, "q81" -> 1.02, "q82" -> 0.19,
     "q83" -> 0.78, "q84" -> 0.95, "q85" -> 1.17, "q86" -> 0.45,
-    "q87" -> 0.23, "q88" -> 0.85, "q89" -> 0.55, "q90" -> 1.10)
+    "q87" -> 0.23, "q88" -> 0.85, "q89" -> 0.37, "q90" -> 0.58)
 
   /** One JSON line for the driver. The driver keeps only the LAST 2000
     * characters of stdout and parses the JSON line out of that window —

@@ -150,18 +150,40 @@ object Main {
       out.println("-o cannot be combined with -k or -e")
       out.println(Usage); return 1
     }
-    if (promptIface) selectInterface(listIfs(), in, out) match {
-      case Some(name) => iface = Some(name)
-      case None       => return 1
-    }
     dir match {
       case None => out.println(Usage); 1
-      case Some(d) if iface.isDefined && dryRun =>
+      case Some(d) =>
+        // the device prompt runs only once every other argument has
+        // validated — a user whose invocation is doomed anyway (missing
+        // CAPTURE_DIR above) must not first answer an interactive
+        // question, and a scripted run must not block on stdin for input
+        // that can never lead to a run (round-9 review)
+        if (promptIface) selectInterface(listIfs(), in, out) match {
+          case Some(name) => iface = Some(name)
+          case None       => return 1
+        }
+        runMode(spark, d, stmts, kafka, ports, ckpt, durationMs, maxRecords,
+          iface, save, dryRun, verbose, in, out, capture)
+    }
+  }
+
+  /** The mode dispatch behind [[execute]], once arguments are fully
+    * resolved (interface prompt included).
+    */
+  private def runMode(spark: SparkSession, d: String, stmts: Vector[String],
+                      kafka: Option[String], ports: Set[Int],
+                      ckpt: Option[String], durationMs: Option[Long],
+                      maxRecords: Option[Int], iface: Option[String],
+                      save: Option[String], dryRun: Boolean, verbose: Boolean,
+                      in: BufferedReader, out: PrintStream,
+                      capture: (String, String, Set[Int]) => CaptureProcess.Handle): Int =
+    (iface, dryRun) match {
+      case (Some(ifc), true) =>
         out.println("run this to feed the capture directory, then re-run " +
           "graft.Main without -i (or with -k) against it:")
-        out.println(InspectorStream.captureCommand(iface.get, d, ports))
+        out.println(InspectorStream.captureCommand(ifc, d, ports))
         0
-      case Some(d) =>
+      case _ =>
         val handle = iface.map { ifc =>
           out.println(s"capturing $ifc -> $d (tcpdump staged rotation)")
           capture(ifc, d, ports)
@@ -191,7 +213,6 @@ object Main {
             }
         }
     }
-  }
 
   /** JVM-visible capture devices as (name, human description) — the seam
     * behind [[execute]]'s bare `-i` prompt. The real list comes from
@@ -304,16 +325,7 @@ object Main {
         }
       } finally {
         spark.streams.removeListener(tracker)
-        ownCkpt.foreach { p =>
-          try {
-            val walk = java.nio.file.Files.walk(p)
-            try {
-              import scala.jdk.CollectionConverters._
-              walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-                .foreach(java.nio.file.Files.deleteIfExists(_))
-            } finally walk.close()
-          } catch { case NonFatal(_) => () }
-        }
+        ownCkpt.foreach(Fs.deleteTree)
       }
       0
     } catch {

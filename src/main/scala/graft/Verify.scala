@@ -13,6 +13,7 @@ object Verify {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Bench.quietRddWarnings() // the per-query sweep's unpersist warnings
     new java.io.File(outDir).mkdirs()
     // the q20-q24 oracle SQL references expected_* parquet fixtures in
     // /tmp: write them HERE, not only as a side effect of the paired

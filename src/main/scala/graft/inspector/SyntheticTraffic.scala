@@ -418,15 +418,6 @@ object SyntheticTraffic {
     val reqCols = Seq("ts", "client", "port", "call_id", "server", "method",
       "size", "batch", "table", "region", "row", "stoprow", "cells",
       "durability").map(col)
-    def deleteTree(p: Path): Unit =
-      try {
-        val walk = Files.walk(p)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-            .foreach(Files.deleteIfExists(_))
-        } finally walk.close()
-      } catch { case _: Throwable => () }
     def write(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val target = parent.resolve(name)
       if (!Files.exists(target)) {
@@ -440,7 +431,7 @@ object SyntheticTraffic {
         catch { case e: Throwable =>
           // another JVM won the race (same hash-named parent → identical
           // content) — or the move failed; either way drop the staging dir
-          if (Files.exists(target)) deleteTree(tmp) else throw
+          if (Files.exists(target)) graft.Fs.deleteTree(tmp) else throw
             new java.io.IOException(s"could not publish oracle fixture $target", e)
         }
       }
@@ -455,7 +446,7 @@ object SyntheticTraffic {
         listing.iterator().asScala
           .filter(p => p.getFileName.toString.startsWith(".tmp_") &&
             Files.getLastModifiedTime(p).toMillis < cutoff)
-          .toSeq.foreach(deleteTree)
+          .toSeq.foreach(graft.Fs.deleteTree)
       } finally listing.close()
     } catch { case _: Throwable => () }
     val recs = expectedRecords.toDS()
@@ -515,18 +506,21 @@ object SyntheticTraffic {
           val n = p.getFileName.toString
           if (n.startsWith("graft_synth") && p != parent &&
               (try Files.getLastModifiedTime(p).toMillis < cutoff
-               catch { case _: Throwable => false })) {
-            val walk = Files.walk(p)
-            try {
-              import scala.jdk.CollectionConverters._
-              walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-                .foreach(Files.deleteIfExists(_))
-            } finally walk.close()
-          }
+               catch { case _: Throwable => false }))
+            graft.Fs.deleteTree(p)
         }
       finally listing.close()
     } catch { case _: Throwable => () }
     Files.createDirectories(dir)
+    // liveness beacon for OTHER builds' sweeps: parquet READS don't bump
+    // a directory's mtime, so a long bench re-reading 2h-old fixtures
+    // would still look stale to a concurrent different-hash build and get
+    // yanked mid-run (round-9 review). Every ensure call — each access
+    // path goes through here — refreshes the parent's mtime, so "older
+    // than an hour" really means "no JVM touched these for an hour".
+    try Files.setLastModifiedTime(parent,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: Throwable => () }
     Seq("capture-00001.pcap" -> file1, "capture-00002.pcap" -> file2)
       .foreach { case (name, bytes) =>
         val target = dir.resolve(name)

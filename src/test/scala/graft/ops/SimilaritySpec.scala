@@ -193,6 +193,39 @@ class SimilaritySpec extends SparkSpec {
       .exists(_.getLong(0) === 1000L))
   }
 
+  test("q87: ragged vectors are excluded from sample AND scoring (modal d)") {
+    val s = spark
+    import s.implicits._
+    // modal dimension is 4 (60 vectors); 30 truncated d=3 rows and one
+    // d=5 row are ragged — tiny vec_ids so the md5-ordered 2048-sample
+    // would certainly include them if they weren't filtered out
+    val whole = (100L until 160L).map(i => (i, Seq.fill(4)(1.0f), 0))
+    val ragged = (0L until 30L).map(i => (i, Seq.fill(3)(99.0f), 1)) :+
+      ((30L, Seq.fill(5)(99.0f), 1))
+    val e = (whole ++ ragged).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.embedOutliers(e, k = 200).collect()
+    // no ragged row is scored...
+    assert(rows.forall(_.getInt(1) === 0), rows.mkString(", "))
+    assert(rows.length === 60)
+    // ...and none perturbed the mean: every full-d vector IS the mean,
+    // so every distance is exactly 0 (a 99.0 leak into any dim sum would
+    // show up here)
+    assert(rows.forall(_.getDouble(2) === 0.0), rows.mkString(", "))
+  }
+
+  test("q87: modal-dimension tie breaks to the SMALLER length") {
+    val s = spark
+    import s.implicits._
+    // 5 vectors at d=2 and 5 at d=3: count ties, d=2 must win on both
+    // engines (count desc, length asc — the pinned total order)
+    val e = ((0L until 5L).map(i => (i, Seq.fill(2)(1.0f), 2)) ++
+      (5L until 10L).map(i => (i, Seq.fill(3)(1.0f), 3)))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.embedOutliers(e, k = 20).collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getInt(1) === 2), rows.mkString(", "))
+  }
+
   test("q87 plan: scoring is a map-side scan projection + top-k heap") {
     val df = graft.SparkEntry.queries("q87_embed_outliers")(
       spark, "/root/testdata/sf0.001")
