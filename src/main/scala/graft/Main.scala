@@ -21,7 +21,9 @@ import graft.streaming.{CaptureProcess, InspectorStream, KafkaSink}
   *   -k SPEC    stream to Kafka instead: SERVERS/T1/T2 spec grammar
   *   -p PORTS   comma-separated RegionServer ports (default 16020,60020)
   *   -t DIR     checkpoint dir for -k (default: a temp dir)
-  *   -d MS      bound a -k run to a wall-clock duration (reference -d)
+  *   -d MS      wall-clock bound (reference -d): with -k, bounds the
+  *              streaming run; with -i and no -k, capture for MS, stop
+  *              the capture, THEN load and serve (core.clj:430-431)
   *   -c N       max records to process (reference -c packet cap,
   *              core.clj:51-53): batch modes take-bound the record
   *              stream; -k runs one file per trigger under an
@@ -73,7 +75,7 @@ object Main {
       |  -o PREFIX  persist the 4 tables as bucketed catalog tables; exit
       |  -p PORTS   comma-separated RegionServer ports (default 16020,60020)
       |  -t DIR     checkpoint dir for -k (default: a temp dir)
-      |  -d MS      bound a -k run to a wall-clock duration
+      |  -d MS      bound a -k run; with -i and no -k: capture MS then load
       |  -c N       max records to process (batch take-bound; -k: stop
       |             once N records are emitted, one file per trigger)
       |  -i [IFACE] launch staged tcpdump capture into CAPTURE_DIR first;
@@ -197,6 +199,19 @@ object Main {
             handle.foreach(h => out.println(h.logTail().trim))
             1
           case None =>
+            // reference -d in non-Kafka modes (core.clj:430-431): capture
+            // for DURATION, close the handle, THEN load/serve — the SQL
+            // surface sees exactly what the bounded capture produced.
+            // (-k keeps its own meaning: the stream runs WHILE capturing
+            // and -d bounds the stream itself.)
+            if (handle.isDefined && kafka.isEmpty && durationMs.isDefined) {
+              Thread.sleep(durationMs.get)
+              handle.foreach { h =>
+                val code = h.stop()
+                out.println(
+                  s"capture stopped after ${durationMs.get} ms (exit $code)")
+              }
+            }
             try {
               // reference -v progress: say what the load is about to read
               // (long directory loads are otherwise silent until done)
@@ -208,8 +223,18 @@ object Main {
                   maxRecords, verbose, out)
               else runSql(spark, d, ports, stmts, maxRecords, verbose, in, out)
             } finally handle.foreach { h =>
+              // idempotent: a no-op (repeating the exit code) when the
+              // bounded path above already stopped the capture
               val code = h.stop()
               out.println(s"capture stopped (exit $code)")
+              if (verbose) {
+                // reference parity (core.clj:446-449 "%d packets
+                // received, %d dropped"): tcpdump prints its
+                // captured/received/dropped summary to the capture log
+                // on SIGTERM — surface it
+                val t = h.logTail(1024).trim
+                if (t.nonEmpty) t.linesIterator.foreach(l => out.println(s"[v] $l"))
+              }
             }
         }
     }

@@ -11,13 +11,18 @@ import graft.inspector.{Inspector, SyntheticTraffic}
   * and times the FULL four-table materialization (what the reference's H2
   * sink persists per run).
   *
-  * Usage: runMain graft.PcapBench [conns] [callsPerConn] [files]
+  * Usage: runMain graft.PcapBench [conns] [callsPerConn] [files] [stage]
+  * `stage` = `full` (default: decode + all four table derivations) or
+  * `decode` (pcap → correlated records only) — the attribution knob for
+  * where pipeline time actually goes.
   */
 object PcapBench {
   def main(args: Array[String]): Unit = {
     val conns = args.headOption.map(_.toInt).getOrElse(256)
     val calls = args.lift(1).map(_.toInt).getOrElse(200)
     val files = args.lift(2).map(_.toInt).getOrElse(8)
+    val stage = args.lift(3).getOrElse("full")
+    require(stage == "full" || stage == "decode", s"unknown stage: $stage")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
     val t0 = System.nanoTime()
@@ -38,13 +43,18 @@ object PcapBench {
 
       def runOnce(): (Long, Double) = {
         val t1 = System.nanoTime()
-        val records = Inspector.records(spark, dir).cache()
-        val n = records.count()
-        Seq(Inspector.requests(records), Inspector.responses(records),
-          Inspector.actionsTable(records), Inspector.resultsTable(records))
-          .foreach(_.write.format("noop").mode("overwrite").save())
+        val n =
+          if (stage == "decode") Inspector.records(spark, dir).count()
+          else {
+            val records = Inspector.records(spark, dir).cache()
+            val c = records.count()
+            Seq(Inspector.requests(records), Inspector.responses(records),
+              Inspector.actionsTable(records), Inspector.resultsTable(records))
+              .foreach(_.write.format("noop").mode("overwrite").save())
+            records.unpersist()
+            c
+          }
         val sec = (System.nanoTime() - t1) / 1e9
-        records.unpersist()
         (n, sec)
       }
       val (n1, cold) = runOnce()
@@ -62,13 +72,6 @@ object PcapBench {
         System.err.println(s"[pcapbench] DECODE LOSS: $n1 records != $msgs generated")
         sys.exit(1)
       }
-    } finally {
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      } finally walk.close()
-    }
+    } finally Fs.deleteTree(java.nio.file.Paths.get(dir))
   }
 }

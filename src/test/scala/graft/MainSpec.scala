@@ -201,6 +201,29 @@ class MainSpec extends SparkSpec {
     assert(buf.toString("UTF-8").contains("no capture interfaces found"))
   }
 
+  test("-i -d captures for the duration, stops, THEN serves the SQL") {
+    val buf = new ByteArrayOutputStream()
+    val out = new PrintStream(buf, true, "UTF-8")
+    var handle: Option[graft.streaming.CaptureProcess.Handle] = None
+    val code = Main.execute(spark,
+      Array(SyntheticTraffic.ensurePcapDir(), "-i", "eth0", "-d", "300",
+        "-e", "SELECT count(*) AS n FROM requests"),
+      new BufferedReader(new StringReader("")), out,
+      capture = (_, d, _) => {
+        val h = graft.streaming.CaptureProcess.startCommand("sleep 60", d)
+        handle = Some(h); h
+      })
+    // runSql can't observe the handle itself; infer the ordering from the
+    // output: the bounded-stop line must precede the query result
+    val text = buf.toString("UTF-8")
+    assert(code === 0, text)
+    val stopAt = text.indexOf("capture stopped after 300 ms")
+    val resultAt = text.indexOf(SyntheticTraffic.ExpectedRequests.toString)
+    assert(stopAt >= 0, text)
+    assert(resultAt > stopAt, "SQL served before the bounded capture stopped")
+    assert(handle.exists(!_.isAlive), "capture outlived the bounded run")
+  }
+
   test("-i with a capture that dies immediately fails the run with its log") {
     val buf = new ByteArrayOutputStream()
     val out = new PrintStream(buf, true, "UTF-8")

@@ -95,12 +95,20 @@ class CurationSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val rnd = new scala.util.Random(4242)
-    val rows = (1 to 500).map(_ => rnd.nextInt(60).toLong)
-    val df = rows.toDF("v")
-    for (p <- Seq(0.0, 0.1, 0.5, 0.9, 0.99, 1.0)) {
+    // distribution shapes that stress different interpolation cases:
+    // dense uniform (most ranks interpolate), zipf-ish duplicate-heavy
+    // (rank pairs collapse into one histogram row), tiny n (lo==hi
+    // boundary cases), negative values
+    val datasets = Seq(
+      (1 to 500).map(_ => rnd.nextInt(60).toLong),
+      (1 to 400).map(_ => (400.0 / (1 + rnd.nextInt(20))).toLong),
+      Seq(5L, 9L, 2L),
+      (1 to 50).map(_ => rnd.nextInt(9).toLong - 4L))
+    for ((rows, i) <- datasets.zipWithIndex; p <- Seq(0.0, 0.1, 0.5, 0.9, 0.99, 1.0)) {
+      val df = rows.toDF("v")
       val got = Curation.quantileCont(df, col("v"), p)
       val ref = df.agg(expr(s"percentile(v, $p)")).collect()(0).getDouble(0)
-      assert(got === ref, s"p=$p")
+      assert(got === ref, s"dataset=$i p=$p")
     }
   }
 
