@@ -188,7 +188,8 @@ object Bench {
     "q75" -> 1.33, "q76" -> 0.49, "q77" -> 0.31, "q78" -> 0.28,
     "q79" -> 0.29, "q80" -> 0.32, "q81" -> 1.02, "q82" -> 0.19,
     "q83" -> 0.78, "q84" -> 0.95, "q85" -> 1.17, "q86" -> 0.45,
-    "q87" -> 0.23, "q88" -> 0.85, "q89" -> 0.37, "q90" -> 0.58)
+    "q87" -> 0.23, "q88" -> 0.85, "q89" -> 0.37, "q90" -> 0.58,
+    "q91" -> 0.44)
 
   /** One JSON line for the driver. The driver keeps only the LAST 2000
     * characters of stdout and parses the JSON line out of that window —

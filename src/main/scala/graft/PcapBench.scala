@@ -12,9 +12,11 @@ import graft.inspector.{Inspector, SyntheticTraffic}
   * sink persists per run).
   *
   * Usage: runMain graft.PcapBench [conns] [callsPerConn] [files] [stage]
-  * `stage` = `full` (default: decode + all four table derivations) or
-  * `decode` (pcap → correlated records only) — the attribution knob for
-  * where pipeline time actually goes.
+  * `stage` — the attribution knob for where pipeline time actually goes:
+  * `full` (default) decode + all four table derivations; `decode` pcap →
+  * correlated records only (adds the connection shuffle + state walk);
+  * `segments` pcap → keyed TCP segments only (file parse + link decode,
+  * no shuffle).
   */
 object PcapBench {
   def main(args: Array[String]): Unit = {
@@ -22,7 +24,7 @@ object PcapBench {
     val calls = args.lift(1).map(_.toInt).getOrElse(200)
     val files = args.lift(2).map(_.toInt).getOrElse(8)
     val stage = args.lift(3).getOrElse("full")
-    require(stage == "full" || stage == "decode", s"unknown stage: $stage")
+    require(Set("full", "decode", "segments")(stage), s"unknown stage: $stage")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
     val t0 = System.nanoTime()
@@ -44,7 +46,8 @@ object PcapBench {
       def runOnce(): (Long, Double) = {
         val t1 = System.nanoTime()
         val n =
-          if (stage == "decode") Inspector.records(spark, dir).count()
+          if (stage == "segments") Inspector.segments(spark, dir).count()
+          else if (stage == "decode") Inspector.records(spark, dir).count()
           else {
             val records = Inspector.records(spark, dir).cache()
             val c = records.count()
@@ -68,7 +71,9 @@ object PcapBench {
       spark.stop()
       // a decode/correlation regression must not yield plausible-looking
       // throughput: the rates above are computed from GENERATED messages
-      if (n1 != msgs) {
+      // (segments-stage counts raw TCP segments, which need not be 1:1
+      // with messages — no loss check there)
+      if (stage != "segments" && n1 != msgs) {
         System.err.println(s"[pcapbench] DECODE LOSS: $n1 records != $msgs generated")
         sys.exit(1)
       }

@@ -467,6 +467,25 @@ object Curation {
         Tables.documents(s, dir).filter(col("text").isNotNull),
         "doc_id", budget = 2048, nShards = 32)),
 
+    // End-to-end composition (the pipeline tail a trainer consumes):
+    // exact-dedup the corpus — q30's canonical min-id survivor per
+    // identical text, bodies never shuffling — then pack ONLY the
+    // survivors into fixed-token-budget training sequences (q57). One
+    // extra doc_id-keyed join over q57's own cost; proves the operators
+    // compose in a single plan with their individual scale shapes
+    // intact (the dedup agg stays partial, the packing windows stay
+    // per-shard).
+    "q91_dedup_pack" -> ((s, dir) => {
+      val live = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val keep = live
+        .groupBy(xxhash64(col("text")).as("h"),
+          length(col("text")).cast("long").as("len"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      packedSequences(live.join(keep, Seq("doc_id")), "doc_id",
+        budget = 2048, nShards = 32)
+    }),
+
     // Global exact-quantile admission cutoff: keep the docs whose
     // whitespace-token count clears the corpus P90 — the "keep the long
     // tail of substantive documents" curation gate, and the pattern for
@@ -499,6 +518,32 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    // q30's dedup (GROUP BY text ≡ the Spark side's (xxhash64, len)
+    // grouping — the hash only renames the group) composed with q57's
+    // pack CTEs over the survivor set.
+    "q91_dedup_pack" ->
+      raw"""WITH live AS (
+           |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+           |keep AS (SELECT MIN(doc_id) AS doc_id FROM live GROUP BY text),
+           |surv AS (SELECT l.doc_id, l.text FROM live l
+           |         JOIN keep k ON l.doc_id = k.doc_id),
+           |t AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           |      AS n_tok,
+           |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |      AS h
+           |  FROM surv),
+           |c AS (
+           |  SELECT doc_id, h % 32 AS shard, n_tok,
+           |    CAST(sum(n_tok) OVER (PARTITION BY h % 32 ORDER BY h, doc_id
+           |                          ROWS UNBOUNDED PRECEDING) - n_tok
+           |         AS BIGINT) AS start_off
+           |  FROM t)
+           |SELECT doc_id, shard,
+           |  shard * 1099511627776 + start_off // 2048 AS pack_id, n_tok
+           |FROM c""".stripMargin,
+
     // Same token definition as q39's ws_tokens; quantile_cont is the
     // same h=(n−1)·p continuous interpolation quantileCont mirrors, and
     // both engines compare the raw (unrounded) cutoff for admission.

@@ -149,6 +149,28 @@ class CurationSpec extends SparkSpec {
     assert(got.length.toLong === nRef)
   }
 
+  test("q91: packs contain exactly the canonical dedup survivors") {
+    val q = graft.SparkEntry.queries("q91_dedup_pack")
+    val packed = q(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getLong(0)).toSet
+    // reference survivor set: min doc_id per identical text
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("text").isNotNull)
+    val survivors = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(packed === survivors)
+    // and the packing itself matches q57's layout restricted to survivors
+    // (same shard/pack assignment — membership change must not disturb a
+    // survivor's shard, only its in-shard offsets)
+    val q57 = graft.SparkEntry.queries("q57_pack")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shards = q(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    shards.foreach { case (id, sh) => assert(q57(id) === sh, s"doc $id") }
+  }
+
   test("q56: token rarity on a hand-checked corpus") {
     // dfs: a->2, b->2, c->1
     val dir = docsDir(Seq(1L -> "a b a", 2L -> "b c"))
