@@ -387,6 +387,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q89: admission filter is map-side; no window, no global sort") {
+    val p = planString("q89_quantile_cutoff")
+    // the quantile came from a histogram agg + driver walk at plan
+    // construction; what remains is a scan + filter + project — the
+    // admission pass must not re-sort or window anything
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q90: one host-keyed agg chain; bodies reduced map-side") {
+    val df = graft.SparkEntry.queries("q90_host_profile")(spark, sf)
+    val plan = executed(df)
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    // the distinct-URL count expands to the standard two-phase distinct
+    // aggregate: at most the (host, u) exchange + the host exchange —
+    // never a third
+    assert(shuffles.size <= 2, plan.toString)
+    // token/char sums are partial-aggregated below the first exchange:
+    // no shuffle carries the text column
+    shuffles.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"document bodies cross an exchange:\n$plan")
+    }
+  }
+
+  test("q91: composed plan keeps dedup partial and pack windows sharded") {
+    val p = planString("q91_dedup_pack")
+    // the dedup side aggregates partially (map-side combine on the
+    // (hash, len) key) and the packing window is partitioned by shard —
+    // no unpartitioned window anywhere in the composed plan
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("No Partition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q87: dimension probe and scoring are both partial-agg / scan-side") {
     val p = planString("q87_embed_outliers")
     // the modal-dimension probe + md5 sample ran at plan-construction
