@@ -9,10 +9,12 @@ import java.nio.file.{Files, Path}
 private[graft] object Fs {
 
   /** Best-effort recursive delete: deepest-first walk, each entry via
-    * `deleteIfExists` (a concurrent deletion is not an error), any
-    * failure swallowed — callers use this for temp/staging state whose
+    * `deleteIfExists` (a concurrent deletion is not an error), NonFatal
+    * failures swallowed — callers use this for temp/staging state whose
     * leftover presence is tolerable but whose cleanup must never take
-    * the run down.
+    * the run down. Fatal throwables (InterruptedException, OOM)
+    * propagate: a Ctrl-C-initiated shutdown must not have its interrupt
+    * eaten by a cleanup helper (round-9 review).
     */
   def deleteTree(p: Path): Unit =
     try {
@@ -22,5 +24,5 @@ private[graft] object Fs {
         walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
           .foreach(Files.deleteIfExists(_))
       } finally walk.close()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

@@ -152,6 +152,12 @@ object Main {
       out.println("-o cannot be combined with -k or -e")
       out.println(Usage); return 1
     }
+    if (durationMs.isDefined && kafka.isEmpty && iface.isEmpty && !promptIface) {
+      // -d bounds a -k stream or a -i capture; with neither, silently
+      // running unbounded would betray the user's stated time box
+      out.println("-d requires -k or -i")
+      out.println(Usage); return 1
+    }
     dir match {
       case None => out.println(Usage); 1
       case Some(d) =>
@@ -186,6 +192,7 @@ object Main {
         out.println(InspectorStream.captureCommand(ifc, d, ports))
         0
       case _ =>
+        val captureT0 = System.nanoTime()
         val handle = iface.map { ifc =>
           out.println(s"capturing $ifc -> $d (tcpdump staged rotation)")
           capture(ifc, d, ports)
@@ -205,7 +212,11 @@ object Main {
             // (-k keeps its own meaning: the stream runs WHILE capturing
             // and -d bounds the stream itself.)
             if (handle.isDefined && kafka.isEmpty && durationMs.isDefined) {
-              Thread.sleep(durationMs.get)
+              // the bound is measured from capture START: the liveness
+              // wait above already consumed up to 500 ms of it (a raw
+              // sleep here would record for MS + 500 and misreport)
+              val elapsedMs = (System.nanoTime() - captureT0) / 1000000L
+              Thread.sleep(math.max(0L, durationMs.get - elapsedMs))
               handle.foreach { h =>
                 val code = h.stop()
                 out.println(

@@ -127,15 +127,26 @@ object Curation {
     * pinned count.
     */
   def packedSequences(df: DataFrame, id: String, budget: Int,
+                      nShards: Int = 0): DataFrame =
+    packTokenCounts(
+      df.select(col(id), size(Dedup.tokens).cast("long").as("n_tok")),
+      id, budget, nShards)
+
+  /** [[packedSequences]]' core over PRE-COMPUTED token counts: `counts`
+    * must carry `(id, n_tok)`. The entry point for compositions that
+    * already reduced documents to counts map-side (q91's dedup join) —
+    * packing never needs the bodies, so they must not ride its shuffles.
+    */
+  def packTokenCounts(counts: DataFrame, id: String, budget: Int,
                       nShards: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shards =
       if (nShards > 0) nShards.toLong
-      else math.max(32L, Similarity.estimatedRowCount(df, 2048) / 1000000L)
+      else math.max(32L, Similarity.estimatedRowCount(counts, 2048) / 1000000L)
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("h").asc, col(id).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(id), size(Dedup.tokens).cast("long").as("n_tok"))
+    counts
       .withColumn("h", TextAnalysis.md5Prefix(col(id).cast("string")))
       .withColumn("shard", pmod(col("h"), lit(shards)))
       .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
@@ -468,21 +479,21 @@ object Curation {
         "doc_id", budget = 2048, nShards = 32)),
 
     // End-to-end composition (the pipeline tail a trainer consumes):
-    // exact-dedup the corpus — q30's canonical min-id survivor per
-    // identical text, bodies never shuffling — then pack ONLY the
-    // survivors into fixed-token-budget training sequences (q57). One
-    // extra doc_id-keyed join over q57's own cost; proves the operators
-    // compose in a single plan with their individual scale shapes
-    // intact (the dedup agg stays partial, the packing windows stay
-    // per-shard).
+    // exact-dedup the corpus — q30's canonical min-id survivor, via the
+    // SHARED [[Dedup.exactSurvivors]] so the two queries cannot diverge
+    // — then pack ONLY the survivors into fixed-token-budget training
+    // sequences (q57). Scale discipline: token counts are computed
+    // MAP-SIDE before the join, so the survivor join's exchanges carry
+    // (doc_id, n_tok) and (doc_id) — 16-byte rows, never bodies (the
+    // round-9 review caught the body-through-the-join variant) — and
+    // each operator keeps its individual shape inside the composed plan
+    // (partial dedup agg, per-shard pack windows).
     "q91_dedup_pack" -> ((s, dir) => {
       val live = Tables.documents(s, dir).filter(col("text").isNotNull)
-      val keep = live
-        .groupBy(xxhash64(col("text")).as("h"),
-          length(col("text")).cast("long").as("len"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      packedSequences(live.join(keep, Seq("doc_id")), "doc_id",
+      val counts = live.select(col("doc_id"),
+        size(Dedup.tokens).cast("long").as("n_tok"))
+      val keep = Dedup.exactSurvivors(live).select(col("doc_id"))
+      packTokenCounts(counts.join(keep, Seq("doc_id")), "doc_id",
         budget = 2048, nShards = 32)
     }),
 

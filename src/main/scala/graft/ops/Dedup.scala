@@ -163,6 +163,21 @@ object Dedup {
     labels.withColumn("is_canonical", col("doc_id") === col("cluster"))
   }
 
+  /** Exact-dedup survivors: one `(doc_id, n_copies)` row per distinct
+    * text, doc_id = the group's minimum (the canonical copy). THE single
+    * definition of the exact-dedup convention — q30 and every composition
+    * over it (q91) ride this method, so a change to the key convention
+    * lands everywhere at once. Shuffle discipline: the group key is
+    * (xxhash64(text), length), so the exchange carries 16 bytes per row
+    * instead of the document body — the output is identical and a
+    * 64-bit+length collision is negligible at any corpus size that fits
+    * a cluster. NULL text forms its own group, like `GROUP BY text`.
+    */
+  def exactSurvivors(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(xxhash64(col("text")), length(col("text")))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Near-dup clustering end to end: near-dup pairs -> connected
     // components -> canonical representative per cluster. The "which docs
@@ -174,15 +189,10 @@ object Dedup {
       val pairs = queries("q33_ngram_jaccard")(s, dir).select(col("a"), col("b"))
       connectedComponents(pairs)
     }),
-    // Exact dedup: keep the smallest doc_id per identical text. The
-    // group key is (xxhash64(text), length) so the shuffle carries 16
-    // bytes per row instead of the document body — the output columns
-    // are identical and a 64-bit+length collision is negligible at any
-    // corpus size that fits a cluster.
+    // Exact dedup: keep the smallest doc_id per identical text — see
+    // [[exactSurvivors]] for the shuffle discipline.
     "q30_dedup_exact" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .groupBy(xxhash64(col("text")), length(col("text")))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      exactSurvivors(Tables.documents(s, dir))
         .select(col("doc_id"), col("n_copies"))),
 
     // MinHash + LSH near-dup pairs. Signature arrays stay out of the

@@ -255,6 +255,14 @@ class MainSpec extends SparkSpec {
     assert(out.linesIterator.exists(_.trim === "5"), out)
   }
 
+  test("-d without -k or -i is a usage error, not a silent unbounded run") {
+    val (code, out) = run(Array(SyntheticTraffic.ensurePcapDir(), "-d", "5000",
+      "-e", "SELECT count(*) AS n FROM requests"))
+    assert(code === 1)
+    assert(out.contains("-d requires -k or -i"))
+    assert(!out.contains(SyntheticTraffic.ExpectedRequests.toString))
+  }
+
   test("-c with a non-positive count is a usage error") {
     val (code, out) = run(Array(SyntheticTraffic.ensurePcapDir(), "-c", "0",
       "-e", "SELECT 1"))

@@ -414,14 +414,29 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q91: composed plan keeps dedup partial and pack windows sharded") {
-    val p = planString("q91_dedup_pack")
+    val df = graft.SparkEntry.queries("q91_dedup_pack")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
     // the dedup side aggregates partially (map-side combine on the
-    // (hash, len) key) and the packing window is partitioned by shard —
-    // no unpartitioned window anywhere in the composed plan
+    // (hash, len) key)
     assert(p.contains("HashAggregate"), p)
     assert(p.contains("partial"), p)
-    assert(!p.contains("No Partition"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // every logical Window is PARTITIONED (by shard) — a plan-string
+    // scan can't see this (the runtime "No Partition Defined" warning
+    // never appears in executedPlan.toString), so collect the nodes
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the pack offset window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned (single-task) window in:\n${df.queryExecution.optimizedPlan}"))
+    // and no body column enters any exchange: the survivor join carries
+    // (doc_id, n_tok) / (doc_id) only
+    val plan = executed(df)
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"document bodies cross an exchange:\n$plan")
+    }
   }
 
   test("q87: dimension probe and scoring are both partial-agg / scan-side") {
