@@ -70,4 +70,44 @@ class ReassemblySpec extends AnyFunSuite {
     assert(a.push(Array[Byte](0, 1)).isEmpty)
     assert(a.bufferedBytes === 0)
   }
+
+  test("buffer snapshot/restore round-trips mid-frame state") {
+    val a = new FrameAssembler
+    val full = frame(body(50, 7)) ++ frame(body(60, 8))
+    val (s1, s2) = full.splitAt(70) // inside the second frame's body
+    assert(a.push(s1).map(_.length) === Vector(50))
+    val snap = a.buffered
+    assert(snap.length === a.bufferedBytes)
+    val b = new FrameAssembler
+    b.restore(snap)
+    val out = b.push(s2)
+    assert(out.map(_.length) === Vector(60))
+    assert(out(0).forall(_ == 8))
+    assert(b.bufferedBytes === 0)
+  }
+
+  test("large frame in MTU-sized segments assembles in amortized time") {
+    // 32 MiB body in 1460-byte segments (~23k pushes). The pre-round-9
+    // assembler copied the whole buffer per push (toByteArray) — ~380 GB
+    // of memcpy for this input, minutes of wall clock; the offset-tracked
+    // buffer does ~3 copies of the data total. The generous bound fails
+    // loudly on any return to quadratic behavior while staying far from
+    // CI timing flakiness.
+    val n = 32 * 1024 * 1024
+    val full = frame(body(n, 5))
+    val t0 = System.nanoTime()
+    val a = new FrameAssembler
+    var out = Vector.empty[Array[Byte]]
+    var pos = 0
+    while (pos < full.length) {
+      val next = math.min(pos + 1460, full.length)
+      out = a.push(java.util.Arrays.copyOfRange(full, pos, next))
+      pos = next
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out.map(_.length) === Vector(n))
+    assert(out(0)(0) === 5 && out(0)(n - 1) === 5)
+    assert(a.bufferedBytes === 0)
+    assert(sec < 5.0, f"quadratic reassembly suspected: $sec%.1f s for 32 MiB")
+  }
 }
