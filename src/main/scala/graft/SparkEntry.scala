@@ -46,5 +46,6 @@ object SparkEntry {
       Pq.oracles ++ Bpe.oracles ++ Snapshot.oracles ++ Profile.oracles ++
       sources.JsonLines.oracles ++ sources.Warc.oracles ++
       sources.TfRecord.oracles ++
-      inspector.Inspector.oracles ++ streaming.KafkaSink.oracles
+      inspector.Inspector.oracles ++ streaming.KafkaSink.oracles ++
+      oracle.FixtureOracles.oracles
 }

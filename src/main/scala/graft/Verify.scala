@@ -44,6 +44,15 @@ object Verify {
         } catch { case _: Throwable => () }
       }
     }
+    // corpus-keyed fixture oracles (q31/q32/q78/q82): derived and
+    // published AFTER the dumps, BEFORE the SQL dump — the oracle SQL
+    // references them via read_parquet (round-9 verdict item #2). A
+    // failure here must not kill the dump: the affected queries then
+    // fail their compare loudly, which is the correct signal.
+    try oracle.FixtureOracles.ensure(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] fixture-oracle derivation failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -1,0 +1,163 @@
+package graft.oracle
+
+import graft.SparkSpec
+
+/** The fixture-oracle derivations (naive, driver-side, independent) must
+  * agree EXACTLY — float bits included — with the Spark pipelines they
+  * oracle, on a corpus with planted near-duplicates. This is the gate's
+  * hash-compare in miniature, run before any gate does.
+  */
+class FixtureOraclesSpec extends SparkSpec {
+
+  /** Planted corpus: template near-dup families (q31/q32 pairs), word
+    * repetition (q78 merges), compressible + noisy docs (q82 spread),
+    * plus the edge shapes: null text, empty text, tab-edged text (the
+    * SQL-trim contract), a short doc below gram width.
+    */
+  private val corpus: Seq[(Long, String)] = {
+    val base = "the quick brown fox jumps over the lazy dog while rain in spain stays mainly on the plain every day"
+    val fam1 = (0 until 6).map { i =>
+      (10L + i, base + " tail" + (i % 2)) // 3 identical pairs
+    }
+    val fam2 = (0 until 4).map { i =>
+      (30L + i, ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor " * 3) + s"suffix$i")
+    }
+    val rep = (0 until 5).map { i =>
+      (50L + i, s"alpha beta gamma delta epsilon zeta eta theta " * (i + 2))
+    }
+    val misc = Seq(
+      (70L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa bbbbbbbbbb aaaa"),
+      (71L, "x9 q7 zz kw pv mn qq rr ss tt uu vv ww yy"),
+      (72L, null: String),
+      (73L, ""),
+      (74L, "\tword1 word2  word3 "),
+      (75L, "one two"))
+    fam1 ++ fam2 ++ rep ++ misc
+  }
+
+  /** Planted embedding corpus: 3 clone families (scaled copies → cosine
+    * ≈ 1, same LSH bucket) + noise vectors, qids 0-4 present.
+    */
+  private val vectors: Seq[(Long, Array[Float], Int)] = {
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => (math.sin(seed * 37.0 + i * 5.3) * 3).toFloat)
+    val clones = (0 until 3).flatMap { f =>
+      (0 until 4).map(j =>
+        (100L + f * 10 + j, v(f).map(x => x * (1.0f + 0.01f * j)), f))
+    }
+    val noise = (0L until 20L).map(i => (i, v(1000 + i.toInt), 9))
+    noise ++ clones
+  }
+
+  // docsDir can't carry a null text through toDF on (Long, String) tuples
+  // with length(text); write the null-bearing frame by hand instead
+  private lazy val nullDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_fx_docs").toString
+    val s = spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows = corpus.map { case (id, t) =>
+      Row(id, t, "en", "test", if (t == null) 0L else t.length.toLong)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 2), schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    import s.implicits._
+    vectors.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, nullDir)
+
+  test("q82 deflate ratios: naive fresh-deflater derivation matches the pipeline bit-for-bit") {
+    val got = run("q82_compress_ratio").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val want = FixtureOracles.deriveQ82(corpus).sortBy(_._1)
+    assert(got.length === corpus.count(_._2 != null))
+    assert(got.toSeq === want)
+  }
+
+  test("q31 minhash pairs: naive derivation matches the pipeline (planted families found)") {
+    val got = run("q31_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    val want = FixtureOracles.deriveQ31(corpus).sortBy(p => (p._1, p._2))
+    assert(got.nonEmpty, "vacuous: planted near-dups produced no q31 pairs")
+    assert(got.toSeq === want)
+  }
+
+  test("q32 simhash pairs: naive derivation matches the pipeline (planted families found)") {
+    val got = run("q32_dedup_simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(p => (p._1, p._2))
+    val want = FixtureOracles.deriveQ32(corpus).sortBy(p => (p._1, p._2))
+    assert(got.nonEmpty, "vacuous: planted near-dups produced no q32 pairs")
+    assert(got.toSeq === want)
+  }
+
+  test("q78 BPE merges: naive Sennrich derivation matches the pipeline merge-for-merge") {
+    val got = run("q78_bpe_merges").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    val want = FixtureOracles.deriveQ78(corpus).sortBy(_._1)
+    assert(got.nonEmpty, "vacuous: corpus learned no merges")
+    assert(got.toSeq === want)
+  }
+
+  private def embBytes: Long = {
+    val p = java.nio.file.Paths.get(nullDir, "embeddings.parquet")
+    val l = java.nio.file.Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      l.iterator().asScala.filter { f =>
+        val n = f.getFileName.toString
+        java.nio.file.Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+      }.map(java.nio.file.Files.size(_)).sum
+    } finally l.close()
+  }
+
+  test("q34 embedding near-dup pairs: naive banded-LSH derivation matches the pipeline") {
+    val got = run("q34_embed_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    val want = FixtureOracles.deriveQ34(
+      vectors.map(t => (t._1, t._2)), embBytes).sortBy(p => (p._1, p._2))
+    assert(got.nonEmpty, "vacuous: planted clone families produced no q34 pairs")
+    assert(got.toSeq === want)
+  }
+
+  test("q36 LSH ANN top-k: naive multi-probe derivation matches the pipeline") {
+    val got = run("q36_ann_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(p => (p._1, p._4))
+    val want = FixtureOracles.deriveQ36(
+      vectors.map(t => (t._1, t._2)), embBytes).sortBy(p => (p._1, p._4))
+    assert(got.nonEmpty, "vacuous: no q36 results")
+    assert(got.toSeq === want)
+  }
+
+  test("ensure() publishes corpus-keyed fixture dirs and oracle SQL targets them") {
+    FixtureOracles.ensure(spark, nullDir)
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val dirs = {
+      val l = java.nio.file.Files.list(tmp)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("graft_fx1_q")).toSet
+      } finally l.close()
+    }
+    Seq("q31_dedup_minhash", "q32_dedup_simhash", "q78_bpe_merges",
+      "q82_compress_ratio", "q34_embed_neardup", "q36_ann_lsh").foreach { q =>
+      assert(dirs.exists(_.startsWith(s"graft_fx1_${q}_")), s"no fixture dir for $q")
+      val sql = FixtureOracles.oracles(q)
+      assert(sql.contains(s"graft_fx1_${q}_*") && sql.contains("corpus_n") &&
+        sql.contains("corpus_s"), s"oracle SQL for $q misses glob or key")
+    }
+    // idempotent second call (publish path short-circuits on existing dirs)
+    FixtureOracles.ensure(spark, nullDir)
+  }
+}
