@@ -107,6 +107,7 @@ object Bench {
       // the benign late-task accumulator ERRORs after localCheckpoint
       // cleanup) to the query that provoked it
       System.err.println(s"[bench] $name start")
+      val jvm0 = JvmTelemetry.snapshot()
       val t0 = System.nanoTime()
       val status =
         try {
@@ -118,6 +119,12 @@ object Bench {
             "fail"
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      // per-query JVM-internals delta on stderr: the r9/r10 gate-drift
+      // clusters (alphabetically-consecutive 2-4x blocks at varying run
+      // positions, zero system PSI) point INSIDE the JVM — this line
+      // makes any future drifting run self-attributing (GC pauses vs
+      // JIT recompilation storms vs code-cache flushing)
+      System.err.println(f"[bench] $name done $sec%.2fs ${JvmTelemetry.delta(jvm0)}")
       // per-query state sweep, OUTSIDE the timed region (see class doc)
       try {
         spark.sparkContext.getPersistentRDDs.values
@@ -159,15 +166,18 @@ object Bench {
   }
 
   /** Per-query baseline seconds (sf0.1, local[32]) for the >3x guard —
-    * the better of the round-7/round-8 driver gate runs (BENCH_r07/r08
-    * .json), except q81 where the accepted zipWithIndex scale fix set a
-    * new legitimate level, and q89/q90 (added round 9) whose values come
-    * from that round's committed full-suite sf0.1 run. Queries without
-    * such a measurement simply aren't guarded until one records them
-    * here — never invent a number (BenchSpec enforces only that no
-    * baseline outlives its query).
+    * REGENERATED, not hand-typed: `tools/floors.py BENCH_r07.json
+    * BENCH_r08.json BENCH_r09.json` rewrites the block between the
+    * markers below with the per-query MINIMUM across the named accepted
+    * gate artifacts (round-9 verdict item #3 — floors are evidence;
+    * a legitimate plan-cost change is accepted by re-running the tool
+    * with the new artifact, reviewed like any diff). Queries absent from
+    * every named artifact aren't guarded until a gate records them —
+    * never invent a number (BenchSpec enforces that no floor outlives
+    * its query).
     */
   private[graft] val expected: Map[String, Double] = Map(
+    // BEGIN GENERATED FLOORS (from: BENCH_r07.json BENCH_r08.json BENCH_r09.json)
     "q01" -> 0.93, "q02" -> 0.32, "q03" -> 1.64, "q04" -> 0.23,
     "q05" -> 0.42, "q06" -> 0.62, "q07" -> 0.35, "q08" -> 0.40,
     "q09" -> 0.77, "q10" -> 1.52, "q11" -> 0.60, "q12" -> 0.56,
@@ -178,18 +188,20 @@ object Bench {
     "q35" -> 0.34, "q36" -> 0.26, "q37" -> 0.33, "q38" -> 0.17,
     "q39" -> 0.28, "q40" -> 0.42, "q41" -> 0.17, "q42" -> 0.29,
     "q43" -> 0.73, "q44" -> 0.19, "q45" -> 2.88, "q46" -> 0.14,
-    "q47" -> 0.56, "q48" -> 0.41, "q49" -> 0.73, "q50" -> 0.45,
-    "q51" -> 0.32, "q52" -> 0.14, "q53" -> 0.64, "q54" -> 0.66,
+    "q47" -> 0.56, "q48" -> 0.41, "q49" -> 0.64, "q50" -> 0.45,
+    "q51" -> 0.32, "q52" -> 0.14, "q53" -> 0.54, "q54" -> 0.66,
     "q55" -> 0.12, "q56" -> 0.46, "q57" -> 0.28, "q58" -> 1.97,
-    "q59" -> 0.85, "q60" -> 0.65, "q61" -> 0.50, "q62" -> 2.05,
+    "q59" -> 0.44, "q60" -> 0.39, "q61" -> 0.42, "q62" -> 2.05,
     "q63" -> 0.76, "q64" -> 0.32, "q65" -> 1.10, "q66" -> 0.95,
     "q67" -> 0.66, "q68" -> 0.61, "q69" -> 0.89, "q70" -> 0.90,
     "q71" -> 0.45, "q72" -> 0.77, "q73" -> 0.39, "q74" -> 0.25,
     "q75" -> 1.33, "q76" -> 0.49, "q77" -> 0.31, "q78" -> 0.28,
-    "q79" -> 0.29, "q80" -> 0.32, "q81" -> 1.02, "q82" -> 0.19,
-    "q83" -> 0.78, "q84" -> 0.95, "q85" -> 1.17, "q86" -> 0.45,
-    "q87" -> 0.23, "q88" -> 0.85, "q89" -> 0.37, "q90" -> 0.58,
-    "q91" -> 0.44)
+    "q79" -> 0.29, "q80" -> 0.32, "q81" -> 0.26, "q82" -> 0.19,
+    "q83" -> 0.78, "q84" -> 0.89, "q85" -> 1.01, "q86" -> 0.45,
+    "q87" -> 0.23, "q88" -> 0.85, "q89" -> 0.40, "q90" -> 0.66,
+    "q91" -> 0.50
+    // END GENERATED FLOORS
+  )
 
   /** One JSON line for the driver. The driver keeps only the LAST 2000
     * characters of stdout and parses the JSON line out of that window —

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Regenerate Bench.expected (the >3x regression-guard floor map) from
+committed BENCH_rNN.json gate artifacts (dev tool only — NOT part of the
+library; the Scala code never depends on this).
+
+Usage:
+  python3 tools/floors.py BENCH_r07.json BENCH_r08.json [BENCH_r09.json ...]
+
+For each query, the floor is the MINIMUM time across the named artifacts
+— the guard's baselines are evidence from accepted gate runs, never
+hand-typed numbers (round-9 verdict). Rewrites the block between the
+BEGIN/END GENERATED FLOORS markers in src/main/scala/graft/Bench.scala;
+review the diff like any other change. A query missing from every named
+artifact gets no floor (unguarded until a gate records it); a floor for
+a query that no longer exists is caught by BenchSpec's staleness check.
+"""
+import json
+import re
+import sys
+import pathlib
+
+BENCH = pathlib.Path(__file__).resolve().parent.parent / \
+    "src/main/scala/graft/Bench.scala"
+BEGIN = "// BEGIN GENERATED FLOORS"
+END = "// END GENERATED FLOORS"
+
+
+def load_queries(path: str) -> dict:
+    with open(path) as f:
+        doc = json.load(f)
+    parsed = doc.get("parsed") or {}
+    qs = parsed.get("queries")
+    if not isinstance(qs, dict) or not qs:
+        raise SystemExit(f"{path}: no parsed.queries — not a gate artifact?")
+    return {k: float(v) for k, v in qs.items()}
+
+
+def main():
+    arts = sys.argv[1:]
+    if not arts:
+        raise SystemExit(__doc__)
+    floors = {}
+    for a in arts:
+        for q, t in load_queries(a).items():
+            floors[q] = min(t, floors.get(q, float("inf")))
+    body = []
+    items = sorted(floors.items())
+    for i in range(0, len(items), 4):
+        chunk = ", ".join(f'"{q}" -> {t:.2f}' for q, t in items[i:i + 4])
+        sep = "," if i + 4 < len(items) else ""
+        body.append(f"    {chunk}{sep}")
+    src = BENCH.read_text()
+    pat = re.compile(
+        re.escape(BEGIN) + r".*?" + re.escape(END), flags=re.S)
+    if not pat.search(src):
+        raise SystemExit(f"markers not found in {BENCH}")
+    gen = BEGIN + f" (from: {' '.join(pathlib.Path(a).name for a in arts)})\n" \
+        + "\n".join(body) + "\n    " + END
+    BENCH.write_text(pat.sub(lambda _: gen, src))
+    print(f"wrote {len(floors)} floors to {BENCH} from {len(arts)} artifacts")
+
+
+if __name__ == "__main__":
+    main()
