@@ -141,6 +141,13 @@ object Main {
       out.println("-c requires a positive record count")
       out.println(Usage); return 1
     }
+    if (durationMs.exists(_ <= 0)) {
+      // mirror the -c check: a zero/negative -d with -i stops the capture
+      // immediately (yet prints "stopped after N ms"), and with -k goes
+      // straight into awaitBounded — both silently useless (round-9 advice)
+      out.println("-d requires a positive duration in milliseconds")
+      out.println(Usage); return 1
+    }
     if (dryRun && iface.isEmpty && !promptIface) {
       // a stray -n must not silently run the real thing the user thought
       // they were only previewing
@@ -206,6 +213,29 @@ object Main {
             handle.foreach(h => out.println(h.logTail().trim))
             1
           case None =>
+            // One close point for both the bounded path and the finally:
+            // round-9 advice — the old finally repeated the idempotent
+            // stop and printed "capture stopped" a second time, and the
+            // bounded message reported the REQUESTED duration even when
+            // the liveness wait had already overshot it. Reports the
+            // ACTUAL capture window instead.
+            var captureClosed = false
+            def closeCapture(): Unit = handle.foreach { h =>
+              if (!captureClosed) {
+                captureClosed = true
+                val actualMs = (System.nanoTime() - captureT0) / 1000000L
+                val code = h.stop()
+                out.println(s"capture stopped after $actualMs ms (exit $code)")
+                if (verbose) {
+                  // reference parity (core.clj:446-449 "%d packets
+                  // received, %d dropped"): tcpdump prints its
+                  // captured/received/dropped summary to the capture log
+                  // on SIGTERM — surface it
+                  val t = h.logTail(1024).trim
+                  if (t.nonEmpty) t.linesIterator.foreach(l => out.println(s"[v] $l"))
+                }
+              }
+            }
             // reference -d in non-Kafka modes (core.clj:430-431): capture
             // for DURATION, close the handle, THEN load/serve — the SQL
             // surface sees exactly what the bounded capture produced.
@@ -217,11 +247,7 @@ object Main {
               // sleep here would record for MS + 500 and misreport)
               val elapsedMs = (System.nanoTime() - captureT0) / 1000000L
               Thread.sleep(math.max(0L, durationMs.get - elapsedMs))
-              handle.foreach { h =>
-                val code = h.stop()
-                out.println(
-                  s"capture stopped after ${durationMs.get} ms (exit $code)")
-              }
+              closeCapture()
             }
             try {
               // reference -v progress: say what the load is about to read
@@ -233,20 +259,7 @@ object Main {
                 runKafka(spark, d, kafka.get, ports, ckpt, durationMs,
                   maxRecords, verbose, out)
               else runSql(spark, d, ports, stmts, maxRecords, verbose, in, out)
-            } finally handle.foreach { h =>
-              // idempotent: a no-op (repeating the exit code) when the
-              // bounded path above already stopped the capture
-              val code = h.stop()
-              out.println(s"capture stopped (exit $code)")
-              if (verbose) {
-                // reference parity (core.clj:446-449 "%d packets
-                // received, %d dropped"): tcpdump prints its
-                // captured/received/dropped summary to the capture log
-                // on SIGTERM — surface it
-                val t = h.logTail(1024).trim
-                if (t.nonEmpty) t.linesIterator.foreach(l => out.println(s"[v] $l"))
-              }
-            }
+            } finally closeCapture()
         }
     }
 

@@ -87,11 +87,37 @@ object Curation {
     * sample fits. Why not the builtin `percentile`: it buffers every
     * value on one reducer — the q06 caveat, an OOM at corpus scale.
     */
+  /** The most distinct values [[quantileCont]] will collect: a few 10⁶
+    * rows (tens of MB on the driver) — far above any bounded integral
+    * domain this is meant for, far below an OOM.
+    */
+  private val HistogramCap = 2000000
+
   private[ops] def quantileCont(df: DataFrame, value: Column, p: Double): Double = {
     require(p >= 0.0 && p <= 1.0, s"quantile fraction out of range: $p")
-    val hist = df.select(value.cast("long").as("v")).filter(col("v").isNotNull)
-      .groupBy(col("v")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // the "bounded value domain" contract, ENFORCED rather than assumed
+    // (round-9 advice), in the SAME aggregation pass: reject fractional
+    // input loudly instead of silently flooring it (n_frac counts rows
+    // the long cast would change), and cap the collected histogram so a
+    // high-cardinality column (a float score, a timestamp) fails with a
+    // diagnosis instead of a driver OOM
+    val capped = df.select(value.as("raw")).filter(col("raw").isNotNull)
+      .groupBy(col("raw").cast("long").as("v"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("raw") =!= col("raw").cast("long"), 1L).otherwise(0L))
+          .as("n_frac"))
+      .filter(col("v").isNotNull)
+      .limit(HistogramCap + 1)
+      .collect()
+    require(capped.length <= HistogramCap,
+      s"quantileCont: value domain exceeds $HistogramCap distinct values — " +
+        "this histogram walk is for bounded integral domains (token counts, " +
+        "char lengths); bucket or downscale the column first")
+    val nFrac = capped.iterator.map(_.getLong(2)).sum
+    require(nFrac == 0L,
+      s"quantileCont requires an integral-valued column ($nFrac fractional " +
+        "rows); cast/round explicitly if flooring is intended")
+    val hist = capped.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     require(hist.nonEmpty, "quantileCont: no non-null values")
     val n = hist.iterator.map(_._2).sum
     val h = (n - 1) * p

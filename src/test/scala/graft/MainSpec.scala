@@ -217,11 +217,31 @@ class MainSpec extends SparkSpec {
     // output: the bounded-stop line must precede the query result
     val text = buf.toString("UTF-8")
     assert(code === 0, text)
-    val stopAt = text.indexOf("capture stopped after 300 ms")
+    // the stop line reports the ACTUAL capture window (>= the requested
+    // 300 ms — the liveness wait may overshoot the bound), and exactly
+    // ONCE: the finally must not repeat it (round-9 advice)
+    val stops = "capture stopped after (\\d+) ms".r.findAllMatchIn(text).toList
+    assert(stops.length === 1, s"expected one stop line:\n$text")
+    assert(stops.head.group(1).toLong >= 300L, text)
+    val stopAt = stops.head.start
     val resultAt = text.indexOf(SyntheticTraffic.ExpectedRequests.toString)
-    assert(stopAt >= 0, text)
     assert(resultAt > stopAt, "SQL served before the bounded capture stopped")
     assert(handle.exists(!_.isAlive), "capture outlived the bounded run")
+  }
+
+  test("-d rejects zero and negative durations like -c") {
+    for (bad <- Seq("0", "-5")) {
+      val buf = new ByteArrayOutputStream()
+      val out = new PrintStream(buf, true, "UTF-8")
+      val code = Main.execute(spark,
+        Array(SyntheticTraffic.ensurePcapDir(), "-i", "eth0", "-d", bad,
+          "-e", "SELECT 1"),
+        new BufferedReader(new StringReader("")), out,
+        capture = (_, d, _) =>
+          graft.streaming.CaptureProcess.startCommand("sleep 60", d))
+      assert(code === 1)
+      assert(buf.toString("UTF-8").contains("-d requires a positive duration"))
+    }
   }
 
   test("-i with a capture that dies immediately fails the run with its log") {

@@ -130,6 +130,19 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("quantileCont rejects fractional input loudly (round-9 advice)") {
+    val s = spark
+    import s.implicits._
+    // a double column holding INTEGRAL values is fine ...
+    assert(Curation.quantileCont(
+      Seq(1.0, 2.0, 3.0).toDF("v"), col("v"), 0.5) === 2.0)
+    // ... but one the long cast would silently floor is not
+    val e = intercept[IllegalArgumentException] {
+      Curation.quantileCont(Seq(1.0, 2.5, 3.0).toDF("v"), col("v"), 0.5)
+    }
+    assert(e.getMessage.contains("integral-valued"))
+  }
+
   test("q89: admitted set is exactly the docs at or above the P90 cutoff") {
     val q = graft.SparkEntry.queries("q89_quantile_cutoff")
     val got = q(spark, "/root/testdata/sf0.001")
