@@ -31,6 +31,26 @@ object InspectorStream {
     */
   val DefaultMaxStateEntries: Int = 10000
 
+  /** RocksDB state store option: at RegionServer-fleet connection counts
+    * the default HDFS-backed store keeps EVERY connection's
+    * [[graft.inspector.ConnSnapshot]] on the executor heap — the
+    * streaming analogue of the heap caps the batch side already
+    * respects. Set BEFORE the query starts (the provider is read from
+    * the session conf at query start and pinned into the checkpoint
+    * lineage):
+    * {{{
+    * spark.conf.set(InspectorStream.StateStoreProviderKey,
+    *                InspectorStream.RocksDbStateStoreProvider)
+    * }}}
+    * State then lives off-heap in per-partition RocksDB instances
+    * (rocksdbjni ships with Spark) with the same exactly-once checkpoint
+    * contract — InspectorStreamSpec proves the [[StateEnvelope]]
+    * round-trips through a real stop/restart on this provider.
+    */
+  val StateStoreProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  val RocksDbStateStoreProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** The Spark-native form of the reference's live capture
     * (core.clj:422-444 read-net-interface): tcpdump rotates capture files
     * into a directory; the file streaming source picks each up exactly

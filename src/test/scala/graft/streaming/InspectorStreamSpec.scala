@@ -214,6 +214,24 @@ class InspectorStreamSpec extends SparkSpec {
   }
 
   test("checkpoint restart: reassembly + correlation state survive a stop/start") {
+    checkpointRestartRoundTrip()
+  }
+
+  test("checkpoint restart on the RocksDB state store provider (off-heap state option)") {
+    // same envelope round-trip, but through per-partition RocksDB
+    // instances — the documented off-heap option for fleet-scale
+    // connection counts (InspectorStream.RocksDbStateStoreProvider)
+    val key = InspectorStream.StateStoreProviderKey
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, InspectorStream.RocksDbStateStoreProvider)
+    try checkpointRestartRoundTrip()
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def checkpointRestartRoundTrip(): Unit = {
     // the StateEnvelope exists for exactly this path, but only a REAL
     // stop → new-query-from-checkpoint cycle proves the snapshot
     // round-trips through the state store: a request frame is split
