@@ -246,6 +246,9 @@ object Multimodal {
       import s.implicits._
       Tables.documents(s, dir)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        // a NULL text has no media to sample frames from: drop the row
+        // (the flatMap contract), never NPE the task on blob.nonEmpty
+        .filter(col("blob").isNotNull)
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, blob) =>
           val media =
@@ -298,6 +301,9 @@ object Multimodal {
       // batch-shaped decode: one task per partition, no driver involvement
       val feats = blobs
         .select(col("doc_id"), col("meta.content_type"), col("blob"))
+        // NULL blob ⇒ no feature row (same drop-the-row contract as the
+        // corrupt-decode path), never an executor NPE inside crc31
+        .filter(col("blob").isNotNull)
         .as[(Long, String, Array[Byte])]
         .mapPartitions(_.map { case (id, ct, blob) => decodeMedia(id, ct, blob) })
       feats.toDF()

@@ -305,6 +305,205 @@ object FixtureOracles {
     merges.result()
   }
 
+  // ---- media contracts (q41/q42/q51/q58), restated ----------------------
+
+  /** q42 frame shapes: MP4 sample bytes per frame (even ids), raw-blob
+    * stub chunk bytes (odd ids), and the keep-every-4th stride.
+    */
+  private val Mp4FrameBytes  = 48
+  private val StubFrameBytes = 32
+  private val FrameStride    = 4
+
+  /** q51/q58 audio synthesis: PCM-16 mono, 8 kHz, 80 ms, a 16-segment
+    * splitmix64 amplitude envelope in [0.2, 1.0] over a sine carrier.
+    */
+  private val WavRate     = 8000
+  private val WavMs       = 80
+  private val WavSegments = 16
+
+  /** q58 banding: four 16-bit bands of the 64-bit fingerprint, bucket
+    * cap 200, hamming ≤ 8 on candidates.
+    */
+  private val MediaBands      = 4
+  private val MediaMaxHamming = 8
+
+  /** splitmix64 finalizer — the published mixing constant set shared by
+    * the synthImage / sineWav envelope contracts.
+    */
+  private def splitmix(v: Long): Long = {
+    var x = v + 0x9E3779B97F4A7C15L
+    x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+    x ^= x >>> 27; x *= 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** base-31 polynomial checksum over unsigned bytes (the q41/q42
+    * checksum contract).
+    */
+  private def crc31(b: Array[Byte]): Long = {
+    var crc = 0L
+    var i = 0
+    while (i < b.length) { crc = crc * 31 + (b(i) & 0xff); i += 1 }
+    crc
+  }
+
+  /** q41: every document's text reinterpreted as an opaque blob through
+    * the STUB decode — prose never parses as an image container, so the
+    * contract is the stub row: crc31 checksum, dimensions folded from
+    * the checksum, phash 0. A text that ever DID parse as an image would
+    * fail this compare loudly — that is the correct signal.
+    */
+  private[oracle] def deriveQ41(docs: Seq[(Long, String)]): Seq[(Long, String, Long, Int, Int, Long, Long)] =
+    docs.collect { case (id, text) if text != null =>
+      val blob = text.getBytes(UTF_8)
+      val crc = crc31(blob)
+      (id, "image/stub", blob.length.toLong,
+        math.abs((crc % 1920).toInt) + 1, math.abs((crc % 1080).toInt) + 1,
+        crc, 0L)
+    }
+
+  /** q42: sampled frames. Even ids wrap their text bytes as 48-byte MP4
+    * samples — the writer lays sample bytes contiguously in mdat, so
+    * frame i's checksum is crc31 of text-chunk i DIRECTLY (this
+    * derivation never builds or parses an MP4; a writer/parser bug on
+    * either side of the pipeline breaks the compare). Odd ids take the
+    * codec-opaque stub: 32-byte chunks. Every 4th frame kept.
+    */
+  private[oracle] def deriveQ42(docs: Seq[(Long, String)]): Seq[(Long, Int, Int, Long)] =
+    docs.flatMap { case (id, text) =>
+      if (text == null) Seq.empty
+      else {
+        val blob = text.getBytes(UTF_8)
+        val width = if (id % 2 == 0 && blob.nonEmpty) Mp4FrameBytes else StubFrameBytes
+        blob.grouped(width).zipWithIndex.collect {
+          case (fb, i) if i % FrameStride == 0 => (id, i, fb.length, crc31(fb))
+        }.toSeq
+      }
+    }
+
+  /** The sineWav→samples round trip, skipping the WAV container: sample
+    * i is round(clamp(env·sin)·32767)/32768 — 16-bit quantization is
+    * exact in binary, so this reproduces the decoded PCM bit-for-bit
+    * while exercising none of the pipeline's encoder/parser.
+    */
+  private def synthPcm(seed: Long, freqHz: Double, gain: Double): Array[Double] = {
+    val n = WavRate * WavMs / 1000
+    val segLen = math.max(1, n / WavSegments)
+    def env(seg: Int): Double = {
+      val x = splitmix(seed + 0x9E3779B97F4A7C15L * (seg + 1) - 0x9E3779B97F4A7C15L)
+      0.2 + 0.8 * (((x >>> 16) & 0xffff).toDouble / 65535.0)
+    }
+    Array.tabulate(n) { i =>
+      val a = env(math.min(WavSegments - 1, i / segLen)) * gain
+      val v = math.max(-1.0, math.min(1.0,
+        a * math.sin(2 * math.Pi * freqHz * i / WavRate)))
+      math.round(v * 32767).toInt / 32768.0
+    }
+  }
+
+  /** The AudioWav feature contract over a PCM array: sequential
+    * sum-of-squares RMS, nonzero-sign zero crossings, and the 64-window
+    * energy-contour fingerprint (bit 0 = window 0 above mean energy,
+    * bit i = window i louder than window i-1; 0 below 64 samples).
+    */
+  private def audioFeats(s: Array[Double]): (Double, Long, Long) = {
+    var sq = 0.0
+    var zc = 0L
+    var lastSign = 0
+    var i = 0
+    while (i < s.length) {
+      sq += s(i) * s(i)
+      val sign = java.lang.Double.compare(s(i), 0.0).sign
+      if (sign != 0) {
+        if (lastSign != 0 && sign != lastSign) zc += 1
+        lastSign = sign
+      }
+      i += 1
+    }
+    val rms = if (s.length == 0) 0.0 else math.sqrt(sq / s.length)
+    val afp = if (s.length < 64) 0L else {
+      val win = s.length / 64
+      val e = Array.tabulate(64) { w =>
+        var acc = 0.0
+        var j = w * win
+        val end = j + win
+        while (j < end) { acc += s(j) * s(j); j += 1 }
+        acc
+      }
+      val mean = e.sum / 64.0
+      var h = if (e(0) > mean) 1L else 0L
+      var w = 1
+      while (w < 64) { if (e(w) > e(w - 1)) h |= 1L << w; w += 1 }
+      h
+    }
+    (rms, zc, afp)
+  }
+
+  /** q51: per-doc audio features from the (doc_id, n_chars)-seeded tone.
+    * duration_ms is round(1000·n/rate); sample_rate/channels are the
+    * synthesis constants.
+    */
+  private[oracle] def deriveQ51(rows: Seq[(Long, Long)]): Seq[(Long, Int, Int, Long, Double, Long, Long)] =
+    rows.map { case (id, nChars) =>
+      val s = synthPcm(id, 200.0 + (id % 20) * 40.0, 0.25 + (nChars % 100) / 200.0)
+      val (rms, zc, afp) = audioFeats(s)
+      (id, WavRate, 1, math.round(1000.0 * s.length / WavRate), rms, zc, afp)
+    }
+
+  /** q58 image fingerprint: the synthImage pixel formula (splitmix
+    * bright/dark per cell, one salt-inverted pixel) fed straight into the
+    * aHash gray/mean/bit math. The image is ALREADY 8×8, so the
+    * pipeline's 8×8 downscale is the identity and the PNG round trip is
+    * lossless — pixels, not codecs, define the hash.
+    */
+  private def synthAHash(groupSeed: Long, salt: Long): Long = {
+    val px = Array.tabulate(64)(i =>
+      if ((splitmix(groupSeed * 64 + i) & 1L) == 1L) 230 else 20)
+    val p = (splitmix(salt) & 0x3fL).toInt
+    px(p) = 250 - px(p)
+    val gray = new Array[Double](64)
+    var sum = 0.0
+    var i = 0
+    while (i < 64) {
+      val v = px(i)
+      gray(i) = 0.299 * v + 0.587 * v + 0.114 * v
+      sum += gray(i)
+      i += 1
+    }
+    val mean = sum / 64.0
+    var h = 0L
+    i = 0
+    while (i < 64) { if (gray(i) > mean) h |= 1L << i; i += 1 }
+    h
+  }
+
+  /** q58: media near-dup pairs. Fingerprints per id (even: image aHash;
+    * odd: audio energy contour, both group-seeded by id>>4), zero
+    * fingerprints dropped, four 16-bit bands per kind through the capped
+    * buckets, hamming ≤ 8 verified on candidates.
+    */
+  private[oracle] def deriveQ58(ids: Seq[Long]): Seq[(String, Long, Long, Int)] = {
+    val fps: Map[Long, (String, Long)] = ids.flatMap { id =>
+      val gid = id >> 4
+      if (id % 2 == 0) {
+        val ph = synthAHash(gid, id)
+        if (ph != 0L) Some(id -> ("image", ph)) else None
+      } else {
+        val (_, _, afp) = audioFeats(synthPcm(gid, 440.0, 0.3 + (id % 8) * 0.08))
+        if (afp != 0L) Some(id -> ("audio", afp)) else None
+      }
+    }.toMap
+    val buckets = fps.toSeq
+      .flatMap { case (id, (kind, fp)) =>
+        (0 until MediaBands).map(b => (kind, b, (fp >>> (b * 16)) & 0xFFFFL) -> id)
+      }
+      .groupBy(_._1).values.map(_.map(_._2))
+    bucketedPairs(buckets, BucketCap).toSeq.flatMap { case (a, b) =>
+      val ham = java.lang.Long.bitCount(fps(a)._2 ^ fps(b)._2)
+      if (ham <= MediaMaxHamming) Some((fps(a)._1, a, b, ham)) else None
+    }
+  }
+
   /** The LshBucket weight/bucket contract: ±1 per (plane, dim) from the
     * parity of bit 1 of chained XXH64.hashLong; sign bits of the
     * projections, same accumulation order as the fused expression loop.
@@ -459,7 +658,9 @@ object FixtureOracles {
     val key = corpusKey(spark, sfDir)
     val embKey = embCorpusKey(spark, sfDir)
     val docFixtures = Seq("q31_dedup_minhash", "q32_dedup_simhash",
-      "q78_bpe_merges", "q82_compress_ratio").map(n => fixtureDir(n, key))
+      "q78_bpe_merges", "q82_compress_ratio", "q41_multimodal",
+      "q42_frame_sample", "q51_audio_features", "q58_media_neardup")
+      .map(n => fixtureDir(n, key))
     val embFixtures = Seq("q34_embed_neardup", "q36_ann_lsh")
       .map(n => fixtureDir(n, embKey))
     val needed = docFixtures ++ embFixtures
@@ -468,9 +669,11 @@ object FixtureOracles {
         s"fixture oracles are gate-scale machinery: documents has ${key._1} " +
           s"rows (max $MaxDocs) — not derived at bench scale by design")
       // deterministic driver-side corpus copy, shared by all derivations
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .as[(Long, String, Long)]
         .collect().toSeq.sortBy(_._1)
+      val docs = rows.map(r => (r._1, r._2))
       def keyed(df: DataFrame): DataFrame =
         df.withColumn("corpus_n", lit(key._1)).withColumn("corpus_s", lit(key._2))
       publish(keyed(deriveQ31(docs).toDF("a", "b", "est_jaccard")),
@@ -481,6 +684,17 @@ object FixtureOracles {
         fixtureDir("q78_bpe_merges", key))
       publish(keyed(deriveQ82(docs).toDF("doc_id", "n_bytes", "n_deflated", "compress_ratio")),
         fixtureDir("q82_compress_ratio", key))
+      publish(keyed(deriveQ41(docs).toDF("doc_id", "media_type", "n_bytes",
+        "width", "height", "checksum", "phash")),
+        fixtureDir("q41_multimodal", key))
+      publish(keyed(deriveQ42(docs).toDF("doc_id", "frame_idx", "n_bytes", "checksum")),
+        fixtureDir("q42_frame_sample", key))
+      publish(keyed(deriveQ51(rows.map(r => (r._1, r._3)))
+        .toDF("doc_id", "sample_rate", "channels", "duration_ms", "rms",
+          "zero_cross", "afp")),
+        fixtureDir("q51_audio_features", key))
+      publish(keyed(deriveQ58(rows.map(_._1)).toDF("kind", "a", "b", "hamming")),
+        fixtureDir("q58_media_neardup", key))
     }
     if (!embFixtures.forall(Files.exists(_))) {
       require(embKey._1 <= MaxDocs,
@@ -551,6 +765,13 @@ object FixtureOracles {
     "q78_bpe_merges"     -> fixtureSql("q78_bpe_merges", "\"rank\", \"left\", \"right\", merged"),
     "q82_compress_ratio" -> fixtureSql("q82_compress_ratio",
       "doc_id, n_bytes, n_deflated, compress_ratio"),
+    "q41_multimodal"     -> fixtureSql("q41_multimodal",
+      "doc_id, media_type, n_bytes, width, height, checksum, phash"),
+    "q42_frame_sample"   -> fixtureSql("q42_frame_sample",
+      "doc_id, frame_idx, n_bytes, checksum"),
+    "q51_audio_features" -> fixtureSql("q51_audio_features",
+      "doc_id, sample_rate, channels, duration_ms, rms, zero_cross, afp"),
+    "q58_media_neardup"  -> fixtureSql("q58_media_neardup", "kind, a, b, hamming"),
     "q34_embed_neardup"  -> embFixtureSql("q34_embed_neardup", "a, b, cos"),
     "q36_ann_lsh"        -> embFixtureSql("q36_ann_lsh", "qid, vec_id, cos, \"rank\""))
 }

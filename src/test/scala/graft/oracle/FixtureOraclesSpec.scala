@@ -108,6 +108,49 @@ class FixtureOraclesSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  test("q41 stub decode: naive crc31/stub-dims derivation matches the pipeline") {
+    val got = run("q41_multimodal").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    val want = FixtureOracles.deriveQ41(corpus).sortBy(_._1)
+    assert(got.nonEmpty)
+    assert(got.toSeq === want)
+  }
+
+  test("q42 frame samples: chunk-level derivation matches the MP4 + stub pipeline paths") {
+    val got = run("q42_frame_sample").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(p => (p._1, p._2))
+    val want = FixtureOracles.deriveQ42(corpus).sortBy(p => (p._1, p._2))
+    // non-vacuous on BOTH paths: some even-id (MP4) and odd-id (stub)
+    // docs must emit a beyond-first frame (stride landed past index 0)
+    assert(want.exists(f => f._1 % 2 == 0 && f._2 > 0), "no multi-frame MP4 doc")
+    assert(want.exists(f => f._1 % 2 == 1 && f._2 > 0), "no multi-frame stub doc")
+    assert(got.toSeq === want)
+  }
+
+  test("q51 audio features: container-free PCM derivation matches the WAV pipeline bit-for-bit") {
+    val got = run("q51_audio_features").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    val want = FixtureOracles.deriveQ51(
+      corpus.map { case (id, t) => (id, if (t == null) 0L else t.length.toLong) })
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    assert(got.toSeq === want)
+  }
+
+  test("q58 media near-dup pairs: pixel/PCM-level derivation matches the codec pipeline") {
+    val got = run("q58_media_neardup").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(p => (p._2, p._3))
+    val want = FixtureOracles.deriveQ58(corpus.map(_._1)).sortBy(p => (p._2, p._3))
+    // planted groups must pair in BOTH modalities
+    assert(want.exists(_._1 == "image"), "no planted image near-dups found")
+    assert(want.exists(_._1 == "audio"), "no planted audio near-dups found")
+    assert(got.toSeq === want)
+  }
+
   private def embBytes: Long = {
     val p = java.nio.file.Paths.get(nullDir, "embeddings.parquet")
     val l = java.nio.file.Files.list(p)
@@ -151,7 +194,9 @@ class FixtureOraclesSpec extends SparkSpec {
       } finally l.close()
     }
     Seq("q31_dedup_minhash", "q32_dedup_simhash", "q78_bpe_merges",
-      "q82_compress_ratio", "q34_embed_neardup", "q36_ann_lsh").foreach { q =>
+      "q82_compress_ratio", "q41_multimodal", "q42_frame_sample",
+      "q51_audio_features", "q58_media_neardup",
+      "q34_embed_neardup", "q36_ann_lsh").foreach { q =>
       assert(dirs.exists(_.startsWith(s"graft_fx1_${q}_")), s"no fixture dir for $q")
       val sql = FixtureOracles.oracles(q)
       assert(sql.contains(s"graft_fx1_${q}_*") && sql.contains("corpus_n") &&
