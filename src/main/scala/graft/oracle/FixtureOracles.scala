@@ -581,6 +581,310 @@ object FixtureOracles {
       .take(100)
   }
 
+  // ---- k-means family contracts (q43/q66/q77/q84), restated -------------
+  //
+  // Every fit in this family is DETERMINISTIC by the operators' own
+  // contract: the sample is the cap rows with the smallest
+  // (xxhash64(vec_id), vec_id), collected in that order; Lloyd runs on
+  // the driver with first-index-wins ties; assignment/encoding are
+  // fixed-order per-row loops. That is what makes bit-exact fixtures
+  // sound here — unlike q60, whose tree-aggregated covariance sums
+  // depend on reduction order.
+
+  /** q43/q66 coarse-quantizer shape: nlist = clamp(⌈√n⌉, 4, 1024),
+    * sample cap = clamp(32·nlist, 256, 32768), 3 cosine Lloyd rounds;
+    * near-duplicate centroids (cos > 0.95) merge keep-first. q77/q84 PQ:
+    * 16384-row sample, m=8 subspaces × k=16 L2 centroids, 8 Lloyd
+    * rounds, 4-bit codes packed little-end-first. q84 probes 2 lists.
+    */
+  private val KmIters       = 3
+  private val KmMergeCos    = 0.95
+  private val PqSampleCap   = 16384
+  private val PqM           = 8
+  private val PqK           = 16
+  private val PqIters       = 8
+  private val PqBits        = 4
+  private val IvfPqProbes   = 2
+
+  private def nlistFor(n: Long): Int =
+    math.max(4, math.min(1024, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Spark's `xxhash64` of a BIGINT column (seed 42 over the long). */
+  private def xxLong(v: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, 42L)
+
+  /** The deterministic unbiased draw shared by every fit: the `cap` live
+    * rows with the smallest (xxhash64(vec_id), vec_id), in that order.
+    */
+  private def hashSample(vecs: Seq[(Long, Array[Float])], cap: Int): Array[Array[Float]] =
+    vecs.filter(_._2 != null)
+      .sortBy { case (id, _) => (xxLong(id), id) }
+      .take(cap).map(_._2).toArray
+
+  /** KMeansLite.cos contract: fused float→double loop, 0 on zero norm. */
+  private def kmCos(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  /** The cosine k-means contract (KMeansLite): farthest-point seeding
+    * from points(0) (stride past 64 seeds), `iters` Lloyd rounds with
+    * strict-greater first-wins argmax, empty clusters dropped in index
+    * order, then keep-first merge of centroids with cos > 0.95.
+    */
+  private def kmFitCos(points: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    if (points.isEmpty) return Array(Array(1.0f))
+    val k2 = math.max(1, math.min(k, points.length))
+    val dims = points(0).length
+    val seeds = scala.collection.mutable.ArrayBuffer(points(0))
+    if (k2 <= 64) {
+      while (seeds.length < k2) {
+        var best = points(0); var bestScore = 2.0
+        for (p <- points) {
+          val maxCos = seeds.iterator.map(kmCos(_, p)).max
+          if (maxCos < bestScore) { bestScore = maxCos; best = p }
+        }
+        seeds += best
+      }
+    } else {
+      val stride = math.max(1, points.length / k2)
+      var i = stride
+      while (seeds.length < k2 && i < points.length) { seeds += points(i); i += stride }
+    }
+    var cents = seeds.toArray.map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dims))
+      val counts = new Array[Int](cents.length)
+      for (p <- points) {
+        var best = 0; var bestCos = -2.0
+        var j = 0
+        while (j < cents.length) {
+          val c = kmCos(cents(j), p)
+          if (c > bestCos) { bestCos = c; best = j }
+          j += 1
+        }
+        var d = 0
+        while (d < dims) { sums(best)(d) += p(d); d += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.collect {
+        case j if counts(j) > 0 =>
+          Array.tabulate(dims)(d => (sums(j)(d) / counts(j)).toFloat)
+      }.toArray
+      if (cents.isEmpty) cents = Array(points(0).clone())
+    }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    for (c <- cents) if (!kept.exists(kc => kmCos(kc, c) > KmMergeCos)) kept += c
+    kept.toArray
+  }
+
+  /** KMeansL2.sqDist contract: ‖v[off..)−c‖² in index order. */
+  private def sqDist(v: Array[Float], off: Int, c: Array[Float]): Double = {
+    var sum = 0.0
+    var i = 0
+    while (i < c.length) {
+      val d = v(off + i).toDouble - c(i).toDouble
+      sum += d * d
+      i += 1
+    }
+    sum
+  }
+
+  /** The L2 k-means contract (KMeansL2): max-min-distance seeding from
+    * points(0), `iters` Lloyd rounds with strict-less first-wins argmin,
+    * empty clusters KEEPING their previous centroid.
+    */
+  private def kmFitL2(points: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    val k2 = math.max(1, math.min(k, points.length))
+    val dims = points(0).length
+    val seeds = scala.collection.mutable.ArrayBuffer(points(0))
+    while (seeds.length < k2) {
+      var best = points(0); var bestScore = -1.0
+      for (p <- points) {
+        val minDist = seeds.iterator.map(sqDist(p, 0, _)).min
+        if (minDist > bestScore) { bestScore = minDist; best = p }
+      }
+      seeds += best
+    }
+    var cents = seeds.toArray.map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dims))
+      val counts = new Array[Int](cents.length)
+      for (p <- points) {
+        var best = 0; var bestDist = Double.MaxValue
+        var j = 0
+        while (j < cents.length) {
+          val d = sqDist(p, 0, cents(j))
+          if (d < bestDist) { bestDist = d; best = j }
+          j += 1
+        }
+        var x = 0
+        while (x < dims) { sums(best)(x) += p(x); x += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        if (counts(ci) == 0) old
+        else Array.tabulate(dims)(x => (sums(ci)(x) / counts(ci)).toFloat)
+      }
+    }
+    cents
+  }
+
+  /** Strict-greater first-wins argmax-cosine assignment (the IVF kernel). */
+  private def assignBucket(v: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0; var bestCos = -2.0
+    var i = 0
+    while (i < cents.length) {
+      val c = kmCos(cents(i), v)
+      if (c > bestCos) { bestCos = c; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Spark `round(x, 6)`: HALF_UP decimal rounding, not rint. */
+  private def round6(x: Double): Double =
+    new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  private def ivfFit(vecs: Seq[(Long, Array[Float])], fileBytes: Long): Array[Array[Float]] = {
+    val n = math.max(1L, fileBytes / EmbRowBytes)
+    val nlist = nlistFor(n)
+    val cap = math.min(math.max(256, 32 * nlist), 32768)
+    kmFitCos(hashSample(vecs, cap), nlist, KmIters)
+  }
+
+  /** q43: IVF ANN, nprobe=1 — each query probes its argmax-cosine list,
+    * exact cosine reranks the list's members (query excluded), top-10
+    * with (cos desc, vec_id asc) rank.
+    */
+  private[oracle] def deriveQ43(vecs: Seq[(Long, Array[Float])],
+      fileBytes: Long): Seq[(Long, Long, Double, Int)] = {
+    val cents = ivfFit(vecs, fileBytes)
+    val live = vecs.filter(_._2 != null)
+    val buckets = live.map { case (id, v) => id -> assignBucket(v, cents) }.toMap
+    live.filter(_._1 < AnnQueryK).flatMap { case (qid, qv) =>
+      val probe = assignBucket(qv, cents)
+      live.iterator
+        .filter { case (id, _) => id != qid && buckets(id) == probe }
+        .map { case (id, v) => (id, cosine(v, qv)) }
+        .toSeq.sortBy { case (id, c) => (-c, id) }
+        .take(AnnTopK)
+        .zipWithIndex.map { case ((id, c), r) => (qid, id, c, r + 1) }
+    }
+  }
+
+  /** q66: SemDeDup pairs — banded hyperplane LSH conditioned on the IVF
+    * cluster (bits sized for the expected cluster size n/nlist), capped
+    * buckets, exact cosine, deterministic (cos desc, a, b) top-100.
+    */
+  private[oracle] def deriveQ66(vecs: Seq[(Long, Array[Float])],
+      fileBytes: Long): Seq[(Long, Long, Double)] = {
+    val n = math.max(1L, fileBytes / EmbRowBytes)
+    val cents = ivfFit(vecs, fileBytes)
+    val live = vecs.filter(_._2 != null)
+    val byId = live.toMap
+    val cluster = live.map { case (id, v) => id -> assignBucket(v, cents) }.toMap
+    val bits = lshBitsFor(math.max(1L, n / math.max(1, cents.length)))
+    val buckets = live
+      .flatMap { case (id, v) =>
+        (0 until NeardupBands).map(b =>
+          (b, cluster(id), lshBucket(v, bits, BandSeed + b)) -> id)
+      }
+      .groupBy(_._1).values.map(_.map(_._2))
+    bucketedPairs(buckets, BucketCap).toSeq
+      .map { case (a, b) => (a, b, cosine(byId(a), byId(b))) }
+      .sortBy { case (a, b, c) => (-c, a, b) }
+      .take(100)
+  }
+
+  private def pqFit(vecs: Seq[(Long, Array[Float])]): Array[Array[Array[Float]]] = {
+    val sample = hashSample(vecs, PqSampleCap)
+    val d = sample(0).length
+    val subDim = d / PqM
+    Array.tabulate(PqM) { s =>
+      kmFitL2(sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)), PqK, PqIters)
+    }
+  }
+
+  /** Per-vector PQ encode: per-subspace strict-less argmin, 4-bit codes
+    * little-end-first, summed squared error over the vector dimension.
+    */
+  private def pqEncode(v: Array[Float], cb: Array[Array[Array[Float]]]): (Long, Double) = {
+    val subDim = cb(0)(0).length
+    var code = 0L
+    var errSum = 0.0
+    var sub = 0
+    while (sub < PqM) {
+      var best = 0; var bestDist = Double.MaxValue
+      var ci = 0
+      while (ci < cb(sub).length) {
+        val dist = sqDist(v, sub * subDim, cb(sub)(ci))
+        if (dist < bestDist) { bestDist = dist; best = ci }
+        ci += 1
+      }
+      code |= best.toLong << (sub * PqBits)
+      errSum += bestDist
+      sub += 1
+    }
+    (code, errSum / v.length)
+  }
+
+  /** q77: (vec_id, pq_code, recon_mse·1e-6-rounded). */
+  private[oracle] def deriveQ77(vecs: Seq[(Long, Array[Float])]): Seq[(Long, Long, Double)] = {
+    val cb = pqFit(vecs)
+    vecs.filter(_._2 != null).map { case (id, v) =>
+      val (code, mse) = pqEncode(v, cb)
+      (id, code, round6(mse))
+    }
+  }
+
+  /** q84: IVF-PQ — queries probe their 2 best coarse lists, ADC ranks
+    * only those lists' codes via the per-query LUT (subspace-order sum),
+    * top-10 by (adc_dist asc, vec_id asc). The query row itself is NOT
+    * excluded (the faiss convention the pipeline follows).
+    */
+  private[oracle] def deriveQ84(vecs: Seq[(Long, Array[Float])],
+      fileBytes: Long): Seq[(Long, Long, Long, Double)] = {
+    val cents = ivfFit(vecs, fileBytes)
+    val cb = pqFit(vecs)
+    val live = vecs.filter(_._2 != null)
+    val subDim = cb(0)(0).length
+    val coded = live.map { case (id, v) =>
+      (id, assignBucket(v, cents), pqEncode(v, cb)._1)
+    }
+    val probes = math.max(1, math.min(IvfPqProbes, cents.length))
+    live.filter(_._1 < AnnQueryK).flatMap { case (qid, qv) =>
+      val probed = cents.indices.map(i => (kmCos(cents(i), qv), i))
+        .sortBy { case (c, i) => (-c, i) }.take(probes).map(_._2).toSet
+      val lut = Array.tabulate(PqM, PqK)((sub, ci) =>
+        sqDist(qv, sub * subDim, cb(sub)(ci)))
+      coded.iterator
+        .filter { case (_, b, _) => probed(b) }
+        .map { case (id, _, code) =>
+          var dist = 0.0
+          var sub = 0
+          while (sub < PqM) {
+            dist += lut(sub)(((code >>> (sub * PqBits)) & (PqK - 1)).toInt)
+            sub += 1
+          }
+          (id, dist)
+        }
+        .toSeq.sortBy { case (id, d) => (d, id) }
+        .take(AnnTopK)
+        .zipWithIndex.map { case ((id, d), r) => (qid, id, (r + 1).toLong, round6(d)) }
+    }
+  }
+
   // ---- fixture publication ----------------------------------------------
 
   /** Corpus identity: count and a row-weighted integer sum — two exact
@@ -661,7 +965,8 @@ object FixtureOracles {
       "q78_bpe_merges", "q82_compress_ratio", "q41_multimodal",
       "q42_frame_sample", "q51_audio_features", "q58_media_neardup")
       .map(n => fixtureDir(n, key))
-    val embFixtures = Seq("q34_embed_neardup", "q36_ann_lsh")
+    val embFixtures = Seq("q34_embed_neardup", "q36_ann_lsh", "q43_ann_ivf",
+      "q66_semdedup", "q77_pq", "q84_ivfpq")
       .map(n => fixtureDir(n, embKey))
     val needed = docFixtures ++ embFixtures
     if (!docFixtures.forall(Files.exists(_))) {
@@ -710,6 +1015,14 @@ object FixtureOracles {
         fixtureDir("q34_embed_neardup", embKey))
       publish(keyed(deriveQ36(vecs, bytes).toDF("qid", "vec_id", "cos", "rank")),
         fixtureDir("q36_ann_lsh", embKey))
+      publish(keyed(deriveQ43(vecs, bytes).toDF("qid", "vec_id", "cos", "rank")),
+        fixtureDir("q43_ann_ivf", embKey))
+      publish(keyed(deriveQ66(vecs, bytes).toDF("a", "b", "cos")),
+        fixtureDir("q66_semdedup", embKey))
+      publish(keyed(deriveQ77(vecs).toDF("vec_id", "pq_code", "recon_mse")),
+        fixtureDir("q77_pq", embKey))
+      publish(keyed(deriveQ84(vecs, bytes).toDF("query_id", "vec_id", "rank", "adc_dist")),
+        fixtureDir("q84_ivfpq", embKey))
     }
     // liveness beacon + age-scoped sweep of fixture dirs from older
     // corpora/code versions (the SyntheticTraffic discipline: reads
@@ -773,5 +1086,10 @@ object FixtureOracles {
       "doc_id, sample_rate, channels, duration_ms, rms, zero_cross, afp"),
     "q58_media_neardup"  -> fixtureSql("q58_media_neardup", "kind, a, b, hamming"),
     "q34_embed_neardup"  -> embFixtureSql("q34_embed_neardup", "a, b, cos"),
-    "q36_ann_lsh"        -> embFixtureSql("q36_ann_lsh", "qid, vec_id, cos, \"rank\""))
+    "q36_ann_lsh"        -> embFixtureSql("q36_ann_lsh", "qid, vec_id, cos, \"rank\""),
+    "q43_ann_ivf"        -> embFixtureSql("q43_ann_ivf", "qid, vec_id, cos, \"rank\""),
+    "q66_semdedup"       -> embFixtureSql("q66_semdedup", "a, b, cos"),
+    "q77_pq"             -> embFixtureSql("q77_pq", "vec_id, pq_code, recon_mse"),
+    "q84_ivfpq"          -> embFixtureSql("q84_ivfpq",
+      "query_id, vec_id, \"rank\", adc_dist"))
 }

@@ -182,6 +182,43 @@ class FixtureOraclesSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  test("q43 IVF ANN: naive fit/assign/probe/rerank derivation matches the pipeline") {
+    val got = run("q43_ann_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(p => (p._1, p._4))
+    val want = FixtureOracles.deriveQ43(
+      vectors.map(t => (t._1, t._2)), embBytes).sortBy(p => (p._1, p._4))
+    assert(got.nonEmpty, "vacuous: no q43 results")
+    assert(got.toSeq === want)
+  }
+
+  test("q66 semantic dedup: naive cluster+LSH derivation matches the pipeline") {
+    val got = run("q66_semdedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    val want = FixtureOracles.deriveQ66(
+      vectors.map(t => (t._1, t._2)), embBytes).sortBy(p => (p._1, p._2))
+    assert(want.nonEmpty, "vacuous: planted clone families produced no q66 pairs")
+    assert(got.toSeq === want)
+  }
+
+  test("q77 PQ encode: naive codebook/encode derivation matches the pipeline bit-for-bit") {
+    val got = run("q77_pq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val want = FixtureOracles.deriveQ77(vectors.map(t => (t._1, t._2))).sortBy(_._1)
+    assert(got.nonEmpty)
+    assert(got.toSeq === want)
+  }
+
+  test("q84 IVF-PQ: naive probe+ADC derivation matches the pipeline") {
+    val got = run("q84_ivfpq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(p => (p._1, p._3))
+    val want = FixtureOracles.deriveQ84(
+      vectors.map(t => (t._1, t._2)), embBytes).sortBy(p => (p._1, p._3))
+    assert(got.nonEmpty, "vacuous: no q84 results")
+    assert(got.toSeq === want)
+  }
+
   test("ensure() publishes corpus-keyed fixture dirs and oracle SQL targets them") {
     FixtureOracles.ensure(spark, nullDir)
     val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
@@ -196,7 +233,8 @@ class FixtureOraclesSpec extends SparkSpec {
     Seq("q31_dedup_minhash", "q32_dedup_simhash", "q78_bpe_merges",
       "q82_compress_ratio", "q41_multimodal", "q42_frame_sample",
       "q51_audio_features", "q58_media_neardup",
-      "q34_embed_neardup", "q36_ann_lsh").foreach { q =>
+      "q34_embed_neardup", "q36_ann_lsh", "q43_ann_ivf", "q66_semdedup",
+      "q77_pq", "q84_ivfpq").foreach { q =>
       assert(dirs.exists(_.startsWith(s"graft_fx1_${q}_")), s"no fixture dir for $q")
       val sql = FixtureOracles.oracles(q)
       assert(sql.contains(s"graft_fx1_${q}_*") && sql.contains("corpus_n") &&
