@@ -4,8 +4,8 @@ import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, CreateNamedStruct, EqualTo, Expression, GreaterThan, If, IsNotNull, IsNull, LessThan, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{DeclarativeAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, StringType}
@@ -242,6 +242,68 @@ object MisraGriesTopK {
       new ExpressionInfo(classOf[MisraGriesTopK].getName, "misra_gries_topk"),
       (e: Seq[Expression]) =>
         new MisraGriesTopK(e(0), AggSqlArgs.foldableCap(e, "misra_gries_topk"))))
+}
+
+/** Hash-aggregable argmax over a (long metric, long id) pair: per group,
+  * the row with the LARGEST `c` wins, ties to the SMALLEST `id`; result
+  * is `struct(c, id)`. Why not `max(struct(c, -id))`: a struct-typed agg
+  * buffer is not hash-aggregable, so Spark plans SortAggregate — a
+  * per-partition sort of the ENTIRE input on the group key before even
+  * the partial agg, pure overhead at corpus scale. Two nullable long
+  * buffer slots keep the whole chain in whole-stage-codegen
+  * HashAggregate. NULL inputs are ignored; an all-NULL group is NULL.
+  */
+case class ArgMaxTieMin(c: Expression, id: Expression)
+  extends DeclarativeAggregate {
+  private lazy val bc = AttributeReference("amax_c", LongType)()
+  private lazy val bid = AttributeReference("amax_id", LongType)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(bc, bid)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal.create(null, LongType), Literal.create(null, LongType))
+  override lazy val updateExpressions: Seq[Expression] = {
+    // bid is non-null whenever bc is (they only ever set together), so
+    // the tie comparison never sees a null bid
+    val take = And(And(IsNotNull(c), IsNotNull(id)),
+      Or(IsNull(bc), Or(GreaterThan(c, bc),
+        And(EqualTo(c, bc), LessThan(id, bid)))))
+    Seq(If(take, c, bc), If(take, id, bid))
+  }
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val take = And(IsNotNull(bc.right),
+      Or(IsNull(bc.left), Or(GreaterThan(bc.right, bc.left),
+        And(EqualTo(bc.right, bc.left), LessThan(bid.right, bid.left)))))
+    Seq(If(take, bc.right, bc.left), If(take, bid.right, bid.left))
+  }
+  override lazy val evaluateExpression: Expression = {
+    val s = CreateNamedStruct(Seq(Literal("c"), bc, Literal("id"), bid))
+    // an untouched buffer must surface as a NULL struct, not struct(null, null)
+    If(IsNull(bc), Literal.create(null, s.dataType), s)
+  }
+  override def dataType: DataType = evaluateExpression.dataType
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(c, id)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(c = newChildren(0), id = newChildren(1))
+  override def prettyName: String = "arg_max_tie_min"
+}
+
+object ArgMaxTieMin {
+
+  /** `struct(c, id)` of the row with max `c`, ties to min `id` (see
+    * class doc — hash-aggregable alternative to `max(struct(c, -id))`).
+    */
+  def apply(c: Column, id: Column): Column =
+    Bridge.column(new ArgMaxTieMin(
+      Bridge.expression(c), Bridge.expression(id)).toAggregateExpression())
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  /** SQL registry entry (`SELECT arg_max_tie_min(n_chars, doc_id) ...`). */
+  private[functions] val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("arg_max_tie_min"),
+      new ExpressionInfo(classOf[ArgMaxTieMin].getName, "arg_max_tie_min"),
+      (e: Seq[Expression]) => new ArgMaxTieMin(e(0), e(1))))
 }
 
 object CappedCollectSetLong {

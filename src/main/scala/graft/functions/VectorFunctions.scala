@@ -362,7 +362,8 @@ object VectorFunctions {
   private[functions] def allSqlFunctions =
     sqlFunctions ++ TextFunctions.sqlFunctions ++
       HtmlFunctions.sqlFunctions ++
-      CappedCollectSetLong.sqlFunctions ++ MisraGriesTopK.sqlFunctions
+      CappedCollectSetLong.sqlFunctions ++ MisraGriesTopK.sqlFunctions ++
+      ArgMaxTieMin.sqlFunctions
 
   /** Make the functions available to `spark.sql` on a live session. */
   def register(spark: SparkSession): Unit =

@@ -168,6 +168,18 @@ object Bpe {
       val model = learn(graft.Tables.documents(s, dir), numMerges = 200)
       model.merges.map(m => (m.rank.toLong, m.left, m.right, m.left + m.right))
         .toDF("rank", "left", "right", "merged")
+    }),
+
+    // Apply the learned merges back to the corpus — the tokenize step the
+    // trained vocabulary exists FOR: per-doc whitespace word count and
+    // BPE token count under greedy lowest-rank-first encoding
+    // ([[encodeCounts]]: one ranks-map broadcast, one map-side pass with
+    // a per-partition encode cache, zero shuffles). Fixture-oracled: the
+    // naive re-derivation lives in
+    // [[graft.oracle.FixtureOracles.deriveQ94]].
+    "q94_bpe_encode" -> ((s, dir) => {
+      val docs = graft.Tables.documents(s, dir)
+      encodeCounts(s, docs, learn(docs, numMerges = 200))
     }))
 
   def oracles: Map[String, String] = Map.empty

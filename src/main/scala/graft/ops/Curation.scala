@@ -402,9 +402,44 @@ object Curation {
       when(reasons === "", lit(1L)).otherwise(lit(0L)).as("keep_flag"))
   }
 
+  /** Duplicate-cluster representative election: q53 tells you a cluster
+    * of re-hosted copies exists; this decides WHICH copy the training set
+    * keeps — the longest raw text (normalization strips casing /
+    * punctuation, so the longest original is the most complete one),
+    * ties to the lowest doc_id. The argmax is an [[functions.ArgMaxTieMin]]
+    * partial aggregate on q53's exact (xxhash64(norm), len) key — one
+    * shuffle carrying (hash, len, n_chars, doc_id), never a window and
+    * never a body; a mega-cluster is a hot partial-agg key, not a
+    * buffered group. The custom aggregate exists because the builtin
+    * spelling, `max(struct(n_chars, -doc_id))`, falls out of
+    * HashAggregate (struct buffers aren't hash-aggregable) into
+    * SortAggregate — a per-partition sort of the whole corpus.
+    */
+  def clusterReps(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        normText(col("text")).as("norm"))
+      .groupBy(xxhash64(col("norm")).as("h"),
+        length(col("norm")).cast("long").as("norm_len"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        // (n_chars desc, doc_id asc) — the deterministic total order the
+        // oracle's row_number() ORDER BY mirrors
+        graft.functions.ArgMaxTieMin(col("n_chars"), col("doc_id")).as("m"))
+      .select(
+        col("m.id").as("rep_doc_id"),
+        col("m.c").as("rep_chars"),
+        col("n_copies"),
+        col("norm_len"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_curation_verdict" -> ((s, dir) =>
       curationVerdict(Tables.documents(s, dir))),
+
+    // Which copy of each normalization-exact duplicate cluster survives
+    // — see [[clusterReps]].
+    "q92_cluster_reps" -> ((s, dir) =>
+      clusterReps(Tables.documents(s, dir))),
 
     // Overlapping context-window chunks (win 32 / stride 24 at gate
     // scale so multi-chunk docs actually occur in the fixture corpus).
@@ -793,6 +828,26 @@ object Curation {
         |                                       (a, b) -> a + b), 0.0)
         |                  / len(embedding), 6) END AS mse
         |FROM e""".stripMargin,
+
+    // same norm expression as q53; the oracle partitions by the norm
+    // STRING where Spark groups by (xxhash64, len) — the q53 convention
+    // that a hash only renames group keys
+    "q92_cluster_reps" ->
+      """WITH n AS (
+        |  SELECT doc_id, n_chars, trim(regexp_replace(regexp_replace(
+        |      translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |                      'abcdefghijklmnopqrstuvwxyz'),
+        |      '[^a-z0-9 \t\n\r]', '', 'g'), '[ \t\n\r]+', ' ', 'g')) AS norm
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id, n_chars, norm,
+        |    count(*) OVER (PARTITION BY norm) AS n_copies,
+        |    row_number() OVER (PARTITION BY norm
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM n)
+        |SELECT doc_id AS rep_doc_id, n_chars AS rep_chars,
+        |  n_copies, CAST(len(norm) AS BIGINT) AS norm_len
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "q53_norm_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,

@@ -239,9 +239,50 @@ object Sampling {
     s.createDataFrame(ranked, schema)
   }
 
+  /** Temperature-scaled domain mixture weights (the multilingual sampling
+    * rule of XLM-R/mBERT applied to sources, α = 0.5): a domain's
+    * sampling weight is √tokens renormalized, so head domains are
+    * downweighted and tail domains boosted — the table q59-style
+    * resampling or a DoReMi-ish reweighting run reads as ITS input.
+    * Per source: doc count, exact token sum (q39's ws-token definition
+    * via [[Dedup.tokens]], reduced map-side — bodies never shuffle),
+    * raw corpus share, α-weight, and the boost factor weight/share.
+    *
+    * Scale: one partial-agg shuffle keyed by source; the normalizer is a
+    * 1-row stats frame broadcast back (the established tiny-crossJoin
+    * pattern). The √-term sum folds a SORTED source list (bounded by the
+    * domain catalog, ≤ thousands) so the FP accumulation order is pinned
+    * — the oracle's ordered aggregate adds the same doubles in the same
+    * order, and sqrt/div are IEEE-exact, so the weights hash-match.
+    * Source is non-null by corpus contract (sort key coalesces to "" so
+    * a violation fails the gate loudly rather than reordering silently).
+    */
+  def domainMix(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Dedup.tokens)).cast("long").as("sum_tokens"))
+    val tot = per.agg(
+      sum(col("sum_tokens")).as("total_tokens"),
+      aggregate(
+        sort_array(collect_list(struct(
+          coalesce(col("source"), lit("")).as("s"),
+          sqrt(col("sum_tokens").cast("double")).as("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t")).as("denom"))
+    val share = col("sum_tokens").cast("double") / col("total_tokens")
+    val weight = sqrt(col("sum_tokens").cast("double")) / col("denom")
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("sum_tokens"),
+        round(share, 6).as("share"),
+        round(weight, 6).as("weight"),
+        round(weight / share, 6).as("boost"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_importance_sample" -> ((s, dir) =>
       importanceSample(Tables.documents(s, dir))),
+
+    // α = 0.5 domain mixture weights — see [[domainMix]].
+    "q93_domain_mix" -> ((s, dir) => domainMix(Tables.documents(s, dir))),
 
     "q81_vocab_ids" -> ((s, dir) => vocabIds(Tables.documents(s, dir))),
 
@@ -326,6 +367,27 @@ object Sampling {
            |  CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS BIGINT)
            |    AS token_id
            |FROM c""".stripMargin,
+
+    // The ordered aggregate pins the denominator's FP accumulation order
+    // to the Spark side's sorted-list fold; sqrt and the divisions are
+    // IEEE-exact, so share/weight/boost agree bit-for-bit before round().
+    "q93_domain_mix" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |         AS BIGINT) AS sum_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(sum_tokens) AS BIGINT) AS total_tokens,
+        |    sum(sqrt(CAST(sum_tokens AS DOUBLE))
+        |        ORDER BY coalesce(source, '')) AS denom
+        |  FROM per)
+        |SELECT source, n_docs, sum_tokens,
+        |  round(CAST(sum_tokens AS DOUBLE) / total_tokens, 6) AS share,
+        |  round(sqrt(CAST(sum_tokens AS DOUBLE)) / denom, 6) AS weight,
+        |  round((sqrt(CAST(sum_tokens AS DOUBLE)) / denom)
+        |        / (CAST(sum_tokens AS DOUBLE) / total_tokens), 6) AS boost
+        |FROM per, tot""".stripMargin,
 
     // Same double-arithmetic shape as the Spark side ((w·T)/mass, T = the
     // min over the tiny mass frame) — IEEE ops on identical inputs are

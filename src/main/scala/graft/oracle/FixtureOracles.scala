@@ -259,30 +259,35 @@ object FixtureOracles {
     * most frequent adjacent symbol pair (count desc, pair asc; stop
     * below count 2), symbols seeded from codepoints + the `</w>` marker.
     */
+  private def bpeSymbols(w: String): List[String] = {
+    val out = List.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += BpeEow
+    out.result()
+  }
+
+  private def bpeMergeIn(sym: List[String], l: String, r: String): List[String] = sym match {
+    case a :: b :: rest if a == l && b == r => (l + r) :: bpeMergeIn(rest, l, r)
+    case a :: rest => a :: bpeMergeIn(rest, l, r)
+    case Nil => Nil
+  }
+
   private[oracle] def deriveQ78(docs: Seq[(Long, String)]): Seq[(Long, String, String, String)] = {
     val freq = scala.collection.mutable.HashMap.empty[String, Long]
     docs.foreach { case (_, text) =>
       if (text != null)
         sqlSplit(text).foreach(w => if (w.nonEmpty) freq(w) = freq.getOrElse(w, 0L) + 1)
     }
-    def symbols(w: String): List[String] = {
-      val out = List.newBuilder[String]
-      var i = 0
-      while (i < w.length) {
-        val cp = w.codePointAt(i)
-        out += new String(Character.toChars(cp))
-        i += Character.charCount(cp)
-      }
-      out += BpeEow
-      out.result()
-    }
+    def symbols(w: String): List[String] = bpeSymbols(w)
+    def mergeIn(sym: List[String], l: String, r: String): List[String] =
+      bpeMergeIn(sym, l, r)
     var table = freq.toSeq.sortBy { case (w, c) => (-c, w) }.take(BpeWordTable)
       .map { case (w, c) => (symbols(w), c) }
-    def mergeIn(sym: List[String], l: String, r: String): List[String] = sym match {
-      case a :: b :: rest if a == l && b == r => (l + r) :: mergeIn(rest, l, r)
-      case a :: rest => a :: mergeIn(rest, l, r)
-      case Nil => Nil
-    }
     val merges = Seq.newBuilder[(Long, String, String, String)]
     var rank = 0
     var done = false
@@ -303,6 +308,44 @@ object FixtureOracles {
       }
     }
     merges.result()
+  }
+
+  /** q94: per-doc BPE token counts — greedy lowest-rank-first encoding
+    * of every whitespace word (empties dropped, null-text rows dropped)
+    * under the q78 merge table, itself re-derived here by [[deriveQ78]].
+    * The encode rule, restated: while any adjacent pair has a rank,
+    * apply the LOWEST-ranked pair at every occurrence, left-to-right
+    * non-overlapping; token count = final symbol count (end-of-word
+    * marker included).
+    */
+  private[oracle] def deriveQ94(docs: Seq[(Long, String)]): Seq[(Long, Long, Long)] = {
+    val ranks = deriveQ78(docs)
+      .map { case (rank, l, r, _) => (l, r) -> rank }.toMap
+    val cache = scala.collection.mutable.HashMap.empty[String, Long]
+    def encode(w: String): Long = cache.getOrElseUpdate(w, {
+      var sym = bpeSymbols(w)
+      var done = false
+      while (!done && sym.lengthCompare(1) > 0) {
+        var best = Long.MaxValue
+        var bl = ""; var br = ""
+        var cur = sym
+        while (cur.nonEmpty && cur.tail.nonEmpty) {
+          ranks.get((cur.head, cur.tail.head)).foreach { r =>
+            if (r < best) { best = r; bl = cur.head; br = cur.tail.head }
+          }
+          cur = cur.tail
+        }
+        if (best == Long.MaxValue) done = true
+        else sym = bpeMergeIn(sym, bl, br)
+      }
+      sym.length.toLong
+    })
+    docs.collect { case (id, text) if text != null =>
+      val words = sqlSplit(text).filter(_.nonEmpty)
+      var n = 0L
+      words.foreach(w => n += encode(w))
+      (id, words.length.toLong, n)
+    }
   }
 
   // ---- media contracts (q41/q42/q51/q58), restated ----------------------
@@ -962,8 +1005,9 @@ object FixtureOracles {
     val key = corpusKey(spark, sfDir)
     val embKey = embCorpusKey(spark, sfDir)
     val docFixtures = Seq("q31_dedup_minhash", "q32_dedup_simhash",
-      "q78_bpe_merges", "q82_compress_ratio", "q41_multimodal",
-      "q42_frame_sample", "q51_audio_features", "q58_media_neardup")
+      "q78_bpe_merges", "q94_bpe_encode", "q82_compress_ratio",
+      "q41_multimodal", "q42_frame_sample", "q51_audio_features",
+      "q58_media_neardup")
       .map(n => fixtureDir(n, key))
     val embFixtures = Seq("q34_embed_neardup", "q36_ann_lsh", "q43_ann_ivf",
       "q66_semdedup", "q77_pq", "q84_ivfpq")
@@ -987,6 +1031,8 @@ object FixtureOracles {
         fixtureDir("q32_dedup_simhash", key))
       publish(keyed(deriveQ78(docs).toDF("rank", "left", "right", "merged")),
         fixtureDir("q78_bpe_merges", key))
+      publish(keyed(deriveQ94(docs).toDF("doc_id", "n_words", "n_bpe_tokens")),
+        fixtureDir("q94_bpe_encode", key))
       publish(keyed(deriveQ82(docs).toDF("doc_id", "n_bytes", "n_deflated", "compress_ratio")),
         fixtureDir("q82_compress_ratio", key))
       publish(keyed(deriveQ41(docs).toDF("doc_id", "media_type", "n_bytes",
@@ -1076,6 +1122,7 @@ object FixtureOracles {
     "q31_dedup_minhash"  -> fixtureSql("q31_dedup_minhash", "a, b, est_jaccard"),
     "q32_dedup_simhash"  -> fixtureSql("q32_dedup_simhash", "a, b, hamming"),
     "q78_bpe_merges"     -> fixtureSql("q78_bpe_merges", "\"rank\", \"left\", \"right\", merged"),
+    "q94_bpe_encode"     -> fixtureSql("q94_bpe_encode", "doc_id, n_words, n_bpe_tokens"),
     "q82_compress_ratio" -> fixtureSql("q82_compress_ratio",
       "doc_id, n_bytes, n_deflated, compress_ratio"),
     "q41_multimodal"     -> fixtureSql("q41_multimodal",

@@ -176,4 +176,55 @@ class AggFunctionsSpec extends SparkSpec {
     assert(a == b) // every group here is under the cap (<= 30 distinct)
     df.unpersist()
   }
+
+  test("arg_max_tie_min: max metric wins, ties to min id, across partial merges") {
+    val s = spark
+    import s.implicits._
+    // 8 partitions so the merge path (partial buffers combining) runs;
+    // group a: metric tie at 9 between ids 3 and 7 -> id 3 wins;
+    // group b: strict max 50 at id 99 beats id 1's 10
+    val df = Seq(
+      ("a", 9L, 7L), ("a", 9L, 3L), ("a", 1L, 1L),
+      ("b", 10L, 1L), ("b", 50L, 99L))
+      .toDF("g", "c", "id").repartition(8)
+    val out = df.groupBy("g")
+      .agg(ArgMaxTieMin(col("c"), col("id")).as("m"))
+      .select(col("g"), col("m.c"), col("m.id"))
+      .as[(String, Long, Long)].collect()
+      .map { case (g, c, id) => g -> ((c, id)) }.toMap
+    assert(out == Map("a" -> ((9L, 3L)), "b" -> ((50L, 99L))))
+  }
+
+  test("arg_max_tie_min: equals max(struct(c, -id)) on random data, but hash-aggregated") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(_ =>
+      ((rnd.nextInt(20)).toString, rnd.nextInt(10).toLong, rnd.nextInt(100).toLong))
+    val df = rows.toDF("g", "c", "id").repartition(8)
+    val got = df.groupBy("g").agg(ArgMaxTieMin(col("c"), col("id")).as("m"))
+      .select(col("g"), col("m.c"), col("m.id"))
+    val want = df.groupBy("g")
+      .agg(max(struct(col("c"), (-col("id")).as("nid"))).as("m"))
+      .select(col("g"), col("m.c"), (-col("m.nid")).as("id"))
+    assert(got.orderBy("g").collect().toSeq === want.orderBy("g").collect().toSeq)
+    // and the plan property the aggregate exists for:
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
+  }
+
+  test("arg_max_tie_min: null inputs ignored; all-null group is NULL; SQL-registered") {
+    val s = spark
+    import s.implicits._
+    VectorFunctions.register(s)
+    Seq(("a", Some(5L), Some(2L)), ("a", None, Some(9L)),
+      ("b", None, None))
+      .toDF("g", "c", "id").createOrReplaceTempView("amax_t")
+    val rows = s.sql(
+      "SELECT g, arg_max_tie_min(c, id) AS m FROM amax_t GROUP BY g ORDER BY g")
+      .collect()
+    assert(rows(0).getStruct(1).getLong(0) === 5L)
+    assert(rows(0).getStruct(1).getLong(1) === 2L)
+    assert(rows(1).isNullAt(1))
+  }
 }

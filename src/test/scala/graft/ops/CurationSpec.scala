@@ -47,6 +47,26 @@ class CurationSpec extends SparkSpec {
     assert(r.toSet === Set((1L, 3L, 11L), (4L, 1L, 14L)))
   }
 
+  test("q92: cluster rep is longest raw text, doc_id breaks ties, n_chars from fixture") {
+    val dir = docsDir(Seq(
+      1L -> "Hello, World!",   // n_chars 13 — longest raw of the cluster
+      2L -> "hello   world",   // 13 too, but doc_id 1 wins the tie
+      3L -> "HELLO\tWORLD.",   // 12
+      4L -> "something else")) // singleton cluster: its own rep
+    val r = Curation.queries("q92_cluster_reps")(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+    assert(r === Set((1L, 13L, 3L, 11L), (4L, 14L, 1L, 14L)))
+  }
+
+  test("q92: a longer raw doc beats an earlier doc_id") {
+    val dir = docsDir(Seq(
+      7L -> "abc def!!!", // n_chars 10 — more raw chars survive normalization's strip
+      2L -> "abc def"))   // n_chars 7, lower id — must NOT win
+    val r = Curation.queries("q92_cluster_reps")(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+    assert(r === Set((7L, 10L, 2L, 7L)))
+  }
+
   test("QuantizeStats treats NULL elements as 0, matching the oracle coalesce") {
     val s = spark
     import s.implicits._

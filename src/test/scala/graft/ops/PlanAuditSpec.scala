@@ -439,6 +439,48 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q92: rep election is one partial agg on the hash key; no window, no body shuffled") {
+    val df = graft.SparkEntry.queries("q92_cluster_reps")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the argmax is a struct-max partial aggregate, NOT the oracle's
+    // row_number window — a window here would buffer whole clusters
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    val plan = executed(df)
+    // the exchange carries (h, norm_len, partial count, partial max
+    // struct) — never text or the normalized body
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.child.output.exists(c => c.name == "text" || c.name == "norm"),
+        s"document bodies cross an exchange:\n$plan")
+    }
+  }
+
+  test("q93: token sums reduce map-side; stats side broadcasts, never sort-merges") {
+    val df = graft.SparkEntry.queries("q93_domain_mix")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the 1-row normalizer frame joins back by broadcast — a shuffled
+    // join on a frame this small would be a planning bug
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    val plan = executed(df)
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"document bodies cross an exchange:\n$plan")
+    }
+  }
+
+  test("q94: BPE encode is a single map-side pass — no shuffle at all") {
+    val df = graft.SparkEntry.queries("q94_bpe_encode")(spark, sf)
+    val plan = executed(df)
+    // learn() runs at plan-construction (bounded driver fit); the encode
+    // itself is mapPartitions over the scan with a broadcast ranks map —
+    // any exchange would mean the corpus is shuffling for a per-row op
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      plan.toString)
+  }
+
   test("q87: dimension probe and scoring are both partial-agg / scan-side") {
     val p = planString("q87_embed_outliers")
     // the modal-dimension probe + md5 sample ran at plan-construction

@@ -179,4 +179,22 @@ class SamplingSpec extends SparkSpec {
     assert(r.getLong(2) === 3L) // vocab: a b c
     assert(r.getDouble(3) === 1.0)
   }
+
+  test("q93 domainMix: hand-checked α=0.5 weights — head damped, tail boosted") {
+    val s = spark
+    import s.implicits._
+    // source a: 16 tokens across 2 docs; source b: 4 tokens in 1 doc.
+    // sqrt sums: 4 + 2 = 6 (folded in source order a, b).
+    val docs = Seq(
+      (1L, "w w w w w w w w", "a"),
+      (2L, "w w w w w w w w", "a"),
+      (3L, "w w w w", "b")).toDF("doc_id", "text", "source")
+    val r = Sampling.domainMix(docs).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4), x.getDouble(5))).toMap
+    // share 16/20 = 0.8, weight 4/6, boost (4/6)/0.8 — head damped < 1
+    assert(r("a") === ((2L, 16L, 0.8, 0.666667, 0.833333)))
+    // share 0.2, weight 2/6, boost (2/6)/0.2 — tail boosted > 1
+    assert(r("b") === ((1L, 4L, 0.2, 0.333333, 1.666667)))
+  }
 }

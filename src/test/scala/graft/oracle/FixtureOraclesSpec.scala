@@ -108,6 +108,17 @@ class FixtureOraclesSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  test("q94 BPE encode counts: naive greedy re-encode matches the pipeline per doc") {
+    val got = run("q94_bpe_encode").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val want = FixtureOracles.deriveQ94(corpus).sortBy(_._1)
+    // non-vacuous: merges must actually compress — some doc's BPE count
+    // strictly between its word count (all merged to single tokens) and
+    // the unmerged symbol count would both be suspicious extremes
+    assert(want.exists { case (_, w, t) => t > w }, "no doc with tokens > words")
+    assert(got.toSeq === want)
+  }
+
   test("q41 stub decode: naive crc31/stub-dims derivation matches the pipeline") {
     val got = run("q41_multimodal").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3),
