@@ -432,9 +432,45 @@ object Curation {
         col("n_copies"),
         col("norm_len"))
 
+  /** Screen-overlap calibration: are the vocabulary-diversity filter and
+    * the duplicated-span screen redundant or orthogonal? Per
+    * diversity-decile bucket (floor(uniq_ratio·10), clamped to 9), over
+    * the span-eligible docs (≥ w tokens): doc count, window counts, and
+    * the duplicated-window share. A pipeline reads this to decide
+    * whether a cheap quality gate already removes the content the
+    * expensive dedup stage would — the stage-ordering question every
+    * multi-screen curation pipeline has to answer.
+    *
+    * Scale: the bucket is a pure scan projection (no shuffle of its
+    * own); the span side is [[Dedup.dupSpans]]' counts-only machinery;
+    * the two meet in a doc_id-keyed join of two already-doc-keyed
+    * bounded frames, then a ≤10-key aggregate. All ratios are
+    * integer-division-exact cross-engine (int sums cast to double once).
+    */
+  def screenCalibration(docs: DataFrame, w: Int = 16): DataFrame = {
+    val toks = Dedup.tokens
+    val buckets = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        least(floor(size(array_distinct(toks)).cast("double")
+          / size(toks) * 10).cast("long"), lit(9L)).as("bucket"))
+    Dedup.dupSpans(docs, w)
+      .join(buckets, "doc_id")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).cast("long").as("sum_grams"),
+        sum(col("n_dup")).cast("long").as("sum_dup"))
+      .select(col("bucket"), col("n_docs"), col("sum_grams"), col("sum_dup"),
+        round(col("sum_dup").cast("double") / col("sum_grams"), 6)
+          .as("dup_share"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_curation_verdict" -> ((s, dir) =>
       curationVerdict(Tables.documents(s, dir))),
+
+    // Quality-screen vs dedup-screen overlap — see [[screenCalibration]].
+    "q95_screen_calibration" -> ((s, dir) =>
+      screenCalibration(Tables.documents(s, dir))),
 
     // Which copy of each normalization-exact duplicate cluster survives
     // — see [[clusterReps]].
@@ -828,6 +864,37 @@ object Curation {
         |                                       (a, b) -> a + b), 0.0)
         |                  / len(embedding), 6) END AS mse
         |FROM e""".stripMargin,
+
+    // q69's gram CTEs (hash renames grams — the q33/q69 convention)
+    // joined with the diversity bucket; floor(x·10) on IEEE doubles is
+    // bit-identical cross-engine, sums are integer until the final cast
+    "q95_screen_calibration" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           |  FROM documents WHERE text IS NOT NULL),
+           |grams AS (
+           |  SELECT doc_id, list_aggregate(t[i:i+15], 'string_agg', ' ') AS g
+           |  FROM toks, UNNEST(range(1, len(t) - 14)) AS r(i)
+           |  WHERE len(t) >= 16),
+           |shared AS (
+           |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams)
+           |  GROUP BY g HAVING count(*) >= 2),
+           |perdoc AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+           |dup AS (SELECT doc_id, count(*) AS n_dup
+           |        FROM grams JOIN shared USING (g) GROUP BY doc_id),
+           |span AS (
+           |  SELECT p.doc_id, p.n_grams, coalesce(d.n_dup, 0) AS n_dup
+           |  FROM perdoc p LEFT JOIN dup d USING (doc_id)),
+           |b AS (
+           |  SELECT doc_id, LEAST(CAST(floor(
+           |      CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 10)
+           |    AS BIGINT), 9) AS bucket
+           |  FROM toks)
+           |SELECT bucket, count(*) AS n_docs,
+           |  CAST(sum(n_grams) AS BIGINT) AS sum_grams,
+           |  CAST(sum(n_dup) AS BIGINT) AS sum_dup,
+           |  round(CAST(sum(n_dup) AS DOUBLE) / sum(n_grams), 6) AS dup_share
+           |FROM span JOIN b USING (doc_id) GROUP BY bucket""".stripMargin,
 
     // same norm expression as q53; the oracle partitions by the norm
     // STRING where Spark groups by (xxhash64, len) — the q53 convention

@@ -67,6 +67,22 @@ class CurationSpec extends SparkSpec {
     assert(r === Set((7L, 10L, 2L, 7L)))
   }
 
+  test("q95: diversity buckets cross span-dup counts; short docs excluded") {
+    val common = (1 to 16).map(i => s"t$i").mkString(" ") // one shared 16-window
+    val dir = docsDir(Seq(
+      1L -> (common + " xa"), // 17 tokens, all distinct -> bucket 9; windows [t1..t16],[t2..xa]
+      2L -> (common + " xb"), // same: shares window [t1..t16] with doc 1
+      3L -> (1 to 8).flatMap(i => Seq(s"c$i", s"c$i")).mkString(" "),
+      // 16 tokens, 8 uniq -> ratio 0.5 -> bucket 5; 1 unshared window
+      4L -> "short doc"))     // < 16 tokens: span-ineligible, excluded
+    val r = Curation.queries("q95_screen_calibration")(spark, dir).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(r === Map(
+      9L -> ((2L, 4L, 2L, 0.5)),  // docs 1+2: 4 windows, the 2 shared ones dup
+      5L -> ((1L, 1L, 0L, 0.0))))
+  }
+
   test("QuantizeStats treats NULL elements as 0, matching the oracle coalesce") {
     val s = spark
     import s.implicits._

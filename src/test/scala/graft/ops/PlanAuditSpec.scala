@@ -481,6 +481,21 @@ class PlanAuditSpec extends SparkSpec {
       plan.toString)
   }
 
+  test("q95: calibration joins doc-keyed counts; no body crosses an exchange") {
+    val df = graft.SparkEntry.queries("q95_screen_calibration")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val plan = executed(df)
+    // grams travel as xxhash64 longs and buckets as (doc_id, long) —
+    // the text column must never enter a shuffle
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"document bodies cross an exchange:\n$plan")
+    }
+  }
+
   test("q87: dimension probe and scoring are both partial-agg / scan-side") {
     val p = planString("q87_embed_outliers")
     // the modal-dimension probe + md5 sample ran at plan-construction
