@@ -276,6 +276,10 @@ object Dedup {
     // Duplicated-span REMOVAL — see [[stripDupSpans]].
     "q70_strip_spans" -> ((s, dir) => stripDupSpans(Tables.documents(s, dir))),
 
+    // Source×source mirror matrix — see [[sourceOverlap]].
+    "q96_source_overlap" -> ((s, dir) =>
+      sourceOverlap(Tables.documents(s, dir))),
+
     // Incremental dedup: the increment (odd ids) screened against the
     // reference snapshot (even ids) — see [[incrementalDedup]].
     "q62_incr_dedup" -> ((s, dir) => {
@@ -317,6 +321,45 @@ object Dedup {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"), 6)
           .as("dup_ratio"))
+  }
+
+  /** Source-level mirror detection: for every unordered source pair, how
+    * many distinct `w`-token spans appear in BOTH — plus the overlap
+    * coefficient shared/min(|A|,|B|), the containment form that flags a
+    * small crawl that is a subset-mirror of a big one even when the big
+    * side dwarfs it. The source×source view catches systematic copying
+    * (CC dump re-crawls, site mirrors split across dumps) that per-doc
+    * screens see only as scattered span dups.
+    *
+    * Scale: spans travel as xxhash64 longs; (g, source) is distincted by
+    * a partial agg BEFORE any pair math; per-gram source sets are bounded
+    * by the source catalog (the q93 contract: a CATALOG, ≤ thousands —
+    * not a per-doc domain), pairs expand in-group from the sorted set
+    * (the q33 pattern — no self-join exchange) and collapse map-side into
+    * ≤ catalog² count rows. Sizes join is a broadcast of catalog-many
+    * rows. NULL sources excluded (a pair needs two named sides).
+    */
+  def sourceOverlap(docs: DataFrame, w: Int = 16): DataFrame = {
+    val sg = docs.filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), explode(array_distinct(
+        graft.functions.TextFunctions.hashedGrams(tokens, w))).as("g"))
+      .distinct()
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairsOf = flatten(transform(col("ss"), (x, i) =>
+      transform(slice(col("ss"), i + 2, size(col("ss"))),
+        y => struct(x.as("a"), y.as("b")))))
+    val shared = sg.groupBy(col("g"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(pairsOf).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"),
+        round(col("shared").cast("double") / least(col("na"), col("nb")), 6)
+          .as("overlap"))
   }
 
   /** The ACTION step of duplicated-span analysis: remove every cross-doc
@@ -550,6 +593,27 @@ object Dedup {
     // Positional gram space over strings (xxhash64 only renames grams);
     // non-distinct grams in `grams` (one row per position), distinct-doc
     // df for the >= 2 docs filter.
+    // gram strings stand in for the xxhash64 longs (the q33/q69
+    // convention); shared/min(|A|,|B|) is int/int — exact cross-engine
+    "q96_source_overlap" ->
+      raw"""WITH toks AS (
+           |  SELECT source, string_split_regex(trim(text), '\s+') AS t
+           |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+           |grams AS (
+           |  SELECT DISTINCT source, list_aggregate(t[i:i+15], 'string_agg', ' ') AS g
+           |  FROM toks, UNNEST(range(1, len(t) - 14)) AS r(i)
+           |  WHERE len(t) >= 16),
+           |sizes AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+           |pairs AS (
+           |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS shared
+           |  FROM grams x JOIN grams y ON x.g = y.g AND x.source < y.source
+           |  GROUP BY 1, 2)
+           |SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared,
+           |  round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
+           |FROM pairs
+           |JOIN sizes sa ON sa.source = src_a
+           |JOIN sizes sb ON sb.source = src_b""".stripMargin,
+
     "q69_dup_spans" ->
       raw"""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

@@ -254,4 +254,27 @@ class DedupSpec extends SparkSpec {
     assert(rows.values.map(_._1).toSet === Set(1L))
     assert(rows.count(_._2._2) === 1 && rows(1L)._2)
   }
+
+  test("q96 sourceOverlap: shared spans per source pair, containment of the small mirror") {
+    val s = spark
+    import s.implicits._
+    val common = (1 to 16).map(i => s"t$i").mkString(" ")  // span in big+mini
+    val other  = (1 to 16).map(i => s"u$i").mkString(" ")  // span in big+full, twice in full
+    val docs = Seq(
+      (1L, common + " " + other, "big"), // 32 tokens: 17 windows incl. both spans
+      (2L, common, "mini"),              // 16 tokens: 1 window = its whole gram set
+      (3L, other, "full"),
+      (4L, other, "full"),               // within-source repeat: distinct'd away
+      (5L, (1 to 16).map(i => s"z$i").mkString(" "), "lone"), // shares nothing
+      (6L, null.asInstanceOf[String], "big"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.sourceOverlap(docs).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getDouble(3)))).toMap
+    // mini's ONE gram is inside big -> overlap 1.0 (subset mirror);
+    // full's one distinct gram is inside big too; lone pairs with nobody
+    assert(r === Map(
+      ("big", "mini") -> ((1L, 1.0)),
+      ("big", "full") -> ((1L, 1.0))))
+  }
 }

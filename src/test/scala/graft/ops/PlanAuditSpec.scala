@@ -496,6 +496,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q96: pair math stays in-group; sizes broadcast; no body in any exchange") {
+    val df = graft.SparkEntry.queries("q96_source_overlap")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // catalog-sized sizes frames must broadcast, never sort-merge
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val plan = executed(df)
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"document bodies cross an exchange:\n$plan")
+    }
+  }
+
   test("q87: dimension probe and scoring are both partial-agg / scan-side") {
     val p = planString("q87_embed_outliers")
     // the modal-dimension probe + md5 sample ran at plan-construction
