@@ -44,8 +44,8 @@ object Verify {
         } catch { case _: Throwable => () }
       }
     }
-    // corpus-keyed fixture oracles (q31/q32/q34/q36/q41/q42/q51/q58/
-    // q78/q82): derived and
+    // corpus-keyed fixture oracles (q31/q32/q34/q36/q41/q42/q43/q51/
+    // q58/q66/q77/q78/q82/q84/q94): derived and
     // published AFTER the dumps, BEFORE the SQL dump — the oracle SQL
     // references them via read_parquet (round-9 verdict item #2). A
     // failure here must not kill the dump: the affected queries then

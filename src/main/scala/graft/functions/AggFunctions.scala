@@ -254,7 +254,13 @@ object MisraGriesTopK {
   * HashAggregate. NULL inputs are ignored; an all-NULL group is NULL.
   */
 case class ArgMaxTieMin(c: Expression, id: Expression)
-  extends DeclarativeAggregate {
+  extends DeclarativeAggregate
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  // buffer expressions are built AFTER analyzer type coercion has run, so
+  // without declared input types a non-long argument dies in codegen with
+  // an error naming internal buffer attributes; this coerces like any
+  // builtin aggregate (int widens, string errors cleanly)
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   private lazy val bc = AttributeReference("amax_c", LongType)()
   private lazy val bid = AttributeReference("amax_id", LongType)()
   override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(bc, bid)

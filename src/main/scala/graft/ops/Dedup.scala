@@ -340,10 +340,15 @@ object Dedup {
     * rows. NULL sources excluded (a pair needs two named sides).
     */
   def sourceOverlap(docs: DataFrame, w: Int = 16): DataFrame = {
-    val sg = docs.filter(col("text").isNotNull && col("source").isNotNull)
+    // Materialize: sg feeds THREE branches (pair expansion + both sizes
+    // aliases) and AQE replans consumers independently — without it the
+    // corpus-scale tokenize/gram/distinct subtree can run three times
+    // (the q31 sigs / media fingerprint precedent)
+    val sg = Materialize(docs
+      .filter(col("text").isNotNull && col("source").isNotNull)
       .select(col("source"), explode(array_distinct(
         graft.functions.TextFunctions.hashedGrams(tokens, w))).as("g"))
-      .distinct()
+      .distinct())
     val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val pairsOf = flatten(transform(col("ss"), (x, i) =>
       transform(slice(col("ss"), i + 2, size(col("ss"))),

@@ -267,7 +267,11 @@ object Sampling {
         sort_array(collect_list(struct(
           coalesce(col("source"), lit("")).as("s"),
           sqrt(col("sum_tokens").cast("double")).as("t")))),
-        lit(0.0), (acc, x) => acc + x.getField("t")).as("denom"))
+        lit(0.0), (acc, x) =>
+          // an all-NULL-text source has NULL sum_tokens -> NULL sqrt; the
+          // oracle's ordered sum SKIPS that NULL, so the fold must too --
+          // one poisoned term would otherwise NULL every source's weight
+          acc + coalesce(x.getField("t"), lit(0.0))).as("denom"))
     val share = col("sum_tokens").cast("double") / col("total_tokens")
     val weight = sqrt(col("sum_tokens").cast("double")) / col("denom")
     per.crossJoin(broadcast(tot))

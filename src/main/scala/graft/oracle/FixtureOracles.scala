@@ -46,9 +46,12 @@ object FixtureOracles {
   private val MaxDocs = 200000
 
   /** Version token in the fixture directory name: bump when a fixture's
-    * SCHEMA changes, so a glob can never mix parquet of two layouts.
+    * SCHEMA changes (a glob must never mix parquet of two layouts) or
+    * when a derivation's VALUES change (publish() is a no-op on existing
+    * dirs, so stale pre-fix fixtures would otherwise be reused —
+    * fx1→fx2: the round6 shortest-decimal fix).
     */
-  private val Version = "fx1"
+  private val Version = "fx2"
 
   // ---- operator contracts, restated (see the ops/ scaladoc) ------------
 
@@ -793,9 +796,15 @@ object FixtureOracles {
     best
   }
 
-  /** Spark `round(x, 6)`: HALF_UP decimal rounding, not rint. */
+  /** Spark `round(x, 6)`: HALF_UP decimal rounding, not rint — and on
+    * the SHORTEST-DECIMAL string form of the double (Catalyst RoundBase
+    * goes through scala BigDecimal.apply(Double) = Double.toString), NOT
+    * the exact binary expansion: for 1.85e-5 the exact form
+    * 1.8499999...e-5 rounds DOWN where Spark rounds UP. BigDecimal
+    * .valueOf is the toString-based constructor.
+    */
   private def round6(x: Double): Double =
-    new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
       .doubleValue()
 
   private def ivfFit(vecs: Seq[(Long, Array[Float])], fileBytes: Long): Array[Array[Float]] = {

@@ -227,4 +227,16 @@ class AggFunctionsSpec extends SparkSpec {
     assert(rows(0).getStruct(1).getLong(1) === 2L)
     assert(rows(1).isNullAt(1))
   }
+
+  test("arg_max_tie_min: INT inputs coerce to long like a builtin aggregate") {
+    val s = spark
+    import s.implicits._
+    VectorFunctions.register(s)
+    Seq(("g", 3, 7), ("g", 9, 4)).toDF("g", "c", "id")
+      .createOrReplaceTempView("amax_int_t")
+    val m = s.sql(
+      "SELECT arg_max_tie_min(c, id) AS m FROM amax_int_t GROUP BY g")
+      .collect()(0).getStruct(0)
+    assert(m.getLong(0) === 9L && m.getLong(1) === 4L)
+  }
 }

@@ -197,4 +197,22 @@ class SamplingSpec extends SparkSpec {
     // share 0.2, weight 2/6, boost (2/6)/0.2 — tail boosted > 1
     assert(r("b") === ((1L, 4L, 0.2, 0.333333, 1.666667)))
   }
+
+  test("q93 domainMix: an all-NULL-text source must not poison the denominator") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "w w w w w w w w", "a"),
+      (2L, "w w w w w w w w", "a"),
+      (3L, "w w w w", "b"),
+      (4L, null.asInstanceOf[String], "ghost")).toDF("doc_id", "text", "source")
+    val rows = Sampling.domainMix(docs).collect()
+      .map(x => x.getString(0) -> x).toMap
+    // the live sources keep the same finite weights as without "ghost"
+    // (its sqrt(NULL) term is skipped, matching the oracle's NULL-skipping
+    // ordered sum), and ghost's own weight stays NULL on both engines
+    assert(rows("a").getDouble(4) === 0.666667)
+    assert(rows("b").getDouble(4) === 0.333333)
+    assert(rows("ghost").isNullAt(4))
+  }
 }

@@ -238,7 +238,7 @@ class FixtureOraclesSpec extends SparkSpec {
       try {
         import scala.jdk.CollectionConverters._
         l.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("graft_fx1_q")).toSet
+          .filter(_.startsWith("graft_fx2_q")).toSet
       } finally l.close()
     }
     Seq("q31_dedup_minhash", "q32_dedup_simhash", "q78_bpe_merges",
@@ -246,9 +246,9 @@ class FixtureOraclesSpec extends SparkSpec {
       "q51_audio_features", "q58_media_neardup",
       "q34_embed_neardup", "q36_ann_lsh", "q43_ann_ivf", "q66_semdedup",
       "q77_pq", "q84_ivfpq").foreach { q =>
-      assert(dirs.exists(_.startsWith(s"graft_fx1_${q}_")), s"no fixture dir for $q")
+      assert(dirs.exists(_.startsWith(s"graft_fx2_${q}_")), s"no fixture dir for $q")
       val sql = FixtureOracles.oracles(q)
-      assert(sql.contains(s"graft_fx1_${q}_*") && sql.contains("corpus_n") &&
+      assert(sql.contains(s"graft_fx2_${q}_*") && sql.contains("corpus_n") &&
         sql.contains("corpus_s"), s"oracle SQL for $q misses glob or key")
     }
     // idempotent second call (publish path short-circuits on existing dirs)
