@@ -164,7 +164,19 @@ object Curation {
     * packing never needs the bodies, so they must not ride its shuffles.
     */
   def packTokenCounts(counts: DataFrame, id: String, budget: Int,
-                      nShards: Int = 0): DataFrame = {
+                      nShards: Int = 0): DataFrame =
+    packOffsets(counts, id, nShards)
+      .select(col(id), col("shard"),
+        (col("shard") * lit(1L << 40) + expr(s"start_off div $budget"))
+          .as("pack_id"),
+        col("n_tok"))
+
+  /** The packing layout itself — each doc's running token offset within
+    * its hash shard — shared by [[packTokenCounts]] (which folds it into
+    * pack ids) and [[packWaste]] (which measures the layout).
+    */
+  private def packOffsets(counts: DataFrame, id: String,
+                          nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shards =
       if (nShards > 0) nShards.toLong
@@ -176,10 +188,48 @@ object Curation {
       .withColumn("h", TextAnalysis.md5Prefix(col(id).cast("string")))
       .withColumn("shard", pmod(col("h"), lit(shards)))
       .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
-      .select(col(id), col("shard"),
-        (col("shard") * lit(1L << 40) + expr(s"start_off div $budget"))
-          .as("pack_id"),
-        col("n_tok"))
+  }
+
+  /** Packing-efficiency profile of q57's layout, per shard: pack count,
+    * tail waste (concat packing fills every interior pack by
+    * construction — only each shard's LAST pack is short), fill ratio,
+    * and doc FRAGMENTATION — how many docs straddle a pack boundary and
+    * the total fragment count a trainer's attention mask will see. The
+    * fragmentation numbers are the case for smarter (best-fit) packing;
+    * this table is how you decide the extra complexity is worth it.
+    *
+    * Scale: [[packOffsets]]' sharded window (q57's accepted shape) into
+    * a |shards|-key aggregate; pure integer arithmetic until the one
+    * fill-ratio division, so the oracle is exact.
+    */
+  def packWaste(docs: DataFrame, budget: Int = 2048,
+                nShards: Int = 32): DataFrame = {
+    val b = lit(budget.toLong)
+    val endOff = col("start_off") + col("n_tok") // exclusive
+    val firstPack = expr(s"start_off div $budget")
+    val lastPack = expr(s"(start_off + n_tok - 1) div $budget")
+    packOffsets(
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), size(Dedup.tokens).cast("long").as("n_tok")),
+      "doc_id", nShards)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("sum_tokens"),
+        max(endOff).cast("long").as("end"),
+        sum(when(lastPack > firstPack, 1L).otherwise(0L)).cast("long")
+          .as("n_split_docs"),
+        sum(lastPack - firstPack + lit(1L)).cast("long").as("n_fragments"))
+      .select(col("shard"), col("n_docs"), col("sum_tokens"),
+        // contiguous concat: shard total == max end offset, so the pack
+        // count is one ceil-div (div, not `/` — Spark's / is true division)
+        expr(s"(`end` + ${budget - 1}) div $budget").as("n_packs"),
+        col("n_split_docs"), col("n_fragments"))
+      .select(col("shard"), col("n_docs"), col("sum_tokens"), col("n_packs"),
+        (col("n_packs") * b - col("sum_tokens")).as("tail_waste"),
+        round(col("sum_tokens").cast("double") / (col("n_packs") * b), 6)
+          .as("fill_ratio"),
+        col("n_split_docs"), col("n_fragments"))
   }
 
   /** Context-window chunking: split each document into token windows of
@@ -575,6 +625,10 @@ object Curation {
         Tables.documents(s, dir).filter(col("text").isNotNull),
         "doc_id", budget = 2048, nShards = 32)),
 
+    // Packing efficiency of q57's exact layout — see [[packWaste]].
+    "q97_pack_waste" -> ((s, dir) =>
+      packWaste(Tables.documents(s, dir))),
+
     // End-to-end composition (the pipeline tail a trainer consumes):
     // exact-dedup the corpus — q30's canonical min-id survivor, via the
     // SHARED [[Dedup.exactSurvivors]] so the two queries cannot diverge
@@ -952,6 +1006,40 @@ object Curation {
         |SELECT doc_id, shard,
         |  shard * 1099511627776 + start_off // 2048 AS pack_id, n_tok
         |FROM c""".stripMargin,
+
+    // q57's layout CTEs + pure integer pack arithmetic (// is DuckDB's
+    // integer div; casts pin BIGINT against HUGEINT widening — the q57
+    // note); fill_ratio is one int/int division, exact cross-engine
+    "q97_pack_waste" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, h % 32 AS shard, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY h % 32 ORDER BY h, doc_id
+        |                          ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT)
+        |      AS start_off
+        |  FROM t),
+        |g AS (
+        |  SELECT shard, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |    CAST(max(start_off + n_tok) AS BIGINT) AS fin,
+        |    CAST(sum(CASE WHEN (start_off + n_tok - 1) // 2048
+        |                       > start_off // 2048 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_split_docs,
+        |    CAST(sum((start_off + n_tok - 1) // 2048
+        |             - start_off // 2048 + 1) AS BIGINT) AS n_fragments
+        |  FROM c GROUP BY shard)
+        |SELECT shard, n_docs, sum_tokens,
+        |  CAST((fin + 2047) // 2048 AS BIGINT) AS n_packs,
+        |  CAST((fin + 2047) // 2048 * 2048 - sum_tokens AS BIGINT)
+        |    AS tail_waste,
+        |  round(CAST(sum_tokens AS DOUBLE)
+        |        / ((fin + 2047) // 2048 * 2048), 6) AS fill_ratio,
+        |  n_split_docs, n_fragments
+        |FROM g""".stripMargin,
 
     "q56_token_rarity" ->
       """WITH toks AS (

@@ -83,6 +83,41 @@ class CurationSpec extends SparkSpec {
       5L -> ((1L, 1L, 0L, 0.0))))
   }
 
+  test("q97 packWaste: independent layout simulation matches per-shard stats") {
+    val docs = (1L to 40L).map(i => (i, ("w " * (1 + (i % 7)).toInt).trim))
+    val dir = docsDir(docs)
+    val budget = 8
+    val got = Curation.packWaste(
+      graft.Tables.documents(spark, dir), budget, nShards = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6), r.getLong(7)))).toMap
+    // reference: replay the layout rules (md5-prefix shard + order) in
+    // plain JVM code and fold the packs sequentially
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString, 16)
+    val want = docs.map { case (id, t) => (id, h(id), t.split(" ").length.toLong) }
+      .groupBy { case (_, hh, _) => hh % 2 }
+      .map { case (shard, rows) =>
+        var off = 0L; var splits = 0L; var frags = 0L
+        rows.sortBy { case (id, hh, _) => (hh, id) }.foreach { case (_, _, n) =>
+          val first = off / budget; val last = (off + n - 1) / budget
+          if (last > first) splits += 1
+          frags += last - first + 1
+          off += n
+        }
+        val packs = (off + budget - 1) / budget
+        shard -> ((rows.size.toLong, off, packs, packs * budget - off,
+          // Spark round(): HALF_UP on the shortest-decimal form
+          java.math.BigDecimal.valueOf(off.toDouble / (packs * budget))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(),
+          splits, frags))
+      }
+    assert(want.values.map(_._6).sum > 0, "vacuous: no doc straddles a boundary")
+    assert(got === want)
+  }
+
   test("QuantizeStats treats NULL elements as 0, matching the oracle coalesce") {
     val s = spark
     import s.implicits._

@@ -510,6 +510,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q97: layout window is SHARD-partitioned; no body past the scan") {
+    val df = graft.SparkEntry.queries("q97_pack_waste")(spark, sf)
+    // every Window node must carry a partitionSpec (the q91 guard: an
+    // unpartitioned running sum would be a single task over the corpus)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the pack offset window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window in:\n${df.queryExecution.optimizedPlan}"))
+    val plan = executed(df)
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"document bodies cross an exchange:\n$plan")
+    }
+  }
+
   test("q87: dimension probe and scoring are both partial-agg / scan-side") {
     val p = planString("q87_embed_outliers")
     // the modal-dimension probe + md5 sample ran at plan-construction
