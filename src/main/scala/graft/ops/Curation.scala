@@ -232,6 +232,40 @@ object Curation {
         col("n_split_docs"), col("n_fragments"))
   }
 
+  /** Sequence-length distribution in power-of-two buckets (bucket k =
+    * docs of 2^k..2^(k+1)-1 tokens): doc and token counts plus the
+    * corpus shares — the table that sizes a packing budget (q57/q97),
+    * picks curriculum stages, and shows where truncation at a context
+    * limit would actually bite (the token_share above the limit, not the
+    * doc_share, is the training data lost).
+    *
+    * Scale: one map-side projection into a ≤64-key aggregate (bucket ids
+    * are bit-lengths of longs); the totals come from re-aggregating the
+    * bucket frame itself (tiny), broadcast back. Bucket boundaries are
+    * INTEGER arithmetic end to end — bit-length via bin-string length,
+    * not floor(log2(n)), whose FP rounding at exact powers of two would
+    * mis-bucket cross-engine; 2^k is exact in a double well past any
+    * token count, so the lo/hi reconstruction is exact too.
+    */
+  def lenBuckets(docs: DataFrame): DataFrame = {
+    val per = docs.filter(col("text").isNotNull)
+      .select(size(Dedup.tokens).cast("long").as("n_tok"))
+      .select((length(bin(col("n_tok"))) - 1).cast("long").as("bucket"),
+        col("n_tok"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+    val tot = per.agg(sum(col("n_docs")).as("tot_docs"),
+      sum(col("sum_tokens")).as("tot_tokens"))
+    val lo = expr("cast(pow(2, bucket) as bigint)")
+    per.crossJoin(broadcast(tot))
+      .select(col("bucket"), lo.as("lo"), (lo * 2 - 1).as("hi"),
+        col("n_docs"), col("sum_tokens"),
+        round(col("n_docs").cast("double") / col("tot_docs"), 6)
+          .as("doc_share"),
+        round(col("sum_tokens").cast("double") / col("tot_tokens"), 6)
+          .as("token_share"))
+  }
+
   /** Context-window chunking: split each document into token windows of
     * `win` tokens starting every `stride` tokens (stride < win ⇒
     * overlapping windows — the standard long-document treatment before
@@ -628,6 +662,10 @@ object Curation {
     // Packing efficiency of q57's exact layout — see [[packWaste]].
     "q97_pack_waste" -> ((s, dir) =>
       packWaste(Tables.documents(s, dir))),
+
+    // Power-of-two sequence-length histogram — see [[lenBuckets]].
+    "q100_len_buckets" -> ((s, dir) =>
+      lenBuckets(Tables.documents(s, dir))),
 
     // End-to-end composition (the pipeline tail a trainer consumes):
     // exact-dedup the corpus — q30's canonical min-id survivor, via the
@@ -1040,6 +1078,33 @@ object Curation {
         |        / ((fin + 2047) // 2048 * 2048), 6) AS fill_ratio,
         |  n_split_docs, n_fragments
         |FROM g""".stripMargin,
+
+    // bucket = bit_length - 1 via bin-string length on BOTH engines
+    // (integer-exact; no FP log2); pow(2, k) is exact in a double for
+    // any bucket a BIGINT token count can produce, and every share is
+    // one rounded int/int division
+    "q100_len_buckets" ->
+      """WITH n AS (
+        |  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    AS n_tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT CAST(length(bin(n_tok)) - 1 AS BIGINT) AS bucket, n_tok
+        |  FROM n),
+        |per AS (
+        |  SELECT bucket, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        |  FROM b GROUP BY bucket),
+        |tot AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+        |    CAST(sum(sum_tokens) AS BIGINT) AS tot_tokens
+        |  FROM per)
+        |SELECT bucket, CAST(pow(2, bucket) AS BIGINT) AS lo,
+        |  CAST(pow(2, bucket) AS BIGINT) * 2 - 1 AS hi,
+        |  CAST(n_docs AS BIGINT) AS n_docs, sum_tokens,
+        |  round(CAST(n_docs AS DOUBLE) / tot_docs, 6) AS doc_share,
+        |  round(CAST(sum_tokens AS DOUBLE) / tot_tokens, 6) AS token_share
+        |FROM per, tot""".stripMargin,
 
     "q56_token_rarity" ->
       """WITH toks AS (

@@ -280,6 +280,10 @@ object Dedup {
     "q96_source_overlap" -> ((s, dir) =>
       sourceOverlap(Tables.documents(s, dir))),
 
+    // First-occurrence span ownership per source — see [[gramNovelty]].
+    "q98_gram_novelty" -> ((s, dir) =>
+      gramNovelty(Tables.documents(s, dir))),
+
     // Incremental dedup: the increment (odd ids) screened against the
     // reference snapshot (even ids) — see [[incrementalDedup]].
     "q62_incr_dedup" -> ((s, dir) => {
@@ -365,6 +369,46 @@ object Dedup {
       .select(col("src_a"), col("src_b"), col("shared"),
         round(col("shared").cast("double") / least(col("na"), col("nb")), 6)
           .as("overlap"))
+  }
+
+  /** Marginal-novelty attribution per source: walk the corpus in doc_id
+    * (acquisition) order and credit each distinct `w`-token span to the
+    * source of the document where it FIRST appears. Per source: distinct
+    * spans present, spans owned (first seen here — exactly the spans this
+    * source contributes to a dedup-in-acquisition-order corpus), spans
+    * exclusive (appearing in no other source), and novelty = owned /
+    * present. This is the data-value table behind "does crawl N+1 add
+    * anything" decisions: a source with high overlap (q96) can still own
+    * nothing if every shared span was crawled earlier elsewhere.
+    *
+    * Scale: spans travel as xxhash64 longs; the corpus-scale gram stream
+    * collapses immediately by a (g, source)-keyed partial agg carrying
+    * min(doc_id); ownership is an arg-min partial agg keyed by g alone
+    * (doc ids are globally unique so the arg-min is deterministic and
+    * tie-free); both rollups then reduce to catalog-bounded rows. `gs`
+    * feeds two aggregation branches → [[Materialize]] (the q96 AQE-replan
+    * precedent: without it the tokenize/gram subtree runs per consumer).
+    */
+  def gramNovelty(docs: DataFrame, w: Int = 16): DataFrame = {
+    val gs = Materialize(docs
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("doc_id"), col("source"), explode(
+        graft.functions.TextFunctions.hashedGrams(tokens, w)).as("g"))
+      .groupBy(col("g"), col("source")).agg(min(col("doc_id")).as("mindoc")))
+    val present = gs.groupBy(col("source")).agg(count(lit(1)).as("n_spans"))
+    val owned = gs.groupBy(col("g"))
+      .agg(min_by(col("source"), col("mindoc")).as("osrc"),
+        count(lit(1)).as("nsrc"))
+      .groupBy(col("osrc"))
+      .agg(count(lit(1)).as("n_owned"),
+        sum(when(col("nsrc") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_exclusive"))
+    present.join(owned, present("source") === owned("osrc"), "left")
+      .select(col("source"), col("n_spans"),
+        coalesce(col("n_owned"), lit(0L)).as("n_owned"),
+        coalesce(col("n_exclusive"), lit(0L)).as("n_exclusive"),
+        round(coalesce(col("n_owned"), lit(0L)).cast("double")
+          / col("n_spans"), 6).as("novelty"))
   }
 
   /** The ACTION step of duplicated-span analysis: remove every cross-doc
@@ -618,6 +662,33 @@ object Dedup {
            |FROM pairs
            |JOIN sizes sa ON sa.source = src_a
            |JOIN sizes sb ON sb.source = src_b""".stripMargin,
+
+    // Same gram-string convention; arg_min(source, mindoc) is tie-free
+    // because doc ids are globally unique (min over a source's docs of a
+    // given gram differs across sources); counts and the single rounded
+    // ratio are integer-derived — exact cross-engine.
+    "q98_gram_novelty" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+           |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+           |grams AS (
+           |  SELECT doc_id, source, list_aggregate(t[i:i+15], 'string_agg', ' ') AS g
+           |  FROM toks, UNNEST(range(1, len(t) - 14)) AS r(i)
+           |  WHERE len(t) >= 16),
+           |gs AS (SELECT g, source, min(doc_id) AS mindoc FROM grams GROUP BY 1, 2),
+           |per AS (SELECT source, count(*) AS n_spans FROM gs GROUP BY source),
+           |own AS (SELECT arg_min(source, mindoc) AS osrc, count(*) AS nsrc
+           |        FROM gs GROUP BY g),
+           |ownagg AS (
+           |  SELECT osrc, count(*) AS n_owned,
+           |    sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS n_exclusive
+           |  FROM own GROUP BY osrc)
+           |SELECT p.source, CAST(p.n_spans AS BIGINT) AS n_spans,
+           |  CAST(coalesce(o.n_owned, 0) AS BIGINT) AS n_owned,
+           |  CAST(coalesce(o.n_exclusive, 0) AS BIGINT) AS n_exclusive,
+           |  round(CAST(coalesce(o.n_owned, 0) AS DOUBLE) / p.n_spans, 6)
+           |    AS novelty
+           |FROM per p LEFT JOIN ownagg o ON o.osrc = p.source""".stripMargin,
 
     "q69_dup_spans" ->
       raw"""WITH toks AS (

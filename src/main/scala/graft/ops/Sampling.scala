@@ -258,6 +258,19 @@ object Sampling {
     * a violation fails the gate loudly rather than reordering silently).
     */
   def domainMix(docs: DataFrame): DataFrame = {
+    val share = col("sum_tokens").cast("double") / col("total_tokens")
+    val weight = sqrt(col("sum_tokens").cast("double")) / col("denom")
+    mixStats(docs)
+      .select(col("source"), col("n_docs"), col("sum_tokens"),
+        round(share, 6).as("share"),
+        round(weight, 6).as("weight"),
+        round(weight / share, 6).as("boost"))
+  }
+
+  /** Shared q93/q99 core: the per-source count frame crossed with the
+    * 1-row corpus normalizer (total tokens + the pinned-order √-sum),
+    * all UNROUNDED — each query formats its own view. */
+  private def mixStats(docs: DataFrame): DataFrame = {
     val per = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(Dedup.tokens)).cast("long").as("sum_tokens"))
@@ -272,13 +285,37 @@ object Sampling {
           // oracle's ordered sum SKIPS that NULL, so the fold must too --
           // one poisoned term would otherwise NULL every source's weight
           acc + coalesce(x.getField("t"), lit(0.0))).as("denom"))
-    val share = col("sum_tokens").cast("double") / col("total_tokens")
-    val weight = sqrt(col("sum_tokens").cast("double")) / col("denom")
     per.crossJoin(broadcast(tot))
-      .select(col("source"), col("n_docs"), col("sum_tokens"),
-        round(share, 6).as("share"),
+  }
+
+  /** The EXECUTABLE form of q93's mixture: per source, the keep rate a
+    * hash-sampler applies to hit the α-weights at a fixed token budget
+    * (half the corpus here), the tokens that rate keeps, and whether the
+    * source is budget-binding. rate = min(1, w·B / tokens), B = total/2 —
+    * the no-upsampling policy (q59's): a capped source contributes
+    * everything it has and the shortfall is REPORTED (deficit_tokens),
+    * never silently redistributed — redistribution changes the mixture,
+    * which is the mixture designer's call, not the sampler's.
+    *
+    * Scale: one source-keyed partial-agg shuffle ([[mixStats]]); the plan
+    * itself is arithmetic on the catalog-bounded frame. FP: the same IEEE
+    * double ops in the same order as the oracle SQL (the q59/q93
+    * cross-engine contract); kept/deficit use floor so the integers are
+    * exact, not rounded.
+    */
+  def mixPlan(docs: DataFrame): DataFrame = {
+    val tokD = col("sum_tokens").cast("double")
+    val weight = sqrt(tokD) / col("denom")
+    val target = weight * (col("total_tokens").cast("double") * 0.5)
+    val rate = least(lit(1.0), target / tokD)
+    mixStats(docs)
+      .select(col("source"), col("sum_tokens"),
         round(weight, 6).as("weight"),
-        round(weight / share, 6).as("boost"))
+        round(rate, 6).as("rate"),
+        floor(rate * tokD).cast("long").as("kept_tokens"),
+        (target >= tokD).cast("int").as("capped"),
+        floor(greatest(lit(0.0), target - tokD)).cast("long")
+          .as("deficit_tokens"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -287,6 +324,10 @@ object Sampling {
 
     // α = 0.5 domain mixture weights — see [[domainMix]].
     "q93_domain_mix" -> ((s, dir) => domainMix(Tables.documents(s, dir))),
+
+    // Per-source keep rates for the q93 mixture at a half-corpus token
+    // budget — see [[mixPlan]].
+    "q99_mix_plan" -> ((s, dir) => mixPlan(Tables.documents(s, dir))),
 
     "q81_vocab_ids" -> ((s, dir) => vocabIds(Tables.documents(s, dir))),
 
@@ -392,6 +433,36 @@ object Sampling {
         |  round((sqrt(CAST(sum_tokens AS DOUBLE)) / denom)
         |        / (CAST(sum_tokens AS DOUBLE) / total_tokens), 6) AS boost
         |FROM per, tot""".stripMargin,
+
+    // q93's stats CTEs verbatim; the plan arithmetic repeats the Spark
+    // side's exact double expression order (weight * (total * 0.5),
+    // least, floor) so every value is bit-equal cross-engine — kept and
+    // deficit are floored integers, never rounded doubles.
+    "q99_mix_plan" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |         AS BIGINT) AS sum_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(sum_tokens) AS BIGINT) AS total_tokens,
+        |    sum(sqrt(CAST(sum_tokens AS DOUBLE))
+        |        ORDER BY coalesce(source, '')) AS denom
+        |  FROM per),
+        |pl AS (
+        |  SELECT source, sum_tokens,
+        |    CAST(sum_tokens AS DOUBLE) AS tok,
+        |    sqrt(CAST(sum_tokens AS DOUBLE)) / denom AS weight,
+        |    (sqrt(CAST(sum_tokens AS DOUBLE)) / denom)
+        |      * (CAST(total_tokens AS DOUBLE) * 0.5) AS target
+        |  FROM per, tot)
+        |SELECT source, sum_tokens,
+        |  round(weight, 6) AS weight,
+        |  round(least(1.0, target / tok), 6) AS rate,
+        |  CAST(floor(least(1.0, target / tok) * tok) AS BIGINT) AS kept_tokens,
+        |  CAST(target >= tok AS INT) AS capped,
+        |  CAST(floor(greatest(0.0, target - tok)) AS BIGINT) AS deficit_tokens
+        |FROM pl""".stripMargin,
 
     // Same double-arithmetic shape as the Spark side ((w·T)/mass, T = the
     // min over the tiny mass frame) — IEEE ops on identical inputs are

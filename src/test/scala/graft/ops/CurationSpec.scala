@@ -522,4 +522,26 @@ class CurationSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("q100 lenBuckets: power-of-two boundaries are integer-exact") {
+    val s = spark
+    import s.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(1)),   // bucket 0 [1,1]
+      (2L, words(3)),   // bucket 1 [2,3] — upper edge
+      (3L, words(16)),  // bucket 4 [16,31] — lower edge (log2 FP trap)
+      (4L, words(17)),
+      (5L, words(31)),  // upper edge
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = Curation.lenBuckets(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5), x.getDouble(6)))).toMap
+    // totals: 5 docs, 68 tokens
+    assert(r === Map(
+      0L -> ((1L, 1L, 1L, 1L, 0.2, 0.014706)),
+      1L -> ((2L, 3L, 1L, 3L, 0.2, 0.044118)),
+      4L -> ((16L, 31L, 3L, 64L, 0.6, 0.941176))))
+  }
 }

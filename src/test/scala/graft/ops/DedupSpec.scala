@@ -277,4 +277,28 @@ class DedupSpec extends SparkSpec {
       ("big", "mini") -> ((1L, 1.0)),
       ("big", "full") -> ((1L, 1.0))))
   }
+
+  test("q98 gramNovelty: first-occurrence ownership, exclusivity, null guards") {
+    val s = spark
+    import s.implicits._
+    val x = (1 to 16).map(i => s"x$i").mkString(" ")
+    val y = (1 to 16).map(i => s"y$i").mkString(" ")
+    val z = (1 to 16).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, x, "A"),    // X first seen in A
+      (2L, y, "A"),    // Y only ever in A -> exclusive
+      (3L, x, "B"),    // X again: B holds it but doesn't own it
+      (4L, z, "B"),    // Z first seen in B...
+      (5L, z, "C"),    // ...C re-crawls it -> owns nothing
+      (6L, null.asInstanceOf[String], "A"),   // null text: dropped
+      (7L, x, null.asInstanceOf[String]))     // null source: dropped
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.gramNovelty(docs).collect()
+      .map(w => w.getString(0) ->
+        ((w.getLong(1), w.getLong(2), w.getLong(3), w.getDouble(4)))).toMap
+    assert(r === Map(
+      "A" -> ((2L, 2L, 1L, 1.0)),   // spans X,Y; owns both; Y exclusive
+      "B" -> ((2L, 1L, 0L, 0.5)),   // spans X,Z; owns Z only
+      "C" -> ((1L, 0L, 0L, 0.0)))) // Z arrived earlier in B
+  }
 }

@@ -215,4 +215,36 @@ class SamplingSpec extends SparkSpec {
     assert(rows("b").getDouble(4) === 0.333333)
     assert(rows("ghost").isNullAt(4))
   }
+
+  test("q99 mixPlan: rates, caps, and deficits at the half-corpus budget") {
+    val s = spark
+    import s.implicits._
+    // token masses A=64 B=16 C=4 -> denom 8+4+2, budget (84)*0.5 = 42
+    val docs = (
+      (1 to 4).map(i => (i.toLong, ("w " * 16).trim, "A")) ++
+      Seq((5L, ("w " * 16).trim, "B"), (6L, ("w " * 4).trim, "C")))
+      .toDF("doc_id", "text", "source")
+    val r = Sampling.mixPlan(docs).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getLong(4), x.getInt(5), x.getLong(6)))).toMap
+    // expected values via the SAME double expression order as the op
+    val denom = math.sqrt(64.0) + math.sqrt(16.0) + math.sqrt(4.0)
+    def exp(tok: Double) = {
+      val w = math.sqrt(tok) / denom
+      val target = w * (84.0 * 0.5)
+      val rate = math.min(1.0, target / tok)
+      (BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(rate).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        math.floor(rate * tok).toLong,
+        if (target >= tok) 1 else 0,
+        math.floor(math.max(0.0, target - tok)).toLong)
+    }
+    val (wa, ra, ka, ca, da) = exp(64.0)
+    assert(r("A") === ((64L, wa, ra, ka, ca, da)))
+    assert(ca === 0 && ka < 64L)            // head source is downsampled
+    val (wc, rc, kc, cc, dc) = exp(4.0)
+    assert(r("C") === ((4L, wc, rc, kc, cc, dc)))
+    // tail source: budget wants more than it has -> capped, deficit > 0
+    assert(rc === 1.0 && cc === 1 && kc === 4L && dc > 0L)
+  }
 }
