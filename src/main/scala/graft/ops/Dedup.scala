@@ -284,6 +284,11 @@ object Dedup {
     "q98_gram_novelty" -> ((s, dir) =>
       gramNovelty(Tables.documents(s, dir))),
 
+    // Exact-dedup ROI per source (tokens saved, within/cross split) —
+    // see [[dedupSavings]].
+    "q101_dedup_savings" -> ((s, dir) =>
+      dedupSavings(Tables.documents(s, dir))),
+
     // Incremental dedup: the increment (odd ids) screened against the
     // reference snapshot (even ids) — see [[incrementalDedup]].
     "q62_incr_dedup" -> ((s, dir) => {
@@ -409,6 +414,65 @@ object Dedup {
         coalesce(col("n_exclusive"), lit(0L)).as("n_exclusive"),
         round(coalesce(col("n_owned"), lit(0L)).cast("double")
           / col("n_spans"), 6).as("novelty"))
+  }
+
+  /** Exact-dedup ROI report: per source, what q30's dedup actually saves
+    * — docs and tokens removed (every non-canonical copy, attributed to
+    * the source that CARRIES the copy, not the one that owns the
+    * survivor) plus the within-source/cross-source split of the removed
+    * docs. The table that answers "is per-crawl dedup enough, or do we
+    * pay for the global pass": a source whose removals are mostly
+    * `removed_within` cleans up alone; mostly-cross sources only dedup
+    * globally. Savings ratio = tokens_removed / tokens_total.
+    *
+    * Scale: rides [[exactSurvivors]]' key convention ((xxhash64, length)
+    * — 16 bytes/row, never a body). First shuffle: (key, source) partial
+    * agg with map-side combine collapses identical copies. Second: per
+    * key, the per-source rows fold in-group via a catalog-bounded
+    * collect_list (≤|sources| structs per key — the q96 in-group
+    * pattern; no corpus-scale join, no window), keeper chosen by tie-free
+    * min_by (doc ids are globally unique). Third: the catalog-keyed
+    * rollup. Identical text ⇒ identical token count, so per-copy tokens
+    * multiply out of the group stats instead of re-shuffling per-doc
+    * rows.
+    */
+  def dedupSavings(docs: DataFrame): DataFrame = {
+    val perKeySrc = docs
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(xxhash64(col("text")).as("h"), length(col("text")).as("len"),
+        col("source"), col("doc_id"), size(tokens).cast("long").as("n_tok"))
+      .groupBy(col("h"), col("len"), col("source"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("mindoc"),
+        min(col("n_tok")).as("tok"))
+    val perKey = perKeySrc
+      .groupBy(col("h"), col("len"))
+      .agg(min_by(col("source"), col("mindoc")).as("keeper_src"),
+        collect_list(struct(col("source"), col("n"), col("tok"))).as("rows"))
+    perKey
+      .select(col("keeper_src"), explode(col("rows")).as("r"))
+      .select(col("r.source").as("source"), col("r.n").as("n"),
+        col("r.tok").as("tok"),
+        // this source's removed copies: all of them, minus the one global
+        // survivor if this source holds it
+        (col("r.n") - when(col("r.source") === col("keeper_src"), 1L)
+          .otherwise(0L)).as("rem"),
+        // removals a within-source dedup would ALSO catch: copies beyond
+        // this source's own first — so removed_cross (= rem − remWithin)
+        // is exactly [this source doesn't hold the global keeper]: the
+        // source's first copy, removable only by the global pass
+        (col("r.n") - 1L).as("remWithin"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(col("rem")).cast("long").as("n_removed"),
+        sum(col("remWithin")).cast("long").as("removed_within"),
+        sum(col("n") * col("tok")).as("tokens_total"),
+        sum(col("rem") * col("tok")).as("tokens_removed"))
+      .select(col("source"), col("n_docs"), col("n_removed"),
+        col("removed_within"),
+        (col("n_removed") - col("removed_within")).as("removed_cross"),
+        col("tokens_total"), col("tokens_removed"),
+        round(col("tokens_removed").cast("double") / col("tokens_total"), 6)
+          .as("savings"))
   }
 
   /** The ACTION step of duplicated-span analysis: remove every cross-doc
@@ -689,6 +753,39 @@ object Dedup {
            |  round(CAST(coalesce(o.n_owned, 0) AS DOUBLE) / p.n_spans, 6)
            |    AS novelty
            |FROM per p LEFT JOIN ownagg o ON o.osrc = p.source""".stripMargin,
+
+    // Groups by the text itself (the hash key is a Spark-side shuffle
+    // discipline, not a semantic); keeper attribution via the same
+    // tie-free arg_min; every output is integer-derived except the one
+    // rounded savings division
+    "q101_dedup_savings" ->
+      raw"""WITH per AS (
+           |  SELECT doc_id, source, text,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           |      AS n_tok
+           |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+           |k AS (SELECT text, min(doc_id) AS keeper FROM per GROUP BY text),
+           |ks AS (SELECT p.text, p.source AS keeper_src
+           |       FROM per p JOIN k ON p.doc_id = k.keeper),
+           |fs AS (SELECT text, source, min(doc_id) AS first_here
+           |       FROM per GROUP BY text, source),
+           |j AS (
+           |  SELECT p.source, p.n_tok,
+           |    CASE WHEN p.doc_id = k.keeper THEN 0 ELSE 1 END AS rem,
+           |    CASE WHEN p.doc_id = f.first_here THEN 0 ELSE 1 END AS remw
+           |  FROM per p
+           |  JOIN k ON p.text = k.text
+           |  JOIN fs f ON p.text = f.text AND p.source = f.source)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(rem) AS BIGINT) AS n_removed,
+           |  CAST(sum(remw) AS BIGINT) AS removed_within,
+           |  CAST(sum(rem) - sum(remw) AS BIGINT) AS removed_cross,
+           |  CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           |  CAST(sum(CASE WHEN rem = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+           |    AS tokens_removed,
+           |  round(CAST(sum(CASE WHEN rem = 1 THEN n_tok ELSE 0 END) AS DOUBLE)
+           |    / sum(n_tok), 6) AS savings
+           |FROM j GROUP BY source""".stripMargin,
 
     "q69_dup_spans" ->
       raw"""WITH toks AS (

@@ -278,6 +278,34 @@ class DedupSpec extends SparkSpec {
       ("big", "full") -> ((1L, 1.0))))
   }
 
+  test("q101 dedupSavings: keeper attribution, within/cross split, token savings") {
+    val s = spark
+    import s.implicits._
+    val x = "x1 x2 x3 x4" // 4 tokens
+    val y = "y1 y2"       // 2 tokens
+    val docs = Seq(
+      (1L, x, "A"),   // keeper of X (global min doc)
+      (3L, x, "B"),   // B's first copy of X: removable only globally
+      (5L, x, "B"),   // B's second copy: within-source catches it
+      (2L, y, "B"),   // keeper of Y
+      (4L, y, "A"),
+      (6L, y, "A"),
+      (7L, "z1", "C"),                       // unique: nothing removed
+      (8L, null.asInstanceOf[String], "A"),  // null text: dropped
+      (9L, x, null.asInstanceOf[String]))    // null source: dropped
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.dedupSavings(docs).collect()
+      .map(w => w.getString(0) -> ((w.getLong(1), w.getLong(2), w.getLong(3),
+        w.getLong(4), w.getLong(5), w.getLong(6), w.getDouble(7)))).toMap
+    assert(r === Map(
+      // A: holds X's keeper (0 removed), loses both Y copies (1 within +
+      // 1 cross); 4 of 8 tokens removed
+      "A" -> ((3L, 2L, 1L, 1L, 8L, 4L, 0.5)),
+      // B: holds Y's keeper, loses both X copies; 8 of 10 tokens removed
+      "B" -> ((3L, 2L, 1L, 1L, 10L, 8L, 0.8)),
+      "C" -> ((1L, 0L, 0L, 0L, 1L, 0L, 0.0))))
+  }
+
   test("q98 gramNovelty: first-occurrence ownership, exclusivity, null guards") {
     val s = spark
     import s.implicits._

@@ -527,6 +527,69 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q98: gram stream collapses by partial agg; hashes-only exchanges") {
+    val df = graft.SparkEntry.queries("q98_gram_novelty")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val plan = executed(df)
+    // spans travel as xxhash64 longs: the text column must never enter a
+    // shuffle, and neither may any recomputed token array
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"document bodies cross an exchange:\n$plan")
+    }
+  }
+
+  test("q99: shares q93's shape — map-side token sums, broadcast stats frame") {
+    val df = graft.SparkEntry.queries("q99_mix_plan")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the 1-row budget/normalizer frame joins back by broadcast — a
+    // shuffled join on a frame this small would be a planning bug
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    val plan = executed(df)
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"document bodies cross an exchange:\n$plan")
+    }
+  }
+
+  test("q100: one <=64-key aggregate; totals broadcast; no body past the scan") {
+    val df = graft.SparkEntry.queries("q100_len_buckets")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    // the 1-row totals frame is an explicit broadcast crossJoin
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val plan = executed(df)
+    // only (bucket, n_tok) may cross: the projection to token counts
+    // happens scan-side, so text must never reach an exchange
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"document bodies cross an exchange:\n$plan")
+    }
+  }
+
+  test("q101: savings rollup is agg-only — no join, no window, hashes-only exchanges") {
+    val df = graft.SparkEntry.queries("q101_dedup_savings")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // keeper election + per-source fold happen in-group (collect_list
+    // bounded by the source catalog): a Join or Window here would mean a
+    // corpus-scale keeper join sneaked back in
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    val plan = executed(df)
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"document bodies cross an exchange:\n$plan")
+    }
+  }
+
   test("q87: dimension probe and scoring are both partial-agg / scan-side") {
     val p = planString("q87_embed_outliers")
     // the modal-dimension probe + md5 sample ran at plan-construction
