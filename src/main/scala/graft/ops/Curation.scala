@@ -248,12 +248,16 @@ object Curation {
     * token count, so the lo/hi reconstruction is exact too.
     */
   def lenBuckets(docs: DataFrame): DataFrame = {
-    val per = docs.filter(col("text").isNotNull)
+    // Materialize: `per` feeds two consumers (the totals re-aggregation
+    // and the crossJoin left side) — without it AQE replans each
+    // independently and the corpus scan + tokenize runs twice (the
+    // q96/q31 precedent; ReuseExchange does not reliably fire)
+    val per = Materialize(docs.filter(col("text").isNotNull)
       .select(size(Dedup.tokens).cast("long").as("n_tok"))
       .select((length(bin(col("n_tok"))) - 1).cast("long").as("bucket"),
         col("n_tok"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens")))
     val tot = per.agg(sum(col("n_docs")).as("tot_docs"),
       sum(col("sum_tokens")).as("tot_tokens"))
     val lo = expr("cast(pow(2, bucket) as bigint)")

@@ -755,9 +755,11 @@ object Dedup {
            |FROM per p LEFT JOIN ownagg o ON o.osrc = p.source""".stripMargin,
 
     // Groups by the text itself (the hash key is a Spark-side shuffle
-    // discipline, not a semantic); keeper attribution via the same
-    // tie-free arg_min; every output is integer-derived except the one
-    // rounded savings division
+    // discipline, not a semantic); removal tests compare each doc_id
+    // against the group keeper / the source's first copy directly — no
+    // keeper-source election needed (the Spark side's min_by keeper_src
+    // is just its in-group spelling of the same doc_id comparison);
+    // every output is integer-derived except the one rounded division
     "q101_dedup_savings" ->
       raw"""WITH per AS (
            |  SELECT doc_id, source, text,
@@ -765,8 +767,6 @@ object Dedup {
            |      AS n_tok
            |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
            |k AS (SELECT text, min(doc_id) AS keeper FROM per GROUP BY text),
-           |ks AS (SELECT p.text, p.source AS keeper_src
-           |       FROM per p JOIN k ON p.doc_id = k.keeper),
            |fs AS (SELECT text, source, min(doc_id) AS first_here
            |       FROM per GROUP BY text, source),
            |j AS (

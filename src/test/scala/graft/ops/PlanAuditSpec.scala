@@ -38,6 +38,25 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** No document body may cross a shuffle: neither the raw `text` column
+    * nor any string-array column (a tokenize/gram recomputation pushed
+    * past the exchange is the same corpus-scale payload under another
+    * name — the rename is exactly the regression a name-only check
+    * misses).
+    */
+  private def assertBodyFreeExchanges(plan: SparkPlan): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      e.child.output.foreach { a =>
+        assert(a.name != "text", s"document bodies cross an exchange:\n$plan")
+        assert(!(a.dataType match {
+          case ArrayType(StringType, _) => true
+          case _ => false
+        }), s"string-array (token/gram) column '${a.name}' crosses an exchange:\n$plan")
+      }
+    }
+  }
+
   test("q02: filter AND projection reach the parquet scan") {
     val p = planString("q02_filter_project")
     assert(p.contains("PushedFilters: ["), p)
@@ -533,13 +552,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     assert(p.contains("partial"), p)
     assert(!p.contains("CartesianProduct"), p)
-    val plan = executed(df)
     // spans travel as xxhash64 longs: the text column must never enter a
     // shuffle, and neither may any recomputed token array
-    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
-      assert(!e.child.output.exists(_.name == "text"),
-        s"document bodies cross an exchange:\n$plan")
-    }
+    assertBodyFreeExchanges(executed(df))
   }
 
   test("q99: shares q93's shape — map-side token sums, broadcast stats frame") {
@@ -549,11 +564,7 @@ class PlanAuditSpec extends SparkSpec {
     // shuffled join on a frame this small would be a planning bug
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
-    val plan = executed(df)
-    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
-      assert(!e.child.output.exists(_.name == "text"),
-        s"document bodies cross an exchange:\n$plan")
-    }
+    assertBodyFreeExchanges(executed(df))
   }
 
   test("q100: one <=64-key aggregate; totals broadcast; no body past the scan") {
@@ -564,13 +575,9 @@ class PlanAuditSpec extends SparkSpec {
     // the 1-row totals frame is an explicit broadcast crossJoin
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    val plan = executed(df)
     // only (bucket, n_tok) may cross: the projection to token counts
     // happens scan-side, so text must never reach an exchange
-    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
-      assert(!e.child.output.exists(_.name == "text"),
-        s"document bodies cross an exchange:\n$plan")
-    }
+    assertBodyFreeExchanges(executed(df))
   }
 
   test("q101: savings rollup is agg-only — no join, no window, hashes-only exchanges") {
@@ -583,11 +590,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial"), p)
     assert(!p.contains("Join"), p)
     assert(!p.contains("Window"), p)
-    val plan = executed(df)
-    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
-      assert(!e.child.output.exists(_.name == "text"),
-        s"document bodies cross an exchange:\n$plan")
-    }
+    assertBodyFreeExchanges(executed(df))
   }
 
   test("q87: dimension probe and scoring are both partial-agg / scan-side") {
