@@ -289,6 +289,11 @@ object Dedup {
     "q101_dedup_savings" -> ((s, dir) =>
       dedupSavings(Tables.documents(s, dir))),
 
+    // Similarity histogram + cumulative flag counts per candidate
+    // threshold — see [[jaccardCalibration]].
+    "q102_jaccard_calib" -> ((s, dir) =>
+      jaccardCalibration(Tables.documents(s, dir))),
+
     // Incremental dedup: the increment (odd ids) screened against the
     // reference snapshot (even ids) — see [[incrementalDedup]].
     "q62_incr_dedup" -> ((s, dir) => {
@@ -473,6 +478,47 @@ object Dedup {
         col("tokens_total"), col("tokens_removed"),
         round(col("tokens_removed").cast("double") / col("tokens_total"), 6)
           .as("savings"))
+  }
+
+  /** Jaccard-threshold calibration: the similarity histogram over EVERY
+    * candidate near-dup pair (q33's machinery with the 0.8 cutoff
+    * removed), in 0.05 bins, with the two cumulative columns a threshold
+    * decision actually reads — pairs flagged at >= lo, and docs touched
+    * at >= lo (a doc counts at its BEST pair's bin). Where the histogram
+    * knees is where the corpus's duplicate structure separates from the
+    * background — set q33/q45's threshold there instead of cargo-culting
+    * 0.8.
+    *
+    * Scale: the pair stream is the q33 shape (df-capped posting lists,
+    * in-group expansion — Σ|bucket|² ≤ cap·Σ|bucket|), collapsed
+    * immediately to ≤21 bins / per-doc maxima by partial aggs; the
+    * binned frame feeds two consumers → Materialize (the AQE-replan
+    * precedent), as does the tiny bins frame (its lineage still holds
+    * the corpus-scale aggregates). Cumulatives come from a broadcast
+    * self-join of the ≤21-row frame — never a window. bin = floor(j·20)
+    * is the same IEEE double product both engines floor, and j = 1.0
+    * lands in its own top bin.
+    */
+  def jaccardCalibration(docs: DataFrame): DataFrame = {
+    val binned = Materialize(jaccardPairs(docs, 0.0)
+      .select(col("a"), col("b"),
+        floor(col("jaccard") * 20).cast("long").as("bin")))
+    val perBin = binned.groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+    val docBest = binned
+      .select(explode(array(col("a"), col("b"))).as("d"), col("bin"))
+      .groupBy(col("d")).agg(max(col("bin")).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("nd"))
+    val bins = Materialize(perBin.join(docBest, Seq("bin"), "full")
+      .select(col("bin"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("nd"), lit(0L)).as("nd")))
+    val upper = bins
+      .select(col("bin").as("bin2"), col("n_pairs").as("np2"), col("nd").as("nd2"))
+    bins.join(broadcast(upper), col("bin2") >= col("bin"))
+      .groupBy(col("bin"), col("n_pairs"))
+      .agg(sum(col("np2")).cast("long").as("cum_pairs"),
+        sum(col("nd2")).cast("long").as("cum_docs"))
+      .select(col("bin"), (col("bin").cast("double") / 20).as("lo"),
+        col("n_pairs"), col("cum_pairs"), col("cum_docs"))
   }
 
   /** The ACTION step of duplicated-span analysis: remove every cross-doc
@@ -676,7 +722,10 @@ object Dedup {
   // over gram STRINGS in DuckDB are identical. Same tokenizer semantics
   // both sides: space-only trim, then split on \s+ (a leading tab
   // yields a leading empty token in both engines).
-  private val Q33Sql: String =
+  /** q33's pair frame WITHOUT the final threshold filter — the shared
+    * base for q33 (>= 0.8) and q102's calibration histogram over every
+    * candidate pair. */
+  private val Q33BaseSql: String =
       raw"""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
            |),
@@ -696,8 +745,11 @@ object Dedup {
            |SELECT a, b, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS jaccard
            |FROM inter
            |JOIN sizes sa ON sa.doc_id = a
-           |JOIN sizes sb ON sb.doc_id = b
-           |WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8""".stripMargin
+           |JOIN sizes sb ON sb.doc_id = b""".stripMargin
+
+  private val Q33Sql: String =
+    s"""SELECT * FROM ($Q33BaseSql)
+       |WHERE jaccard >= 0.8""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -839,6 +891,29 @@ object Dedup {
            |  coalesce(a.text_clean, '') AS text_clean
            |FROM toks s LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q33_ngram_jaccard" -> Q33Sql,
+    // Same base pair frame, threshold-free; bin = floor(j*20) on the
+    // identical IEEE double; a doc counts once at its best pair's bin;
+    // cumulatives via the same tiny bin×bin upper-triangle join
+    "q102_jaccard_calib" ->
+      s"""WITH binned AS (
+         |  SELECT a, b, CAST(floor(jaccard * 20) AS BIGINT) AS bin
+         |  FROM ($Q33BaseSql)),
+         |perbin AS (SELECT bin, count(*) AS n_pairs FROM binned GROUP BY bin),
+         |docmax AS (
+         |  SELECT d, max(bin) AS bin FROM (
+         |    SELECT a AS d, bin FROM binned
+         |    UNION ALL SELECT b, bin FROM binned) GROUP BY d),
+         |docbin AS (SELECT bin, count(*) AS nd FROM docmax GROUP BY bin),
+         |bins AS (
+         |  SELECT coalesce(p.bin, d.bin) AS bin,
+         |    coalesce(p.n_pairs, 0) AS n_pairs, coalesce(d.nd, 0) AS nd
+         |  FROM perbin p FULL JOIN docbin d ON p.bin = d.bin)
+         |SELECT x.bin, CAST(x.bin AS DOUBLE) / 20 AS lo,
+         |  CAST(x.n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(sum(y.n_pairs) AS BIGINT) AS cum_pairs,
+         |  CAST(sum(y.nd) AS BIGINT) AS cum_docs
+         |FROM bins x JOIN bins y ON y.bin >= x.bin
+         |GROUP BY x.bin, x.n_pairs""".stripMargin,
     // Connected components as transitive closure: fine at oracle SF where
     // components are tiny (the Spark side is the scalable label
     // propagation). min over the reachable set includes the doc itself

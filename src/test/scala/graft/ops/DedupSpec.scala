@@ -306,6 +306,26 @@ class DedupSpec extends SparkSpec {
       "C" -> ((1L, 0L, 0L, 0L, 1L, 0L, 0.0))))
   }
 
+  test("q102 jaccardCalibration: bins, best-pair doc attribution, cumulatives") {
+    val s = spark
+    import s.implicits._
+    // kept gram space (df >= 2): abc in docs 1,2,3; bcd in 1,2. So
+    // sz(1)=sz(2)=2, sz(3)=1 -> j(1,2)=2/2=1.0 (bin 20, its own top
+    // bin), j(1,3)=j(2,3)=1/2=0.5 (bin 10). Doc 4 shares nothing.
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c x"),
+      (4L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val r = Dedup.jaccardCalibration(docs).collect()
+      .map(w => w.getLong(0) -> ((w.getDouble(1), w.getLong(2),
+        w.getLong(3), w.getLong(4)))).toMap
+    assert(r === Map(
+      // bin 10: 2 pairs; cumulative >= 0.5 sees all 3 pairs; docs 1,2
+      // peak at bin 20 and doc 3 at bin 10 -> 3 docs touched
+      10L -> ((0.5, 2L, 3L, 3L)),
+      20L -> ((1.0, 1L, 1L, 2L))))
+  }
+
   test("q98 gramNovelty: first-occurrence ownership, exclusivity, null guards") {
     val s = spark
     import s.implicits._

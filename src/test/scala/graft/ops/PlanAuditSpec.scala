@@ -593,6 +593,19 @@ class PlanAuditSpec extends SparkSpec {
     assertBodyFreeExchanges(executed(df))
   }
 
+  test("q102: pair stream collapses to bins before the cumulative; broadcast upper join") {
+    val df = graft.SparkEntry.queries("q102_jaccard_calib")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    // the cumulative is a broadcast self-join of the <=21-row bin frame
+    // (non-equi -> nested loop), never a window and never a shuffled join
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assertBodyFreeExchanges(executed(df))
+  }
+
   test("q87: dimension probe and scoring are both partial-agg / scan-side") {
     val p = planString("q87_embed_outliers")
     // the modal-dimension probe + md5 sample ran at plan-construction
