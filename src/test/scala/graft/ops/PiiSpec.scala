@@ -80,6 +80,29 @@ class PiiSpec extends SparkSpec {
     }
   }
 
+  test("q103 piiProfile: per-source incidence, density, and null guards") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // A: one clean doc (4 tokens), one doc with 2 PII hits (4 tokens)
+      (1L, "clean text no pii", "A"),
+      (2L, "mail a@b.io ip 10.0.0.1", "A"),
+      // B: all clean
+      (3L, "nothing here", "B"),
+      (4L, null.asInstanceOf[String], "A"),  // null text: dropped
+      (5L, "a@b.io", null.asInstanceOf[String]))  // null source: dropped
+      .toDF("doc_id", "text", "source")
+    val r = Pii.piiProfile(docs).collect()
+      .map(w => w.getString(0) -> ((w.getLong(1), w.getLong(2), w.getLong(3),
+        w.getLong(4), w.getLong(5), w.getLong(6), w.getLong(7), w.getLong(8),
+        w.getDouble(9), w.getDouble(10)))).toMap
+    assert(r === Map(
+      // A: 2 docs, 1 with pii; 1 email + 1 ipv4; 8 tokens; rate 0.5;
+      // 2 hits per 8 tokens = 250 per ktok
+      "A" -> ((2L, 1L, 1L, 0L, 1L, 0L, 2L, 8L, 0.5, 250.0)),
+      "B" -> ((1L, 0L, 0L, 0L, 0L, 0L, 0L, 2L, 0.0, 0.0))))
+  }
+
   test("counts are over the original text even where redactions nest") {
     // the ip is ALSO three digit runs but under 9 digits: no longid match;
     // an id inside an email is protected by the email redaction running first

@@ -606,6 +606,16 @@ class PlanAuditSpec extends SparkSpec {
     assertBodyFreeExchanges(executed(df))
   }
 
+  test("q103: regex pass is map-side; one source-keyed partial agg; no body shuffled") {
+    val df = graft.SparkEntry.queries("q103_pii_profile")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assertBodyFreeExchanges(executed(df))
+  }
+
   test("q87: dimension probe and scoring are both partial-agg / scan-side") {
     val p = planString("q87_embed_outliers")
     // the modal-dimension probe + md5 sample ran at plan-construction
