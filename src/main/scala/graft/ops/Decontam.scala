@@ -89,6 +89,30 @@ object Decontam {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** The reverse rollup of [[contaminated]]: per BENCHMARK item, how
+    * widely it leaks into the training corpus — distinct contaminated
+    * train docs and distinct shared grams. q49 answers "which train docs
+    * do we drop"; this answers "which eval items are compromised and how
+    * badly" — the table that decides whether a benchmark score is still
+    * reportable after training, item by item. Bench items with no leak
+    * are absent (report what leaks, like q49).
+    *
+    * Scale: same broadcast discipline as q49 — the bench gram set (now
+    * carrying bench_id) broadcasts, the corpus streams once map-side
+    * through the hash join, and the only shuffle is the per-bench-item
+    * distinct-count over join survivors, bounded by the contamination
+    * rate; both count_distincts are two-phase partial aggs on the
+    * bench-sized key space.
+    */
+  def leakProfile(train: DataFrame, bench: DataFrame, n: Int = GramN): DataFrame = {
+    val bg = grams(bench, n)
+      .select(col("doc_id").as("bench_id"), col("g")).distinct()
+    grams(train, n).join(broadcast(bg), "g")
+      .groupBy(col("bench_id"))
+      .agg(count_distinct(col("doc_id")).as("n_train_docs"),
+        count_distinct(col("g")).as("n_shared_grams"))
+  }
+
   /** The action step: the training corpus with every contaminated doc
     * REMOVED (left-anti join on the q49 report — the report is bounded by
     * the contamination rate, so the anti join's right side is small).
@@ -115,6 +139,15 @@ object Decontam {
       bloomContaminated(
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0))
+    }),
+
+    // Per-benchmark-item leak attribution over the same slices — see
+    // [[leakProfile]].
+    "q104_leak_profile" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      leakProfile(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
     }))
 
   // Same gram space over strings (xxhash64 only renames grams — the q33
@@ -137,6 +170,24 @@ object Decontam {
 
   def oracles: Map[String, String] = Map(
     "q49_decontam" -> Q49Sql,
-    "q68_bloom_decontam" -> Q49Sql
+    "q68_bloom_decontam" -> Q49Sql,
+    // Same gram space, keyed from the bench side; both counts are
+    // DISTINCT over the (train-doc, bench-item, gram) match triples
+    "q104_leak_profile" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+           |),
+           |grams AS (
+           |  SELECT DISTINCT doc_id, list_aggregate(t[i:i+7], 'string_agg', ' ') AS g
+           |  FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i)
+           |  WHERE len(t) >= 8
+           |),
+           |bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % 20 = 0)
+           |SELECT b.bench_id,
+           |  CAST(count(DISTINCT gr.doc_id) AS BIGINT) AS n_train_docs,
+           |  CAST(count(DISTINCT b.g) AS BIGINT) AS n_shared_grams
+           |FROM grams gr JOIN bench b USING (g)
+           |WHERE gr.doc_id % 20 <> 0
+           |GROUP BY b.bench_id""".stripMargin
   )
 }

@@ -72,6 +72,26 @@ class DecontamSpec extends SparkSpec {
     assert(saturated === exact)
   }
 
+  test("q104 leakProfile: per-bench-item breadth, distinct counts, clean items absent") {
+    val s = spark
+    import s.implicits._
+    val s1 = "a1 a2 a3 a4 a5 a6 a7 a8"  // span 1 (exactly one 8-gram)
+    val s2 = "b1 b2 b3 b4 b5 b6 b7 b8"  // span 2
+    val bench = Seq(
+      (20L, s"$s1 $s2"),  // leaks via both spans
+      (40L, "c1 c2 c3 c4 c5 c6 c7 c8")) // clean: nothing shares it
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s1),             // shares S1
+      (2L, s"$s1 extra"),   // shares S1 (its second gram is unique)
+      (3L, s2))             // shares S2
+      .toDF("doc_id", "text")
+    val r = Decontam.leakProfile(train, bench).collect()
+      .map(w => w.getLong(0) -> ((w.getLong(1), w.getLong(2)))).toMap
+    // item 20: 3 distinct train docs, 2 distinct shared grams; item 40 absent
+    assert(r === Map(20L -> ((3L, 2L))))
+  }
+
   test("q49 driver query: benchmark slice is excluded from the output") {
     val dir = docsDir(Seq(
       (20L, benchText),

@@ -616,6 +616,20 @@ class PlanAuditSpec extends SparkSpec {
     assertBodyFreeExchanges(executed(df))
   }
 
+  test("q104: bench grams broadcast; distinct counts are partial; no body shuffled") {
+    val df = graft.SparkEntry.queries("q104_leak_profile")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus streams map-side through a broadcast hash join on the
+    // gram longs — a sort-merge here means the bench side lost its
+    // broadcast and the whole corpus gram stream shuffled
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assertBodyFreeExchanges(executed(df))
+  }
+
   test("q87: dimension probe and scoring are both partial-agg / scan-side") {
     val p = planString("q87_embed_outliers")
     // the modal-dimension probe + md5 sample ran at plan-construction
