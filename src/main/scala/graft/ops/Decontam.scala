@@ -104,10 +104,22 @@ object Decontam {
     * rate; both count_distincts are two-phase partial aggs on the
     * bench-sized key space.
     */
-  def leakProfile(train: DataFrame, bench: DataFrame, n: Int = GramN): DataFrame = {
-    val bg = grams(bench, n)
-      .select(col("doc_id").as("bench_id"), col("g")).distinct()
+  /** The benchmark's distinct (bench_id, g) gram index — [[benchGramSet]]
+    * keeping item identity, for leak ATTRIBUTION rather than a yes/no
+    * screen. Derive once and cache when screening repeatedly (the
+    * [[benchGramSet]] contract). */
+  def benchGramIds(bench: DataFrame, n: Int = GramN): DataFrame =
+    grams(bench, n).select(col("doc_id").as("bench_id"), col("g")).distinct()
+
+  /** The corpus-side join of [[leakProfile]] against an already-derived
+    * [[benchGramIds]] frame (the streaming monitor shares it). */
+  private[graft] def leakMatches(train: DataFrame, bg: DataFrame,
+                                 n: Int = GramN): DataFrame =
     grams(train, n).join(broadcast(bg), "g")
+
+  def leakProfile(train: DataFrame, bench: DataFrame, n: Int = GramN): DataFrame = {
+    val bg = benchGramIds(bench, n)
+    leakMatches(train, bg, n)
       .groupBy(col("bench_id"))
       .agg(count_distinct(col("doc_id")).as("n_train_docs"),
         count_distinct(col("g")).as("n_shared_grams"))

@@ -88,4 +88,36 @@ object StreamingOps {
       .filter(col("dup_gram_ratio") <= maxDupGramRatio &&
         col("top_token_ratio") <= maxTopTokenRatio)
       .drop("st")
+
+  /** Cumulative streaming leak monitor — the live form of batch q104
+    * ([[graft.ops.Decontam.leakProfile]]): as documents stream in, keep a
+    * running per-benchmark-item count of DISTINCT contaminated documents,
+    * so an ingest pipeline can alert the moment an eval item's leak
+    * breadth crosses a threshold instead of discovering it in the next
+    * batch audit. Update-mode output: (bench_id, n_train_docs), revised
+    * as items accumulate hits.
+    *
+    * State discipline (the 100 TB question): `benchGramIds` is the
+    * caller-derived broadcast index (the [[contaminationScreen]]
+    * contract — derived once, caller-cached/freed); the corpus-side gram
+    * stream is map-side and stateless. The two stateful operators are
+    * both bounded: dropDuplicatesWithinWatermark on (bench_id, doc_id)
+    * holds pairs for the watermark horizon only (contamination-rate-
+    * bounded, NOT corpus-bounded — clean docs never survive the join),
+    * and the running counts are bench-sized. A doc re-arriving after the
+    * horizon can double-count, the standard watermark trade; gram-level
+    * breadth (q104's n_shared_grams) stays a batch-audit column because
+    * its distinct-state is gram-scale, not doc-scale.
+    */
+  def leakMonitor(docs: DataFrame, benchGramIds: DataFrame,
+                  n: Int = graft.ops.Decontam.GramN,
+                  watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("event_time", watermark)
+      .select(col("event_time"), col("doc_id"),
+        explode(array_distinct(graft.functions.TextFunctions.hashedGrams(
+          graft.ops.Dedup.tokens, n))).as("g"))
+      .join(broadcast(benchGramIds), "g")
+      .dropDuplicatesWithinWatermark("bench_id", "doc_id")
+      .groupBy(col("bench_id")).agg(count(lit(1)).as("n_train_docs"))
 }

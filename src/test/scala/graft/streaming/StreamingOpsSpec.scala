@@ -258,4 +258,36 @@ class StreamingOpsSpec extends SparkSpec {
       assert(byId(2L) === ((2L, 0L)))
     } finally query.stop()
   }
+
+  test("streaming leak monitor: cumulative distinct-doc breadth per bench item") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val s1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val s2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val bench = Seq((20L, s"$s1 $s2"),
+      (40L, "c1 c2 c3 c4 c5 c6 c7 c8")).toDF("doc_id", "text")
+    val bg = graft.ops.Decontam.benchGramIds(bench)
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val mon = StreamingOps.leakMonitor(
+      ms.toDS().toDF("event_time", "doc_id", "text"), bg)
+    val query = mon.writeStream.format("memory")
+      .queryName("leak_mon").outputMode("update").start()
+    try {
+      ms.addData((ts(0), 1L, s1))
+      query.processAllAvailable()
+      // update-mode memory sink appends revisions; counts are monotone,
+      // so the max per item is the current state
+      def state() = s.table("leak_mon").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+      assert(state() === Map(20L -> 1L))
+      ms.addData(
+        (ts(1), 1L, s1),            // same doc re-observed: deduped, no bump
+        (ts(2), 2L, s"$s1 $s2"),    // both spans, ONE new distinct doc
+        (ts(3), 3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"))  // clean: never joins
+      query.processAllAvailable()
+      assert(state() === Map(20L -> 2L))  // item 40 never leaks: absent
+    } finally query.stop()
+  }
 }
