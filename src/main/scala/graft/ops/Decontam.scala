@@ -29,9 +29,14 @@ object Decontam {
     * n_shared = number of the doc's distinct n-grams found anywhere in
     * the benchmark.
     */
+  /** THE decontam gram space as a column — the single definition both the
+    * batch screens and the streaming monitor explode (the stream keeps
+    * event_time, so it can't reuse the (doc_id, g) projection below). */
+  private[graft] def gramArray(n: Int = GramN): org.apache.spark.sql.Column =
+    array_distinct(graft.functions.TextFunctions.hashedGrams(Dedup.tokens, n))
+
   private def grams(df: DataFrame, n: Int) = df
-    .select(col("doc_id"), explode(array_distinct(
-      graft.functions.TextFunctions.hashedGrams(Dedup.tokens, n))).as("g"))
+    .select(col("doc_id"), explode(gramArray(n)).as("g"))
 
   /** Distinct xxhash64 n-gram set of the benchmark (`g` column).
     * Precompute (and cache) this once when screening REPEATEDLY against
@@ -111,15 +116,9 @@ object Decontam {
   def benchGramIds(bench: DataFrame, n: Int = GramN): DataFrame =
     grams(bench, n).select(col("doc_id").as("bench_id"), col("g")).distinct()
 
-  /** The corpus-side join of [[leakProfile]] against an already-derived
-    * [[benchGramIds]] frame (the streaming monitor shares it). */
-  private[graft] def leakMatches(train: DataFrame, bg: DataFrame,
-                                 n: Int = GramN): DataFrame =
-    grams(train, n).join(broadcast(bg), "g")
-
   def leakProfile(train: DataFrame, bench: DataFrame, n: Int = GramN): DataFrame = {
     val bg = benchGramIds(bench, n)
-    leakMatches(train, bg, n)
+    grams(train, n).join(broadcast(bg), "g")
       .groupBy(col("bench_id"))
       .agg(count_distinct(col("doc_id")).as("n_train_docs"),
         count_distinct(col("g")).as("n_shared_grams"))

@@ -67,7 +67,7 @@ object Pii {
       .select(col("source"),
         countOf(Email).as("e"), countOf(Phone).as("p"),
         countOf(Ipv4).as("i"), countOf(LongId).as("l"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+        size(Dedup.tokens).cast("long").as("n_tok"))
       .withColumn("tot", col("e") + col("p") + col("i") + col("l"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

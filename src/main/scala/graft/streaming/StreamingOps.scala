@@ -115,8 +115,7 @@ object StreamingOps {
     docs
       .withWatermark("event_time", watermark)
       .select(col("event_time"), col("doc_id"),
-        explode(array_distinct(graft.functions.TextFunctions.hashedGrams(
-          graft.ops.Dedup.tokens, n))).as("g"))
+        explode(graft.ops.Decontam.gramArray(n)).as("g"))
       .join(broadcast(benchGramIds), "g")
       .dropDuplicatesWithinWatermark("bench_id", "doc_id")
       .groupBy(col("bench_id")).agg(count(lit(1)).as("n_train_docs"))
