@@ -159,6 +159,34 @@ object Bpe {
       }.toDF("doc_id", "n_words", "n_bpe_tokens")
   }
 
+  /** Tokenizer-fertility table: per predicted language, docs / whitespace
+    * words / BPE tokens and fertility = tokens per word — THE standard
+    * tokenizer-evaluation metric (a language whose fertility is 2× pays
+    * twice the context budget per word; the table that decides whether
+    * the vocabulary needs rebalancing before a multilingual run).
+    *
+    * Scale: two map-side corpus passes that cannot fuse without
+    * duplicating a contract — the BPE encode is a typed mapPartitions
+    * (per-partition encode cache) while the language argmax is q37's
+    * builtin-column pipeline ([[TextAnalysis.langPerDoc]], the single
+    * definition) — joined on doc_id as THIN frames (3 longs + a 2-char
+    * code; no bodies) and collapsed to a ≤|languages|-key partial agg.
+    * The fertility division is one rounded double over integer-exact
+    * sums.
+    */
+  def fertility(s: SparkSession, docs: DataFrame, model: Model): DataFrame =
+    encodeCounts(s, docs, model)
+      .join(TextAnalysis.langPerDoc(docs).select(col("doc_id"),
+        col("pred_lang").as("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_words"),
+        sum(col("n_bpe_tokens")).cast("long").as("n_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+          .as("fertility"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The learned merge table over the documents corpus. Data-dependent
     // iterative argmax → rows-only; BpeSpec pins the algorithm against an
@@ -180,6 +208,15 @@ object Bpe {
     "q94_bpe_encode" -> ((s, dir) => {
       val docs = graft.Tables.documents(s, dir)
       encodeCounts(s, docs, learn(docs, numMerges = 200))
+    }),
+
+    // Per-language tokenizer fertility under the q78/q94 model — see
+    // [[fertility]]. Fixture-oracled ([[graft.oracle.FixtureOracles
+    // .deriveQ105]]: deriveQ94's counts + an independently restated
+    // stopword argmax, rolled up).
+    "q105_fertility" -> ((s, dir) => {
+      val docs = graft.Tables.documents(s, dir)
+      fertility(s, docs, learn(docs, numMerges = 200))
     }))
 
   def oracles: Map[String, String] = Map.empty

@@ -104,6 +104,35 @@ object TextAnalysis {
       }.toDF("doc_id", "n_bytes", "n_deflated", "compress_ratio")
   }
 
+  /** q37's exact per-doc language prediction, reusable by rollups (q105
+    * fertility): stopword-overlap scores per language, argmax with the
+    * deterministic first-in-sorted-order tiebreak. NULL-text contract
+    * shared with the oracle (same as q44): a NULL text makes every score
+    * NULL — Spark's fold would keep the init language while the oracle's
+    * CASE falls through to the last, so both sides exclude NULL-text
+    * docs instead. Pure builtin-function plan: words -> per-language
+    * overlap counts, map-side only.
+    */
+  private[graft] def langPerDoc(docs: DataFrame): DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), words.as("w"))
+    val scored = stopwords.foldLeft(base) { case (df, (lang, sw)) =>
+      df.withColumn(s"score_$lang",
+        size(array_intersect(array_distinct(col("w")),
+          array(sw.map(lit): _*))).cast("double") / size(col("w")))
+    }
+    val langs = stopwords.keys.toSeq.sorted
+    // argmax via chained when (ties resolve to first in sorted order)
+    val best = langs.tail.foldLeft(
+      struct(col(s"score_${langs.head}").as("sc"), lit(langs.head).as("lang"))) {
+      (acc, l) =>
+        when(col(s"score_$l") > acc.getField("sc"),
+          struct(col(s"score_$l").as("sc"), lit(l).as("lang"))).otherwise(acc)
+    }
+    scored.select(col("doc_id"), best.getField("lang").as("pred_lang"),
+      best.getField("sc").as("lid_score"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_compress_ratio" -> ((s, dir) =>
       compressionRatio(s, Tables.documents(s, dir))),
@@ -135,29 +164,7 @@ object TextAnalysis {
     // Language ID: score = fraction of tokens that are stopwords of each
     // language; argmax with deterministic tiebreak on language code.
     // Pure builtin-function plan: words -> per-language overlap counts.
-    "q37_lang_id" -> ((s, dir) => {
-      // NULL-text contract shared with the oracle (same as q44): a NULL
-      // text makes every score NULL — Spark's fold would keep the init
-      // language while the oracle's CASE falls through to the last, so
-      // both sides exclude NULL-text docs instead.
-      val base = Tables.documents(s, dir).filter(col("text").isNotNull)
-        .select(col("doc_id"), words.as("w"))
-      val scored = stopwords.foldLeft(base) { case (df, (lang, sw)) =>
-        df.withColumn(s"score_$lang",
-          size(array_intersect(array_distinct(col("w")),
-            array(sw.map(lit): _*))).cast("double") / size(col("w")))
-      }
-      val langs = stopwords.keys.toSeq.sorted
-      // argmax via greatest + chained when (ties resolve to first in sorted order)
-      val best = langs.tail.foldLeft(
-        struct(col(s"score_${langs.head}").as("sc"), lit(langs.head).as("lang"))) {
-        (acc, l) =>
-          when(col(s"score_$l") > acc.getField("sc"),
-            struct(col(s"score_$l").as("sc"), lit(l).as("lang"))).otherwise(acc)
-      }
-      scored.select(col("doc_id"), best.getField("lang").as("pred_lang"),
-        best.getField("sc").as("lid_score"))
-    }),
+    "q37_lang_id" -> ((s, dir) => langPerDoc(Tables.documents(s, dir))),
 
     // Repetition signals (Gopher/C4-style quality filters): duplicate
     // 3-gram ratio (non-distinct grams — repetition IS the signal) and

@@ -351,6 +351,44 @@ object FixtureOracles {
     }
   }
 
+  /** q105: per-language fertility — [[deriveQ94]]'s per-doc counts
+    * grouped by an INDEPENDENTLY restated language argmax (the q37
+    * contract: per language, |distinct raw tokens ∩ stopwords| / |raw
+    * tokens| — the denominator counts empty tokens like `size(words)`;
+    * argmax keeps the first language in sorted order on ties; NULL-text
+    * docs excluded). Fertility = round6(Σtokens / Σwords).
+    */
+  private[oracle] def deriveQ105(
+      docs: Seq[(Long, String)]): Seq[(String, Long, Long, Long, Double)] = {
+    val stop: Map[String, Set[String]] = Map(
+      "en" -> Set("the", "a", "of", "and", "to", "in", "is", "that"),
+      "fr" -> Set("le", "la", "de", "et", "les", "des", "un", "une"),
+      "es" -> Set("el", "la", "de", "y", "los", "las", "un", "una"),
+      "de" -> Set("der", "die", "das", "und", "ein", "eine", "zu", "mit"),
+      "zh" -> Set("de", "le", "shi", "zai", "you", "wo", "ta", "men"))
+    val langs = stop.keys.toSeq.sorted
+    def langOf(text: String): String = {
+      val raw = sqlSplit(text)
+      val uniq = raw.distinct.toSet
+      var best = langs.head
+      var bs = uniq.count(stop(best)).toDouble / raw.length
+      langs.tail.foreach { l =>
+        val sc = uniq.count(stop(l)).toDouble / raw.length
+        if (sc > bs) { best = l; bs = sc }
+      }
+      best
+    }
+    val counts = deriveQ94(docs).map(t => t._1 -> ((t._2, t._3))).toMap
+    docs.filter(_._2 != null)
+      .groupBy(d => langOf(d._2))
+      .toSeq
+      .map { case (lang, ds) =>
+        val nw = ds.map(d => counts(d._1)._1).sum
+        val nt = ds.map(d => counts(d._1)._2).sum
+        (lang, ds.length.toLong, nw, nt, round6(nt.toDouble / nw))
+      }
+  }
+
   // ---- media contracts (q41/q42/q51/q58), restated ----------------------
 
   /** q42 frame shapes: MP4 sample bytes per frame (even ids), raw-blob
@@ -1016,7 +1054,7 @@ object FixtureOracles {
     val docFixtures = Seq("q31_dedup_minhash", "q32_dedup_simhash",
       "q78_bpe_merges", "q94_bpe_encode", "q82_compress_ratio",
       "q41_multimodal", "q42_frame_sample", "q51_audio_features",
-      "q58_media_neardup")
+      "q58_media_neardup", "q105_fertility")
       .map(n => fixtureDir(n, key))
     val embFixtures = Seq("q34_embed_neardup", "q36_ann_lsh", "q43_ann_ivf",
       "q66_semdedup", "q77_pq", "q84_ivfpq")
@@ -1042,6 +1080,9 @@ object FixtureOracles {
         fixtureDir("q78_bpe_merges", key))
       publish(keyed(deriveQ94(docs).toDF("doc_id", "n_words", "n_bpe_tokens")),
         fixtureDir("q94_bpe_encode", key))
+      publish(keyed(deriveQ105(docs)
+        .toDF("lang", "n_docs", "n_words", "n_bpe_tokens", "fertility")),
+        fixtureDir("q105_fertility", key))
       publish(keyed(deriveQ82(docs).toDF("doc_id", "n_bytes", "n_deflated", "compress_ratio")),
         fixtureDir("q82_compress_ratio", key))
       publish(keyed(deriveQ41(docs).toDF("doc_id", "media_type", "n_bytes",
@@ -1132,6 +1173,8 @@ object FixtureOracles {
     "q32_dedup_simhash"  -> fixtureSql("q32_dedup_simhash", "a, b, hamming"),
     "q78_bpe_merges"     -> fixtureSql("q78_bpe_merges", "\"rank\", \"left\", \"right\", merged"),
     "q94_bpe_encode"     -> fixtureSql("q94_bpe_encode", "doc_id, n_words, n_bpe_tokens"),
+    "q105_fertility"     -> fixtureSql("q105_fertility",
+      "lang, n_docs, n_words, n_bpe_tokens, fertility"),
     "q82_compress_ratio" -> fixtureSql("q82_compress_ratio",
       "doc_id, n_bytes, n_deflated, compress_ratio"),
     "q41_multimodal"     -> fixtureSql("q41_multimodal",

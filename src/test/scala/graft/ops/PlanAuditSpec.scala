@@ -630,6 +630,19 @@ class PlanAuditSpec extends SparkSpec {
     assertBodyFreeExchanges(executed(df))
   }
 
+  test("q105: encode and lang passes join THIN doc-keyed frames; no body or token array shuffled") {
+    val df = graft.SparkEntry.queries("q105_fertility")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the doc_id join may shuffle (two corpus-scale THIN frames), but
+    // neither text nor the q37 words array may survive to an exchange —
+    // the lang argmax must collapse to (doc_id, pred_lang) scan-side
+    assertBodyFreeExchanges(executed(df))
+  }
+
   test("q87: dimension probe and scoring are both partial-agg / scan-side") {
     val p = planString("q87_embed_outliers")
     // the modal-dimension probe + md5 sample ran at plan-construction

@@ -119,6 +119,19 @@ class FixtureOraclesSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  test("q105 fertility: restated lang argmax + q94 counts match the pipeline rollup") {
+    val got = run("q105_fertility").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    val want = FixtureOracles.deriveQ105(corpus).sortBy(_._1)
+    // non-vacuous: the corpus must actually split across languages (the
+    // stopword-free misc docs argmax-tie to the first sorted language,
+    // "the/of/in"-heavy docs go en) and fertility must be a real ratio
+    assert(want.length >= 2, s"single-language corpus is vacuous: $want")
+    assert(want.exists(_._5 > 1.0), "no language with fertility > 1")
+    assert(got.toSeq === want)
+  }
+
   test("q41 stub decode: naive crc31/stub-dims derivation matches the pipeline") {
     val got = run("q41_multimodal").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3),
