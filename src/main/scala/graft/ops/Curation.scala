@@ -535,12 +535,19 @@ object Curation {
     * bounded frames, then a ≤10-key aggregate. All ratios are
     * integer-division-exact cross-engine (int sums cast to double once).
     */
+  /** Vocabulary-diversity decile of a tokenized text — floor(uniq_ratio·10)
+    * clamped to 9. THE shared bucket definition for q95's calibration and
+    * q106's yield curve; the `·10` product is the same IEEE double both
+    * engines floor.
+    */
+  private def diversityBucket(toks: Column): Column =
+    least(floor(size(array_distinct(toks)).cast("double")
+      / size(toks) * 10).cast("long"), lit(9L))
+
   def screenCalibration(docs: DataFrame, w: Int = 16): DataFrame = {
     val toks = Dedup.tokens
     val buckets = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        least(floor(size(array_distinct(toks)).cast("double")
-          / size(toks) * 10).cast("long"), lit(9L)).as("bucket"))
+      .select(col("doc_id"), diversityBucket(toks).as("bucket"))
     Dedup.dupSpans(docs, w)
       .join(buckets, "doc_id")
       .groupBy(col("bucket"))
@@ -552,7 +559,49 @@ object Curation {
           .as("dup_share"))
   }
 
+  /** Quality-cutoff yield curve: per vocabulary-diversity decile
+    * ([[diversityBucket]], q95's definition), doc and whitespace-token
+    * counts plus the cumulative yield of admitting every bucket ≥ b —
+    * the table a token-budget decision actually reads ("keep deciles
+    * ≥ 7" → cum_tokens, and what share of the corpus that is). q89
+    * answers "what cutoff hits an exact quantile of one column"; this
+    * answers the planning question one level up: how many tokens does
+    * EACH candidate quality cutoff admit.
+    *
+    * Scale: the (bucket, n_tokens) frame is a pure scan projection; one
+    * ≤10-key partial agg collapses the corpus before anything else.
+    * Cumulatives come from a broadcast self-join of the ≤10-row frame
+    * (q102's convention — never a window, so no single-partition sort),
+    * and the corpus-total share divides by a 1-row broadcast stats
+    * frame. Token counts reduce map-side; bodies never cross an
+    * exchange.
+    */
+  def qualityYield(docs: DataFrame): DataFrame = {
+    val toks = Dedup.tokens
+    val perBucket = Materialize(docs.filter(col("text").isNotNull)
+      .select(diversityBucket(toks).as("bucket"),
+        size(toks).cast("long").as("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens")))
+    val upper = perBucket.select(col("bucket").as("bucket2"),
+      col("n_docs").as("nd2"), col("sum_tokens").as("st2"))
+    val total = perBucket.agg(sum(col("sum_tokens")).as("total_tokens"))
+    perBucket.join(broadcast(upper), col("bucket2") >= col("bucket"))
+      .groupBy(col("bucket"), col("n_docs"), col("sum_tokens"))
+      .agg(sum(col("nd2")).cast("long").as("cum_docs"),
+        sum(col("st2")).cast("long").as("cum_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        col("cum_docs"), col("cum_tokens"),
+        round(col("cum_tokens").cast("double") / col("total_tokens"), 6)
+          .as("token_share"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_quality_yield" -> ((s, dir) =>
+      qualityYield(Tables.documents(s, dir))),
+
     "q76_curation_verdict" -> ((s, dir) =>
       curationVerdict(Tables.documents(s, dir))),
 
@@ -964,6 +1013,30 @@ object Curation {
     // q69's gram CTEs (hash renames grams — the q33/q69 convention)
     // joined with the diversity bucket; floor(x·10) on IEEE doubles is
     // bit-identical cross-engine, sums are integer until the final cast
+    // same bucket expression as q95; cumulative via self-join mirrors the
+    // Spark broadcast-triangle spelling, scalar subquery = the 1-row total
+    "q106_quality_yield" ->
+      raw"""WITH toks AS (
+           |  SELECT string_split_regex(trim(text), '\s+') AS t
+           |  FROM documents WHERE text IS NOT NULL),
+           |b AS (
+           |  SELECT LEAST(CAST(floor(
+           |      CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 10)
+           |    AS BIGINT), 9) AS bucket,
+           |    len(t) AS n_tokens
+           |  FROM toks),
+           |p AS (
+           |  SELECT bucket, count(*) AS n_docs,
+           |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+           |  FROM b GROUP BY bucket)
+           |SELECT p.bucket, p.n_docs, p.sum_tokens,
+           |  CAST(sum(u.n_docs) AS BIGINT) AS cum_docs,
+           |  CAST(sum(u.sum_tokens) AS BIGINT) AS cum_tokens,
+           |  round(CAST(sum(u.sum_tokens) AS DOUBLE)
+           |    / (SELECT sum(sum_tokens) FROM p), 6) AS token_share
+           |FROM p JOIN p u ON u.bucket >= p.bucket
+           |GROUP BY p.bucket, p.n_docs, p.sum_tokens""".stripMargin,
+
     "q95_screen_calibration" ->
       raw"""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

@@ -83,6 +83,21 @@ class CurationSpec extends SparkSpec {
       5L -> ((1L, 1L, 0L, 0.0))))
   }
 
+  test("q106: per-decile yield plus cumulative-from-top admission curve") {
+    val dir = docsDir(Seq(
+      1L -> (1 to 10).map(i => s"a$i").mkString(" "), // 10/10 uniq -> bucket 9
+      2L -> "b b b b",                                // 1/4 uniq  -> bucket 2
+      3L -> "c1 c1 c2 c2"))                           // 2/4 uniq  -> bucket 5
+    val r = Curation.queries("q106_quality_yield")(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5)))).toMap
+    // 18 total tokens; cumulative admits every bucket >= b
+    assert(r === Map(
+      9L -> ((1L, 10L, 1L, 10L, 0.555556)),
+      5L -> ((1L, 4L, 2L, 14L, 0.777778)),
+      2L -> ((1L, 4L, 3L, 18L, 1.0))))
+  }
+
   test("q97 packWaste: independent layout simulation matches per-shard stats") {
     val docs = (1L to 40L).map(i => (i, ("w " * (1 + (i % 7)).toInt).trim))
     val dir = docsDir(docs)

@@ -515,6 +515,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q106: corpus collapses to <=10 buckets before the cumulative join") {
+    val df = graft.SparkEntry.queries("q106_quality_yield")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the per-bucket agg must reduce map-side before the tiny self-join;
+    // cumulatives ride broadcast joins, never a window or a global sort
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    val plan = executed(df)
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"document bodies cross an exchange:\n$plan")
+    }
+  }
+
   test("q96: pair math stays in-group; sizes broadcast; no body in any exchange") {
     val df = graft.SparkEntry.queries("q96_source_overlap")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
