@@ -200,8 +200,51 @@ object Relational {
       val li = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
       o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
         .select(col("o_orderkey"), col("o_orderpriority"))
-    })
+    }),
+
+    // Strict ordered funnel — see [[funnel]].
+    "q107_funnel" -> ((s, dir) => funnel(Tables.events(s, dir)))
   )
+
+  /** Strict ordered conversion funnel view → click → purchase: a user
+    * advances a stage only with a LATER event of the next type (the min-ts
+    * chaining definition — the first view, then the first click after it,
+    * then the first purchase after that click). Output is one row of stage
+    * populations plus stage-to-stage conversion rates — the
+    * event-analytics table the reference's SQL surface answers with
+    * correlated subqueries over its requests/responses log.
+    *
+    * Scale: each stage is a type-filtered scan (predicate pushed to
+    * parquet) partially aggregated per user, then a user-keyed join with
+    * the previous stage's per-user frame — co-partitioned on the same
+    * key, so each stage adds ONE user-keyed exchange and nothing
+    * corpus-scale. The twice-consumed stage frames are Materialized
+    * (AQE-replan precedent); stage counts collapse to 1-row frames whose
+    * crossJoins broadcast. No window: a per-user event sort would shuffle
+    * the whole log by user; min-ts chaining only ships (user, ms) pairs.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      expr("ts DIV 1000000").as("ms"))
+    val v = Materialize(e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t_view")))
+    val c = Materialize(e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ms") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t_click")))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ms") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click").cast("double")
+          / nullif(col("n_view"), lit(0L)).cast("double"), 6).as("view_to_click"),
+        round(col("n_purchase").cast("double")
+          / nullif(col("n_click"), lit(0L)).cast("double"), 6).as("click_to_purchase"))
+  }
 
   /** The 100 TB form of q06: `approx_percentile` keeps a bounded sketch
     * per group instead of buffering every value (not oracled — the sketch
@@ -334,6 +377,26 @@ object Relational {
     "q18_anti_join" ->
       """SELECT o_orderkey, o_orderpriority FROM orders o
         |WHERE NOT EXISTS (
-        |  SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin
+        |  SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
+
+    // min-ts chaining mirrors the Spark stage joins; epoch_ms = `ts DIV
+    // 1000000` on the nanos long (the q11 convention)
+    "q107_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |v AS (SELECT user_id, min(ms) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(ms) AS t_click FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ms > t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(ms) AS t_purchase FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ms > t_click GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click,
+        |  (SELECT count(*) FROM p) AS n_purchase,
+        |  round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+        |    / nullif((SELECT count(*) FROM v), 0), 6) AS view_to_click,
+        |  round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+        |    / nullif((SELECT count(*) FROM c), 0), 6) AS click_to_purchase""".stripMargin
   )
 }

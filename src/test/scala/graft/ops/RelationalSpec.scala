@@ -1,0 +1,64 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Direct specs for the relational surface's composed operators (the
+  * simple aggregates are covered by the driver's DuckDB gate; these cover
+  * the ordering semantics a hash match alone would under-document).
+  */
+class RelationalSpec extends SparkSpec {
+
+  /** Writes an `events.parquet` fixture (driver-testdata logical schema,
+    * ts as epoch-nanos long — the TIMESTAMP(NANOS) reading) and returns
+    * the dir. Rows are (event_id, ts_ns, user_id, event_type).
+    */
+  private def eventsDir(rows: Seq[(Long, Long, Long, String)]): String = {
+    val dir = Files.createTempDirectory("graft_events").toString
+    val s = spark
+    import s.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .selectExpr("event_id", "ts", "user_id", "event_type",
+        "1.0 as value", "'{}' as props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q107: a stage only advances on a strictly later event") {
+    val sec = 1000000000L // 1 s in ns
+    val dir = eventsDir(Seq(
+      // user 1: view -> click -> purchase in order: converts fully
+      (1L, 1 * sec, 1L, "view"),
+      (2L, 2 * sec, 1L, "click"),
+      (3L, 3 * sec, 1L, "purchase"),
+      // user 2: click BEFORE the first view: the click stage must not count
+      // it, and the later purchase has no qualifying click to follow
+      (4L, 1 * sec, 2L, "click"),
+      (5L, 2 * sec, 2L, "view"),
+      (6L, 3 * sec, 2L, "purchase"),
+      // user 3: view only
+      (7L, 1 * sec, 3L, "view"),
+      // user 4: no view at all: in no stage
+      (8L, 1 * sec, 4L, "click"),
+      (9L, 2 * sec, 4L, "purchase")))
+    val r = Relational.queries("q107_funnel")(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((3L, 1L, 1L)))
+    assert(row.getDouble(3) === 0.333333) // 1/3 round 6
+    assert(row.getDouble(4) === 1.0)
+  }
+
+  test("q107: simultaneous events do not advance; an empty stage yields NULL rates") {
+    val sec = 1000000000L
+    val dir = eventsDir(Seq(
+      // click at the SAME ms as the view: strict > excludes it
+      (1L, 1 * sec, 1L, "view"),
+      (2L, 1 * sec, 1L, "click")))
+    val row = Relational.queries("q107_funnel")(spark, dir).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((1L, 0L, 0L)))
+    assert(row.getDouble(3) === 0.0)   // 0 clicks / 1 view
+    assert(row.isNullAt(4))            // 0/0: NULL, never Infinity
+  }
+}
