@@ -132,6 +132,41 @@ object Decontam {
     train.join(contaminated(train, bench, n).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
 
+  /** Width-sensitivity sweep of the screen: q49's contamination report at
+    * SEVERAL n-gram widths in one pass — per width, contaminated train
+    * docs, distinct shared grams, and the corpus contamination rate. The
+    * policy table behind `GramN`: widening the span relaxes the screen
+    * (fewer chance collisions, more paraphrase escapes), and this is the
+    * evidence for where that trade sits on a given corpus.
+    *
+    * Scale: each side is scanned ONCE — every width's per-doc-distinct
+    * gram space is exploded together, tagged (w, g), so the corpus does
+    * not rescan per width. The bench (w, g) index broadcasts (widths ×
+    * a small eval set); join survivors are bounded by the contamination
+    * rate and both count_distincts are two-phase partial aggs on the
+    * ≤|widths| key space. The rate divides by a 1-row broadcast count.
+    * Cross-width hash collisions can't pollute: the join key carries w.
+    */
+  def widthSweep(train: DataFrame, bench: DataFrame,
+                 widths: Seq[Int] = Seq(8, 12, 16)): DataFrame = {
+    def tagged(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(flatten(array(widths.map(w =>
+        transform(gramArray(w),
+          g => struct(lit(w).as("w"), g.as("g")))): _*))).as("t"))
+      .select(col("doc_id"), col("t.w").as("w"), col("t.g").as("g"))
+    val bg = tagged(bench).select(col("w"), col("g")).distinct()
+    val nTrain = train.agg(count(lit(1)).as("n_train"))
+    tagged(train).join(broadcast(bg), Seq("w", "g"))
+      .groupBy(col("w"))
+      .agg(count_distinct(col("doc_id")).as("n_contam_docs"),
+        count_distinct(col("g")).as("n_shared_grams"))
+      .crossJoin(broadcast(nTrain))
+      .select(col("w").cast("long").as("w"), col("n_contam_docs"),
+        col("n_shared_grams"),
+        round(col("n_contam_docs").cast("double") / col("n_train"), 6)
+          .as("contam_rate"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Driver form: the deterministic doc_id % 20 == 0 slice stands in for
     // the benchmark table (the library API takes any (doc_id, text) frame).
@@ -157,6 +192,15 @@ object Decontam {
     "q104_leak_profile" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       leakProfile(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
+    }),
+
+    // The screen's width-sensitivity table over the same slices — see
+    // [[widthSweep]].
+    "q108_width_sweep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      widthSweep(
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0))
     }))
@@ -199,6 +243,41 @@ object Decontam {
            |  CAST(count(DISTINCT b.g) AS BIGINT) AS n_shared_grams
            |FROM grams gr JOIN bench b USING (g)
            |WHERE gr.doc_id % 20 <> 0
-           |GROUP BY b.bench_id""".stripMargin
+           |GROUP BY b.bench_id""".stripMargin,
+
+    // One gram CTE per width (string grams — hashes only rename); the
+    // scalar-subquery denominator is the Spark side's 1-row broadcast
+    "q108_width_sweep" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+           |),
+           |g8 AS (
+           |  SELECT DISTINCT doc_id, list_aggregate(t[i:i+7], 'string_agg', ' ') AS g
+           |  FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i) WHERE len(t) >= 8),
+           |g12 AS (
+           |  SELECT DISTINCT doc_id, list_aggregate(t[i:i+11], 'string_agg', ' ') AS g
+           |  FROM toks, UNNEST(range(1, len(t) - 10)) AS r(i) WHERE len(t) >= 12),
+           |g16 AS (
+           |  SELECT DISTINCT doc_id, list_aggregate(t[i:i+15], 'string_agg', ' ') AS g
+           |  FROM toks, UNNEST(range(1, len(t) - 14)) AS r(i) WHERE len(t) >= 16),
+           |u AS (
+           |  SELECT 8 AS w, gr.doc_id, gr.g FROM g8 gr
+           |    JOIN (SELECT DISTINCT g FROM g8 WHERE doc_id % 20 = 0) b USING (g)
+           |    WHERE gr.doc_id % 20 <> 0
+           |  UNION ALL
+           |  SELECT 12 AS w, gr.doc_id, gr.g FROM g12 gr
+           |    JOIN (SELECT DISTINCT g FROM g12 WHERE doc_id % 20 = 0) b USING (g)
+           |    WHERE gr.doc_id % 20 <> 0
+           |  UNION ALL
+           |  SELECT 16 AS w, gr.doc_id, gr.g FROM g16 gr
+           |    JOIN (SELECT DISTINCT g FROM g16 WHERE doc_id % 20 = 0) b USING (g)
+           |    WHERE gr.doc_id % 20 <> 0)
+           |SELECT CAST(w AS BIGINT) AS w,
+           |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contam_docs,
+           |  CAST(count(DISTINCT g) AS BIGINT) AS n_shared_grams,
+           |  round(CAST(count(DISTINCT doc_id) AS DOUBLE)
+           |    / (SELECT count(*) FROM documents WHERE doc_id % 20 <> 0), 6)
+           |    AS contam_rate
+           |FROM u GROUP BY w""".stripMargin
   )
 }

@@ -92,6 +92,26 @@ class DecontamSpec extends SparkSpec {
     assert(r === Map(20L -> ((3L, 2L))))
   }
 
+  test("q108: each width admits exactly the spans long enough to match") {
+    val b = (1 to 16).map(i => s"b$i").mkString(" ") // bench doc: b1..b16
+    val dir = docsDir(Seq(
+      20L -> b,                                            // the bench slice
+      1L -> ((1 to 8).map(i => s"b$i").mkString(" ") + " x1 x2"), // 8-token overlap
+      2L -> (1 to 12).map(i => s"b$i").mkString(" "),      // 12-token overlap
+      3L -> b,                                             // full 16-token copy
+      4L -> (1 to 8).map(i => s"z$i").mkString(" ")))      // clean
+    val r = graft.SparkEntry.queries("q108_width_sweep")(spark, dir).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    // w=8: docs 1,2,3 leak; the union of shared 8-grams is all 9 bench
+    // 8-grams (doc 3 alone contributes all of them). w=12: docs 2,3 / 5
+    // grams. w=16: doc 3 / 1 gram. 4 train docs total.
+    assert(r === Map(
+      8L -> ((3L, 9L, 0.75)),
+      12L -> ((2L, 5L, 0.5)),
+      16L -> ((1L, 1L, 0.25))))
+  }
+
   test("q49 driver query: benchmark slice is excluded from the output") {
     val dir = docsDir(Seq(
       (20L, benchText),
