@@ -449,8 +449,49 @@ object Similarity {
 
     "q43_ann_ivf" -> ((s, dir) => annIvf(s, dir)),
 
-    "q36_ann_lsh" -> ((s, dir) => annLsh(s, dir))
+    "q36_ann_lsh" -> ((s, dir) => annLsh(s, dir)),
+
+    // Per-label per-dimension centroid/variance profile — see
+    // [[labelCentroids]].
+    "q109_label_centroids" -> ((s, dir) =>
+      labelCentroids(Tables.embeddings(s, dir)))
   )
+
+  /** Per-(label, dimension) centroid and variance of the embedding space —
+    * the class-conditional profile a classifier-based quality filter or a
+    * drift monitor reads (is class k's cluster where it was last
+    * snapshot? which dims separate classes?). Ragged vectors need no
+    * exclusion here: each dimension aggregates exactly the vectors that
+    * have it, with its own n_vecs.
+    *
+    * Exactness contract (the q60 lesson — tree-aggregated double sums are
+    * FP-order-dependent and can never hash-match): every component is
+    * quantized to micro-units FIRST — floor(x·1e6) on the exactly-widened
+    * float is the same IEEE multiply+floor in both engines — so the sums
+    * are LONG and order-free, and the one double division per output cell
+    * is deterministic. Variance uses the long sum of squares (bounded:
+    * |q| ≤ 2^20 ⇒ q² ≤ 2^40, safe for corpora to ~2^23 rows per cell;
+    * beyond that, shard the cell sums before combining).
+    *
+    * Scale: posexplode is map-side; everything reduces in ONE
+    * (label, dim)-keyed partial agg — vectors never cross an exchange,
+    * only (label, dim, count, sum, sumsq) partials do.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame = {
+    val q = floor(col("x").cast("double") * 1e6).cast("long")
+    embeddings.filter(col("embedding").isNotNull)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label").cast("long").as("label"),
+        (col("pos") + 1).cast("long").as("dim"), q.as("q"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("q")).as("s"), sum(col("q") * col("q")).as("ss"))
+      .select(col("label"), col("dim"), col("n_vecs"),
+        round(col("s").cast("double") / col("n_vecs") / 1e6, 6).as("mean"),
+        round((col("ss").cast("double") / col("n_vecs")
+          - (col("s").cast("double") / col("n_vecs"))
+            * (col("s").cast("double") / col("n_vecs"))) / 1e12, 6).as("variance"))
+  }
 
   /** q35's exact semantics ARE expressible in DuckDB ≥1.0
     * (list_cosine_similarity over DOUBLE[] matches the double-accumulate
@@ -509,7 +550,24 @@ object Similarity {
         |FROM embeddings e, muv m
         |WHERE e.embedding IS NOT NULL AND len(e.embedding) = len(m.mu)
         |ORDER BY dist DESC, vec_id ASC
-        |LIMIT 50""".stripMargin)
+        |LIMIT 50""".stripMargin,
+
+    // micro-unit quantization first (floor of the exactly-widened float ·
+    // 1e6 — the same IEEE multiply+floor both engines), so sums are LONG
+    // and order-free; the division sequence mirrors the Spark select
+    "q109_label_centroids" ->
+      """WITH u AS (
+        |  SELECT label, i AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+        |  WHERE embedding IS NOT NULL)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+        |  count(*) AS n_vecs,
+        |  round(CAST(sum(q) AS DOUBLE) / count(*) / 1e6, 6) AS mean,
+        |  round((CAST(sum(q * q) AS DOUBLE) / count(*)
+        |    - (CAST(sum(q) AS DOUBLE) / count(*))
+        |      * (CAST(sum(q) AS DOUBLE) / count(*))) / 1e12, 6) AS variance
+        |FROM u GROUP BY label, dim""".stripMargin)
 }
 
 /** Tiny deterministic k-means for the IVF coarse quantizer. Driver-side on

@@ -235,6 +235,42 @@ class SimilaritySpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q109: hand-checked per-(label, dim) centroid/variance; ragged dims count only their vectors") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (1L, Seq(1.0f, 2.0f), 0),
+      (2L, Seq(3.0f, 4.0f), 0),
+      (3L, Seq(5.0f), 1)) // ragged: dim 2 sees only label-0 vectors
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelCentroids(e).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r === Map(
+      (0L, 1L) -> ((2L, 2.0, 1.0)),  // values 1, 3: mean 2, var 1
+      (0L, 2L) -> ((2L, 3.0, 1.0)),  // values 2, 4
+      (1L, 1L) -> ((1L, 5.0, 0.0)))) // single vector: var 0
+  }
+
+  test("q109 plan: one (label, dim)-keyed partial agg; vectors never shuffle") {
+    val df = graft.SparkEntry.queries("q109_label_centroids")(
+      spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        df.collect(); a.executedPlan
+      case other => other
+    }
+    plan.collect { case ex: ShuffleExchangeExec => ex }.foreach { ex =>
+      assert(!ex.child.output.exists(_.name == "embedding"),
+        s"embedding vectors cross an exchange:\n$plan")
+    }
+  }
+
   test("lshBitsFor scales with corpus and clamps") {
     assert(Similarity.lshBitsFor(100) === 4)
     assert(Similarity.lshBitsFor(64 * 1024) === 10)
