@@ -454,8 +454,44 @@ object Similarity {
     // Per-label per-dimension centroid/variance profile — see
     // [[labelCentroids]].
     "q109_label_centroids" -> ((s, dir) =>
-      labelCentroids(Tables.embeddings(s, dir)))
+      labelCentroids(Tables.embeddings(s, dir))),
+
+    // Centroid drift between the deterministic even/odd vec_id halves
+    // (q86's two-snapshot convention) — see [[centroidDrift]].
+    "q110_centroid_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      centroidDrift(e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 =!= 0))
+    })
   )
+
+  /** Embedding-space drift between two corpus snapshots, per label: the
+    * L2 shift of each class centroid plus both population counts — q86's
+    * token-drift tripwire for the EMBEDDING space (a re-encoded corpus,
+    * an upstream model swap, or class contamination moves centroids while
+    * ids and tokens look stable). Labels/dimensions present in only one
+    * snapshot are excluded (drift needs both endpoints).
+    *
+    * Exactness: both snapshots' per-(label, dim) means come from
+    * [[labelCentroids]] (order-free long sums, hash-verified
+    * cross-engine); the rounded means are re-anchored as DECIMAL(18,6) so
+    * the squared-difference sum is exact and order-free too, and the one
+    * sqrt per label is deterministic. Scale: two partial-agg passes and a
+    * (label, dim)-keyed join of two already-aggregated ≤|labels|·|dims|
+    * frames — nothing corpus-scale past the first aggregation.
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)
+    def means(df: DataFrame, n: String, m: String) =
+      labelCentroids(df).select(col("label"), col("dim"),
+        col("n_vecs").as(n), col("mean").cast(dec).as(m))
+    means(a, "n_a", "m_a").join(means(b, "n_b", "m_b"), Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum((col("m_a") - col("m_b")) * (col("m_a") - col("m_b"))).as("d2"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(sqrt(col("d2").cast("double")), 6).as("drift"))
+  }
 
   /** Per-(label, dimension) centroid and variance of the embedding space —
     * the class-conditional profile a classifier-based quality filter or a
@@ -567,7 +603,34 @@ object Similarity {
         |  round((CAST(sum(q * q) AS DOUBLE) / count(*)
         |    - (CAST(sum(q) AS DOUBLE) / count(*))
         |      * (CAST(sum(q) AS DOUBLE) / count(*))) / 1e12, 6) AS variance
-        |FROM u GROUP BY label, dim""".stripMargin)
+        |FROM u GROUP BY label, dim""".stripMargin,
+
+    // q109's micro-unit means per half, re-anchored DECIMAL(18,6) so the
+    // squared-difference sum is exact; one sqrt per label at the end
+    "q110_centroid_drift" ->
+      """WITH u AS (
+        |  SELECT vec_id, label, i AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+        |  WHERE embedding IS NOT NULL),
+        |ca AS (
+        |  SELECT label, dim, count(*) AS n_vecs,
+        |    CAST(round(CAST(sum(q) AS DOUBLE) / count(*) / 1e6, 6)
+        |      AS DECIMAL(18,6)) AS m
+        |  FROM u WHERE vec_id % 2 = 0 GROUP BY label, dim),
+        |cb AS (
+        |  SELECT label, dim, count(*) AS n_vecs,
+        |    CAST(round(CAST(sum(q) AS DOUBLE) / count(*) / 1e6, 6)
+        |      AS DECIMAL(18,6)) AS m
+        |  FROM u WHERE vec_id % 2 <> 0 GROUP BY label, dim),
+        |j AS (
+        |  SELECT ca.label, ca.n_vecs AS n_a, cb.n_vecs AS n_b,
+        |    (ca.m - cb.m) * (ca.m - cb.m) AS d2
+        |  FROM ca JOIN cb ON ca.label = cb.label AND ca.dim = cb.dim)
+        |SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+        |  round(sqrt(CAST(sum(d2) AS DOUBLE)), 6) AS drift
+        |FROM j GROUP BY label""".stripMargin)
 }
 
 /** Tiny deterministic k-means for the IVF coarse quantizer. Driver-side on

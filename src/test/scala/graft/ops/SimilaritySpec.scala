@@ -271,6 +271,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q110: centroid shift between halves; one-sided labels excluded") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (2L, Seq(1.0f, 0.0f), 0), (4L, Seq(3.0f, 0.0f), 0), // even: centroid (2,0)
+      (1L, Seq(5.0f, 0.0f), 0), (3L, Seq(7.0f, 4.0f), 0), // odd: centroid (6,2)
+      (6L, Seq(9.0f, 9.0f), 1)) // label 1 only in the even half: excluded
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidDrift(
+      e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" % 2 =!= 0)).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    // sqrt((2-6)^2 + (0-2)^2) = sqrt(20)
+    assert(r === Map(0L -> ((2L, 2L, 4.472136))))
+  }
+
   test("lshBitsFor scales with corpus and clamps") {
     assert(Similarity.lshBitsFor(100) === 4)
     assert(Similarity.lshBitsFor(64 * 1024) === 10)
