@@ -44,7 +44,20 @@ object Curation {
     * builtins do: `v_lo + (h − ⌊h⌋)·(v_hi − v_lo)`, `h = (n−1)/2`.
     */
   private[ops] def medianByHistogram(df: DataFrame, group: String,
-                                     value: String): DataFrame = {
+                                     value: String): DataFrame =
+    quantilesByHistogram(df, group, value, Seq("median" -> 0.5))
+      .select(col(group), col("median"))
+
+  /** [[medianByHistogram]] generalized to any quantile set: ONE histogram
+    * pass answers every requested fraction (the per-p rank columns are
+    * per-group constants, so all quantiles share the same cumulative
+    * walk and one final per-group agg). `n_vals` is the non-null count
+    * the ranks were computed against. Multiplication by p mirrors the
+    * builtins' `h = (n−1)·p` exactly (0.25/0.5/0.75 are binary-exact;
+    * any other p is the same nearest-double product both engines form).
+    */
+  private[ops] def quantilesByHistogram(df: DataFrame, group: String,
+      value: String, ps: Seq[(String, Double)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // NULL values are excluded like percentile/quantile_cont exclude them
     // (an unguarded histogram would count them into n and shift the rank)
@@ -53,23 +66,29 @@ object Curation {
       .agg(count(lit(1)).as("c"))
     val byVal = Window.partitionBy(col(group)).orderBy(col(value))
     val whole = Window.partitionBy(col(group))
-    val cum = hist
+    var cum = hist
       .withColumn("cumEnd", sum(col("c")).over(byVal))
       .withColumn("cumStart", col("cumEnd") - col("c"))
       .withColumn("n", sum(col("c")).over(whole))
-      .withColumn("h", (col("n") - 1).cast("double") / 2.0)
-      .withColumn("lo", floor(col("h")).cast("long"))
-      .withColumn("hi", ceil(col("h")).cast("long"))
-    cum.groupBy(col(group), col("h"), col("lo"))
-      .agg(
-        min(when(col("cumStart") <= col("lo") && col("lo") < col("cumEnd"),
-          col(value))).as("vLo"),
-        min(when(col("cumStart") <= col("hi") && col("hi") < col("cumEnd"),
-          col(value))).as("vHi"))
-      .select(col(group),
-        (col("vLo").cast("double") + (col("h") - col("lo").cast("double")) *
-          (col("vHi").cast("double") - col("vLo").cast("double")))
-          .as("median"))
+    for ((nm, p) <- ps) {
+      cum = cum
+        .withColumn(s"h_$nm", (col("n") - 1).cast("double") * p)
+        .withColumn(s"lo_$nm", floor(col(s"h_$nm")).cast("long"))
+        .withColumn(s"hi_$nm", ceil(col(s"h_$nm")).cast("long"))
+    }
+    val aggs = max(col("n")).as("n_vals") +: ps.flatMap { case (nm, _) => Seq(
+      min(when(col("cumStart") <= col(s"lo_$nm") && col(s"lo_$nm") < col("cumEnd"),
+        col(value))).as(s"vLo_$nm"),
+      min(when(col("cumStart") <= col(s"hi_$nm") && col(s"hi_$nm") < col("cumEnd"),
+        col(value))).as(s"vHi_$nm"),
+      max(col(s"h_$nm")).as(s"hh_$nm"),
+      max(col(s"lo_$nm")).as(s"ll_$nm")) }
+    cum.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
+      .select(col(group) +: col("n_vals") +: ps.map { case (nm, _) =>
+        (col(s"vLo_$nm").cast("double")
+          + (col(s"hh_$nm") - col(s"ll_$nm").cast("double"))
+            * (col(s"vHi_$nm").cast("double") - col(s"vLo_$nm").cast("double")))
+          .as(nm) }: _*)
   }
 
   /** Exact continuous quantile (`quantile_cont` / `percentile` semantics)
@@ -602,6 +621,18 @@ object Curation {
     "q106_quality_yield" -> ((s, dir) =>
       qualityYield(Tables.documents(s, dir))),
 
+    // Exact per-source length quantiles (p25/p50/p75/p95) from ONE value
+    // histogram — [[quantilesByHistogram]]: the per-group generalization
+    // of q89's cutoff machinery (q54 reports only the median). The window
+    // runs over HISTOGRAM rows (≤ |value domain| per source, independent
+    // of corpus size); no group ever buffers its values.
+    "q111_source_quantiles" -> ((s, dir) =>
+      quantilesByHistogram(Tables.documents(s, dir), "source", "n_chars",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
+        .select(col("source"), col("n_vals").as("n_docs"),
+          round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
+          round(col("p75"), 6).as("p75"), round(col("p95"), 6).as("p95"))),
+
     "q76_curation_verdict" -> ((s, dir) =>
       curationVerdict(Tables.documents(s, dir))),
 
@@ -1013,6 +1044,16 @@ object Curation {
     // q69's gram CTEs (hash renames grams — the q33/q69 convention)
     // joined with the diversity bucket; floor(x·10) on IEEE doubles is
     // bit-identical cross-engine, sums are integer until the final cast
+    // quantile_cont IS the semantics being reproduced, so the oracle is
+    // the builtin direct; count(n_chars) = the non-null n the ranks use
+    "q111_source_quantiles" ->
+      """SELECT source, count(n_chars) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.25), 6) AS p25,
+        |  round(quantile_cont(n_chars, 0.50), 6) AS p50,
+        |  round(quantile_cont(n_chars, 0.75), 6) AS p75,
+        |  round(quantile_cont(n_chars, 0.95), 6) AS p95
+        |FROM documents GROUP BY source""".stripMargin,
+
     // same bucket expression as q95; cumulative via self-join mirrors the
     // Spark broadcast-triangle spelling, scalar subquery = the 1-row total
     "q106_quality_yield" ->

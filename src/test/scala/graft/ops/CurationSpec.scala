@@ -98,6 +98,19 @@ class CurationSpec extends SparkSpec {
       2L -> ((1L, 4L, 3L, 18L, 1.0))))
   }
 
+  test("q111: interpolated quantiles match the closed form on 1..4") {
+    // n_chars = 1,2,3,4 -> h_p = 3p: p25 -> 1.75, p50 -> 2.5, p75 -> 3.25,
+    // p95 -> h=2.85 -> 3 + 0.85*(4-3) = 3.85
+    val dir = docsDir(Seq(1L -> "a", 2L -> "ab", 3L -> "abc", 4L -> "abcd"))
+    val r = Curation.queries("q111_source_quantiles")(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getString(0) === "test")
+    assert(row.getLong(1) === 4L)
+    assert((row.getDouble(2), row.getDouble(3), row.getDouble(4),
+      row.getDouble(5)) === ((1.75, 2.5, 3.25, 3.85)))
+  }
+
   test("q97 packWaste: independent layout simulation matches per-shard stats") {
     val docs = (1L to 40L).map(i => (i, ("w " * (1 + (i % 7)).toInt).trim))
     val dir = docsDir(docs)
