@@ -119,4 +119,64 @@ object StreamingOps {
       .join(broadcast(benchGramIds), "g")
       .dropDuplicatesWithinWatermark("bench_id", "doc_id")
       .groupBy(col("bench_id")).agg(count(lit(1)).as("n_train_docs"))
+
+  /** Per-user funnel marks: epoch-ms of the first view, first qualifying
+    * click, first qualifying purchase; -1 = not reached. 24 bytes/user —
+    * 10⁹ users ≈ 24 GB of state, the RocksDB-store class (see
+    * [[InspectorStream]]'s provider option), not the in-memory one. */
+  case class FunnelMarks(tView: Long, tClick: Long, tPurchase: Long)
+
+  /** A user ADVANCING to `stage` (1 = view, 2 = click, 3 = purchase) at
+    * event-time `at_ms`. */
+  case class FunnelAdvance(user_id: Long, stage: Int, at_ms: Long)
+
+  /** Live funnel monitor — the streaming form of batch q107
+    * ([[graft.ops.Relational.funnel]]): per-user strict ordered
+    * view → click → purchase tracking as events stream in, emitting a row
+    * whenever a user reaches a NEW stage (update-mode progress a
+    * dashboard folds into live stage counts). `events` needs
+    * (user_id long, event_type string, ms long).
+    *
+    * Semantics vs batch: each micro-batch's events fold into the state
+    * machine in (ms, event_type) order, so in-batch disorder is repaired
+    * exactly; a single batch reproduces q107's stage populations. Across
+    * batches the marks refine monotonically — a late-arriving EARLIER
+    * view/click lowers its mark and can qualify future late events — but
+    * an event rejected in an earlier batch is not retroactively
+    * re-qualified (the state keeps three marks, never the event log;
+    * the bounded-state trade [[leakMonitor]] documents for dedup pairs).
+    * Stage advances themselves are monotone: at most 3 emits per user,
+    * at the first time each stage is reached.
+    */
+  def funnelMonitor(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("ms").cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelMarks, FunnelAdvance](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (user, it, state) =>
+        var st = state.getOption.getOrElse(FunnelMarks(-1L, -1L, -1L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
+        for ((_, tpe, ms) <- it.toArray.sortBy(e => (e._3, e._2))) tpe match {
+          case "view" if st.tView < 0 || ms < st.tView =>
+            if (st.tView < 0) out += FunnelAdvance(user, 1, ms)
+            st = st.copy(tView = ms)
+          case "click" if st.tView >= 0 && ms > st.tView &&
+              (st.tClick < 0 || ms < st.tClick) =>
+            if (st.tClick < 0) out += FunnelAdvance(user, 2, ms)
+            st = st.copy(tClick = ms)
+          case "purchase" if st.tClick >= 0 && ms > st.tClick &&
+              st.tPurchase < 0 =>
+            st = st.copy(tPurchase = ms)
+            out += FunnelAdvance(user, 3, ms)
+          case _ => // no state change: wrong type, out of order, or done
+        }
+        state.update(st)
+        out.iterator
+      }.toDF()
+  }
 }

@@ -259,6 +259,56 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming funnel: one batch reproduces q107's stage populations") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val mon = StreamingOps.funnelMonitor(
+      ms.toDS().toDF("user_id", "event_type", "ms"))
+    val query = mon.writeStream.format("memory")
+      .queryName("funnel_mon").outputMode("update").start()
+    try {
+      // the q107 batch-spec scenario, deliberately added OUT of order
+      ms.addData(
+        (1L, "purchase", 3000L), (1L, "click", 2000L), (1L, "view", 1000L),
+        (2L, "click", 1000L), (2L, "view", 2000L), (2L, "purchase", 3000L),
+        (3L, "view", 1000L),
+        (4L, "click", 1000L), (4L, "purchase", 2000L))
+      query.processAllAvailable()
+      val adv = s.table("funnel_mon").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // stage counts match the batch funnel: 3 views, 1 click, 1 purchase
+      assert(adv === Set(
+        (1L, 1, 1000L), (1L, 2, 2000L), (1L, 3, 3000L),
+        (2L, 1, 2000L), (3L, 1, 1000L)))
+    } finally query.stop()
+  }
+
+  test("streaming funnel: marks refine across batches; rejected events never resurrect") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val mon = StreamingOps.funnelMonitor(
+      ms.toDS().toDF("user_id", "event_type", "ms"))
+    val query = mon.writeStream.format("memory")
+      .queryName("funnel_mon2").outputMode("update").start()
+    try {
+      ms.addData((5L, "view", 5000L), (5L, "click", 4000L)) // click too early
+      query.processAllAvailable()
+      // batch 2: a LATE earlier view refines tView (5000 -> 1000) and the
+      // in-batch sort applies it before the late click, which now qualifies
+      ms.addData((5L, "view", 1000L), (5L, "click", 3000L))
+      query.processAllAvailable()
+      val adv = s.table("funnel_mon2").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // batch 1's rejected click@4000 is NOT resurrected: stage 2 advances
+      // at the batch-2 click@3000
+      assert(adv === Set((5L, 1, 5000L), (5L, 2, 3000L)))
+    } finally query.stop()
+  }
+
   test("streaming leak monitor: cumulative distinct-doc breadth per bench item") {
     val s = spark
     import s.implicits._
