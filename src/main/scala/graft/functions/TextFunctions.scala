@@ -234,6 +234,88 @@ object HashedGrams {
   }
 }
 
+/** Multi-width form of [[HashedGrams]] for width-sweep screens (q108):
+  * hashes each token ONCE and rolls every requested width over the shared
+  * token-hash array, emitting the per-width DISTINCT gram set as (w, g)
+  * structs. Calling [[HashedGrams]] once per width re-hashes every token
+  * of the document per width — for a 3-width sweep that triples the
+  * dominant per-row CPU; this is the single-pass spelling. Gram values
+  * are identical to [[HashedGrams]]'s (same rolling polynomial), so the
+  * gram space stays shared with the single-width screens.
+  */
+case class HashedGramsTagged(child: Expression, ns: Seq[Int])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(ns.nonEmpty && ns.forall(_ > 0), s"widths must be positive: $ns")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = HashedGramsTagged.schema
+  override def prettyName: String = "hashed_grams_tagged"
+
+  override def nullSafeEval(input: Any): Any =
+    HashedGramsTagged.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      ns.toArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nsRef = ctx.addReferenceObj("widths", ns.toArray, "int[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = ${classOf[HashedGramsTagged].getName.stripSuffix("$")}$$.MODULE$$" +
+        s".compute($v, $nsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedGramsTagged {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("w", IntegerType, nullable = false),
+    StructField("g", LongType, nullable = false))), containsNull = false)
+
+  private val P = 0x9E3779B97F4A7C15L
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(toks: ArrayData, ns: Array[Int]): ArrayData = {
+    val len = toks.numElements()
+    val th = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      val t = toks.getUTF8String(i)
+      th(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
+      i += 1
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var wi = 0
+    while (wi < ns.length) {
+      val n = ns(wi)
+      if (len >= n) {
+        // per-width distinct (the gramArray = array_distinct contract);
+        // capacity sized to the window count like HashedGrams' output
+        val seen = new java.util.HashSet[java.lang.Long]((len - n + 1) * 2)
+        var pN = 1L
+        i = 1
+        while (i < n) { pN *= P; i += 1 }
+        var h = 0L
+        i = 0
+        while (i < n) { h = h * P + th(i); i += 1 }
+        if (seen.add(h)) rows += new GenericInternalRow(Array[Any](n, h))
+        i = 1
+        while (i <= len - n) {
+          h = (h - th(i - 1) * pN) * P + th(i + n - 1)
+          if (seen.add(h)) rows += new GenericInternalRow(Array[Any](n, h))
+          i += 1
+        }
+      }
+      wi += 1
+    }
+    new GenericArrayData(rows.toArray)
+  }
+}
+
 /** Strip every `w`-token window starting at one of `positions` (0-based
   * token indexes, any order) from a token array; returns
   * `struct(n_tok, n_kept, text_clean)` with the kept tokens re-joined by
@@ -322,6 +404,9 @@ object TextFunctions {
 
   def hashedGrams(tokens: Column, n: Int): Column =
     Bridge.column(HashedGrams(Bridge.expression(tokens), n))
+
+  def hashedGramsTagged(tokens: Column, ns: Seq[Int]): Column =
+    Bridge.column(HashedGramsTagged(Bridge.expression(tokens), ns))
 
   private[functions] val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("repetition_stats"),

@@ -52,7 +52,10 @@ object Curation {
     * pass answers every requested fraction (the per-p rank columns are
     * per-group constants, so all quantiles share the same cumulative
     * walk and one final per-group agg). `n_vals` is the non-null count
-    * the ranks were computed against. Multiplication by p mirrors the
+    * the ranks were computed against; a group whose values are ALL NULL
+    * has no histogram rows and is ABSENT from the output (the q111
+    * oracle's HAVING mirrors this — a bare GROUP BY would emit such a
+    * group with NULL quantiles). Multiplication by p mirrors the
     * builtins' `h = (n−1)·p` exactly (0.25/0.5/0.75 are binary-exact;
     * any other p is the same nearest-double product both engines form).
     */
@@ -1052,7 +1055,8 @@ object Curation {
         |  round(quantile_cont(n_chars, 0.50), 6) AS p50,
         |  round(quantile_cont(n_chars, 0.75), 6) AS p75,
         |  round(quantile_cont(n_chars, 0.95), 6) AS p95
-        |FROM documents GROUP BY source""".stripMargin,
+        |FROM documents GROUP BY source
+        |HAVING count(n_chars) > 0""".stripMargin,
 
     // same bucket expression as q95; cumulative via self-join mirrors the
     // Spark broadcast-triangle spelling, scalar subquery = the 1-row total

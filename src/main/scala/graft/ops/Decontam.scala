@@ -139,9 +139,12 @@ object Decontam {
     * (fewer chance collisions, more paraphrase escapes), and this is the
     * evidence for where that trade sits on a given corpus.
     *
-    * Scale: each side is scanned ONCE — every width's per-doc-distinct
-    * gram space is exploded together, tagged (w, g), so the corpus does
-    * not rescan per width. The bench (w, g) index broadcasts (widths ×
+    * Scale: each side is scanned AND tokenized/hashed ONCE — the
+    * [[graft.functions.HashedGramsTagged]] kernel hashes each token once
+    * and rolls every width over the shared token-hash array (one
+    * [[gramArray]] call per width would re-split and re-hash the document
+    * per width — 3× the dominant per-row CPU), emitting per-doc-distinct
+    * (w, g) structs. The bench (w, g) index broadcasts (widths ×
     * a small eval set); join survivors are bounded by the contamination
     * rate and both count_distincts are two-phase partial aggs on the
     * ≤|widths| key space. The rate divides by a 1-row broadcast count.
@@ -150,9 +153,9 @@ object Decontam {
   def widthSweep(train: DataFrame, bench: DataFrame,
                  widths: Seq[Int] = Seq(8, 12, 16)): DataFrame = {
     def tagged(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), explode(flatten(array(widths.map(w =>
-        transform(gramArray(w),
-          g => struct(lit(w).as("w"), g.as("g")))): _*))).as("t"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.hashedGramsTagged(Dedup.tokens, widths))
+        .as("t"))
       .select(col("doc_id"), col("t.w").as("w"), col("t.g").as("g"))
     val bg = tagged(bench).select(col("w"), col("g")).distinct()
     val nTrain = train.agg(count(lit(1)).as("n_train"))

@@ -474,14 +474,19 @@ object Similarity {
     *
     * Exactness: both snapshots' per-(label, dim) means come from
     * [[labelCentroids]] (order-free long sums, hash-verified
-    * cross-engine); the rounded means are re-anchored as DECIMAL(18,6) so
+    * cross-engine); the rounded means are re-anchored as DECIMAL(15,6) so
     * the squared-difference sum is exact and order-free too, and the one
-    * sqrt per label is deterministic. Scale: two partial-agg passes and a
+    * sqrt per label is deterministic. The precision is 15, NOT 18, by
+    * necessity: an (18,6) difference squares to Spark's 38-digit cap and
+    * silently RE-ROUNDS to scale 11, truncating the 1e-12 digit — a
+    * 1-micro-unit drift would read exactly 0. (16,6)² = (33,12) stays
+    * exact; 9 integer digits hold any |mean| < 10⁹.
+    * Scale: two partial-agg passes and a
     * (label, dim)-keyed join of two already-aggregated ≤|labels|·|dims|
     * frames — nothing corpus-scale past the first aggregation.
     */
   def centroidDrift(a: DataFrame, b: DataFrame): DataFrame = {
-    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(15, 6)
     def means(df: DataFrame, n: String, m: String) =
       labelCentroids(df).select(col("label"), col("dim"),
         col("n_vecs").as(n), col("mean").cast(dec).as(m))
@@ -605,8 +610,10 @@ object Similarity {
         |      * (CAST(sum(q) AS DOUBLE) / count(*))) / 1e12, 6) AS variance
         |FROM u GROUP BY label, dim""".stripMargin,
 
-    // q109's micro-unit means per half, re-anchored DECIMAL(18,6) so the
-    // squared-difference sum is exact; one sqrt per label at the end
+    // q109's micro-unit means per half, re-anchored DECIMAL(15,6) — NOT
+    // (18,6), whose square would hit Spark's 38-digit cap and re-round
+    // away the 1e-12 digit — so the squared-difference sum is exact; one
+    // sqrt per label at the end
     "q110_centroid_drift" ->
       """WITH u AS (
         |  SELECT vec_id, label, i AS dim,
@@ -616,12 +623,12 @@ object Similarity {
         |ca AS (
         |  SELECT label, dim, count(*) AS n_vecs,
         |    CAST(round(CAST(sum(q) AS DOUBLE) / count(*) / 1e6, 6)
-        |      AS DECIMAL(18,6)) AS m
+        |      AS DECIMAL(15,6)) AS m
         |  FROM u WHERE vec_id % 2 = 0 GROUP BY label, dim),
         |cb AS (
         |  SELECT label, dim, count(*) AS n_vecs,
         |    CAST(round(CAST(sum(q) AS DOUBLE) / count(*) / 1e6, 6)
-        |      AS DECIMAL(18,6)) AS m
+        |      AS DECIMAL(15,6)) AS m
         |  FROM u WHERE vec_id % 2 <> 0 GROUP BY label, dim),
         |j AS (
         |  SELECT ca.label, ca.n_vecs AS n_a, cb.n_vecs AS n_b,

@@ -52,4 +52,21 @@ trait SparkSpec extends AnyFunSuite {
 
   def collectSet(df: DataFrame): Set[Seq[Any]] =
     df.collect().map(_.toSeq).toSet
+
+  /** Executed plan with AQE wrappers made transparent: a shuffle-bearing
+    * plan compiles to AdaptiveSparkPlanExec (a LEAF node), so a naive
+    * `plan.collect { case e: ShuffleExchangeExec => }` on the wrapper is
+    * vacuously empty — exactly the regression plan guards exist to
+    * catch. Returning a plan whose AQE wrappers are unwrapped keeps the
+    * node-collect guards honest.
+    */
+  def executed(df: DataFrame): org.apache.spark.sql.execution.SparkPlan = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case other => other.withNewChildren(other.children.map(unwrap))
+    }
+    unwrap(df.queryExecution.executedPlan)
+  }
 }

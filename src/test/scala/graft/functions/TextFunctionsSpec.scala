@@ -85,4 +85,28 @@ class TextFunctionsSpec extends SparkSpec {
       assert(all.map(_._1).distinct.length === all.map(_._2).distinct.length)
     }
   }
+
+  test("HashedGramsTagged: differential vs per-width array_distinct(hashedGrams)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val widths = Seq(2, 3, 8)
+    val docs = (Seq("a b c d e f g h i", "a a a a a", "x y", "", "one") ++
+      (0 until 50).map(_ =>
+        (0 until rnd.nextInt(25)).map(_ => s"t${rnd.nextInt(5)}").mkString(" ")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val rows = docs.toDF("id", "text")
+      .select(col("id"),
+        TextFunctions.hashedGramsTagged(graft.ops.Dedup.tokens, widths).as("tg"),
+        array(widths.map(w => array_distinct(
+          TextFunctions.hashedGrams(graft.ops.Dedup.tokens, w))): _*).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      val got = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getInt(0), x.getLong(1))).toSet
+      val want = widths.zipWithIndex.flatMap { case (w, i) =>
+        r.getSeq[scala.collection.Seq[Long]](2)(i).map(g => (w, g)) }.toSet
+      assert(got === want, s"id=${r.getLong(0)}")
+    }
+  }
 }

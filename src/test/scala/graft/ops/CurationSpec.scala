@@ -111,6 +111,19 @@ class CurationSpec extends SparkSpec {
       row.getDouble(5)) === ((1.75, 2.5, 3.25, 3.85)))
   }
 
+  test("q111: an all-NULL group is absent, not a NULL-quantile row") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("a", Some(5L)), ("a", Some(7L)),
+      ("b", None), ("b", None)) // source b: every value NULL
+      .toDF("source", "n_chars")
+    val r = Curation.quantilesByHistogram(docs, "source", "n_chars",
+      Seq("p50" -> 0.5)).collect()
+    assert(r.map(_.getString(0)).toSet === Set("a"))
+    assert(r(0).getLong(1) === 2L) // n_vals counts only non-null values
+  }
+
   test("q97 packWaste: independent layout simulation matches per-shard stats") {
     val docs = (1L to 40L).map(i => (i, ("w " * (1 + (i % 7)).toInt).trim))
     val dir = docsDir(docs)

@@ -17,21 +17,8 @@ class PlanAuditSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** Executed plan with AQE wrappers made transparent: a shuffle-bearing
-    * plan compiles to AdaptiveSparkPlanExec (a LEAF node), so a naive
-    * `plan.collect { case e: ShuffleExchangeExec => }` on the wrapper is
-    * vacuously empty — exactly the regression these guards exist to
-    * catch. Returning a plan whose AQE wrappers are unwrapped keeps the
-    * node-collect guards honest.
-    */
-  private def executed(df: DataFrame): SparkPlan = {
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def unwrap(p: SparkPlan): SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
-      case other => other.withNewChildren(other.children.map(unwrap))
-    }
-    unwrap(df.queryExecution.executedPlan)
-  }
+  // executed(df) — the AQE-unwrapping plan helper — now lives in SparkSpec
+  // (shared with the per-module plan tests).
 
   private def planString(q: String): String = {
     val df = graft.SparkEntry.queries(q)(spark, sf)

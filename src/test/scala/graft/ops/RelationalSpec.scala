@@ -25,6 +25,25 @@ class RelationalSpec extends SparkSpec {
     dir
   }
 
+  test("Tables.events normalizes a TIMESTAMP(MICROS)/NTZ ts to epoch-nanos") {
+    // the regenerated-testdata spelling: timestamp[us] without the UTC
+    // flag, which Spark reads as TIMESTAMP_NTZ — the loader must surface
+    // the same epoch-nanos Long the TIMESTAMP(NANOS) generation gave
+    val dir = Files.createTempDirectory("graft_events_ntz").toString
+    val s = spark
+    import s.implicits._
+    Seq((1L, 1234567L, 7L, "view"))
+      .toDF("event_id", "us", "user_id", "event_type")
+      .selectExpr("event_id",
+        "CAST(timestamp_micros(us) AS TIMESTAMP_NTZ) AS ts",
+        "user_id", "event_type", "1.0 as value", "'{}' as props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val loaded = graft.Tables.events(spark, dir)
+    assert(loaded.schema("ts").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(loaded.select("ts").collect()(0).getLong(0) === 1234567000L)
+  }
+
   test("q107: a stage only advances on a strictly later event") {
     val sec = 1000000000L // 1 s in ns
     val dir = eventsDir(Seq(

@@ -260,11 +260,7 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains("partial"), p)
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val plan = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        df.collect(); a.executedPlan
-      case other => other
-    }
+    val plan = executed(df)
     plan.collect { case ex: ShuffleExchangeExec => ex }.foreach { ex =>
       assert(!ex.child.output.exists(_.name == "embedding"),
         s"embedding vectors cross an exchange:\n$plan")
@@ -285,6 +281,22 @@ class SimilaritySpec extends SparkSpec {
       .toMap
     // sqrt((2-6)^2 + (0-2)^2) = sqrt(20)
     assert(r === Map(0L -> ((2L, 2L, 4.472136))))
+  }
+
+  test("q110: a 1-micro-unit drift survives the decimal sum (the 38-digit-cap trap)") {
+    val s = spark
+    import s.implicits._
+    // micro-units: floor(0.0*1e6)=0 vs floor(2e-6f widened *1e6)=1 — means
+    // differ by exactly 1e-6; an (18,6) decimal square would re-round the
+    // 1e-12 product to scale 11 and report drift 0.0
+    val e = Seq(
+      (2L, Seq(0.0f), 0),
+      (1L, Seq(2.0e-6f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidDrift(
+      e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" % 2 =!= 0)).collect()
+    assert(r.length === 1)
+    assert(r(0).getDouble(3) === 1.0e-6)
   }
 
   test("lshBitsFor scales with corpus and clamps") {
