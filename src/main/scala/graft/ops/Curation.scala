@@ -620,7 +620,63 @@ object Curation {
           .as("token_share"))
   }
 
+  /** Screen-attrition cascade: per (source, stage), how many docs and
+    * tokens the curation pipeline's ordered screens claim — stage = the
+    * FIRST screen that flags a doc (exact-dup election → benchmark
+    * contamination → repetition quality → PII), `5_kept` otherwise. The
+    * pipeline-planning funnel: q76 explains each doc's every reason;
+    * this prices the screens in the order they actually run (a doc a
+    * later screen would also catch is charged to the earlier one, which
+    * is what reordering decisions need). PII is an attention stage, not
+    * a drop — those docs ship redacted — but the cascade still charges
+    * them (the governance read).
+    *
+    * Scale: all per-doc features (token count, repetition struct, PII
+    * flag) compute in ONE map-side pass over the train slice; the two
+    * membership frames (q30's survivor election, q49's contaminated set)
+    * arrive as doc_id-keyed thin frames and join on doc_id — bodies
+    * never cross an exchange, and the final agg is a
+    * (source, stage)-keyed partial agg over ≤ |sources|·5 keys.
+    * Thresholds are [[TextAnalysis.MaxDupGramRatio]]/
+    * [[TextAnalysis.MaxTopTokenRatio]] — the streaming filter's exact
+    * constants, so batch accounting prices the live screen.
+    */
+  def screenCascade(docs: DataFrame): DataFrame = {
+    val live = docs.filter(col("text").isNotNull)
+    val train = live.filter(col("doc_id") % 20 =!= 0)
+    val bench = live.filter(col("doc_id") % 20 === 0)
+    val flags = train
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.words).cast("long").as("n_tok"),
+        graft.functions.RepetitionStats(col("text")).as("st"),
+        (Pii.piiTotal > lit(0L)).as("pii_bad"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (TextAnalysis.dupGramRatio(col("st")) > TextAnalysis.MaxDupGramRatio ||
+          TextAnalysis.topTokenRatio(col("st")) > TextAnalysis.MaxTopTokenRatio)
+          .as("rep_bad"),
+        col("pii_bad"))
+    val surv = Dedup.exactSurvivors(train)
+      .select(col("doc_id"), lit(1).as("is_surv"))
+    val contam = Decontam.contaminated(train, bench)
+      .select(col("doc_id"), lit(1).as("is_contam"))
+    flags.join(surv, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("source"),
+        when(col("is_surv").isNull, "1_exact_dup")
+          .when(col("is_contam").isNotNull, "2_contaminated")
+          .when(col("rep_bad"), "3_low_quality")
+          .when(col("pii_bad"), "4_pii")
+          .otherwise("5_kept").as("stage"),
+        col("n_tok"))
+      .groupBy(col("source"), col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_screen_cascade" -> ((s, dir) =>
+      screenCascade(Tables.documents(s, dir))),
+
     "q106_quality_yield" -> ((s, dir) =>
       qualityYield(Tables.documents(s, dir))),
 
@@ -1047,6 +1103,53 @@ object Curation {
     // q69's gram CTEs (hash renames grams — the q33/q69 convention)
     // joined with the diversity bucket; floor(x·10) on IEEE doubles is
     // bit-identical cross-engine, sums are integer until the final cast
+    // stage CASE mirrors the Spark first-flag-wins order; survivor CTE =
+    // the q30 oracle over the train slice, contamination CTE = the q49
+    // gram space, repetition/PII features = the q44/q50 oracle forms
+    "q112_screen_cascade" ->
+      raw"""WITH live AS (
+           |  SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+           |train AS (SELECT * FROM live WHERE doc_id % 20 <> 0),
+           |surv AS (SELECT min(doc_id) AS doc_id FROM train GROUP BY text),
+           |tl AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           |       FROM live),
+           |grams AS (
+           |  SELECT DISTINCT doc_id, list_aggregate(t[i:i+7], 'string_agg', ' ') AS g
+           |  FROM tl, UNNEST(range(1, len(t) - 6)) AS r(i) WHERE len(t) >= 8),
+           |contam AS (
+           |  SELECT DISTINCT gr.doc_id FROM grams gr
+           |  JOIN (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0) b USING (g)
+           |  WHERE gr.doc_id % 20 <> 0),
+           |feat AS (
+           |  SELECT tr.doc_id, tr.source, len(tk.t) AS n_tok,
+           |    CASE WHEN len(tk.t) >= 3
+           |         THEN 1.0 - CAST(len(list_distinct(list_transform(
+           |                generate_series(1, len(tk.t) - 2),
+           |                i -> tk.t[i] || ' ' || tk.t[i+1] || ' ' || tk.t[i+2])))
+           |              AS DOUBLE) / (len(tk.t) - 2)
+           |         ELSE 0.0 END AS dgr,
+           |    CAST(list_max(list_transform(list_distinct(tk.t),
+           |           x -> len(list_filter(tk.t, y -> y = x)))) AS DOUBLE)
+           |      / len(tk.t) AS ttr,
+           |    (len(regexp_extract_all(tr.text, '${Pii.Email}'))
+           |     + len(regexp_extract_all(tr.text, '${Pii.Phone}'))
+           |     + len(regexp_extract_all(tr.text, '${Pii.Ipv4}'))
+           |     + len(regexp_extract_all(tr.text, '${Pii.LongId}'))) > 0 AS pii_bad
+           |  FROM train tr JOIN tl tk USING (doc_id)),
+           |staged AS (
+           |  SELECT f.source, f.n_tok,
+           |    CASE WHEN s.doc_id IS NULL THEN '1_exact_dup'
+           |         WHEN c.doc_id IS NOT NULL THEN '2_contaminated'
+           |         WHEN f.dgr > 0.5 OR f.ttr > 0.3 THEN '3_low_quality'
+           |         WHEN f.pii_bad THEN '4_pii'
+           |         ELSE '5_kept' END AS stage
+           |  FROM feat f
+           |  LEFT JOIN surv s ON f.doc_id = s.doc_id
+           |  LEFT JOIN contam c ON f.doc_id = c.doc_id)
+           |SELECT source, stage, count(*) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           |FROM staged GROUP BY source, stage""".stripMargin,
+
     // quantile_cont IS the semantics being reproduced, so the oracle is
     // the builtin direct; count(n_chars) = the non-null n the ranks use
     "q111_source_quantiles" ->

@@ -27,6 +27,12 @@ object Pii {
   private def countOf(pat: String): Column =
     size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
 
+  /** Total PII match count over the ORIGINAL text — [[detect]]'s
+    * detection side without the redaction projection, for screens (q112)
+    * that only need the flag. */
+  private[ops] def piiTotal: Column =
+    countOf(Email) + countOf(Phone) + countOf(Ipv4) + countOf(LongId)
+
   /** (doc_id, per-category counts, total, redacted). NULL-text docs are
     * excluded (the q44 contract). Redaction order matters where patterns
     * nest (an email contains no phone, but a long id contains shorter

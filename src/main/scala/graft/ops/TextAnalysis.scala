@@ -51,6 +51,12 @@ object TextAnalysis {
     * struct column — ONE definition shared by batch q44 and the streaming
     * quality filter so the two paths cannot drift.
     */
+  /** Repetition-screen thresholds — ONE definition shared by the
+    * streaming quality filter and the q112 cascade so the two screens
+    * cannot drift. */
+  private[graft] val MaxDupGramRatio = 0.5
+  private[graft] val MaxTopTokenRatio = 0.3
+
   private[graft] def dupGramRatio(st: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(st.getField("ng") > 0,
       lit(1.0) - st.getField("nu").cast("double") / st.getField("ng"))

@@ -78,8 +78,8 @@ object StreamingOps {
     * Pure projection + filter — no state, no watermark needed.
     */
   def qualityFiltered(docs: DataFrame,
-                      maxDupGramRatio: Double = 0.5,
-                      maxTopTokenRatio: Double = 0.3): DataFrame =
+                      maxDupGramRatio: Double = graft.ops.TextAnalysis.MaxDupGramRatio,
+                      maxTopTokenRatio: Double = graft.ops.TextAnalysis.MaxTopTokenRatio): DataFrame =
     docs
       .withColumn("st", graft.functions.RepetitionStats(col("text")))
       // ratio definitions shared with batch q44 — one source of truth

@@ -124,6 +124,28 @@ class CurationSpec extends SparkSpec {
     assert(r(0).getLong(1) === 2L) // n_vals counts only non-null values
   }
 
+  test("q112: each stage claims exactly its planted doc, first flag wins") {
+    val b = (1 to 8).map(i => s"b$i").mkString(" ") // the bench item
+    val cleanPair = "orange apple pear plum kiwi fig"
+    val dir = docsDir(Seq(
+      20L -> b,                     // bench slice (doc_id % 20 == 0)
+      1L -> cleanPair,              // survivor of the exact-dup pair
+      21L -> cleanPair,             // 1_exact_dup
+      3L -> b,                      // shares the 8-gram: 2_contaminated
+      5L -> "s s s s s s",          // ttr 1.0 and dgr 0.75: 3_low_quality
+      7L -> "contact me at a@b.co today please friends", // 4_pii
+      9L -> "alpha beta gamma delta epsilon zeta"))      // 5_kept
+    val r = Curation.queries("q112_screen_cascade")(spark, dir).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r === Map(
+      ("test", "1_exact_dup") -> ((1L, 6L)),
+      ("test", "2_contaminated") -> ((1L, 8L)),
+      ("test", "3_low_quality") -> ((1L, 6L)),
+      ("test", "4_pii") -> ((1L, 7L)),
+      ("test", "5_kept") -> ((2L, 12L)))) // docs 1 and 9
+  }
+
   test("q97 packWaste: independent layout simulation matches per-shard stats") {
     val docs = (1L to 40L).map(i => (i, ("w " * (1 + (i % 7)).toInt).trim))
     val dir = docsDir(docs)
