@@ -673,9 +673,35 @@ object Curation {
         sum(col("n_tok")).cast("long").as("n_tokens"))
   }
 
+  /** Context-limit truncation loss: per source, the exact token fraction
+    * that survives truncating every document at L tokens, for the
+    * candidate limits a trainer actually considers. q100 histograms the
+    * length distribution; this prices the POLICY — pick the L where the
+    * keep ratio stops paying for the context cost. Pure scan projection
+    * (least(n_tok, L) per doc) into one source-keyed partial agg; every
+    * ratio is one division of exact long sums.
+    */
+  def truncationYield(docs: DataFrame,
+                      limits: Seq[Int] = Seq(128, 512, 2048)): DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("source"),
+        size(TextAnalysis.words).cast("long").as("n_tok"))
+    val aggs = count(lit(1)).as("n_docs") +:
+      sum(col("n_tok")).as("n_tokens") +:
+      limits.map(l => sum(least(col("n_tok"), lit(l.toLong))).as(s"kept_$l"))
+    base.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+      .select(col("source") +: col("n_docs") +: col("n_tokens").cast("long").as("n_tokens") +:
+        limits.map(l => round(col(s"kept_$l").cast("double") / col("n_tokens"), 6)
+          .as(s"keep_$l")): _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_screen_cascade" -> ((s, dir) =>
       screenCascade(Tables.documents(s, dir))),
+
+    // Context-limit truncation pricing — see [[truncationYield]].
+    "q113_truncation_yield" -> ((s, dir) =>
+      truncationYield(Tables.documents(s, dir))),
 
     "q106_quality_yield" -> ((s, dir) =>
       qualityYield(Tables.documents(s, dir))),
@@ -1103,6 +1129,22 @@ object Curation {
     // q69's gram CTEs (hash renames grams — the q33/q69 convention)
     // joined with the diversity bucket; floor(x·10) on IEEE doubles is
     // bit-identical cross-engine, sums are integer until the final cast
+    // least() per doc then one division of exact long sums — no FP
+    // accumulation anywhere
+    "q113_truncation_yield" ->
+      raw"""WITH t AS (
+           |  SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+           |  FROM documents WHERE text IS NOT NULL)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           |  round(CAST(sum(least(n_tok, 128)) AS DOUBLE) / sum(n_tok), 6)
+           |    AS keep_128,
+           |  round(CAST(sum(least(n_tok, 512)) AS DOUBLE) / sum(n_tok), 6)
+           |    AS keep_512,
+           |  round(CAST(sum(least(n_tok, 2048)) AS DOUBLE) / sum(n_tok), 6)
+           |    AS keep_2048
+           |FROM t GROUP BY source""".stripMargin,
+
     // stage CASE mirrors the Spark first-flag-wins order; survivor CTE =
     // the q30 oracle over the train slice, contamination CTE = the q49
     // gram space, repetition/PII features = the q44/q50 oracle forms

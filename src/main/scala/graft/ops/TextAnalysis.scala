@@ -172,6 +172,30 @@ object TextAnalysis {
     // Pure builtin-function plan: words -> per-language overlap counts.
     "q37_lang_id" -> ((s, dir) => langPerDoc(Tables.documents(s, dir))),
 
+    // Per-language quality profile: the "which languages need which
+    // thresholds" table — q37's prediction rolled up with exact token
+    // stats. Two thin doc-keyed map-side frames (the q105 join shape)
+    // meet on doc_id; the rollup is a ≤|languages|-key partial agg, and
+    // every ratio is ONE division of exact long sums (never an average
+    // of per-doc doubles — FP accumulation order would break the hash).
+    "q114_lang_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val feats = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(words).cast("long").as("n_words"),
+          size(array_distinct(words)).cast("long").as("n_uniq"))
+      langPerDoc(docs).select(col("doc_id"), col("pred_lang"))
+        .join(feats, "doc_id")
+        .groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("sw"), sum(col("n_uniq")).as("su"))
+        .select(col("pred_lang"), col("n_docs"),
+          col("sw").cast("long").as("sum_words"),
+          col("su").cast("long").as("sum_uniq"),
+          round(col("su").cast("double") / col("sw"), 6).as("uniq_ratio"),
+          round(col("sw").cast("double") / col("n_docs"), 6).as("mean_words"))
+    }),
+
     // Repetition signals (Gopher/C4-style quality filters): duplicate
     // 3-gram ratio (non-distinct grams — repetition IS the signal) and
     // top-token concentration. Round 2: O(tokens²) interpreted array
@@ -276,6 +300,37 @@ object TextAnalysis {
         |       ELSE 'zh' END AS pred_lang,
         |  greatest(score_de, score_en, score_es, score_fr, score_zh) AS lid_score
         |FROM s""".stripMargin,
+
+    // the q37 argmax CTE + exact long sums; ratios are one division each
+    "q114_lang_quality" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |           FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, len(w) AS n_words,
+        |  len(list_distinct(w)) AS n_uniq,
+        |  CAST(len(list_intersect(list_distinct(w),
+        |    ['der','die','das','und','ein','eine','zu','mit'])) AS DOUBLE)/len(w) AS score_de,
+        |  CAST(len(list_intersect(list_distinct(w),
+        |    ['the','a','of','and','to','in','is','that'])) AS DOUBLE)/len(w) AS score_en,
+        |  CAST(len(list_intersect(list_distinct(w),
+        |    ['el','la','de','y','los','las','un','una'])) AS DOUBLE)/len(w) AS score_es,
+        |  CAST(len(list_intersect(list_distinct(w),
+        |    ['le','la','de','et','les','des','un','une'])) AS DOUBLE)/len(w) AS score_fr,
+        |  CAST(len(list_intersect(list_distinct(w),
+        |    ['de','le','shi','zai','you','wo','ta','men'])) AS DOUBLE)/len(w) AS score_zh
+        |FROM t),
+        |l AS (SELECT doc_id, n_words, n_uniq,
+        |  CASE WHEN score_de >= greatest(score_en, score_es, score_fr, score_zh) THEN 'de'
+        |       WHEN score_en >= greatest(score_es, score_fr, score_zh) THEN 'en'
+        |       WHEN score_es >= greatest(score_fr, score_zh) THEN 'es'
+        |       WHEN score_fr >= score_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM s)
+        |SELECT pred_lang, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+        |  CAST(sum(n_uniq) AS BIGINT) AS sum_uniq,
+        |  round(CAST(sum(n_uniq) AS DOUBLE) / sum(n_words), 6) AS uniq_ratio,
+        |  round(CAST(sum(n_words) AS DOUBLE) / count(*), 6) AS mean_words
+        |FROM l GROUP BY pred_lang""".stripMargin,
 
     // Same fold, DuckDB form: list_prepend injects the init value,
     // list_reduce runs the identical (acc*31 + h) % P recurrence. All

@@ -146,6 +146,19 @@ class CurationSpec extends SparkSpec {
       ("test", "5_kept") -> ((2L, 12L)))) // docs 1 and 9
   }
 
+  test("q113: keep ratios are exact long sums of least(n_tok, L)") {
+    val dir = docsDir(Seq(
+      1L -> ("w " * 200).trim, // 200 tokens: 128 survive the 128 limit
+      2L -> "a b c d"))        // 4 tokens: all survive
+    val r = Curation.queries("q113_truncation_yield")(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert((row.getLong(1), row.getLong(2)) === ((2L, 204L)))
+    assert(row.getDouble(3) === 0.647059) // (128+4)/204 round 6
+    assert(row.getDouble(4) === 1.0)
+    assert(row.getDouble(5) === 1.0)
+  }
+
   test("q97 packWaste: independent layout simulation matches per-shard stats") {
     val docs = (1L to 40L).map(i => (i, ("w " * (1 + (i % 7)).toInt).trim))
     val dir = docsDir(docs)
