@@ -473,29 +473,28 @@ object Similarity {
     * snapshot are excluded (drift needs both endpoints).
     *
     * Exactness: both snapshots' per-(label, dim) means come from
-    * [[labelCentroids]] (order-free long sums, hash-verified
-    * cross-engine); the rounded means are re-anchored as DECIMAL(15,6) so
-    * the squared-difference sum is exact and order-free too, and the one
-    * sqrt per label is deterministic. The precision is 15, NOT 18, by
-    * necessity: an (18,6) difference squares to Spark's 38-digit cap and
-    * silently RE-ROUNDS to scale 11, truncating the 1e-12 digit — a
-    * 1-micro-unit drift would read exactly 0. (16,6)² = (33,12) stays
-    * exact; 9 integer digits hold any |mean| < 10⁹.
+    * [[labelCentroids]] as INTEGER micro-units, so the squared-difference
+    * sum is pure long arithmetic — exact and order-free with no decimal
+    * widening to manage (an earlier DECIMAL(18,6) spelling squared into
+    * Spark's 38-digit cap and silently re-rounded the 1e-12 digit away —
+    * a 1-micro-unit drift read exactly 0). One deterministic sqrt per
+    * label converts micro² back to units at the end. Long bound: |Δ| ≤
+    * 3·10⁹ micro (means beyond ±3000.0) would overflow the square —
+    * far past any embedding scale.
     * Scale: two partial-agg passes and a
     * (label, dim)-keyed join of two already-aggregated ≤|labels|·|dims|
     * frames — nothing corpus-scale past the first aggregation.
     */
   def centroidDrift(a: DataFrame, b: DataFrame): DataFrame = {
-    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(15, 6)
     def means(df: DataFrame, n: String, m: String) =
       labelCentroids(df).select(col("label"), col("dim"),
-        col("n_vecs").as(n), col("mean").cast(dec).as(m))
+        col("n_vecs").as(n), col("mean_micro").as(m))
     means(a, "n_a", "m_a").join(means(b, "n_b", "m_b"), Seq("label", "dim"))
       .groupBy(col("label"))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         sum((col("m_a") - col("m_b")) * (col("m_a") - col("m_b"))).as("d2"))
       .select(col("label"), col("n_a"), col("n_b"),
-        round(sqrt(col("d2").cast("double")), 6).as("drift"))
+        round(sqrt(col("d2").cast("double")) / 1e6, 6).as("drift"))
   }
 
   /** Per-(label, dimension) centroid and variance of the embedding space —
@@ -509,10 +508,17 @@ object Similarity {
     * FP-order-dependent and can never hash-match): every component is
     * quantized to micro-units FIRST — floor(x·1e6) on the exactly-widened
     * float is the same IEEE multiply+floor in both engines — so the sums
-    * are LONG and order-free, and the one double division per output cell
-    * is deterministic. Variance uses the long sum of squares (bounded:
-    * |q| ≤ 2^20 ⇒ q² ≤ 2^40, safe for corpora to ~2^23 rows per cell;
-    * beyond that, shard the cell sums before combining).
+    * are LONG and order-free. Outputs stay in INTEGER micro-units
+    * (`mean_micro`, `var_micro2` = micro²): rounding the quotient at
+    * scale 0 is cross-engine safe because half-INTEGERS are exactly
+    * representable doubles (both engines see the same X.5 and round away
+    * from zero), where a `/1e6`-then-round-6 spelling put means on
+    * half-MICRO boundaries — 1.5e-6 has no exact double, so Spark's
+    * shortest-decimal HALF_UP and DuckDB's exact-binary-expansion
+    * rounding systematically disagree there (caught live at sf0.01).
+    * Variance uses the long sum of squares (bounded: |q| ≤ 2^20 ⇒ q² ≤
+    * 2^40, safe for corpora to ~2^23 rows per cell; beyond that, shard
+    * the cell sums before combining).
     *
     * Scale: posexplode is map-side; everything reduces in ONE
     * (label, dim)-keyed partial agg — vectors never cross an exchange,
@@ -528,10 +534,12 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("q")).as("s"), sum(col("q") * col("q")).as("ss"))
       .select(col("label"), col("dim"), col("n_vecs"),
-        round(col("s").cast("double") / col("n_vecs") / 1e6, 6).as("mean"),
-        round((col("ss").cast("double") / col("n_vecs")
+        round(col("s").cast("double") / col("n_vecs"), 0).cast("long")
+          .as("mean_micro"),
+        round(col("ss").cast("double") / col("n_vecs")
           - (col("s").cast("double") / col("n_vecs"))
-            * (col("s").cast("double") / col("n_vecs"))) / 1e12, 6).as("variance"))
+            * (col("s").cast("double") / col("n_vecs")), 0).cast("long")
+          .as("var_micro2"))
   }
 
   /** q35's exact semantics ARE expressible in DuckDB ≥1.0
@@ -595,7 +603,10 @@ object Similarity {
 
     // micro-unit quantization first (floor of the exactly-widened float ·
     // 1e6 — the same IEEE multiply+floor both engines), so sums are LONG
-    // and order-free; the division sequence mirrors the Spark select
+    // and order-free; outputs stay integer micro-units because rounding a
+    // quotient at scale 0 is cross-engine safe (half-INTEGERS are exact
+    // doubles) where /1e6-then-round-6 put means on unrepresentable
+    // half-micro boundaries and the two engines' rounding diverged
     "q109_label_centroids" ->
       """WITH u AS (
         |  SELECT label, i AS dim,
@@ -604,16 +615,17 @@ object Similarity {
         |  WHERE embedding IS NOT NULL)
         |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
         |  count(*) AS n_vecs,
-        |  round(CAST(sum(q) AS DOUBLE) / count(*) / 1e6, 6) AS mean,
-        |  round((CAST(sum(q * q) AS DOUBLE) / count(*)
+        |  CAST(round(CAST(sum(q) AS DOUBLE) / count(*), 0) AS BIGINT)
+        |    AS mean_micro,
+        |  CAST(round(CAST(sum(q * q) AS DOUBLE) / count(*)
         |    - (CAST(sum(q) AS DOUBLE) / count(*))
-        |      * (CAST(sum(q) AS DOUBLE) / count(*))) / 1e12, 6) AS variance
+        |      * (CAST(sum(q) AS DOUBLE) / count(*)), 0) AS BIGINT)
+        |    AS var_micro2
         |FROM u GROUP BY label, dim""".stripMargin,
 
-    // q109's micro-unit means per half, re-anchored DECIMAL(15,6) — NOT
-    // (18,6), whose square would hit Spark's 38-digit cap and re-round
-    // away the 1e-12 digit — so the squared-difference sum is exact; one
-    // sqrt per label at the end
+    // q109's integer micro-unit means per half — the squared-difference
+    // sum is pure BIGINT arithmetic; one sqrt per label converts micro²
+    // back to units at the end
     "q110_centroid_drift" ->
       """WITH u AS (
         |  SELECT vec_id, label, i AS dim,
@@ -622,13 +634,11 @@ object Similarity {
         |  WHERE embedding IS NOT NULL),
         |ca AS (
         |  SELECT label, dim, count(*) AS n_vecs,
-        |    CAST(round(CAST(sum(q) AS DOUBLE) / count(*) / 1e6, 6)
-        |      AS DECIMAL(15,6)) AS m
+        |    CAST(round(CAST(sum(q) AS DOUBLE) / count(*), 0) AS BIGINT) AS m
         |  FROM u WHERE vec_id % 2 = 0 GROUP BY label, dim),
         |cb AS (
         |  SELECT label, dim, count(*) AS n_vecs,
-        |    CAST(round(CAST(sum(q) AS DOUBLE) / count(*) / 1e6, 6)
-        |      AS DECIMAL(15,6)) AS m
+        |    CAST(round(CAST(sum(q) AS DOUBLE) / count(*), 0) AS BIGINT) AS m
         |  FROM u WHERE vec_id % 2 <> 0 GROUP BY label, dim),
         |j AS (
         |  SELECT ca.label, ca.n_vecs AS n_a, cb.n_vecs AS n_b,
@@ -636,7 +646,7 @@ object Similarity {
         |  FROM ca JOIN cb ON ca.label = cb.label AND ca.dim = cb.dim)
         |SELECT CAST(label AS BIGINT) AS label,
         |  CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
-        |  round(sqrt(CAST(sum(d2) AS DOUBLE)), 6) AS drift
+        |  round(sqrt(CAST(sum(d2) AS DOUBLE)) / 1e6, 6) AS drift
         |FROM j GROUP BY label""".stripMargin)
 }
 

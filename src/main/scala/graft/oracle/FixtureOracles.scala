@@ -975,6 +975,147 @@ object FixtureOracles {
     }
   }
 
+  /** q60's fit-sample bound (Pca.fitSampled's default `cap`). */
+  private val PcaSampleCap = 4096
+
+  /** q60: whitened top-8 PCA coordinates under the deterministic sampled
+    * fit — the whole chain restated: hash-ordered sample (the
+    * [[hashSample]] draw = Pca.fitSampled's (xxhash64(vec_id), vec_id)
+    * top-k), sequential packed-moment fold, covariance via the one-pass
+    * Gram subtraction, cyclic Jacobi with the relative tolerance, eigen
+    * order (value desc, index tiebreak), canonical sign
+    * (largest-|component| positive), and the 1e-12-guarded whitening
+    * projection. Every FP op follows the pipeline's contract order, so
+    * the outputs are bit-equal before the 6-dp rounding
+    * (FixtureOraclesSpec proves it on a planted corpus).
+    */
+  private[oracle] def deriveQ60(vecs: Seq[(Long, Array[Float])])
+      : Seq[(Long, Double, Double, Double, Double, Double, Double, Double, Double)] = {
+    val k = 8
+    val sample = hashSample(vecs, PcaSampleCap)
+    val d = sample(0).length
+    // packed moments [n, sum(d), upper-tri gram], folded in sample order
+    val acc = new Array[Double](1 + d + d * (d + 1) / 2)
+    sample.foreach { e =>
+      require(e.length == d, s"embedding dim ${e.length} != $d")
+      acc(0) += 1
+      var i = 0
+      var t = 1 + d
+      while (i < d) {
+        acc(1 + i) += e(i)
+        var j = i
+        while (j < d) { acc(t) += e(i).toDouble * e(j); t += 1; j += 1 }
+        i += 1
+      }
+    }
+    val n = acc(0)
+    val mean = Array.tabulate(d)(i => acc(1 + i) / n)
+    val cov = Array.ofDim[Double](d, d)
+    var t = 1 + d
+    var ci = 0
+    while (ci < d) {
+      var cj = ci
+      while (cj < d) {
+        val c = (acc(t) - n * mean(ci) * mean(cj)) / (n - 1)
+        cov(ci)(cj) = c; cov(cj)(ci) = c
+        t += 1; cj += 1
+      }
+      ci += 1
+    }
+    val (evals, evecs) = jacobiRestated(cov)
+    val order = evals.indices.sortBy(ix => -evals(ix)).take(k)
+    val comps = order.map { ix =>
+      val cvec = Array.tabulate(d)(r => evecs(r)(ix))
+      val m = cvec.indices.maxBy(r => math.abs(cvec(r)))
+      if (cvec(m) < 0) cvec.map(-_) else cvec
+    }
+    val eigs = order.map(evals)
+    val eps = 1e-12
+    vecs.filter(_._2 != null).map { case (id, v) =>
+      val out = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val comp = comps(c)
+        var a = 0.0
+        var i = 0
+        while (i < d) { a += (v(i) - mean(i)) * comp(i); i += 1 }
+        out(c) = round6(a / math.sqrt(math.max(eigs(c), 0.0) + eps))
+        c += 1
+      }
+      (id, out(0), out(1), out(2), out(3), out(4), out(5), out(6), out(7))
+    }
+  }
+
+  /** Cyclic Jacobi for symmetric matrices, restated from the textbook
+    * algorithm with the pipeline's exact conventions (relative tolerance
+    * 1e-28·‖A‖²_F, ≤64 sweeps, rotation formulas in the same order).
+    */
+  private def jacobiRestated(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    var fro2 = 0.0
+    var fi = 0
+    while (fi < n) {
+      var fj = 0
+      while (fj < n) { fro2 += a(fi)(fj) * a(fi)(fj); fj += 1 }
+      fi += 1
+    }
+    val tol = 1e-28 * fro2
+    var off = offNorm()
+    var sweep = 0
+    while (sweep < 64 && off > tol) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+            val tt =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1))
+              else -1.0 / (-theta + math.sqrt(theta * theta + 1))
+            val c = 1.0 / math.sqrt(tt * tt + 1)
+            val s = tt * c
+            val app = a(p)(p); val aqq = a(q)(q)
+            a(p)(p) = app - tt * apq
+            a(q)(q) = aqq + tt * apq
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+            var i = 0
+            while (i < n) {
+              if (i != p && i != q) {
+                val aip = a(i)(p); val aiq = a(i)(q)
+                a(i)(p) = c * aip - s * aiq; a(p)(i) = a(i)(p)
+                a(i)(q) = s * aip + c * aiq; a(q)(i) = a(i)(q)
+              }
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+      val next = offNorm()
+      if (next >= off) sweep = 64 // roundoff floor reached
+      off = next
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
   // ---- fixture publication ----------------------------------------------
 
   /** Corpus identity: count and a row-weighted integer sum — two exact
@@ -1057,7 +1198,7 @@ object FixtureOracles {
       "q58_media_neardup", "q105_fertility")
       .map(n => fixtureDir(n, key))
     val embFixtures = Seq("q34_embed_neardup", "q36_ann_lsh", "q43_ann_ivf",
-      "q66_semdedup", "q77_pq", "q84_ivfpq")
+      "q66_semdedup", "q77_pq", "q84_ivfpq", "q60_pca_whiten")
       .map(n => fixtureDir(n, embKey))
     val needed = docFixtures ++ embFixtures
     if (!docFixtures.forall(Files.exists(_))) {
@@ -1119,6 +1260,9 @@ object FixtureOracles {
         fixtureDir("q77_pq", embKey))
       publish(keyed(deriveQ84(vecs, bytes).toDF("query_id", "vec_id", "rank", "adc_dist")),
         fixtureDir("q84_ivfpq", embKey))
+      publish(keyed(deriveQ60(vecs).toDF("vec_id", "pc_0", "pc_1", "pc_2",
+        "pc_3", "pc_4", "pc_5", "pc_6", "pc_7")),
+        fixtureDir("q60_pca_whiten", embKey))
     }
     // liveness beacon + age-scoped sweep of fixture dirs from older
     // corpora/code versions (the SyntheticTraffic discipline: reads
@@ -1190,5 +1334,7 @@ object FixtureOracles {
     "q66_semdedup"       -> embFixtureSql("q66_semdedup", "a, b, cos"),
     "q77_pq"             -> embFixtureSql("q77_pq", "vec_id, pq_code, recon_mse"),
     "q84_ivfpq"          -> embFixtureSql("q84_ivfpq",
-      "query_id, vec_id, \"rank\", adc_dist"))
+      "query_id, vec_id, \"rank\", adc_dist"),
+    "q60_pca_whiten"     -> embFixtureSql("q60_pca_whiten",
+      "vec_id, pc_0, pc_1, pc_2, pc_3, pc_4, pc_5, pc_6, pc_7"))
 }

@@ -245,11 +245,27 @@ class SimilaritySpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     val r = Similarity.labelCentroids(e).collect()
       .map(x => (x.getLong(0), x.getLong(1)) ->
-        ((x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
     assert(r === Map(
-      (0L, 1L) -> ((2L, 2.0, 1.0)),  // values 1, 3: mean 2, var 1
-      (0L, 2L) -> ((2L, 3.0, 1.0)),  // values 2, 4
-      (1L, 1L) -> ((1L, 5.0, 0.0)))) // single vector: var 0
+      (0L, 1L) -> ((2L, 2000000L, 1000000000000L)), // values 1, 3: mean 2, var 1
+      (0L, 2L) -> ((2L, 3000000L, 1000000000000L)), // values 2, 4
+      (1L, 1L) -> ((1L, 5000000L, 0L))))            // single vector: var 0
+  }
+
+  test("q109: a half-micro mean (n=2, odd micro sum) is exact, not a rounding coin-flip") {
+    val s = spark
+    import s.implicits._
+    // micro values 1 and 2 -> mean 1.5 micro; the retired /1e6-then-
+    // round-6 spelling put this on the unrepresentable 1.5e-6 boundary
+    // where Spark and DuckDB round apart; integer micro-units round the
+    // exactly-representable 1.5 away from zero on both engines
+    val e = Seq(
+      (1L, Seq(1.2e-6f), 0),  // floor(widened * 1e6) = 1 (mid-interval, safe)
+      (2L, Seq(2.7e-6f), 0))  // floor = 2
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelCentroids(e).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(3) === 2L) // round(1.5) away from zero
   }
 
   test("q109 plan: one (label, dim)-keyed partial agg; vectors never shuffle") {
@@ -283,12 +299,13 @@ class SimilaritySpec extends SparkSpec {
     assert(r === Map(0L -> ((2L, 2L, 4.472136))))
   }
 
-  test("q110: a 1-micro-unit drift survives the decimal sum (the 38-digit-cap trap)") {
+  test("q110: a 1-micro-unit drift survives the squared sum (the decimal-cap trap)") {
     val s = spark
     import s.implicits._
     // micro-units: floor(0.0*1e6)=0 vs floor(2e-6f widened *1e6)=1 — means
-    // differ by exactly 1e-6; an (18,6) decimal square would re-round the
-    // 1e-12 product to scale 11 and report drift 0.0
+    // differ by exactly 1 micro; the retired DECIMAL(18,6) square re-rounded
+    // the 1e-12 product to scale 11 and reported drift 0.0 (long micro
+    // arithmetic keeps it exact by construction)
     val e = Seq(
       (2L, Seq(0.0f), 0),
       (1L, Seq(2.0e-6f), 0))

@@ -243,6 +243,16 @@ class FixtureOraclesSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  test("q60 sampled PCA whiten: restated fit/eigen/projection matches bit-for-bit") {
+    val got = run("q60_pca_whiten").collect()
+      .map(r => (r.getLong(0), (1 to 8).map(r.getDouble))).sortBy(_._1)
+    val want = FixtureOracles.deriveQ60(vectors.map(t => (t._1, t._2)))
+      .map(t => (t._1, Seq(t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9)))
+      .sortBy(_._1)
+    assert(got.nonEmpty, "vacuous: no q60 results")
+    assert(got.toSeq === want)
+  }
+
   test("ensure() publishes corpus-keyed fixture dirs and oracle SQL targets them") {
     FixtureOracles.ensure(spark, nullDir)
     val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
@@ -258,7 +268,7 @@ class FixtureOraclesSpec extends SparkSpec {
       "q82_compress_ratio", "q41_multimodal", "q42_frame_sample",
       "q51_audio_features", "q58_media_neardup",
       "q34_embed_neardup", "q36_ann_lsh", "q43_ann_ivf", "q66_semdedup",
-      "q77_pq", "q84_ivfpq").foreach { q =>
+      "q77_pq", "q84_ivfpq", "q60_pca_whiten").foreach { q =>
       assert(dirs.exists(_.startsWith(s"graft_fx2_${q}_")), s"no fixture dir for $q")
       val sql = FixtureOracles.oracles(q)
       assert(sql.contains(s"graft_fx2_${q}_*") && sql.contains("corpus_n") &&
