@@ -674,12 +674,14 @@ object Curation {
   }
 
   /** Context-limit truncation loss: per source, the exact token fraction
-    * that survives truncating every document at L tokens, for the
-    * candidate limits a trainer actually considers. q100 histograms the
-    * length distribution; this prices the POLICY — pick the L where the
-    * keep ratio stops paying for the context cost. Pure scan projection
-    * (least(n_tok, L) per doc) into one source-keyed partial agg; every
-    * ratio is one division of exact long sums.
+    * (in ppm) that survives truncating every document at L tokens, for
+    * the candidate limits a trainer actually considers. q100 histograms
+    * the length distribution; this prices the POLICY — pick the L where
+    * the keep ratio stops paying for the context cost. Pure scan
+    * projection (least(n_tok, L) per doc) into one source-keyed partial
+    * agg. Ratios are INTEGER ppm — round(q·1e6, 0), never round(q, 6):
+    * scale-0 rounding is cross-engine safe because half-integers are
+    * exact doubles, where a 6-dp half boundary is not (the q109 lesson).
     */
   def truncationYield(docs: DataFrame,
                       limits: Seq[Int] = Seq(128, 512, 2048)): DataFrame = {
@@ -691,8 +693,9 @@ object Curation {
       limits.map(l => sum(least(col("n_tok"), lit(l.toLong))).as(s"kept_$l"))
     base.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
       .select(col("source") +: col("n_docs") +: col("n_tokens").cast("long").as("n_tokens") +:
-        limits.map(l => round(col(s"kept_$l").cast("double") / col("n_tokens"), 6)
-          .as(s"keep_$l")): _*)
+        limits.map(l =>
+          round(col(s"kept_$l").cast("double") * 1e6 / col("n_tokens"), 0)
+            .cast("long").as(s"keep_${l}_ppm")): _*)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1126,23 +1129,21 @@ object Curation {
         |                  / len(embedding), 6) END AS mse
         |FROM e""".stripMargin,
 
-    // q69's gram CTEs (hash renames grams — the q33/q69 convention)
-    // joined with the diversity bucket; floor(x·10) on IEEE doubles is
-    // bit-identical cross-engine, sums are integer until the final cast
-    // least() per doc then one division of exact long sums — no FP
-    // accumulation anywhere
+    // least() per doc, then ppm ratios rounded at SCALE 0 of q·1e6 —
+    // never round-6 of a raw quotient, whose half-micro decimals have no
+    // exact double and round apart cross-engine (the q109 lesson)
     "q113_truncation_yield" ->
       raw"""WITH t AS (
            |  SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
            |  FROM documents WHERE text IS NOT NULL)
            |SELECT source, count(*) AS n_docs,
            |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-           |  round(CAST(sum(least(n_tok, 128)) AS DOUBLE) / sum(n_tok), 6)
-           |    AS keep_128,
-           |  round(CAST(sum(least(n_tok, 512)) AS DOUBLE) / sum(n_tok), 6)
-           |    AS keep_512,
-           |  round(CAST(sum(least(n_tok, 2048)) AS DOUBLE) / sum(n_tok), 6)
-           |    AS keep_2048
+           |  CAST(round(CAST(sum(least(n_tok, 128)) AS DOUBLE) * 1e6
+           |    / sum(n_tok), 0) AS BIGINT) AS keep_128_ppm,
+           |  CAST(round(CAST(sum(least(n_tok, 512)) AS DOUBLE) * 1e6
+           |    / sum(n_tok), 0) AS BIGINT) AS keep_512_ppm,
+           |  CAST(round(CAST(sum(least(n_tok, 2048)) AS DOUBLE) * 1e6
+           |    / sum(n_tok), 0) AS BIGINT) AS keep_2048_ppm
            |FROM t GROUP BY source""".stripMargin,
 
     // stage CASE mirrors the Spark first-flag-wins order; survivor CTE =

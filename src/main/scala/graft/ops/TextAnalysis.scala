@@ -135,8 +135,13 @@ object TextAnalysis {
         when(col(s"score_$l") > acc.getField("sc"),
           struct(col(s"score_$l").as("sc"), lit(l).as("lang"))).otherwise(acc)
     }
+    // n_words/n_uniq ride the SAME projection so rollups (q114) need no
+    // second tokenization pass and no doc_id join; q37/q105 select the
+    // columns they use
     scored.select(col("doc_id"), best.getField("lang").as("pred_lang"),
-      best.getField("sc").as("lid_score"))
+      best.getField("sc").as("lid_score"),
+      size(col("w")).cast("long").as("n_words"),
+      size(array_distinct(col("w"))).cast("long").as("n_uniq"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -170,31 +175,31 @@ object TextAnalysis {
     // Language ID: score = fraction of tokens that are stopwords of each
     // language; argmax with deterministic tiebreak on language code.
     // Pure builtin-function plan: words -> per-language overlap counts.
-    "q37_lang_id" -> ((s, dir) => langPerDoc(Tables.documents(s, dir))),
+    "q37_lang_id" -> ((s, dir) =>
+      langPerDoc(Tables.documents(s, dir))
+        .select(col("doc_id"), col("pred_lang"), col("lid_score"))),
 
     // Per-language quality profile: the "which languages need which
     // thresholds" table — q37's prediction rolled up with exact token
-    // stats. Two thin doc-keyed map-side frames (the q105 join shape)
-    // meet on doc_id; the rollup is a ≤|languages|-key partial agg, and
-    // every ratio is ONE division of exact long sums (never an average
-    // of per-doc doubles — FP accumulation order would break the hash).
-    "q114_lang_quality" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val feats = docs.filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          size(words).cast("long").as("n_words"),
-          size(array_distinct(words)).cast("long").as("n_uniq"))
-      langPerDoc(docs).select(col("doc_id"), col("pred_lang"))
-        .join(feats, "doc_id")
+    // stats, all from langPerDoc's ONE map-side projection (no second
+    // tokenization, no doc_id join), collapsed by a ≤|languages|-key
+    // partial agg. Ratios are INTEGER ppm / milli-words — round(q·scale,
+    // 0) of one division of exact long sums, never round(q, 6): scale-0
+    // rounding cannot diverge cross-engine (half-integers are exact
+    // doubles — the q109 lesson), and never an average of per-doc
+    // doubles whose FP accumulation order would break the hash.
+    "q114_lang_quality" -> ((s, dir) =>
+      langPerDoc(Tables.documents(s, dir))
         .groupBy(col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_words")).as("sw"), sum(col("n_uniq")).as("su"))
         .select(col("pred_lang"), col("n_docs"),
           col("sw").cast("long").as("sum_words"),
           col("su").cast("long").as("sum_uniq"),
-          round(col("su").cast("double") / col("sw"), 6).as("uniq_ratio"),
-          round(col("sw").cast("double") / col("n_docs"), 6).as("mean_words"))
-    }),
+          round(col("su").cast("double") * 1e6 / col("sw"), 0).cast("long")
+            .as("uniq_ratio_ppm"),
+          round(col("sw").cast("double") * 1000 / col("n_docs"), 0).cast("long")
+            .as("mean_words_milli"))),
 
     // Repetition signals (Gopher/C4-style quality filters): duplicate
     // 3-gram ratio (non-distinct grams — repetition IS the signal) and
@@ -301,7 +306,8 @@ object TextAnalysis {
         |  greatest(score_de, score_en, score_es, score_fr, score_zh) AS lid_score
         |FROM s""".stripMargin,
 
-    // the q37 argmax CTE + exact long sums; ratios are one division each
+    // the q37 argmax CTE + exact long sums; ratios round q·scale at
+    // SCALE 0 (ppm / milli-words) — the cross-engine-safe spelling
     "q114_lang_quality" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
         |           FROM documents WHERE text IS NOT NULL),
@@ -328,8 +334,10 @@ object TextAnalysis {
         |SELECT pred_lang, count(*) AS n_docs,
         |  CAST(sum(n_words) AS BIGINT) AS sum_words,
         |  CAST(sum(n_uniq) AS BIGINT) AS sum_uniq,
-        |  round(CAST(sum(n_uniq) AS DOUBLE) / sum(n_words), 6) AS uniq_ratio,
-        |  round(CAST(sum(n_words) AS DOUBLE) / count(*), 6) AS mean_words
+        |  CAST(round(CAST(sum(n_uniq) AS DOUBLE) * 1e6 / sum(n_words), 0)
+        |    AS BIGINT) AS uniq_ratio_ppm,
+        |  CAST(round(CAST(sum(n_words) AS DOUBLE) * 1000 / count(*), 0)
+        |    AS BIGINT) AS mean_words_milli
         |FROM l GROUP BY pred_lang""".stripMargin,
 
     // Same fold, DuckDB form: list_prepend injects the init value,

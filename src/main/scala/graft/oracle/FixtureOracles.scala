@@ -1172,7 +1172,10 @@ object FixtureOracles {
     * JVM must never see a half-written parquet dir; identical key ⇒
     * identical content, so losing the rename race is benign.
     */
-  private def publish(df: DataFrame, target: Path): Unit = {
+  // df is BY-NAME: the existence check must short-circuit the derivation
+  // too, or adding one new fixture would re-run every expensive driver
+  // derivation (LSH/IVF/k-means/PQ) just to publish the one missing dir
+  private def publish(df: => DataFrame, target: Path): Unit = {
     if (Files.exists(target)) return
     val tmp = tmpRoot.resolve(
       s".tmp_${target.getFileName}_${java.util.UUID.randomUUID().toString.take(8)}")

@@ -146,7 +146,7 @@ class CurationSpec extends SparkSpec {
       ("test", "5_kept") -> ((2L, 12L)))) // docs 1 and 9
   }
 
-  test("q113: keep ratios are exact long sums of least(n_tok, L)") {
+  test("q113: keep ratios are exact long sums of least(n_tok, L), in integer ppm") {
     val dir = docsDir(Seq(
       1L -> ("w " * 200).trim, // 200 tokens: 128 survive the 128 limit
       2L -> "a b c d"))        // 4 tokens: all survive
@@ -154,9 +154,9 @@ class CurationSpec extends SparkSpec {
     assert(r.length === 1)
     val row = r(0)
     assert((row.getLong(1), row.getLong(2)) === ((2L, 204L)))
-    assert(row.getDouble(3) === 0.647059) // (128+4)/204 round 6
-    assert(row.getDouble(4) === 1.0)
-    assert(row.getDouble(5) === 1.0)
+    assert(row.getLong(3) === 647059L) // round((128+4)*1e6/204)
+    assert(row.getLong(4) === 1000000L)
+    assert(row.getLong(5) === 1000000L)
   }
 
   test("q97 packWaste: independent layout simulation matches per-shard stats") {

@@ -119,17 +119,17 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
-  test("q114: per-language rollup uses exact sums, one division per ratio") {
+  test("q114: per-language rollup uses exact sums; ratios in integer ppm/milli") {
     val dir = docsDir(Seq(
       1L -> "the a of and x",   // en: 5 words, 5 uniq
       2L -> "der die das und",  // de: 4 words, 4 uniq
       3L -> "the the the a"))   // en: 4 words, 2 uniq
     val r = TextAnalysis.queries("q114_lang_quality")(spark, dir).collect()
       .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
-        x.getDouble(4), x.getDouble(5)))).toMap
+        x.getLong(4), x.getLong(5)))).toMap
     assert(r === Map(
-      "en" -> ((2L, 9L, 7L, 0.777778, 4.5)),
-      "de" -> ((1L, 4L, 4L, 1.0, 4.0))))
+      "en" -> ((2L, 9L, 7L, 777778L, 4500L)), // round(7e6/9), round(9000/2)
+      "de" -> ((1L, 4L, 4L, 1000000L, 4000L))))
   }
 
   test("q38/q39: counts on a fixed doc") {
