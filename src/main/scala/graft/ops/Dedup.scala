@@ -277,6 +277,10 @@ object Dedup {
     "q70_strip_spans" -> ((s, dir) => stripDupSpans(Tables.documents(s, dir))),
 
     // Source×source mirror matrix — see [[sourceOverlap]].
+    // Cross-source exact-duplicate matrix — see [[sourceDupMatrix]].
+    "q115_source_dup_matrix" -> ((s, dir) =>
+      sourceDupMatrix(Tables.documents(s, dir))),
+
     "q96_source_overlap" -> ((s, dir) =>
       sourceOverlap(Tables.documents(s, dir))),
 
@@ -379,6 +383,42 @@ object Dedup {
       .select(col("src_a"), col("src_b"), col("shared"),
         round(col("shared").cast("double") / least(col("na"), col("nb")), 6)
           .as("overlap"))
+  }
+
+  /** Cross-source EXACT-duplicate matrix — q96's mirror question at
+    * document granularity: per source pair, how many distinct document
+    * contents appear verbatim in BOTH (the re-hosted-corpus signal a
+    * span-overlap coefficient smooths away), plus the containment share
+    * of the smaller side in ppm. Reads as: which crawls are literal
+    * re-serves of each other, so the pipeline dedups them as one unit.
+    *
+    * Scale: contents travel as the q30 (xxhash64, length) identity —
+    * one (h, len, source) distinct (hashes only, never bodies), group
+    * sizes bounded by the source catalog, pair expansion in-group over
+    * the sorted source set, and the per-source sizes broadcast.
+    * Containment is integer ppm (scale-0 rounding — the q109 lesson).
+    */
+  def sourceDupMatrix(docs: DataFrame): DataFrame = {
+    val st = Materialize(docs
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(xxhash64(col("text")).as("h"),
+        length(col("text")).cast("long").as("len"), col("source"))
+      .distinct())
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairsOf = flatten(transform(col("ss"), (x, i) =>
+      transform(slice(col("ss"), i + 2, size(col("ss"))),
+        y => struct(x.as("a"), y.as("b")))))
+    st.groupBy(col("h"), col("len"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(pairsOf).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_texts"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared_texts"),
+        round(col("n_shared_texts").cast("double") * 1e6
+          / least(col("na"), col("nb")), 0).cast("long").as("containment_ppm"))
   }
 
   /** Marginal-novelty attribution per source: walk the corpus in doc_id
@@ -755,6 +795,25 @@ object Dedup {
     "q30_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    // content identity = text directly (hash renames, the q30/q53
+    // convention); self-join with src_a < src_b mirrors the in-group
+    // sorted-pair expansion; containment in ppm (scale-0 rounding)
+    "q115_source_dup_matrix" ->
+      """WITH st AS (
+        |  SELECT DISTINCT text, source FROM documents
+        |  WHERE text IS NOT NULL AND source IS NOT NULL),
+        |sizes AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+        |pairs AS (
+        |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS shared
+        |  FROM st x JOIN st y ON x.text = y.text AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, CAST(p.shared AS BIGINT) AS n_shared_texts,
+        |  CAST(round(CAST(p.shared AS DOUBLE) * 1e6 / least(a.n, b.n), 0)
+        |    AS BIGINT) AS containment_ppm
+        |FROM pairs p
+        |JOIN sizes a ON p.src_a = a.source
+        |JOIN sizes b ON p.src_b = b.source""".stripMargin,
     // Positional gram space over strings (xxhash64 only renames grams);
     // non-distinct grams in `grams` (one row per position), distinct-doc
     // df for the >= 2 docs filter.

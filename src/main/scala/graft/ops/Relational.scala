@@ -203,8 +203,34 @@ object Relational {
     }),
 
     // Strict ordered funnel — see [[funnel]].
-    "q107_funnel" -> ((s, dir) => funnel(Tables.events(s, dir)))
+    "q107_funnel" -> ((s, dir) => funnel(Tables.events(s, dir))),
+
+    // Retention cohorts — see [[retentionCohorts]].
+    "q116_retention" -> ((s, dir) => retentionCohorts(Tables.events(s, dir)))
   )
+
+  /** Retention cohort matrix: users grouped by their first-active day
+    * (the cohort), counted on each later activity day as an offset from
+    * it — the (cohort_day, day_offset, n_users) table every retention
+    * curve and triangle chart reads. Day = integral floor-div of the
+    * epoch-nanos ts (no timezone math; DuckDB's `//` floors the same).
+    *
+    * Scale: one (user, day) distinct collapses the event log to
+    * active-days; the cohort frame is a user-keyed partial agg off that
+    * same frame (Materialized — two consumers); the join is
+    * co-partitioned on user_id and the final agg is (cohort, offset)-
+    * keyed with rows already distinct per (user, day) — so the count is
+    * a plain count, no corpus-scale count_distinct state.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val dd = Materialize(events
+      .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+      .distinct())
+    val cohorts = dd.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    dd.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 
   /** Strict ordered conversion funnel view → click → purchase: a user
     * advances a stage only with a LATER event of the next type (the min-ts
@@ -397,6 +423,18 @@ object Relational {
         |  round(CAST((SELECT count(*) FROM c) AS DOUBLE)
         |    / nullif((SELECT count(*) FROM v), 0), 6) AS view_to_click,
         |  round(CAST((SELECT count(*) FROM p) AS DOUBLE)
-        |    / nullif((SELECT count(*) FROM c), 0), 6) AS click_to_purchase""".stripMargin
+        |    / nullif((SELECT count(*) FROM c), 0), 6) AS click_to_purchase""".stripMargin,
+
+    // epoch_ns // 86400000000000 = `ts DIV 86400000000000` on the nanos
+    // long (integral floor-div both engines; the q11 epoch convention)
+    "q116_retention" ->
+      """WITH dd AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM dd GROUP BY user_id)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  count(*) AS n_users
+        |FROM dd JOIN c USING (user_id)
+        |GROUP BY cohort_day, day_offset""".stripMargin
   )
 }

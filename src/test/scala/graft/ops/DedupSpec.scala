@@ -278,6 +278,30 @@ class DedupSpec extends SparkSpec {
       ("big", "full") -> ((1L, 1.0))))
   }
 
+  test("q115 sourceDupMatrix: verbatim cross-source contents, ppm containment") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "shared one", "A"),   // in A, B and C
+      (2L, "shared one", "B"),
+      (3L, "shared one", "C"),
+      (4L, "shared two", "A"),   // in A and B
+      (5L, "shared two", "B"),
+      (6L, "shared two", "B"),   // within-B duplicate: distinct contents count once
+      (7L, "only in a", "A"),
+      (8L, "only in b", "B"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val r = Dedup.sourceDupMatrix(docs).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3)))).toMap
+    // distinct contents: A {one,two,a}=3, B {one,two,b}=3, C {one}=1
+    assert(r === Map(
+      ("A", "B") -> ((2L, 666667L)), // 2 shared / min(3,3) -> round(2e6/3)
+      ("A", "C") -> ((1L, 1000000L)),
+      ("B", "C") -> ((1L, 1000000L))))
+  }
+
   test("q101 dedupSavings: keeper attribution, within/cross split, token savings") {
     val s = spark
     import s.implicits._

@@ -69,6 +69,29 @@ class RelationalSpec extends SparkSpec {
     assert(row.getDouble(4) === 1.0)
   }
 
+  test("q116: cohort = first active day; repeat visits in a day count once") {
+    val day = 86400L * 1000000000L // 1 day in ns
+    val dir = eventsDir(Seq(
+      // user 1: first active day 0, returns day 1 (twice) and day 3
+      (1L, 0 * day + 5, 1L, "view"),
+      (2L, 1 * day + 5, 1L, "click"),
+      (3L, 1 * day + 99, 1L, "view"), // same day: must not double-count
+      (4L, 3 * day + 5, 1L, "view"),
+      // user 2: cohort day 1, returns day 2
+      (5L, 1 * day + 5, 2L, "view"),
+      (6L, 2 * day + 5, 2L, "purchase"),
+      // user 3: cohort day 0 only
+      (7L, 0 * day + 7, 3L, "view")))
+    val r = Relational.queries("q116_retention")(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r === Map(
+      (0L, 0L) -> 2L, // users 1, 3 in cohort 0
+      (0L, 1L) -> 1L, // user 1 back on day 1 (once, despite 2 events)
+      (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, // user 2 in cohort 1
+      (1L, 1L) -> 1L))
+  }
+
   test("q107: simultaneous events do not advance; an empty stage yields NULL rates") {
     val sec = 1000000000L
     val dir = eventsDir(Seq(
