@@ -518,6 +518,45 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q112: cascade features are map-side; membership joins ship no bodies") {
+    val df = graft.SparkEntry.queries("q112_screen_cascade")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+    val plan = executed(df)
+    // the survivor/contamination memberships and the final rollup must
+    // move doc_id-keyed thin rows — never a document body
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"document bodies cross an exchange:\n$plan")
+    }
+  }
+
+  test("q115: contents shuffle as (hash, len); sizes broadcast; pairs in-group") {
+    val df = graft.SparkEntry.queries("q115_source_dup_matrix")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    val plan = executed(df)
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"document bodies cross an exchange:\n$plan")
+    }
+  }
+
+  test("q116: retention needs no distinct state past the (user, day) dedup") {
+    val df = graft.SparkEntry.queries("q116_retention")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    // the final (cohort, offset) count is a plain count over already-
+    // distinct rows — a count_distinct here would buffer user sets
+    assert(!p.toLowerCase.contains("distinct_count")
+      && !p.contains("count(distinct"), p)
+  }
+
   test("q96: pair math stays in-group; sizes broadcast; no body in any exchange") {
     val df = graft.SparkEntry.queries("q96_source_overlap")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
