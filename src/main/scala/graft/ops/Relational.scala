@@ -206,8 +206,45 @@ object Relational {
     "q107_funnel" -> ((s, dir) => funnel(Tables.events(s, dir))),
 
     // Retention cohorts — see [[retentionCohorts]].
-    "q116_retention" -> ((s, dir) => retentionCohorts(Tables.events(s, dir)))
+    "q116_retention" -> ((s, dir) => retentionCohorts(Tables.events(s, dir))),
+
+    // Hourly burst scores — see [[burstScores]].
+    "q117_burst" -> ((s, dir) => burstScores(Tables.events(s, dir)))
   )
+
+  /** Per-(event_type, hour) burst score: each hour's event count as a
+    * z-score against that type's own hourly distribution — the anomaly
+    * table behind "did something spike at 14:00" (traffic monitoring on
+    * the reference's request log; error-burst detection here). Hours
+    * with no events are absent, not zero-filled (a monitoring consumer
+    * zero-fills against its own calendar).
+    *
+    * Exactness: hourly counts are exact longs from one (type, hour)
+    * partial agg (the frame is Materialized — two consumers); the
+    * per-type moments are long sums over that ≤types·hours frame, so
+    * mean/variance are deterministic single divisions, and the z-score
+    * is reported in integer MILLI units (round(z·1000, 0) — the scale-0
+    * rounding rule). A zero-variance type (every hour equal) yields
+    * NULL rather than a 0/0 NaN. Scale: nothing past the first partial
+    * agg is corpus-sized; the stats frame broadcasts.
+    */
+  def burstScores(events: DataFrame): DataFrame = {
+    val hourly = Materialize(events
+      .select(col("event_type"), expr("(ts DIV 3600000000000) * 3600").as("hour_s"))
+      .groupBy(col("event_type"), col("hour_s"))
+      .agg(count(lit(1)).as("n")))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+    val mean = col("s").cast("double") / col("n_hours")
+    val varr = col("ss").cast("double") / col("n_hours") - mean * mean
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hour_s"), col("n"),
+        when(varr > 0,
+          round((col("n").cast("double") - mean) / sqrt(varr) * 1000, 0)
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("z_milli"))
+  }
 
   /** Retention cohort matrix: users grouped by their first-active day
     * (the cohort), counted on each later activity day as an offset from
@@ -435,6 +472,30 @@ object Relational {
         |SELECT cohort_day, day - cohort_day AS day_offset,
         |  count(*) AS n_users
         |FROM dd JOIN c USING (user_id)
-        |GROUP BY cohort_day, day_offset""".stripMargin
+        |GROUP BY cohort_day, day_offset""".stripMargin,
+
+    // same hour bucket as q05; moments are exact BIGINT sums over the
+    // hourly frame, z in integer milli (scale-0 rounding), NULL on a
+    // zero-variance type — the division sequence mirrors the Spark side
+    "q117_burst" ->
+      """WITH hourly AS (
+        |  SELECT event_type, (epoch_ms(ts) // 3600000) * 3600 AS hour_s,
+        |    count(*) AS n
+        |  FROM events GROUP BY event_type, hour_s),
+        |st AS (
+        |  SELECT event_type, count(*) AS n_hours,
+        |    CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ss
+        |  FROM hourly GROUP BY event_type)
+        |SELECT h.event_type, h.hour_s, CAST(h.n AS BIGINT) AS n,
+        |  CASE WHEN CAST(ss AS DOUBLE) / n_hours
+        |            - (CAST(s AS DOUBLE) / n_hours)
+        |              * (CAST(s AS DOUBLE) / n_hours) > 0
+        |       THEN CAST(round((CAST(h.n AS DOUBLE)
+        |              - CAST(s AS DOUBLE) / n_hours)
+        |            / sqrt(CAST(ss AS DOUBLE) / n_hours
+        |              - (CAST(s AS DOUBLE) / n_hours)
+        |                * (CAST(s AS DOUBLE) / n_hours)) * 1000, 0) AS BIGINT)
+        |       ELSE NULL END AS z_milli
+        |FROM hourly h JOIN st USING (event_type)""".stripMargin
   )
 }

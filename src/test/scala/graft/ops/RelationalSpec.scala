@@ -92,6 +92,28 @@ class RelationalSpec extends SparkSpec {
       (1L, 1L) -> 1L))
   }
 
+  test("q117: z-scores from exact moments; zero-variance type yields NULL") {
+    val hr = 3600L * 1000000000L // 1 hour in ns
+    val dir = eventsDir(
+      // type "view": hourly counts [3, 1, 2] -> mean 2, var 2/3
+      Seq((1L, 0 * hr + 1, 1L, "view"), (2L, 0 * hr + 2, 1L, "view"),
+        (3L, 0 * hr + 3, 1L, "view"),
+        (4L, 1 * hr + 1, 1L, "view"),
+        (5L, 2 * hr + 1, 1L, "view"), (6L, 2 * hr + 2, 1L, "view")) ++
+      // type "click": every hour equal -> variance 0 -> NULL z
+      Seq((7L, 0 * hr + 1, 2L, "click"), (8L, 1 * hr + 1, 2L, "click")))
+    val r = Relational.queries("q117_burst")(spark, dir).collect()
+      .map(x => (x.getString(0), x.getLong(1)) ->
+        ((x.getLong(2), if (x.isNullAt(3)) None else Some(x.getLong(3))))).toMap
+    // z(3) = 1/sqrt(2/3) = 1.224745 -> 1225 milli
+    assert(r === Map(
+      ("view", 0L) -> ((3L, Some(1225L))),
+      ("view", 3600L) -> ((1L, Some(-1225L))),
+      ("view", 7200L) -> ((2L, Some(0L))),
+      ("click", 0L) -> ((1L, None)),
+      ("click", 3600L) -> ((1L, None))))
+  }
+
   test("q107: simultaneous events do not advance; an empty stage yields NULL rates") {
     val sec = 1000000000L
     val dir = eventsDir(Seq(
