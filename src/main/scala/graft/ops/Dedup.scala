@@ -276,11 +276,11 @@ object Dedup {
     // Duplicated-span REMOVAL — see [[stripDupSpans]].
     "q70_strip_spans" -> ((s, dir) => stripDupSpans(Tables.documents(s, dir))),
 
-    // Source×source mirror matrix — see [[sourceOverlap]].
     // Cross-source exact-duplicate matrix — see [[sourceDupMatrix]].
     "q115_source_dup_matrix" -> ((s, dir) =>
       sourceDupMatrix(Tables.documents(s, dir))),
 
+    // Source×source mirror matrix — see [[sourceOverlap]].
     "q96_source_overlap" -> ((s, dir) =>
       sourceOverlap(Tables.documents(s, dir))),
 
@@ -367,19 +367,7 @@ object Dedup {
       .select(col("source"), explode(array_distinct(
         graft.functions.TextFunctions.hashedGrams(tokens, w))).as("g"))
       .distinct())
-    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val pairsOf = flatten(transform(col("ss"), (x, i) =>
-      transform(slice(col("ss"), i + 2, size(col("ss"))),
-        y => struct(x.as("a"), y.as("b")))))
-    val shared = sg.groupBy(col("g"))
-      .agg(sort_array(collect_set(col("source"))).as("ss"))
-      .filter(size(col("ss")) >= 2)
-      .select(explode(pairsOf).as("p"))
-      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
-      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+    sourcePairCounts(sg, Seq("g"))
       .select(col("src_a"), col("src_b"), col("shared"),
         round(col("shared").cast("double") / least(col("na"), col("nb")), 6)
           .as("overlap"))
@@ -404,21 +392,34 @@ object Dedup {
       .select(xxhash64(col("text")).as("h"),
         length(col("text")).cast("long").as("len"), col("source"))
       .distinct())
-    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sourcePairCounts(st, Seq("h", "len"))
+      .select(col("src_a"), col("src_b"),
+        col("shared").as("n_shared_texts"),
+        round(col("shared").cast("double") * 1e6
+          / least(col("na"), col("nb")), 0).cast("long").as("containment_ppm"))
+  }
+
+  /** The in-group pair expansion + sizes join shared by the two
+    * source-pair matrices (q96 spans, q115 exact contents): `keyed` is a
+    * (groupCols..., source) DISTINCT frame. Each group collapses to its
+    * sorted source set, pairs (a < b) expand IN-GROUP (group fan-out is
+    * bounded by the source catalog, never the corpus), and the
+    * per-source group counts join back as broadcasts. Output:
+    * (src_a, src_b, shared, na, nb).
+    */
+  private def sourcePairCounts(keyed: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val sizes = keyed.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val pairsOf = flatten(transform(col("ss"), (x, i) =>
       transform(slice(col("ss"), i + 2, size(col("ss"))),
         y => struct(x.as("a"), y.as("b")))))
-    st.groupBy(col("h"), col("len"))
+    keyed.groupBy(groupCols.map(col): _*)
       .agg(sort_array(collect_set(col("source"))).as("ss"))
       .filter(size(col("ss")) >= 2)
       .select(explode(pairsOf).as("p"))
       .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
-      .agg(count(lit(1)).as("n_shared_texts"))
+      .agg(count(lit(1)).as("shared"))
       .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
       .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
-      .select(col("src_a"), col("src_b"), col("n_shared_texts"),
-        round(col("n_shared_texts").cast("double") * 1e6
-          / least(col("na"), col("nb")), 0).cast("long").as("containment_ppm"))
   }
 
   /** Marginal-novelty attribution per source: walk the corpus in doc_id

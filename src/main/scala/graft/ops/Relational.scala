@@ -249,8 +249,12 @@ object Relational {
   /** Retention cohort matrix: users grouped by their first-active day
     * (the cohort), counted on each later activity day as an offset from
     * it — the (cohort_day, day_offset, n_users) table every retention
-    * curve and triangle chart reads. Day = integral floor-div of the
-    * epoch-nanos ts (no timezone math; DuckDB's `//` floors the same).
+    * curve and triangle chart reads. Day = integral division of the
+    * epoch-nanos ts (no timezone math). NOTE the cross-engine contract
+    * holds for NON-NEGATIVE timestamps only — the events table's
+    * invariant: Spark's `DIV` truncates toward zero while DuckDB's `//`
+    * floors, so a pre-1970 ts would bucket differently (the same caveat
+    * applies to q05/q11's epoch arithmetic).
     *
     * Scale: one (user, day) distinct collapses the event log to
     * active-days; the cohort frame is a user-keyed partial agg off that
@@ -463,7 +467,8 @@ object Relational {
         |    / nullif((SELECT count(*) FROM c), 0), 6) AS click_to_purchase""".stripMargin,
 
     // epoch_ns // 86400000000000 = `ts DIV 86400000000000` on the nanos
-    // long (integral floor-div both engines; the q11 epoch convention)
+    // long FOR NON-NEGATIVE ts (the table invariant; DIV truncates where
+    // // floors, so they diverge pre-1970 — the q11 epoch convention)
     "q116_retention" ->
       """WITH dd AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day

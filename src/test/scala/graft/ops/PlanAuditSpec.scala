@@ -557,6 +557,18 @@ class PlanAuditSpec extends SparkSpec {
       && !p.contains("count(distinct"), p)
   }
 
+  test("q117: stats join back via broadcast; nothing corpus-sized past the first agg") {
+    val df = graft.SparkEntry.queries("q117_burst")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    // the per-type stats frame must broadcast onto the hourly frame — a
+    // sort-merge here would shuffle the pre-agg output a second time
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window")
+      && !p.contains("CartesianProduct"), p)
+  }
+
   test("q96: pair math stays in-group; sizes broadcast; no body in any exchange") {
     val df = graft.SparkEntry.queries("q96_source_overlap")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
