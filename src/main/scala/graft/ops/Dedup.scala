@@ -280,6 +280,26 @@ object Dedup {
     "q115_source_dup_matrix" -> ((s, dir) =>
       sourceDupMatrix(Tables.documents(s, dir))),
 
+    // Duplicate-cluster-size histogram: per exact-copy multiplicity k,
+    // how many content groups and docs sit at k — the curve that
+    // predicts q101's savings before running the dedup (docs at k = 1
+    // are untouchable; every k >= 2 group frees k-1 docs). Rides
+    // [[exactSurvivors]]' hashes-only election collapsed to a
+    // ≤max-multiplicity-key partial agg; the share is integer ppm of a
+    // 1-row broadcast total (the scale-0 rounding rule).
+    "q118_dup_histogram" -> ((s, dir) => {
+      val groups = Materialize(
+        exactSurvivors(Tables.documents(s, dir)).select(col("n_copies")))
+      val total = groups.agg(sum(col("n_copies")).as("n_total"))
+      groups.groupBy(col("n_copies"))
+        .agg(count(lit(1)).as("n_groups"))
+        .crossJoin(broadcast(total))
+        .select(col("n_copies"), col("n_groups"),
+          (col("n_copies") * col("n_groups")).as("n_docs"),
+          round((col("n_copies") * col("n_groups")).cast("double") * 1e6
+            / col("n_total"), 0).cast("long").as("doc_share_ppm"))
+    }),
+
     // Source×source mirror matrix — see [[sourceOverlap]].
     "q96_source_overlap" -> ((s, dir) =>
       sourceOverlap(Tables.documents(s, dir))),
@@ -796,6 +816,17 @@ object Dedup {
     "q30_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    // q30's GROUP BY text collapsed one level further; the scalar
+    // subquery is the Spark side's 1-row broadcast total
+    "q118_dup_histogram" ->
+      """WITH g AS (SELECT count(*) AS n_copies FROM documents GROUP BY text)
+        |SELECT n_copies, count(*) AS n_groups,
+        |  CAST(n_copies * count(*) AS BIGINT) AS n_docs,
+        |  CAST(round(CAST(n_copies * count(*) AS DOUBLE) * 1e6
+        |    / (SELECT count(*) FROM documents), 0) AS BIGINT)
+        |    AS doc_share_ppm
+        |FROM g GROUP BY n_copies""".stripMargin,
 
     // content identity = text directly (hash renames, the q30/q53
     // convention); self-join with src_a < src_b mirrors the in-group

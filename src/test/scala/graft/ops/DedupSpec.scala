@@ -302,6 +302,20 @@ class DedupSpec extends SparkSpec {
       ("B", "C") -> ((1L, 1000000L))))
   }
 
+  test("q118: multiplicity histogram over exact-copy groups, ppm of all docs") {
+    val dir = docsDir(Seq(
+      1L -> "aaa", 2L -> "aaa", 3L -> "aaa", // one group at k=3
+      4L -> "bbb", 5L -> "bbb",              // one group at k=2
+      6L -> "ccc", 7L -> "ddd"))             // two singletons
+    val r = graft.SparkEntry.queries("q118_dup_histogram")(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r === Map(
+      3L -> ((1L, 3L, 428571L)), // 3/7 docs
+      2L -> ((1L, 2L, 285714L)),
+      1L -> ((2L, 2L, 285714L))))
+  }
+
   test("q101 dedupSavings: keeper attribution, within/cross split, token savings") {
     val s = spark
     import s.implicits._
