@@ -181,7 +181,7 @@ object Bench {
     * its query).
     */
   private[graft] val expected: Map[String, Double] = Map(
-    // BEGIN GENERATED FLOORS (from: BENCH_r07.json BENCH_r08.json BENCH_r09.json BENCH_LOCAL_SF01_a.json BENCH_LOCAL_SF01_b.json BENCH_LOCAL_SF01_c.json BENCH_LOCAL_SF01_d.json)
+    // BEGIN GENERATED FLOORS (from: BENCH_r07.json BENCH_r08.json BENCH_r09.json BENCH_LOCAL_SF01_a.json BENCH_LOCAL_SF01_b.json BENCH_LOCAL_SF01_c.json BENCH_LOCAL_SF01_d.json BENCH_LOCAL_SF01_e.json)
     "q01" -> 0.93, "q02" -> 0.30, "q03" -> 1.64, "q04" -> 0.23,
     "q05" -> 0.42, "q06" -> 0.61, "q07" -> 0.35, "q08" -> 0.40,
     "q09" -> 0.77, "q10" -> 1.52, "q100" -> 0.65, "q101" -> 0.93,
@@ -189,27 +189,27 @@ object Bench {
     "q106" -> 0.52, "q107" -> 0.90, "q108" -> 0.90, "q109" -> 0.36,
     "q11" -> 0.48, "q110" -> 0.57, "q111" -> 0.71, "q112" -> 1.16,
     "q113" -> 0.27, "q114" -> 0.42, "q115" -> 0.62, "q116" -> 0.66,
-    "q117" -> 0.49, "q12" -> 0.48, "q13" -> 0.37, "q14" -> 0.36,
-    "q15" -> 0.57, "q16" -> 0.38, "q17" -> 0.32, "q18" -> 0.56,
-    "q20" -> 0.23, "q21" -> 0.34, "q22" -> 0.25, "q23" -> 0.27,
-    "q24" -> 0.25, "q30" -> 0.22, "q31" -> 0.95, "q32" -> 1.56,
-    "q33" -> 2.25, "q34" -> 0.79, "q35" -> 0.32, "q36" -> 0.26,
-    "q37" -> 0.30, "q38" -> 0.17, "q39" -> 0.26, "q40" -> 0.42,
-    "q41" -> 0.17, "q42" -> 0.29, "q43" -> 0.72, "q44" -> 0.18,
-    "q45" -> 2.88, "q46" -> 0.11, "q47" -> 0.48, "q48" -> 0.35,
-    "q49" -> 0.43, "q50" -> 0.45, "q51" -> 0.32, "q52" -> 0.12,
-    "q53" -> 0.42, "q54" -> 0.51, "q55" -> 0.11, "q56" -> 0.46,
-    "q57" -> 0.28, "q58" -> 1.30, "q59" -> 0.35, "q60" -> 0.30,
-    "q61" -> 0.32, "q62" -> 1.86, "q63" -> 0.76, "q64" -> 0.32,
-    "q65" -> 1.10, "q66" -> 0.95, "q67" -> 0.66, "q68" -> 0.61,
-    "q69" -> 0.86, "q70" -> 0.90, "q71" -> 0.43, "q72" -> 0.76,
-    "q73" -> 0.35, "q74" -> 0.22, "q75" -> 1.25, "q76" -> 0.47,
-    "q77" -> 0.30, "q78" -> 0.28, "q79" -> 0.29, "q80" -> 0.25,
-    "q81" -> 0.26, "q82" -> 0.19, "q83" -> 0.61, "q84" -> 0.80,
-    "q85" -> 0.82, "q86" -> 0.44, "q87" -> 0.23, "q88" -> 0.84,
-    "q89" -> 0.35, "q90" -> 0.55, "q91" -> 0.43, "q92" -> 0.42,
-    "q93" -> 0.35, "q94" -> 0.36, "q95" -> 0.92, "q96" -> 1.08,
-    "q97" -> 0.31, "q98" -> 1.03, "q99" -> 0.33
+    "q117" -> 0.49, "q118" -> 0.48, "q12" -> 0.48, "q13" -> 0.37,
+    "q14" -> 0.36, "q15" -> 0.57, "q16" -> 0.38, "q17" -> 0.32,
+    "q18" -> 0.56, "q20" -> 0.22, "q21" -> 0.34, "q22" -> 0.25,
+    "q23" -> 0.27, "q24" -> 0.25, "q30" -> 0.21, "q31" -> 0.95,
+    "q32" -> 1.56, "q33" -> 2.25, "q34" -> 0.79, "q35" -> 0.32,
+    "q36" -> 0.26, "q37" -> 0.30, "q38" -> 0.17, "q39" -> 0.26,
+    "q40" -> 0.42, "q41" -> 0.17, "q42" -> 0.29, "q43" -> 0.72,
+    "q44" -> 0.18, "q45" -> 2.88, "q46" -> 0.11, "q47" -> 0.48,
+    "q48" -> 0.35, "q49" -> 0.43, "q50" -> 0.45, "q51" -> 0.32,
+    "q52" -> 0.12, "q53" -> 0.42, "q54" -> 0.51, "q55" -> 0.11,
+    "q56" -> 0.46, "q57" -> 0.28, "q58" -> 1.30, "q59" -> 0.35,
+    "q60" -> 0.30, "q61" -> 0.32, "q62" -> 1.86, "q63" -> 0.76,
+    "q64" -> 0.32, "q65" -> 1.10, "q66" -> 0.95, "q67" -> 0.66,
+    "q68" -> 0.61, "q69" -> 0.86, "q70" -> 0.90, "q71" -> 0.43,
+    "q72" -> 0.76, "q73" -> 0.35, "q74" -> 0.22, "q75" -> 1.25,
+    "q76" -> 0.47, "q77" -> 0.30, "q78" -> 0.28, "q79" -> 0.29,
+    "q80" -> 0.25, "q81" -> 0.26, "q82" -> 0.19, "q83" -> 0.61,
+    "q84" -> 0.80, "q85" -> 0.82, "q86" -> 0.44, "q87" -> 0.23,
+    "q88" -> 0.84, "q89" -> 0.35, "q90" -> 0.55, "q91" -> 0.43,
+    "q92" -> 0.42, "q93" -> 0.35, "q94" -> 0.36, "q95" -> 0.92,
+    "q96" -> 1.08, "q97" -> 0.31, "q98" -> 1.03, "q99" -> 0.33
     // END GENERATED FLOORS
   )
 
