@@ -286,10 +286,10 @@ object Curation {
     per.crossJoin(broadcast(tot))
       .select(col("bucket"), lo.as("lo"), (lo * 2 - 1).as("hi"),
         col("n_docs"), col("sum_tokens"),
-        round(col("n_docs").cast("double") / col("tot_docs"), 6)
-          .as("doc_share"),
-        round(col("sum_tokens").cast("double") / col("tot_tokens"), 6)
-          .as("token_share"))
+        round(col("n_docs").cast("double") * 1e6 / col("tot_docs"), 0)
+          .cast("long").as("doc_share_ppm"),
+        round(col("sum_tokens").cast("double") * 1e6 / col("tot_tokens"), 0)
+          .cast("long").as("token_share_ppm"))
   }
 
   /** Context-window chunking: split each document into token windows of
@@ -616,8 +616,8 @@ object Curation {
       .crossJoin(broadcast(total))
       .select(col("bucket"), col("n_docs"), col("sum_tokens"),
         col("cum_docs"), col("cum_tokens"),
-        round(col("cum_tokens").cast("double") / col("total_tokens"), 6)
-          .as("token_share"))
+        round(col("cum_tokens").cast("double") * 1e6 / col("total_tokens"), 0)
+          .cast("long").as("token_share_ppm"))
   }
 
   /** Screen-attrition cascade: per (source, stage), how many docs and
@@ -714,12 +714,17 @@ object Curation {
     // of q89's cutoff machinery (q54 reports only the median). The window
     // runs over HISTOGRAM rows (≤ |value domain| per source, independent
     // of corpus size); no group ever buffers its values.
+    // Quantiles ship as INTEGER micro-units (round(q·1e6, 0) — the q109
+    // lesson): a 6-dp round of the raw interpolated value can land on an
+    // unrepresentable half-1e-6 boundary and flake cross-engine.
     "q111_source_quantiles" -> ((s, dir) =>
       quantilesByHistogram(Tables.documents(s, dir), "source", "n_chars",
         Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
         .select(col("source"), col("n_vals").as("n_docs"),
-          round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
-          round(col("p75"), 6).as("p75"), round(col("p95"), 6).as("p95"))),
+          round(col("p25") * 1e6, 0).cast("long").as("p25_micro"),
+          round(col("p50") * 1e6, 0).cast("long").as("p50_micro"),
+          round(col("p75") * 1e6, 0).cast("long").as("p75_micro"),
+          round(col("p95") * 1e6, 0).cast("long").as("p95_micro"))),
 
     "q76_curation_verdict" -> ((s, dir) =>
       curationVerdict(Tables.documents(s, dir))),
@@ -1197,10 +1202,10 @@ object Curation {
     // the builtin direct; count(n_chars) = the non-null n the ranks use
     "q111_source_quantiles" ->
       """SELECT source, count(n_chars) AS n_docs,
-        |  round(quantile_cont(n_chars, 0.25), 6) AS p25,
-        |  round(quantile_cont(n_chars, 0.50), 6) AS p50,
-        |  round(quantile_cont(n_chars, 0.75), 6) AS p75,
-        |  round(quantile_cont(n_chars, 0.95), 6) AS p95
+        |  CAST(round(quantile_cont(n_chars, 0.25) * 1e6, 0) AS BIGINT) AS p25_micro,
+        |  CAST(round(quantile_cont(n_chars, 0.50) * 1e6, 0) AS BIGINT) AS p50_micro,
+        |  CAST(round(quantile_cont(n_chars, 0.75) * 1e6, 0) AS BIGINT) AS p75_micro,
+        |  CAST(round(quantile_cont(n_chars, 0.95) * 1e6, 0) AS BIGINT) AS p95_micro
         |FROM documents GROUP BY source
         |HAVING count(n_chars) > 0""".stripMargin,
 
@@ -1223,8 +1228,9 @@ object Curation {
            |SELECT p.bucket, p.n_docs, p.sum_tokens,
            |  CAST(sum(u.n_docs) AS BIGINT) AS cum_docs,
            |  CAST(sum(u.sum_tokens) AS BIGINT) AS cum_tokens,
-           |  round(CAST(sum(u.sum_tokens) AS DOUBLE)
-           |    / (SELECT sum(sum_tokens) FROM p), 6) AS token_share
+           |  CAST(round(CAST(sum(u.sum_tokens) AS DOUBLE) * 1e6
+           |    / (SELECT sum(sum_tokens) FROM p), 0) AS BIGINT)
+           |    AS token_share_ppm
            |FROM p JOIN p u ON u.bucket >= p.bucket
            |GROUP BY p.bucket, p.n_docs, p.sum_tokens""".stripMargin,
 
@@ -1370,8 +1376,10 @@ object Curation {
         |SELECT bucket, CAST(pow(2, bucket) AS BIGINT) AS lo,
         |  CAST(pow(2, bucket) AS BIGINT) * 2 - 1 AS hi,
         |  CAST(n_docs AS BIGINT) AS n_docs, sum_tokens,
-        |  round(CAST(n_docs AS DOUBLE) / tot_docs, 6) AS doc_share,
-        |  round(CAST(sum_tokens AS DOUBLE) / tot_tokens, 6) AS token_share
+        |  CAST(round(CAST(n_docs AS DOUBLE) * 1e6 / tot_docs, 0) AS BIGINT)
+        |    AS doc_share_ppm,
+        |  CAST(round(CAST(sum_tokens AS DOUBLE) * 1e6 / tot_tokens, 0) AS BIGINT)
+        |    AS token_share_ppm
         |FROM per, tot""".stripMargin,
 
     "q56_token_rarity" ->

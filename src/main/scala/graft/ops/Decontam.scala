@@ -166,8 +166,8 @@ object Decontam {
       .crossJoin(broadcast(nTrain))
       .select(col("w").cast("long").as("w"), col("n_contam_docs"),
         col("n_shared_grams"),
-        round(col("n_contam_docs").cast("double") / col("n_train"), 6)
-          .as("contam_rate"))
+        round(col("n_contam_docs").cast("double") * 1e6 / col("n_train"), 0)
+          .cast("long").as("contam_rate_ppm"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -278,9 +278,9 @@ object Decontam {
            |SELECT CAST(w AS BIGINT) AS w,
            |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contam_docs,
            |  CAST(count(DISTINCT g) AS BIGINT) AS n_shared_grams,
-           |  round(CAST(count(DISTINCT doc_id) AS DOUBLE)
-           |    / (SELECT count(*) FROM documents WHERE doc_id % 20 <> 0), 6)
-           |    AS contam_rate
+           |  CAST(round(CAST(count(DISTINCT doc_id) AS DOUBLE) * 1e6
+           |    / (SELECT count(*) FROM documents WHERE doc_id % 20 <> 0), 0)
+           |    AS BIGINT) AS contam_rate_ppm
            |FROM u GROUP BY w""".stripMargin
   )
 }

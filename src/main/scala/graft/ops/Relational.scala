@@ -307,10 +307,12 @@ object Relational {
       .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
       .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
       .select(col("n_view"), col("n_click"), col("n_purchase"),
-        round(col("n_click").cast("double")
-          / nullif(col("n_view"), lit(0L)).cast("double"), 6).as("view_to_click"),
-        round(col("n_purchase").cast("double")
-          / nullif(col("n_click"), lit(0L)).cast("double"), 6).as("click_to_purchase"))
+        round(col("n_click").cast("double") * 1e6
+          / nullif(col("n_view"), lit(0L)).cast("double"), 0)
+          .cast("long").as("view_to_click_ppm"),
+        round(col("n_purchase").cast("double") * 1e6
+          / nullif(col("n_click"), lit(0L)).cast("double"), 0)
+          .cast("long").as("click_to_purchase_ppm"))
   }
 
   /** The 100 TB form of q06: `approx_percentile` keeps a bounded sketch
@@ -461,10 +463,12 @@ object Relational {
         |  (SELECT count(*) FROM v) AS n_view,
         |  (SELECT count(*) FROM c) AS n_click,
         |  (SELECT count(*) FROM p) AS n_purchase,
-        |  round(CAST((SELECT count(*) FROM c) AS DOUBLE)
-        |    / nullif((SELECT count(*) FROM v), 0), 6) AS view_to_click,
-        |  round(CAST((SELECT count(*) FROM p) AS DOUBLE)
-        |    / nullif((SELECT count(*) FROM c), 0), 6) AS click_to_purchase""".stripMargin,
+        |  CAST(round(CAST((SELECT count(*) FROM c) AS DOUBLE) * 1e6
+        |    / nullif((SELECT count(*) FROM v), 0), 0) AS BIGINT)
+        |    AS view_to_click_ppm,
+        |  CAST(round(CAST((SELECT count(*) FROM p) AS DOUBLE) * 1e6
+        |    / nullif((SELECT count(*) FROM c), 0), 0) AS BIGINT)
+        |    AS click_to_purchase_ppm""".stripMargin,
 
     // epoch_ns // 86400000000000 = `ts DIV 86400000000000` on the nanos
     // long FOR NON-NEGATIVE ts (the table invariant; DIV truncates where

@@ -90,25 +90,25 @@ class CurationSpec extends SparkSpec {
       3L -> "c1 c1 c2 c2"))                           // 2/4 uniq  -> bucket 5
     val r = Curation.queries("q106_quality_yield")(spark, dir).collect()
       .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
-        x.getLong(4), x.getDouble(5)))).toMap
-    // 18 total tokens; cumulative admits every bucket >= b
+        x.getLong(4), x.getLong(5)))).toMap
+    // 18 total tokens; cumulative admits every bucket >= b; share in ppm
     assert(r === Map(
-      9L -> ((1L, 10L, 1L, 10L, 0.555556)),
-      5L -> ((1L, 4L, 2L, 14L, 0.777778)),
-      2L -> ((1L, 4L, 3L, 18L, 1.0))))
+      9L -> ((1L, 10L, 1L, 10L, 555556L)),
+      5L -> ((1L, 4L, 2L, 14L, 777778L)),
+      2L -> ((1L, 4L, 3L, 18L, 1000000L))))
   }
 
   test("q111: interpolated quantiles match the closed form on 1..4") {
     // n_chars = 1,2,3,4 -> h_p = 3p: p25 -> 1.75, p50 -> 2.5, p75 -> 3.25,
-    // p95 -> h=2.85 -> 3 + 0.85*(4-3) = 3.85
+    // p95 -> h=2.85 -> 3 + 0.85*(4-3) = 3.85; shipped as integer micro
     val dir = docsDir(Seq(1L -> "a", 2L -> "ab", 3L -> "abc", 4L -> "abcd"))
     val r = Curation.queries("q111_source_quantiles")(spark, dir).collect()
     assert(r.length === 1)
     val row = r(0)
     assert(row.getString(0) === "test")
     assert(row.getLong(1) === 4L)
-    assert((row.getDouble(2), row.getDouble(3), row.getDouble(4),
-      row.getDouble(5)) === ((1.75, 2.5, 3.25, 3.85)))
+    assert((row.getLong(2), row.getLong(3), row.getLong(4),
+      row.getLong(5)) === ((1750000L, 2500000L, 3250000L, 3850000L)))
   }
 
   test("q111: an all-NULL group is absent, not a NULL-quantile row") {
@@ -613,11 +613,11 @@ class CurationSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val r = Curation.lenBuckets(docs).collect()
       .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
-        x.getLong(4), x.getDouble(5), x.getDouble(6)))).toMap
-    // totals: 5 docs, 68 tokens
+        x.getLong(4), x.getLong(5), x.getLong(6)))).toMap
+    // totals: 5 docs, 68 tokens; shares in integer ppm
     assert(r === Map(
-      0L -> ((1L, 1L, 1L, 1L, 0.2, 0.014706)),
-      1L -> ((2L, 3L, 1L, 3L, 0.2, 0.044118)),
-      4L -> ((16L, 31L, 3L, 64L, 0.6, 0.941176))))
+      0L -> ((1L, 1L, 1L, 1L, 200000L, 14706L)),
+      1L -> ((2L, 3L, 1L, 3L, 200000L, 44118L)),
+      4L -> ((16L, 31L, 3L, 64L, 600000L, 941176L))))
   }
 }

@@ -102,14 +102,14 @@ class DecontamSpec extends SparkSpec {
       4L -> (1 to 8).map(i => s"z$i").mkString(" ")))      // clean
     val r = graft.SparkEntry.queries("q108_width_sweep")(spark, dir).collect()
       .map(x => x.getLong(0) ->
-        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
     // w=8: docs 1,2,3 leak; the union of shared 8-grams is all 9 bench
     // 8-grams (doc 3 alone contributes all of them). w=12: docs 2,3 / 5
-    // grams. w=16: doc 3 / 1 gram. 4 train docs total.
+    // grams. w=16: doc 3 / 1 gram. 4 train docs total; rate in ppm.
     assert(r === Map(
-      8L -> ((3L, 9L, 0.75)),
-      12L -> ((2L, 5L, 0.5)),
-      16L -> ((1L, 1L, 0.25))))
+      8L -> ((3L, 9L, 750000L)),
+      12L -> ((2L, 5L, 500000L)),
+      16L -> ((1L, 1L, 250000L))))
   }
 
   test("q49 driver query: benchmark slice is excluded from the output") {

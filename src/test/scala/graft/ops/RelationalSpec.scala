@@ -65,8 +65,8 @@ class RelationalSpec extends SparkSpec {
     assert(r.length === 1)
     val row = r(0)
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((3L, 1L, 1L)))
-    assert(row.getDouble(3) === 0.333333) // 1/3 round 6
-    assert(row.getDouble(4) === 1.0)
+    assert(row.getLong(3) === 333333L) // 1/3 in integer ppm
+    assert(row.getLong(4) === 1000000L)
   }
 
   test("q116: cohort = first active day; repeat visits in a day count once") {
@@ -122,7 +122,7 @@ class RelationalSpec extends SparkSpec {
       (2L, 1 * sec, 1L, "click")))
     val row = Relational.queries("q107_funnel")(spark, dir).collect()(0)
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((1L, 0L, 0L)))
-    assert(row.getDouble(3) === 0.0)   // 0 clicks / 1 view
+    assert(row.getLong(3) === 0L)      // 0 clicks / 1 view -> 0 ppm
     assert(row.isNullAt(4))            // 0/0: NULL, never Infinity
   }
 }
