@@ -4,11 +4,15 @@ committed BENCH_rNN.json gate artifacts (dev tool only — NOT part of the
 library; the Scala code never depends on this).
 
 Usage:
-  python3 tools/floors.py BENCH_r07.json BENCH_r08.json [BENCH_r09.json ...]
+  python3 tools/floors.py BENCH_r07.json ... [--seed LOCAL.json ...]
 
-For each query, the floor is the MINIMUM time across the named artifacts
-— the guard's baselines are evidence from accepted gate runs, never
-hand-typed numbers (round-9 verdict). Rewrites the block between the
+For each query, the floor is the MINIMUM time across the named GATE
+artifacts — the guard's baselines are evidence from accepted gate runs,
+never hand-typed numbers (round-9 verdict). Artifacts after `--seed`
+are builder-local runs and are consulted ONLY for queries absent from
+every gate artifact (round-10 advice: self-reported local numbers must
+not loosen a floor the gate already evidences — they may only seed
+floors for queries the gates predate). Rewrites the block between the
 BEGIN/END GENERATED FLOORS markers in src/main/scala/graft/Bench.scala;
 review the diff like any other change. A query missing from every named
 artifact gets no floor (unguarded until a gate records it); a floor for
@@ -36,13 +40,27 @@ def load_queries(path: str) -> dict:
 
 
 def main():
-    arts = sys.argv[1:]
-    if not arts:
+    argv = sys.argv[1:]
+    if not argv:
         raise SystemExit(__doc__)
+    if "--seed" in argv:
+        i = argv.index("--seed")
+        gates, seeds = argv[:i], argv[i + 1:]
+    else:
+        gates, seeds = argv, []
+    if not gates:
+        raise SystemExit("need at least one gate artifact")
     floors = {}
-    for a in arts:
+    for a in gates:
         for q, t in load_queries(a).items():
             floors[q] = min(t, floors.get(q, float("inf")))
+    seeded = {}
+    for a in seeds:
+        for q, t in load_queries(a).items():
+            if q not in floors:  # gate evidence always wins
+                seeded[q] = min(t, seeded.get(q, float("inf")))
+    floors.update(seeded)
+    arts = gates + (["--seed"] + seeds if seeds else [])
     body = []
     items = sorted(floors.items())
     for i in range(0, len(items), 4):
