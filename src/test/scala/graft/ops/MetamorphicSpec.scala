@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Metamorphic properties for the fixture-oracled family (round-10
+  * verdict item #3): the fixture oracles are same-author differential
+  * tests, so a misunderstanding replicated in both the operator and its
+  * derivation would pass the gate. These properties hold for ANY correct
+  * implementation — input-order invariance (every bounded fit samples by
+  * (xxhash64(id), id), never by physical order), corpus-duplication
+  * invariance, and monotonicity under planted perturbations — and none
+  * of them consults the fixture machinery.
+  */
+class MetamorphicSpec extends SparkSpec {
+
+  /** 5 clusters of 24 vectors in R^16 (SimilaritySpec's recipe, smaller). */
+  private def vec(cluster: Int, j: Int): Array[Float] = {
+    val v = Array.fill(16)(0.0f)
+    for (d <- 0 until 16) {
+      val h = scala.util.hashing.MurmurHash3.productHash((cluster, j, d))
+      v(d) = ((h % 1000) / 10000.0f)
+    }
+    v(cluster) += 1.0f
+    v
+  }
+
+  private lazy val corpus: Seq[(Long, Array[Float])] =
+    for (c <- 0 until 5; j <- 0 until 24)
+      yield ((c * 24 + j).toLong, vec(c, j))
+
+  test("q43 annIvf: physical row order of the corpus is invisible") {
+    val dirA = embeddingsDir(corpus)
+    val dirB = embeddingsDir(new scala.util.Random(7).shuffle(corpus))
+    def run(dir: String) = collectSet(
+      Similarity.annIvf(spark, dir, nHint = Some(corpus.size.toLong),
+        nlistHint = Some(5)))
+    assert(run(dirA) === run(dirB))
+  }
+
+  test("q66 semDedupPairs: row-order permutation yields identical pairs") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(Long, Array[Float])]) = collectSet(
+      Similarity.semDedupPairs(rows.toDF("vec_id", "embedding"),
+        nHint = Some(rows.size.toLong), nlistHint = Some(5)))
+    val base = run(corpus)
+    assert(base.nonEmpty) // vacuous invariance proves nothing
+    assert(run(new scala.util.Random(7).shuffle(corpus)) === base)
+  }
+
+  test("q66 semDedupPairs: a planted duplicate appears; moved far away it vanishes") {
+    val s = spark
+    import s.implicits._
+    def pairsOf(rows: Seq[(Long, Array[Float])]): Set[(Long, Long)] =
+      Similarity.semDedupPairs(rows.toDF("vec_id", "embedding"),
+        nHint = Some(rows.size.toLong), nlistHint = Some(5))
+        .select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dup = corpus :+ (1000L, vec(0, 0)) // exact copy of vec_id 0
+    assert(pairsOf(dup).contains((0L, 1000L)))
+    // same id, orthogonal direction far from every cluster: the pair must
+    // not survive (similarity dropped, so any correct near-dup op drops it)
+    val far = Array.fill(16)(0.0f); far(9) = -50.0f
+    val moved = corpus :+ (1000L, far)
+    assert(!pairsOf(moved).contains((0L, 1000L)))
+  }
+
+  test("q84 Pq.fit: codebooks are identical under row-order permutation") {
+    val s = spark
+    import s.implicits._
+    def model(rows: Seq[(Long, Array[Float])]) =
+      Pq.fit(rows.toDF("vec_id", "embedding"), m = 8, k = 4)
+    val a = model(corpus)
+    val b = model(new scala.util.Random(7).shuffle(corpus))
+    assert(a.m === b.m && a.k === b.k && a.subDim === b.subDim)
+    for (sub <- 0 until a.m; c <- 0 until a.k)
+      assert(a.codebooks(sub)(c).toSeq === b.codebooks(sub)(c).toSeq,
+        s"codebook ($sub, $c) diverged under permutation")
+  }
+
+  test("q78 Bpe.learn: merge table is invariant under doc order AND corpus duplication") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      "low low low low low lower lower newest newest newest",
+      "newest newest newest widest widest widest",
+      "hug hug hug hugs pugs pugs pug")
+    def merges(rows: Seq[String]) =
+      Bpe.learn(rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), numMerges = 30).merges
+    val base = merges(texts)
+    assert(base.nonEmpty)
+    assert(merges(texts.reverse) === base)
+    // duplicating every doc doubles every pair count: the argmax order
+    // (count desc, pair asc) is scale-invariant, so the base sequence
+    // must be a PREFIX of the duplicated corpus's merges. Not equality:
+    // the "no pair occurs twice" early-stop is count-dependent by design
+    // — pairs at count 1 in the base cross the threshold when doubled
+    // and legally extend the table. A fixture derivation that depended
+    // on per-doc order or broke the tie order would diverge here.
+    assert(merges(texts ++ texts).take(base.length) === base)
+  }
+
+  test("q58 mediaNearDupPairs: permutation-invariant, and unrelated rows never erase a pair") {
+    val s = spark
+    import s.implicits._
+    // two planted fingerprint groups (hamming 1 within, far across) + noise
+    val g1 = 0x1234_5678_9ABC_DEF0L
+    val g2 = 0x0F0F_0F0F_F0F0_F0F0L
+    val feats = Seq(
+      (1L, "image", g1), (2L, "image", g1 ^ 1L),
+      (3L, "audio", g2), (4L, "audio", g2 ^ 0x8000_0000L),
+      (5L, "image", ~g1))
+    def pairsOf(rows: Seq[(Long, String, Long)]): Set[(String, Long, Long)] =
+      Multimodal.mediaNearDupPairs(rows.toDF("doc_id", "kind", "fp"))
+        .select(col("kind"), col("a"), col("b")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val base = pairsOf(feats)
+    assert(base === Set(("image", 1L, 2L), ("audio", 3L, 4L)))
+    assert(pairsOf(new scala.util.Random(7).shuffle(feats)) === base)
+    // adding unrelated fingerprints (distinct bands, ids disjoint) must
+    // keep every existing pair — blocking may ADD candidates, never drop
+    val noise = (100L to 140L).map(i =>
+      (i, "image", 0x4000_0000_0000_0000L + i * 0x1_0001_0001L))
+    assert(pairsOf(feats ++ noise).intersect(base) === base)
+  }
+}
