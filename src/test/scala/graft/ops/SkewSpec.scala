@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Skew-hardening evidence for the corpus-keyed shuffles (round-10
+  * verdict item #4). The cap machinery (CappedCollectSetLong posting
+  * lists, struct-min partial aggs, Misra-Gries sketches) CLAIMS a
+  * planted mega-key cannot concentrate work on one reducer; these specs
+  * measure it — per-task shuffle-read records via a SparkListener on a
+  * corpus where one gram/chunk/token sits in 50% of the docs, compared
+  * against a uniform corpus of identical size and token count. If a
+  * mega-key ever rode a shuffle as raw postings, its reducer's record
+  * count would scale with the corpus and blow the constant-factor bound.
+  */
+class SkewSpec extends SparkSpec {
+
+  /** Max and total shuffle-read records across every task the thunk
+    * runs. Listener events are async: poll until the counts go quiet.
+    */
+  private def shuffleReadProfile(df: => DataFrame): (Long, Long) = {
+    val recs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null && m.shuffleReadMetrics.recordsRead > 0)
+          recs.add(m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      df.collect()
+      var size = -1
+      var quiet = 0
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (quiet < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        if (recs.size == size) quiet += 1 else { quiet = 0; size = recs.size }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val all = recs.toArray(Array.empty[java.lang.Long]).map(_.longValue())
+    (if (all.isEmpty) 0L else all.max, all.sum)
+  }
+
+  private def uw(doc: Int, j: Int) = s"d${doc}w$j" // globally unique word
+
+  test("q33: a gram in 50% of docs is df-capped out; no reducer inherits it") {
+    val n = 240
+    val mega = (0 until 15).map(j => s"mega$j").mkString(" ")
+    // both corpora: n docs x 30 words
+    val uniform = docsDir((0 until n).map(i =>
+      i.toLong -> (0 until 30).map(uw(i, _)).mkString(" ")))
+    val skewed = docsDir((0 until n).map(i =>
+      i.toLong -> (
+        if (i % 2 == 0) (0 until 15).map(uw(i, _)).mkString(" ") + " " + mega
+        else (0 until 30).map(uw(i, _)).mkString(" "))))
+    val (uMax, uTot) = shuffleReadProfile(
+      graft.SparkEntry.queries("q33_ngram_jaccard")(spark, uniform))
+    val (sMax, sTot) = shuffleReadProfile(
+      graft.SparkEntry.queries("q33_ngram_jaccard")(spark, skewed))
+    assert(uTot > 0 && sTot > 0) // non-vacuity: the plans do shuffle
+    // the mega-span's grams have df 120 > DfCap 50: the capped aggregate
+    // disqualifies them without ever materializing a 120-doc posting
+    // list, so the heaviest task stays within a constant factor of the
+    // uniform corpus's heaviest task
+    assert(sMax <= 3 * math.max(uMax, 100),
+      s"mega-gram corpus max task read $sMax vs uniform $uMax")
+  }
+
+  test("q85: a chunk shared by 50% of docs collapses map-side, not on one reducer") {
+    val n = 200
+    val megaDoc = (0 until 64).map(j => s"m$j").mkString(" ")
+    val uniform = docsDir((0 until n).map(i =>
+      i.toLong -> (0 until 64).map(uw(i, _)).mkString(" ")))
+    val skewed = docsDir((0 until n).map(i =>
+      i.toLong -> (if (i % 2 == 0) megaDoc
+                   else (0 until 64).map(uw(i, _)).mkString(" "))))
+    val (uMax, uTot) = shuffleReadProfile(
+      graft.SparkEntry.queries("q85_chunk_dedup")(spark, uniform))
+    val (sMax, sTot) = shuffleReadProfile(
+      graft.SparkEntry.queries("q85_chunk_dedup")(spark, skewed))
+    assert(uTot > 0 && sTot > 0) // non-vacuity
+    // the (h, len) mega-key pre-aggregates to one struct-min row per map
+    // task before the exchange; its reducer sees <= #map-tasks rows for
+    // that key, not the 100 duplicate chunks
+    assert(sMax <= 3 * math.max(uMax, 100),
+      s"mega-chunk corpus max task read $sMax vs uniform $uMax")
+  }
+
+  test("q61: a token in half the corpus rides the bounded sketch, not raw postings") {
+    val n = 200
+    val uniform = docsDir((0 until n).map(i =>
+      i.toLong -> (0 until 40).map(uw(i, _)).mkString(" ")))
+    val skewed = docsDir((0 until n).map(i =>
+      i.toLong -> (
+        if (i % 2 == 0) Seq.fill(40)("megatok").mkString(" ")
+        else (0 until 40).map(uw(i, _)).mkString(" "))))
+    val (uMax, uTot) = shuffleReadProfile(
+      graft.SparkEntry.queries("q61_vocab_topk")(spark, uniform))
+    val (sMax, sTot) = shuffleReadProfile(
+      graft.SparkEntry.queries("q61_vocab_topk")(spark, skewed))
+    assert(uTot > 0 && sTot > 0) // non-vacuity
+    // Misra-Gries partials ship <= cap counters per (lang, map task):
+    // 4000 occurrences of one token cross the exchange as one counter
+    // per partial, so the skewed max CANNOT exceed the uniform shape by
+    // more than the constant sketch overhead
+    assert(sMax <= 3 * math.max(uMax, 100),
+      s"mega-token corpus max task read $sMax vs uniform $uMax")
+  }
+}
