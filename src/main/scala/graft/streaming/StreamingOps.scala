@@ -140,13 +140,24 @@ object StreamingOps {
     * Semantics vs batch: each micro-batch's events fold into the state
     * machine in (ms, event_type) order, so in-batch disorder is repaired
     * exactly; a single batch reproduces q107's stage populations. Across
-    * batches the marks refine monotonically — a late-arriving EARLIER
-    * view/click lowers its mark and can qualify future late events — but
-    * an event rejected in an earlier batch is not retroactively
-    * re-qualified (the state keeps three marks, never the event log;
-    * the bounded-state trade [[leakMonitor]] documents for dedup pairs).
-    * Stage advances themselves are monotone: at most 3 emits per user,
-    * at the first time each stage is reached.
+    * batches the VIEW and CLICK marks refine monotonically downward — a
+    * late-arriving EARLIER view/click lowers its mark and can qualify
+    * future late events. The PURCHASE mark deliberately does NOT refine:
+    * stage 3 emits exactly once at the first qualifying purchase, and an
+    * earlier purchase arriving later is ignored — the emit contract (at
+    * most 3 advances per user) would otherwise need retractions. An event
+    * rejected in an earlier batch is not retroactively re-qualified
+    * either (the state keeps three marks, never the event log; the
+    * bounded-state trade [[leakMonitor]] documents for dedup pairs).
+    *
+    * Memory note: the 24-bytes-per-user figure is STORE state. Within a
+    * single trigger each user's batch slice is buffered and sorted on its
+    * task (`it.toArray.sortBy` — required for the exact in-batch repair),
+    * so one user bursting millions of events in one micro-batch buffers
+    * that burst on one task. Batch-skew-sensitive deployments should
+    * bound per-trigger intake (maxOffsetsPerTrigger or source-side
+    * throttling); the state store itself never holds more than the three
+    * marks.
     */
   def funnelMonitor(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
