@@ -36,7 +36,9 @@ class MetamorphicSpec extends SparkSpec {
     def run(dir: String) = collectSet(
       Similarity.annIvf(spark, dir, nHint = Some(corpus.size.toLong),
         nlistHint = Some(5)))
-    assert(run(dirA) === run(dirB))
+    val base = run(dirA)
+    assert(base.nonEmpty) // vacuous invariance proves nothing
+    assert(run(dirB) === base)
   }
 
   test("q66 semDedupPairs: row-order permutation yields identical pairs") {

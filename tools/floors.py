@@ -32,10 +32,11 @@ END = "// END GENERATED FLOORS"
 def load_queries(path: str) -> dict:
     with open(path) as f:
         doc = json.load(f)
-    parsed = doc.get("parsed") or {}
-    qs = parsed.get("queries")
+    # gate artifacts wrap the bench line under parsed.queries; raw local
+    # BENCH_LOCAL-style artifacts carry queries at the top level
+    qs = (doc.get("parsed") or {}).get("queries") or doc.get("queries")
     if not isinstance(qs, dict) or not qs:
-        raise SystemExit(f"{path}: no parsed.queries — not a gate artifact?")
+        raise SystemExit(f"{path}: no queries map — not a bench artifact?")
     return {k: float(v) for k, v in qs.items()}
 
 

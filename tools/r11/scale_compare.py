@@ -30,7 +30,9 @@ def main():
     bad = []
     for q, ta, tb, r in rows:
         flag = ""
-        if tb > max_ratio * max(ta, FLOOR_SEC):
+        # skip only when BOTH sides sit under the noise floor; a small-ta
+        # query whose 10x time is real (tb above floor) must still flag
+        if tb > FLOOR_SEC and tb > max_ratio * ta:
             flag = "  <-- SUPER-LINEAR"
             bad.append(q)
         print(f"{q:8} {ta:7.2f} {tb:8.2f} {r:6.2f}{flag}")
