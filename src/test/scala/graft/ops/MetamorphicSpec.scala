@@ -105,6 +105,81 @@ class MetamorphicSpec extends SparkSpec {
     assert(merges(texts ++ texts).take(base.length) === base)
   }
 
+  test("q60 Pca.fitSampled: permutation-invariant, and a planted dominant axis is PC 1") {
+    val s = spark
+    import s.implicits._
+    // variance overwhelmingly along axis 3; small hash noise elsewhere
+    val pts: Seq[(Long, Array[Float])] = (0 until 120).map { i =>
+      val v = Array.tabulate(16) { d =>
+        val h = scala.util.hashing.MurmurHash3.productHash((i, d))
+        ((h % 100) / 10000.0f)
+      }
+      v(3) += (i % 11 - 5) * 2.0f
+      (i.toLong, v)
+    }
+    def model(rows: Seq[(Long, Array[Float])]) =
+      Pca.fitSampled(rows.toDF("vec_id", "embedding"), k = 4)
+    val a = model(pts)
+    val b = model(new scala.util.Random(7).shuffle(pts))
+    for (c <- 0 until 4)
+      assert(a.components(c).toSeq === b.components(c).toSeq,
+        s"component $c diverged under permutation")
+    assert(a.eigenvalues.toSeq === b.eigenvalues.toSeq)
+    // any correct PCA puts the planted axis first (up to sign)
+    assert(math.abs(a.components(0)(3)) > 0.99,
+      s"PC 1 not aligned with the planted axis: ${a.components(0).toSeq}")
+    assert(a.eigenvalues(0) > 10 * math.abs(a.eigenvalues(1)))
+  }
+
+  test("q105 fertility: under a FIXED model, corpus duplication doubles counts, not ratios") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      "the cat and the dog and the bird",
+      "el gato y el perro y el pajaro de la casa",
+      "the rain in spain stays mainly on the plain")
+    def docsOf(rows: Seq[String]) =
+      rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+    val model = Bpe.learn(docsOf(texts), numMerges = 50)
+    def rows(docs: org.apache.spark.sql.DataFrame) =
+      Bpe.fertility(s, docs, model).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val base = rows(docsOf(texts))
+    assert(base.nonEmpty)
+    // duplicate every doc with disjoint ids: per-language doc/word/token
+    // counts double exactly, the tokens-per-word ratio is unchanged — an
+    // encode or rollup that depended on doc identity or corpus size
+    // would break one side or the other
+    val doubled = rows(docsOf(texts)
+      .unionAll(docsOf(texts).withColumn("doc_id", col("doc_id") + 1000)))
+    assert(doubled.keySet === base.keySet)
+    for ((lang, (nd, nw, nt, f)) <- base) {
+      assert(doubled(lang) === ((2 * nd, 2 * nw, 2 * nt, f)),
+        s"lang $lang: duplication must double counts and preserve fertility")
+    }
+  }
+
+  test("q82 compressionRatio: repetition compresses; identical docs get identical ratios") {
+    val s = spark
+    import s.implicits._
+    val rep = (0 until 100).map(_ => "ab").mkString(" ")
+    val varied = (0 until 100).map(i => s"w${i * 7919}").mkString(" ")
+    // two identical copies of each text in ONE partition: the reused
+    // per-partition Deflater must reset between docs (dictionary bleed
+    // between neighbors would make the second copy compress better)
+    val df = Seq((1L, rep), (2L, rep), (3L, varied), (4L, varied))
+      .toDF("doc_id", "text").coalesce(1)
+    val r = TextAnalysis.compressionRatio(s, df).collect()
+      .map(x => x.getLong(0) -> x.getDouble(x.fieldIndex("compress_ratio")))
+      .toMap
+    assert(r(1L) === r(2L), "identical docs must compress identically")
+    assert(r(3L) === r(4L))
+    assert(r(1L) < r(3L) / 2,
+      s"repetitive text must compress far better: rep=${r(1L)} varied=${r(3L)}")
+  }
+
   test("q58 mediaNearDupPairs: permutation-invariant, and unrelated rows never erase a pair") {
     val s = spark
     import s.implicits._
