@@ -105,6 +105,33 @@ class MetamorphicSpec extends SparkSpec {
     assert(merges(texts ++ texts).take(base.length) === base)
   }
 
+  test("q31/q34: banded-LSH pair sets are invariant under physical row order") {
+    // the cap election inside bucketPairs and the seeded band hashing
+    // must key on ids and content, never on partition/row order — a
+    // fixture derivation sharing an order dependency would track the op
+    // on one layout and diverge on another
+    val docs: Seq[(Long, String)] = {
+      val near = (1 to 30).map(i => s"n$i").mkString(" ")
+      Seq(1L -> near, 2L -> (near + " extra"),
+        3L -> (near + " extra tail")) ++
+        (10 until 60).map(i =>
+          i.toLong -> (0 until 25).map(j => s"d${i}w$j").mkString(" "))
+    }
+    val dA = docsDir(docs)
+    val dB = docsDir(new scala.util.Random(7).shuffle(docs))
+    val q31a = collectSet(graft.SparkEntry.queries("q31_dedup_minhash")(spark, dA))
+    assert(q31a.nonEmpty)
+    assert(collectSet(
+      graft.SparkEntry.queries("q31_dedup_minhash")(spark, dB)) === q31a)
+    val eA = embeddingsDir(corpus :+ (1000L, vec(0, 0)))
+    val eB = embeddingsDir(new scala.util.Random(7)
+      .shuffle(corpus :+ (1000L, vec(0, 0))))
+    val q34a = collectSet(graft.SparkEntry.queries("q34_embed_neardup")(spark, eA))
+    assert(q34a.nonEmpty)
+    assert(collectSet(
+      graft.SparkEntry.queries("q34_embed_neardup")(spark, eB)) === q34a)
+  }
+
   test("q60 Pca.fitSampled: permutation-invariant, and a planted dominant axis is PC 1") {
     val s = spark
     import s.implicits._
