@@ -105,7 +105,7 @@ class MetamorphicSpec extends SparkSpec {
     assert(merges(texts ++ texts).take(base.length) === base)
   }
 
-  test("q31/q34: banded-LSH pair sets are invariant under physical row order") {
+  test("q31/q32/q34/q36: banded-LSH pair/ANN sets are invariant under physical row order") {
     // the cap election inside bucketPairs and the seeded band hashing
     // must key on ids and content, never on partition/row order — a
     // fixture derivation sharing an order dependency would track the op
@@ -123,6 +123,10 @@ class MetamorphicSpec extends SparkSpec {
     assert(q31a.nonEmpty)
     assert(collectSet(
       graft.SparkEntry.queries("q31_dedup_minhash")(spark, dB)) === q31a)
+    val q32a = collectSet(graft.SparkEntry.queries("q32_dedup_simhash")(spark, dA))
+    assert(q32a.nonEmpty)
+    assert(collectSet(
+      graft.SparkEntry.queries("q32_dedup_simhash")(spark, dB)) === q32a)
     val eA = embeddingsDir(corpus :+ (1000L, vec(0, 0)))
     val eB = embeddingsDir(new scala.util.Random(7)
       .shuffle(corpus :+ (1000L, vec(0, 0))))
@@ -130,6 +134,10 @@ class MetamorphicSpec extends SparkSpec {
     assert(q34a.nonEmpty)
     assert(collectSet(
       graft.SparkEntry.queries("q34_embed_neardup")(spark, eB)) === q34a)
+    val q36a = collectSet(graft.SparkEntry.queries("q36_ann_lsh")(spark, eA))
+    assert(q36a.nonEmpty)
+    assert(collectSet(
+      graft.SparkEntry.queries("q36_ann_lsh")(spark, eB)) === q36a)
   }
 
   test("q60 Pca.fitSampled: permutation-invariant, and a planted dominant axis is PC 1") {
