@@ -569,6 +569,89 @@ class PlanAuditSpec extends SparkSpec {
       && !p.contains("CartesianProduct"), p)
   }
 
+  test("q107: min-ts chaining — no per-user window, stage counts broadcast") {
+    val df = graft.SparkEntry.queries("q107_funnel")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // a window here would sort the whole event log by user; the min-ts
+    // stage frames aggregate partially and the 1-row counts broadcast
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q108: bench grams broadcast; width rides the join key; no body shuffled") {
+    val df = graft.SparkEntry.queries("q108_width_sweep")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+    assertBodyFreeExchanges(executed(df))
+  }
+
+  test("q110: vectors never cross an exchange; halves join as thin label frames") {
+    val df = graft.SparkEntry.queries("q110_centroid_drift")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    val plan = executed(df)
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.child.output.exists(_.name == "embedding"),
+        s"embedding vectors cross an exchange:\n$plan")
+    }
+  }
+
+  test("q111: the rank window runs over histogram rows, never raw docs") {
+    val df = graft.SparkEntry.queries("q111_source_quantiles")(spark, sf)
+    val plan = executed(df)
+    // every Window must sit above an aggregation: its input is the
+    // per-(group, value) histogram (bounded by the value domain), not a
+    // corpus-sized row stream — the property that lets q111 quantile
+    // groups no Spark percentile buffer could hold
+    val windows = plan.collect {
+      case w if w.nodeName.contains("Window") => w
+    }
+    assert(windows.nonEmpty, s"expected a histogram-rank window:\n$plan")
+    windows.foreach { w =>
+      assert(w.collect {
+        case a if a.nodeName.contains("HashAggregate") => a
+      }.nonEmpty, s"window input is not aggregated (raw rows buffered):\n$plan")
+    }
+    assertBodyFreeExchanges(plan)
+  }
+
+  test("q113: one source-keyed partial agg, no join of any kind") {
+    val df = graft.SparkEntry.queries("q113_truncation_yield")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assertBodyFreeExchanges(executed(df))
+  }
+
+  test("q114: ONE documents scan — lang and token stats share the projection") {
+    val df = graft.SparkEntry.queries("q114_lang_quality")(spark, sf)
+    val plan = executed(df)
+    val scans = plan.collect {
+      case f if f.nodeName.contains("Scan parquet") => f
+    }
+    // a second tokenization pass (the pre-review shape) scans twice and
+    // joins on doc_id; the fused form reads the corpus exactly once
+    assert(scans.size === 1, s"expected one corpus scan, got ${scans.size}:\n$plan")
+    val p = plan.toString
+    assert(!p.contains("Join"), p)
+    assertBodyFreeExchanges(plan)
+  }
+
+  test("q118: multiplicity histogram is agg-only — no window, hashes-only exchanges") {
+    val df = graft.SparkEntry.queries("q118_dup_histogram")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+    assertBodyFreeExchanges(executed(df))
+  }
+
   test("q96: pair math stays in-group; sizes broadcast; no body in any exchange") {
     val df = graft.SparkEntry.queries("q96_source_overlap")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
