@@ -44,6 +44,36 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ALL queries: no document body or token array in any exchange; no cartesian product") {
+    // the universal form of the per-query guards: every one of the 112
+    // plans must keep corpus-scale payloads (text, string arrays) out of
+    // every shuffle and never degenerate to a non-broadcast cartesian.
+    // Planning-only (executed() unwraps the pre-execution AQE plan), so
+    // the sweep is cheap enough to run over the full surface.
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try {
+        val plan = executed(fn(spark, sf))
+        plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+          e.child.output.foreach { a =>
+            if (a.name == "text")
+              failures += s"$name: document bodies cross an exchange"
+            if (a.dataType match {
+              case org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType, _) => true
+              case _ => false
+            }) failures += s"$name: string-array column '${a.name}' crosses an exchange"
+          }
+        }
+        if (plan.toString.contains("CartesianProduct"))
+          failures += s"$name: cartesian product in the plan"
+      } catch {
+        case e: Throwable => failures += s"$name: planning failed: ${e.getMessage}"
+      }
+    }
+    assert(failures.isEmpty, failures.distinct.mkString("\n"))
+  }
+
   test("q02: filter AND projection reach the parquet scan") {
     val p = planString("q02_filter_project")
     assert(p.contains("PushedFilters: ["), p)
