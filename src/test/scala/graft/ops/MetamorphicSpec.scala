@@ -117,27 +117,21 @@ class MetamorphicSpec extends SparkSpec {
         (10 until 60).map(i =>
           i.toLong -> (0 until 25).map(j => s"d${i}w$j").mkString(" "))
     }
+    val rnd = new scala.util.Random(7)
     val dA = docsDir(docs)
-    val dB = docsDir(new scala.util.Random(7).shuffle(docs))
-    val q31a = collectSet(graft.SparkEntry.queries("q31_dedup_minhash")(spark, dA))
-    assert(q31a.nonEmpty)
-    assert(collectSet(
-      graft.SparkEntry.queries("q31_dedup_minhash")(spark, dB)) === q31a)
-    val q32a = collectSet(graft.SparkEntry.queries("q32_dedup_simhash")(spark, dA))
-    assert(q32a.nonEmpty)
-    assert(collectSet(
-      graft.SparkEntry.queries("q32_dedup_simhash")(spark, dB)) === q32a)
-    val eA = embeddingsDir(corpus :+ (1000L, vec(0, 0)))
-    val eB = embeddingsDir(new scala.util.Random(7)
-      .shuffle(corpus :+ (1000L, vec(0, 0))))
-    val q34a = collectSet(graft.SparkEntry.queries("q34_embed_neardup")(spark, eA))
-    assert(q34a.nonEmpty)
-    assert(collectSet(
-      graft.SparkEntry.queries("q34_embed_neardup")(spark, eB)) === q34a)
-    val q36a = collectSet(graft.SparkEntry.queries("q36_ann_lsh")(spark, eA))
-    assert(q36a.nonEmpty)
-    assert(collectSet(
-      graft.SparkEntry.queries("q36_ann_lsh")(spark, eB)) === q36a)
+    val dB = docsDir(rnd.shuffle(docs))
+    val withDup = corpus :+ (1000L, vec(0, 0))
+    val eA = embeddingsDir(withDup)
+    val eB = embeddingsDir(rnd.shuffle(withDup))
+    val cases = Seq(
+      ("q31_dedup_minhash", dA, dB), ("q32_dedup_simhash", dA, dB),
+      ("q34_embed_neardup", eA, eB), ("q36_ann_lsh", eA, eB))
+    for ((q, a, b) <- cases) {
+      val base = collectSet(graft.SparkEntry.queries(q)(spark, a))
+      assert(base.nonEmpty, s"$q: vacuous invariance proves nothing")
+      assert(collectSet(graft.SparkEntry.queries(q)(spark, b)) === base,
+        s"$q diverged under row-order permutation")
+    }
   }
 
   test("q60 Pca.fitSampled: permutation-invariant, and a planted dominant axis is PC 1") {

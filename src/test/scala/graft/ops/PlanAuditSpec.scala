@@ -31,44 +31,52 @@ class PlanAuditSpec extends SparkSpec {
     * name — the rename is exactly the regression a name-only check
     * misses).
     */
-  private def assertBodyFreeExchanges(plan: SparkPlan): Unit = {
+  /** Every way a corpus-scale payload can ride a shuffle, as a violation
+    * list — ONE definition shared by the per-query guards and the
+    * ALL-queries sweep, so tightening the rule tightens both.
+    */
+  private def bodyViolations(plan: SparkPlan): Seq[String] = {
     import org.apache.spark.sql.types.{ArrayType, StringType}
-    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
-      e.child.output.foreach { a =>
-        assert(a.name != "text", s"document bodies cross an exchange:\n$plan")
-        assert(!(a.dataType match {
+    plan.collect { case e: ShuffleExchangeExec => e }.flatMap { e =>
+      e.child.output.flatMap { a =>
+        val isTokenArray = a.dataType match {
           case ArrayType(StringType, _) => true
           case _ => false
-        }), s"string-array (token/gram) column '${a.name}' crosses an exchange:\n$plan")
+        }
+        (if (a.name == "text") Seq("document bodies cross an exchange")
+         else Nil) ++
+          (if (isTokenArray)
+             Seq(s"string-array (token/gram) column '${a.name}' crosses an exchange")
+           else Nil)
       }
     }
+  }
+
+  private def assertBodyFreeExchanges(plan: SparkPlan): Unit = {
+    val v = bodyViolations(plan)
+    assert(v.isEmpty, s"${v.mkString("; ")}:\n$plan")
   }
 
   test("ALL queries: no document body or token array in any exchange; no cartesian product") {
     // the universal form of the per-query guards: every one of the 112
     // plans must keep corpus-scale payloads (text, string arrays) out of
     // every shuffle and never degenerate to a non-broadcast cartesian.
-    // Planning-only (executed() unwraps the pre-execution AQE plan), so
-    // the sweep is cheap enough to run over the full surface.
+    // Plan inspection itself is cheap, but NOT free end to end: a few
+    // query CONSTRUCTORS run bounded fit jobs eagerly before a plan
+    // exists (q78/q94 BPE learn, q60 PCA sample, the IVF/ANN centroid
+    // fits), so the sweep costs roughly one model-fit pass per such
+    // query — acceptable at sf0.001, but don't assume adding queries
+    // here is zero-cost.
+    import scala.util.control.NonFatal
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {
         val plan = executed(fn(spark, sf))
-        plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
-          e.child.output.foreach { a =>
-            if (a.name == "text")
-              failures += s"$name: document bodies cross an exchange"
-            if (a.dataType match {
-              case org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.StringType, _) => true
-              case _ => false
-            }) failures += s"$name: string-array column '${a.name}' crosses an exchange"
-          }
-        }
+        failures ++= bodyViolations(plan).map(v => s"$name: $v")
         if (plan.toString.contains("CartesianProduct"))
           failures += s"$name: cartesian product in the plan"
       } catch {
-        case e: Throwable => failures += s"$name: planning failed: ${e.getMessage}"
+        case NonFatal(e) => failures += s"$name: planning failed: $e"
       }
     }
     assert(failures.isEmpty, failures.distinct.mkString("\n"))
@@ -625,9 +633,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial"), p)
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
     val plan = executed(df)
+    // type-based, not name-based: a renamed vector column is the same
+    // corpus-scale payload (the assertBodyFreeExchanges rename lesson)
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
     plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
-      assert(!e.child.output.exists(_.name == "embedding"),
-        s"embedding vectors cross an exchange:\n$plan")
+      e.child.output.foreach { a =>
+        assert(!(a.dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }), s"float-array (vector) column '${a.name}' crosses an exchange:\n$plan")
+      }
     }
   }
 
