@@ -35,4 +35,14 @@ class SurveySpec extends AnyFunSuite {
     assert(noOracle.isEmpty,
       s"queries without oracle SQL: ${noOracle.toSeq.sorted.mkString(", ")}")
   }
+
+  test("docs/OPERATORS.md indexes every query (regenerate via tools/r11/operators_md.py)") {
+    val src = scala.io.Source.fromFile("docs/OPERATORS.md", "UTF-8")
+    val text = try src.mkString finally src.close()
+    val indexed = raw"q\d+_[a-z0-9_]+".r.findAllIn(text).toSet
+    val missing = SparkEntry.queries.keySet -- indexed
+    assert(missing.isEmpty,
+      s"queries missing from docs/OPERATORS.md (rerun the generator): " +
+        missing.toSeq.sorted.mkString(", "))
+  }
 }
