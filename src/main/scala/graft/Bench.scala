@@ -22,6 +22,13 @@ import org.apache.spark.sql.SparkSession
   * every later query (the round-8 "alphabetical back half 2-4× slower"
   * drift). No query shares cached state with another (q20-q24 share only
   * on-disk fixtures), so the sweep is safe.
+  *
+  * Noise robustness (r11 → r12): a first rep exceeding 2× its committed
+  * evidence floor triggers a median-of-3 rerun of just that query (see
+  * [[needsRetry]]); `SPARK_GRAFT_REPS=N` runs every selected query N
+  * times in one session for adjudication. Per-rep detail lands in
+  * `BENCH_REPS.json`; the stdout contract stays one JSON line with the
+  * per-query MEDIAN.
   */
 object Bench {
 
@@ -55,6 +62,29 @@ object Bench {
     */
   private[graft] def selected(only: Option[Set[String]], name: String): Boolean =
     only.forall(s => s.contains(name) || s.contains(short(name)))
+
+  /** Median of the ok rep times (even count averages the middle two).
+    * Medians, not minima: a minimum would grade the machine's best
+    * moment; the median grades the plan while stays robust to a single
+    * steal/JIT burst (the r8-r11 drift signature).
+    */
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Should a single-rep time trigger the median-of-3 rerun? True when
+    * the first rep exceeds 2x the committed evidence floor AND is at
+    * least 0.5 s over it in absolute terms — the absolute leg keeps
+    * sub-second queries (where 2x of 0.15 s is timer jitter) from
+    * burning reruns on noise that can't affect the 2x grading bar
+    * anyway. Only queries with a recorded floor can retrigger: a new
+    * query has no evidence to contradict.
+    */
+  private[graft] def needsRetry(name: String, sec: Double,
+      floors: Map[String, Double] = expected): Boolean =
+    floors.get(short(name)).exists(f => sec > 2 * f && sec - f > 0.5)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,31 +131,32 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty) // SPARK_GRAFT_ONLY= (empty) means "no filter"
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(t => selected(only, t._1)).map { case (name, fn) =>
-      // stderr start marker: attributes any async scheduler noise (e.g.
-      // the benign late-task accumulator ERRORs after localCheckpoint
-      // cleanup) to the query that provoked it
-      System.err.println(s"[bench] $name start")
+    // SPARK_GRAFT_REPS=N runs every selected query N times in THIS one
+    // session (per-rep telemetry lines, per-rep detail in
+    // BENCH_REPS.json, median reported) — the adjudication knob for
+    // shared-VM noise vs real plan cost: a real plan regression repeats
+    // in every rep; a steal/JIT burst hits one.
+    val reps = sys.env.get("SPARK_GRAFT_REPS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1)
+      .getOrElse(1)
+
+    // one rep of one query: stderr start marker attributes any async
+    // scheduler noise (e.g. the benign late-task accumulator ERRORs
+    // after localCheckpoint cleanup) to the query that provoked it; the
+    // `done` line carries the per-query JVM-internals delta (GC vs JIT
+    // vs code-cache vs host steal — the r10 drift discriminators); the
+    // state sweep runs after every rep, OUTSIDE the timed region.
+    def runOnce(name: String, body: () => Unit): (Double, String) = {
       val jvm0 = JvmTelemetry.snapshot()
       val t0 = System.nanoTime()
       val status =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          "ok"
-        } catch {
+        try { body(); "ok" } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
             "fail"
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      // per-query JVM-internals delta on stderr: the r9/r10 gate-drift
-      // clusters (alphabetically-consecutive 2-4x blocks at varying run
-      // positions, zero system PSI) point INSIDE the JVM — this line
-      // makes any future drifting run self-attributing (GC pauses vs
-      // JIT recompilation storms vs code-cache flushing)
       System.err.println(f"[bench] $name done $sec%.2fs ${JvmTelemetry.delta(jvm0)}")
-      // per-query state sweep, OUTSIDE the timed region (see class doc)
       try {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
@@ -133,7 +164,45 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] post-$name cleanup failed: $e")
       }
+      (sec, status)
+    }
+
+    val repsDetail = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(t => selected(only, t._1)).map { case (name, fn) =>
+      def rep(tag: String): (Double, String) = {
+        System.err.println(s"[bench] $name$tag start")
+        runOnce(s"$name$tag",
+          () => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      }
+      val first = rep("")
+      val all: Seq[(Double, String)] =
+        if (reps > 1) first +: (2 to reps).map(i => rep(s" rep$i"))
+        else if (first._2 == "ok" && needsRetry(name, first._1)) {
+          // median-of-3 on a first-rep 2x-floor outlier: one external
+          // steal/JIT burst can no longer put a green plan over the 2x
+          // evidence bar (r11 q45/q96 false alarms); a REAL plan cost
+          // repeats in all three reps and still reports over the bar
+          System.err.println(f"[bench] $name ${first._1}%.2fs > 2x floor " +
+            f"${expected(short(name))}%.2fs - median-of-3 rerun")
+          first +: (2 to 3).map(i => rep(s" rep$i"))
+        } else Seq(first)
+      val okTimes = all.collect { case (s, "ok") => s }
+      val status = if (all.exists(_._2 != "ok")) "fail" else "ok"
+      val sec = if (okTimes.nonEmpty) median(okTimes) else all.head._1
+      if (all.length > 1) repsDetail(name) = all.map(_._1)
       (name, sec, status)
+    }
+    // per-rep detail artifact (multi-rep adjudication runs + any
+    // median-of-3 retriggers): never on stdout — the driver contract
+    // stays one JSON line
+    if (repsDetail.nonEmpty) {
+      val body = repsDetail.map { case (n, ts) =>
+        s""""$n":[${ts.map(t => "%.3f".formatLocal(java.util.Locale.ROOT, t)).mkString(",")}]"""
+      }.mkString("{", ",", "}")
+      try Files.writeString(Paths.get("BENCH_REPS.json"),
+        s"""{"reps":$body,"sf":"$sfDir","n_reps":$reps}""")
+      catch { case _: Throwable => () }
     }
     // Regression guard: compare each time to the committed per-query
     // baseline and SAY SO when one blows past it — round 8 shipped docs

@@ -62,6 +62,26 @@ class BenchSpec extends AnyFunSuite {
     assert(json == expected)
   }
 
+  test("median is order-robust and averages even-count middles") {
+    assert(Bench.median(Seq(7.77, 3.42, 3.55)) === 3.55)
+    assert(Bench.median(Seq(3.42)) === 3.42)
+    assert(Bench.median(Seq(4.0, 2.0)) === 3.0)
+    assert(Bench.median(Seq(9.0, 1.0, 2.0, 8.0)) === 5.0)
+  }
+
+  test("needsRetry fires only past 2x floor AND 0.5s absolute excess") {
+    val floors = Map("q45" -> 2.88, "q38" -> 0.17)
+    // r11's actual false alarm: 7.77 s vs floor 2.88 → retry
+    assert(Bench.needsRetry("q45_dedup_clusters", 7.77, floors))
+    // within 2x → no retry
+    assert(!Bench.needsRetry("q45_dedup_clusters", 5.0, floors))
+    // tiny query: 0.40 s is >2x of 0.17 but only +0.23 s absolute — jitter
+    assert(!Bench.needsRetry("q38_quality_score", 0.40, floors))
+    assert(Bench.needsRetry("q38_quality_score", 0.90, floors))
+    // no floor recorded → never retriggers (no evidence to contradict)
+    assert(!Bench.needsRetry("q999_new", 99.0, floors))
+  }
+
   test("shortened query keys stay unique across the real query set") {
     val short = names.map(n => n.split('_').head)
     assert(short.distinct.length === names.length,

@@ -209,6 +209,85 @@ class MetamorphicSpec extends SparkSpec {
       s"repetitive text must compress far better: rep=${r(1L)} varied=${r(3L)}")
   }
 
+  test("q41 aHash: byte-identical images fingerprint identically; row order is invisible end-to-end") {
+    // the aHash must be a pure function of the pixels — identical bytes
+    // under different doc ids (or different row positions) must collide
+    // exactly, or near-dup blocking on the hash is meaningless
+    val png = Multimodal.synthImage(groupSeed = 3, salt = 5)
+    val a = Multimodal.decodeMedia(1L, "image/png", png)
+    val b = Multimodal.decodeMedia(999L, "image/png", png)
+    assert(a.phash != 0L, "real pixel decode must produce a nonzero aHash")
+    assert(a.phash === b.phash && a.checksum === b.checksum)
+    // ...and a one-pixel variant of the same group stays NEAR, not equal:
+    // hamming <= 2 (each image's one inverted pixel), never 0
+    val c = Multimodal.decodeMedia(2L, "image/png",
+      Multimodal.synthImage(groupSeed = 3, salt = 77))
+    assert(c.phash != a.phash)
+    assert(java.lang.Long.bitCount(a.phash ^ c.phash) <= 2)
+    // end-to-end: the q41 feature set is invariant under physical row order
+    val docs: Seq[(Long, String)] =
+      (0L until 40L).map(i => i -> s"doc $i body ${"x" * (i % 7).toInt}")
+    val base = collectSet(
+      graft.SparkEntry.queries("q41_multimodal")(spark, docsDir(docs)))
+    assert(base.nonEmpty)
+    assert(collectSet(graft.SparkEntry.queries("q41_multimodal")(spark,
+      docsDir(new scala.util.Random(7).shuffle(docs)))) === base)
+  }
+
+  test("q42 sampleFrames: re-muxing the MP4 (any chunking) preserves every sampled frame") {
+    // stsc/stco chunk grouping is container bookkeeping, not content: a
+    // re-mux of the same sample table must yield byte-identical frame
+    // samples (index, size, AND content checksum over the mdat bytes) —
+    // a frame walk that keyed off chunk layout instead of the sample
+    // table would diverge here
+    val samples = (0 until 13).map(i =>
+      Array.tabulate[Byte](24 + i)(j => ((i * 31 + j) & 0xff).toByte))
+    def framesOf(chunksOf: Int): Seq[Multimodal.FrameSample] =
+      Multimodal.sampleFrames(7L,
+        Mp4Boxes.writeMp4(samples, keyframes1 = Some(Seq(1, 5)),
+          chunksOf = chunksOf)).toSeq
+    val base = framesOf(3)
+    assert(base.map(_.frame_idx) === Seq(0, 4, 8, 12)) // every 4th of 13
+    assert(base.map(_.n_bytes) === Seq(24, 28, 32, 36))
+    for (c <- Seq(1, 2, 5, 13))
+      assert(framesOf(c) === base, s"chunksOf=$c diverged from chunksOf=3")
+  }
+
+  test("q51 audio: the energy-contour fingerprint is amplitude-invariant (gain-scaled WAV)") {
+    // the documented claim: scaling every sample scales every window
+    // energy by the square, so the up/down contour — hence the afp — is
+    // unchanged. Tested through the FULL path (16-bit PCM encode →
+    // parse → samples → fingerprint), so quantization is in scope.
+    for (seed <- 0L until 5L) {
+      val low = AudioWav.features(seed, AudioWav.sineWav(seed, gain = 0.2)).get
+      val high = AudioWav.features(seed, AudioWav.sineWav(seed, gain = 0.9)).get
+      assert(low.afp != 0L, s"seed $seed: degenerate fingerprint")
+      assert(low.afp === high.afp, s"seed $seed: gain changed the contour")
+      assert(low.rms < high.rms, "amplitude DID change - invariance is not vacuous")
+      assert(low.zero_cross === high.zero_cross)
+      assert(low.duration_ms === high.duration_ms)
+    }
+    // distinct envelopes still fingerprint differently (afp is not constant)
+    assert(AudioWav.features(1L, AudioWav.sineWav(1L)).get.afp !=
+      AudioWav.features(2L, AudioWav.sineWav(2L)).get.afp)
+  }
+
+  test("q77 Pq.encode: per-vector codes are invariant under corpus row order") {
+    val s = spark
+    import s.implicits._
+    // one model (q84's permutation-invariant fit), applied to the same
+    // rows in two physical orders: encode is per-row, so any divergence
+    // would mean partition-dependent state leaked into the code path
+    val model = Pq.fit(corpus.toDF("vec_id", "embedding"), m = 8, k = 4)
+    def codes(rows: Seq[(Long, Array[Float])]): Map[Long, (Long, Double)] =
+      Pq.encode(s, rows.toDF("vec_id", "embedding"), model).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val base = codes(corpus)
+    assert(base.size === corpus.size)
+    assert(base.values.map(_._1).toSet.size > 1, "codes must not be constant")
+    assert(codes(new scala.util.Random(7).shuffle(corpus)) === base)
+  }
+
   test("q58 mediaNearDupPairs: permutation-invariant, and unrelated rows never erase a pair") {
     val s = spark
     import s.implicits._

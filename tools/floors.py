@@ -29,14 +29,23 @@ BEGIN = "// BEGIN GENERATED FLOORS"
 END = "// END GENERATED FLOORS"
 
 
-def load_queries(path: str) -> dict:
+def load_queries(path: str, gate: bool) -> dict:
     with open(path) as f:
         doc = json.load(f)
-    # gate artifacts wrap the bench line under parsed.queries; raw local
-    # BENCH_LOCAL-style artifacts carry queries at the top level
-    qs = (doc.get("parsed") or {}).get("queries") or doc.get("queries")
-    if not isinstance(qs, dict) or not qs:
-        raise SystemExit(f"{path}: no queries map — not a bench artifact?")
+    # gate artifacts wrap the bench line under parsed.queries — and ONLY
+    # there: a builder-local BENCH_LOCAL-style file (top-level queries)
+    # passed in gate position would silently lower gate-evidenced floors
+    # (round-11 advice), so the top-level fallback is seed-only
+    qs = (doc.get("parsed") or {}).get("queries")
+    if gate:
+        if not isinstance(qs, dict) or not qs:
+            raise SystemExit(
+                f"{path}: no parsed.queries — not a GATE artifact. Local "
+                f"BENCH_LOCAL-style files must come after --seed.")
+    else:
+        qs = qs or doc.get("queries")
+        if not isinstance(qs, dict) or not qs:
+            raise SystemExit(f"{path}: no queries map — not a bench artifact?")
     return {k: float(v) for k, v in qs.items()}
 
 
@@ -53,11 +62,11 @@ def main():
         raise SystemExit("need at least one gate artifact")
     floors = {}
     for a in gates:
-        for q, t in load_queries(a).items():
+        for q, t in load_queries(a, gate=True).items():
             floors[q] = min(t, floors.get(q, float("inf")))
     seeded = {}
     for a in seeds:
-        for q, t in load_queries(a).items():
+        for q, t in load_queries(a, gate=False).items():
             if q not in floors:  # gate evidence always wins
                 seeded[q] = min(t, seeded.get(q, float("inf")))
     floors.update(seeded)

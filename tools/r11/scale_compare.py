@@ -20,11 +20,18 @@ def main():
     a, b = json.load(open(sys.argv[1])), json.load(open(sys.argv[2]))
     max_ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 12.0
     qa, qb = a["queries"], b["queries"]
+    # a query that crashed or was dropped at 10x is a gate FAILURE, not a
+    # skip — silently continuing would pass the super-linear gate with a
+    # missing query (round-11 advice)
+    missing = sorted(set(qa) - set(qb))
+    if missing:
+        print(f"MISSING from 10x artifact: {missing}")
+    if a.get("failed", 0) or b.get("failed", 0):
+        print(f"FAILED queries reported: sf0.1={a.get('failed')} "
+              f"10x={b.get('failed')}")
     rows = []
-    for q in sorted(qa, key=lambda s: int(s[1:])):
-        ta, tb = qa[q], qb.get(q)
-        if tb is None:
-            continue
+    for q in sorted(set(qa) & set(qb), key=lambda s: int(s[1:])):
+        ta, tb = qa[q], qb[q]
         rows.append((q, ta, tb, tb / ta))
     print(f"{'query':8} {'sf0.1':>7} {'10x':>8} {'ratio':>6}")
     bad = []
@@ -41,6 +48,7 @@ def main():
           f"failed: {a['failed']}/{b['failed']}")
     if bad:
         print(f"SUPER-LINEAR (> {max_ratio}x time on 10x data): {bad}")
+    if bad or missing or a.get("failed", 0) or b.get("failed", 0):
         sys.exit(1)
     print(f"no query exceeds {max_ratio}x time on 10x data")
 

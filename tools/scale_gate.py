@@ -1,0 +1,136 @@
+#!/usr/bin/env python3
+"""One-command scale gate (dev tool only — NOT part of the library).
+
+Round-11 verdict item #5: the 10x derived-corpus gate caught the whole
+cross-engine bug class (q109 half-micro, q57 HUGEINT, q110 decimal cap)
+that sf0.1 never surfaces, so it must be a standing, one-command gate
+rather than a per-round hand-assembled pipeline. This wires together the
+reviewed pieces — it adds no logic of its own:
+
+  1. derive the ~10x corpus (tools/r11/derive.py) — REUSED if every
+     table is already present at --corpus
+  2. full oracle gate there: `sbt "runMain graft.Verify <corpus> <out>"`
+     then tools/gate.py (DuckDB driver-compare replication)
+  3. bench at sf0.1 and at the corpus, same session config
+  4. super-linear scan (tools/r11/scale_compare.py — enforced: missing
+     or failed queries exit non-zero, not just ratio breaches)
+  5. write the SCALE.md report (gate verdict + full ratio table)
+
+Usage:
+  python3 tools/scale_gate.py [--corpus /tmp/sf1d] [--report DIR]
+                              [--skip-bench]
+
+Exit 0 only when the gate is 112/112 and no query is super-linear.
+Artifacts land in --report (default tools/scale_gate_out/):
+GATE_SF1D.log, BENCH_SF01_LOCAL.json, BENCH_SF1D_LOCAL.json, SCALE.md.
+"""
+import argparse
+import datetime
+import os
+import pathlib
+import shutil
+import subprocess
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+SF01 = "/root/testdata/sf0.1"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def run(cmd, **kw):
+    print(f"[scale_gate] $ {' '.join(cmd)}", flush=True)
+    return subprocess.run(cmd, cwd=ROOT, **kw)
+
+
+def ensure_corpus(corpus: str) -> str:
+    have = [t for t in TABLES
+            if (pathlib.Path(corpus) / f"{t}.parquet").exists()]
+    if len(have) == len(TABLES):
+        print(f"[scale_gate] reusing derived corpus at {corpus}")
+        return "reused"
+    if have:
+        print(f"[scale_gate] partial corpus at {corpus} "
+              f"({len(have)}/{len(TABLES)} tables) — re-deriving")
+    r = run([sys.executable, "tools/r11/derive.py", corpus])
+    if r.returncode != 0:
+        raise SystemExit("derive failed")
+    return "derived"
+
+
+def gate(corpus: str, report: pathlib.Path) -> int:
+    out = f"{corpus.rstrip('/')}_verify"
+    shutil.rmtree(out, ignore_errors=True)
+    if run(["sbt", "-batch", f"runMain graft.Verify {corpus} {out}"]).returncode:
+        raise SystemExit("Verify failed")
+    log = report / "GATE_SF1D.log"
+    with open(log, "w") as f:
+        rc = run([sys.executable, "tools/gate.py", out, corpus],
+                 stdout=f, stderr=subprocess.STDOUT).returncode
+    tail = log.read_text().strip().splitlines()
+    ok = sum(1 for l in tail if ": OK" in l)
+    bad = sum(1 for l in tail if "MISMATCH" in l)
+    print(f"[scale_gate] gate: {ok} OK, {bad} MISMATCH (log: {log})")
+    return 0 if (rc == 0 and bad == 0 and ok > 0) else 1
+
+
+def bench(sf_dir: str, dest: pathlib.Path) -> None:
+    local = ROOT / "BENCH_LOCAL.json"
+    local.unlink(missing_ok=True)
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    if run(["sbt", "-batch", "runMain graft.Bench"], env=env).returncode:
+        raise SystemExit(f"bench at {sf_dir} failed")
+    if not local.exists():
+        raise SystemExit(f"bench at {sf_dir} wrote no BENCH_LOCAL.json")
+    shutil.copy(local, dest)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", default="/tmp/sf1d")
+    ap.add_argument("--report", default=str(ROOT / "tools/scale_gate_out"))
+    ap.add_argument("--skip-bench", action="store_true",
+                    help="correctness gate only (no perf ratio table)")
+    args = ap.parse_args()
+    report = pathlib.Path(args.report)
+    report.mkdir(parents=True, exist_ok=True)
+
+    provenance = ensure_corpus(args.corpus)
+    gate_rc = gate(args.corpus, report)
+
+    cmp_rc, cmp_out = 0, "(bench skipped)"
+    if not args.skip_bench:
+        b01 = report / "BENCH_SF01_LOCAL.json"
+        b1d = report / "BENCH_SF1D_LOCAL.json"
+        bench(SF01, b01)
+        bench(args.corpus, b1d)
+        p = run([sys.executable, "tools/r11/scale_compare.py",
+                 str(b01), str(b1d)],
+                capture_output=True, text=True)
+        cmp_rc, cmp_out = p.returncode, p.stdout + p.stderr
+        print(cmp_out)
+
+    stamp = datetime.date.today().isoformat()
+    verdict = "PASS" if gate_rc == 0 and cmp_rc == 0 else "FAIL"
+    (report / "SCALE.md").write_text(f"""# Scale gate — {stamp}: {verdict}
+
+Derived 10x corpus at `{args.corpus}` ({provenance}); full oracle gate
+(`graft.Verify` + `tools/gate.py` driver-compare) and the sf0.1-vs-10x
+super-linear scan, produced by one command:
+
+    python3 tools/scale_gate.py
+
+- correctness gate: {'112/112-style all-OK (see GATE_SF1D.log)'
+                     if gate_rc == 0 else 'MISMATCHES — see GATE_SF1D.log'}
+- super-linear scan (enforced: missing/failed queries also fail):
+
+```
+{cmp_out.strip()}
+```
+""")
+    print(f"[scale_gate] {verdict} — report at {report}/SCALE.md")
+    sys.exit(0 if verdict == "PASS" else 1)
+
+
+if __name__ == "__main__":
+    main()
