@@ -89,6 +89,76 @@ class SkewSpec extends SparkSpec {
       s"mega-chunk corpus max task read $sMax vs uniform $uMax")
   }
 
+  /** documents fixture with a caller-chosen source per row (SparkSpec's
+    * docsDir pins source='test'; the q96/q98 skew tests need the mega
+    * gram planted across SEVERAL sources).
+    */
+  private def docsDirSrc(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_src").toString
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' as lang", "source",
+        "length(text) as n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q96/q98: a span in 50% of docs across ALL sources collapses map-side in the (g, source) aggs") {
+    // round-11 verdict item #4: q96's (source, g) distinct and q98's
+    // (g, source) min-agg both shuffle on gram-bearing keys; a span
+    // shared corpus-wide must cross the exchange as one partial row per
+    // (source, map task), never as its raw occurrence list
+    val n = 240
+    val srcs = Array("web", "books", "code", "wiki")
+    val mega = (0 until 20).map(j => s"mega$j").mkString(" ")
+    val uniform = docsDirSrc((0 until n).map(i =>
+      (i.toLong, (0 until 40).map(uw(i, _)).mkString(" "), srcs(i % 4))))
+    val skewed = docsDirSrc((0 until n).map(i =>
+      (i.toLong,
+        if (i % 2 == 0) (0 until 20).map(uw(i, _)).mkString(" ") + " " + mega
+        else (0 until 40).map(uw(i, _)).mkString(" "),
+        srcs(i % 4))))
+    for (q <- Seq("q96_source_overlap", "q98_gram_novelty")) {
+      val (uMax, uTot) = shuffleReadProfile(
+        graft.SparkEntry.queries(q)(spark, uniform))
+      val (sMax, sTot) = shuffleReadProfile(
+        graft.SparkEntry.queries(q)(spark, skewed))
+      assert(uTot > 0 && sTot > 0, s"$q: non-vacuity — the plans do shuffle")
+      // the mega span's grams appear in 120 docs over 4 sources: the
+      // partial aggregate collapses each (g, source) to one row per map
+      // task before the exchange, so the heaviest reducer stays within a
+      // constant factor of the uniform corpus's heaviest
+      assert(sMax <= 3 * math.max(uMax, 100),
+        s"$q: mega-span corpus max task read $sMax vs uniform $uMax")
+    }
+  }
+
+  test("q31: a band bucket past the cap is disqualified; no reducer inherits its pair matrix") {
+    // 50% exact-duplicate texts ⇒ identical minhash signatures ⇒ every
+    // band key of the mega text holds 250 docs — PAST BucketCap (200),
+    // the 100-TB shape (millions of copies in one bucket). bucketPairs'
+    // bsz filter must disqualify the bucket before the self-join, so the
+    // heaviest reducer never sees the 250²/2 pair matrix. (A bucket
+    // WITHIN the cap expands quadratically by design — that bound is
+    // Σ|b|² ≤ cap·Σ|b|, not uniform-task-parity.)
+    val n = 500
+    val megaDoc = (0 until 30).map(j => s"m$j").mkString(" ")
+    val uniform = docsDir((0 until n).map(i =>
+      i.toLong -> (0 until 30).map(uw(i, _)).mkString(" ")))
+    val skewed = docsDir((0 until n).map(i =>
+      i.toLong -> (if (i % 2 == 0) megaDoc
+                   else (0 until 30).map(uw(i, _)).mkString(" "))))
+    val (uMax, uTot) = shuffleReadProfile(
+      graft.SparkEntry.queries("q31_dedup_minhash")(spark, uniform))
+    val (sMax, sTot) = shuffleReadProfile(
+      graft.SparkEntry.queries("q31_dedup_minhash")(spark, skewed))
+    assert(uTot > 0 && sTot > 0) // non-vacuity
+    assert(sMax <= 3 * math.max(uMax, 500),
+      s"over-cap mega-bucket corpus max task read $sMax vs uniform $uMax " +
+        "(31125 would be the uncapped pair matrix)")
+  }
+
   test("q61: a token in half the corpus rides the bounded sketch, not raw postings") {
     val n = 200
     val uniform = docsDir((0 until n).map(i =>

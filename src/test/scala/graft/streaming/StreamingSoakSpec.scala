@@ -82,6 +82,111 @@ class StreamingSoakSpec extends SparkSpec {
     }
   }
 
+  test("leak-monitor crash recovery: a trigger killed in flight resumes exactly-once from the RocksDB checkpoint") {
+    // InspectorStreamSpec proves stop/restart for the packet pipeline;
+    // this kills the LLM-pipeline leak monitor WITH A TRIGGER IN FLIGHT
+    // (round-11 verdict item #3): the foreachBatch sink raises before
+    // any job ran for that batch, the query dies, and a new query on the
+    // same checkpoint must (a) replay the failed trigger and count its
+    // docs exactly once, and (b) still hold the dedup pairs from BEFORE
+    // the crash, so re-sent (bench_id, doc_id) pairs never re-count.
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val span = "a1 a2 a3 a4 a5 a6 a7 a8" // one bench gram
+      val bg = graft.ops.Decontam.benchGramIds(
+        Seq((20L, span)).toDF("doc_id", "text"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_leak_ckpt").toString
+      val ms = MemoryStream[(Timestamp, Long, String)]
+      // batchId -> latest cumulative count delivered in that batch; the
+      // assertions use max(count), not batch ids — update mode may slip a
+      // no-data watermark batch in, shifting ids by one
+      val delivered = scala.collection.mutable.Map.empty[Long, Long]
+      val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def start(): StreamingQuery =
+        StreamingOps.leakMonitor(
+          ms.toDS().toDF("event_time", "doc_id", "text"), bg,
+          watermark = "10 minutes")
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            if (crashArmed.getAndSet(false))
+              throw new RuntimeException("injected crash: trigger in flight")
+            batch.collect().foreach(r =>
+              delivered.synchronized { delivered(id) = r.getLong(1) })
+          }
+          .start()
+      def at(min: Long) = new Timestamp(min * 60000L)
+      def maxCount = delivered.synchronized {
+        if (delivered.isEmpty) 0L else delivered.values.max }
+
+      val q1 = start()
+      ms.addData((0 until 100).map(i => (at(5), i.toLong, span)))
+      q1.processAllAvailable()
+      assert(maxCount === 100L)
+      // arm the crash and feed trigger docs 100-199: the next trigger
+      // dies before its sink commit
+      crashArmed.set(true)
+      ms.addData((0 until 100).map(i => (at(10), 100L + i, span)))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      assert(!q1.isActive)
+
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        assert(maxCount === 200L,
+          s"replayed trigger must count exactly once (300 = double-count, " +
+            s"100 = lost): $delivered")
+        // 50 RE-SENT pairs (docs 150-199, would re-count if the dedup
+        // state died with q1) + 50 fresh docs
+        ms.addData((0 until 50).map(i => (at(12), 150L + i, span)) ++
+          (0 until 50).map(i => (at(12), 200L + i, span)))
+        q2.processAllAvailable()
+        assert(maxCount === 250L,
+          s"resent pairs re-counted: dedup state did not survive the crash: $delivered")
+        assert(stateRows(q2) > 0L)
+      } finally q2.stop()
+    }
+  }
+
+  test("incremental-screen crash recovery: data arriving while the query is down is delivered exactly once") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val index = graft.ops.Dedup.buildRefIndex(
+      Seq((10L, base)).toDF("doc_id", "text"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_screen_ckpt").toString
+    val ms = MemoryStream[(Long, String)]
+    // APPEND-only log (never keyed overwrite): a replayed batch after the
+    // restart would surface as a duplicate (batchId, doc_id) entry here
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def start() = StreamingOps.incrementalScreen(
+      ms.toDS().toDF("doc_id", "text"), index) { (dups, id) =>
+        dups.collect().foreach(r =>
+          seen.synchronized { seen += ((id, r.getLong(0))) })
+      }.option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      ms.addData((1L, base + " kilo"), // near-dup of the reference
+        (2L, "first batch unrelated text with its very own words entirely"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // the crash window: a doc arrives while no query is running — the
+    // offset log must hand it to the restarted query, once
+    ms.addData((3L, base))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val perDoc = seen.synchronized { seen.groupBy(_._2).view.mapValues(_.size).toMap }
+      assert(perDoc === Map(1L -> 1, 3L -> 1),
+        s"each flagged doc exactly once, nothing lost or replayed: $seen")
+    } finally { q2.stop(); index.free() }
+  }
+
   test("leak-monitor soak: watermark eviction holds dedup state to the horizon") {
     withRocksDb {
       val s = spark
