@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The packaged-jar CLI smoke (PackagedJarSpec) launches `java -cp
+// <jar>:/opt/spark/jars/*` as a child process: build the jar before any
+// test forks and tell the spec where it landed.
+Test / javaOptions += s"-Dgraft.packagedJar=${(Compile / packageBin).value.getAbsolutePath}"
 // Forked `run` output goes straight to stdout (no sbt [info] prefix):
 // the driver parses Bench's single JSON line from stdout — two rounds of
 // BENCH_r{N}.json "parsed": null came from the logger prefix.
