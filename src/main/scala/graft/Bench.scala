@@ -139,6 +139,11 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_REPS")
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1)
       .getOrElse(1)
+    // the committed floors are sf0.1 gate evidence; at any other scale
+    // both the >3x GUARD and the median-of-3 retry would compare against
+    // numbers from a different corpus (the first 10x scale-gate bench
+    // burned 58 pointless reruns on exactly this)
+    val floorsApply = new java.io.File(sfDir).getName == "sf0.1"
 
     // one rep of one query: stderr start marker attributes any async
     // scheduler noise (e.g. the benign late-task accumulator ERRORs
@@ -178,7 +183,7 @@ object Bench {
       val first = rep("")
       val all: Seq[(Double, String)] =
         if (reps > 1) first +: (2 to reps).map(i => rep(s" rep$i"))
-        else if (first._2 == "ok" && needsRetry(name, first._1)) {
+        else if (floorsApply && first._2 == "ok" && needsRetry(name, first._1)) {
           // median-of-3 on a first-rep 2x-floor outlier: one external
           // steal/JIT burst can no longer put a green plan over the 2x
           // evidence bar (r11 q45/q96 false alarms); a REAL plan cost
@@ -212,7 +217,7 @@ object Bench {
     // its one query, which reads as a 3× blow-through of a full-run
     // baseline and would false-flag the very attribution runs the knob
     // exists for.
-    val slow = if (only.isDefined) Nil else results.collect {
+    val slow = if (only.isDefined || !floorsApply) Nil else results.collect {
       case (name, sec, "ok")
         if expected.get(short(name)).exists(e => sec > 3 * e && sec - e > 1.5) =>
         System.err.println(
@@ -250,35 +255,35 @@ object Bench {
     * its query).
     */
   private[graft] val expected: Map[String, Double] = Map(
-    // BEGIN GENERATED FLOORS (from: BENCH_r07.json BENCH_r08.json BENCH_r09.json BENCH_r10.json)
+    // BEGIN GENERATED FLOORS (from: BENCH_r07.json BENCH_r08.json BENCH_r09.json BENCH_r10.json BENCH_r11.json --seed BENCH_LOCAL_SF01_a.json BENCH_LOCAL_SF01_b.json BENCH_LOCAL_SF01_c.json BENCH_LOCAL_SF01_d.json BENCH_LOCAL_SF01_e.json)
     "q01" -> 0.93, "q02" -> 0.32, "q03" -> 1.64, "q04" -> 0.23,
     "q05" -> 0.42, "q06" -> 0.62, "q07" -> 0.35, "q08" -> 0.40,
-    "q09" -> 0.77, "q10" -> 1.52, "q100" -> 0.84, "q101" -> 1.27,
-    "q102" -> 4.53, "q103" -> 0.67, "q104" -> 0.76, "q105" -> 1.32,
-    "q106" -> 0.59, "q107" -> 0.96, "q108" -> 1.02, "q109" -> 0.38,
-    "q11" -> 0.50, "q110" -> 0.63, "q111" -> 0.77, "q112" -> 1.26,
+    "q09" -> 0.77, "q10" -> 1.41, "q100" -> 0.77, "q101" -> 1.06,
+    "q102" -> 3.81, "q103" -> 0.62, "q104" -> 0.76, "q105" -> 1.11,
+    "q106" -> 0.55, "q107" -> 0.89, "q108" -> 0.90, "q109" -> 0.36,
+    "q11" -> 0.43, "q110" -> 0.62, "q111" -> 0.77, "q112" -> 1.26,
     "q113" -> 0.29, "q114" -> 0.50, "q115" -> 0.57, "q116" -> 0.62,
-    "q117" -> 0.51, "q118" -> 0.38, "q12" -> 0.56, "q13" -> 0.44,
-    "q14" -> 0.37, "q15" -> 0.57, "q16" -> 0.40, "q17" -> 0.35,
-    "q18" -> 0.57, "q20" -> 0.24, "q21" -> 0.39, "q22" -> 0.27,
-    "q23" -> 0.32, "q24" -> 0.26, "q30" -> 0.24, "q31" -> 1.08,
-    "q32" -> 1.70, "q33" -> 2.25, "q34" -> 0.82, "q35" -> 0.34,
-    "q36" -> 0.26, "q37" -> 0.32, "q38" -> 0.17, "q39" -> 0.28,
+    "q117" -> 0.49, "q118" -> 0.38, "q12" -> 0.43, "q13" -> 0.37,
+    "q14" -> 0.30, "q15" -> 0.57, "q16" -> 0.34, "q17" -> 0.34,
+    "q18" -> 0.57, "q20" -> 0.23, "q21" -> 0.39, "q22" -> 0.27,
+    "q23" -> 0.29, "q24" -> 0.26, "q30" -> 0.22, "q31" -> 0.98,
+    "q32" -> 1.69, "q33" -> 2.25, "q34" -> 0.82, "q35" -> 0.34,
+    "q36" -> 0.26, "q37" -> 0.29, "q38" -> 0.17, "q39" -> 0.28,
     "q40" -> 0.42, "q41" -> 0.17, "q42" -> 0.29, "q43" -> 0.73,
-    "q44" -> 0.19, "q45" -> 2.88, "q46" -> 0.14, "q47" -> 0.56,
-    "q48" -> 0.39, "q49" -> 0.45, "q50" -> 0.44, "q51" -> 0.31,
+    "q44" -> 0.18, "q45" -> 2.88, "q46" -> 0.14, "q47" -> 0.56,
+    "q48" -> 0.39, "q49" -> 0.45, "q50" -> 0.41, "q51" -> 0.31,
     "q52" -> 0.13, "q53" -> 0.46, "q54" -> 0.52, "q55" -> 0.12,
     "q56" -> 0.46, "q57" -> 0.28, "q58" -> 1.46, "q59" -> 0.40,
     "q60" -> 0.34, "q61" -> 0.38, "q62" -> 1.92, "q63" -> 0.76,
     "q64" -> 0.32, "q65" -> 0.98, "q66" -> 0.95, "q67" -> 0.66,
-    "q68" -> 0.61, "q69" -> 0.84, "q70" -> 0.90, "q71" -> 0.45,
-    "q72" -> 0.77, "q73" -> 0.39, "q74" -> 0.25, "q75" -> 1.33,
-    "q76" -> 0.49, "q77" -> 0.31, "q78" -> 0.28, "q79" -> 0.29,
-    "q80" -> 0.32, "q81" -> 0.26, "q82" -> 0.19, "q83" -> 0.74,
-    "q84" -> 0.89, "q85" -> 1.01, "q86" -> 0.45, "q87" -> 0.23,
-    "q88" -> 0.85, "q89" -> 0.40, "q90" -> 0.64, "q91" -> 0.50,
-    "q92" -> 0.45, "q93" -> 0.42, "q94" -> 0.41, "q95" -> 0.98,
-    "q96" -> 1.28, "q97" -> 0.35, "q98" -> 1.13, "q99" -> 0.51
+    "q68" -> 0.61, "q69" -> 0.84, "q70" -> 0.90, "q71" -> 0.44,
+    "q72" -> 0.77, "q73" -> 0.38, "q74" -> 0.24, "q75" -> 1.33,
+    "q76" -> 0.45, "q77" -> 0.31, "q78" -> 0.28, "q79" -> 0.29,
+    "q80" -> 0.29, "q81" -> 0.26, "q82" -> 0.18, "q83" -> 0.74,
+    "q84" -> 0.89, "q85" -> 0.91, "q86" -> 0.45, "q87" -> 0.23,
+    "q88" -> 0.85, "q89" -> 0.38, "q90" -> 0.59, "q91" -> 0.48,
+    "q92" -> 0.41, "q93" -> 0.39, "q94" -> 0.40, "q95" -> 0.98,
+    "q96" -> 1.28, "q97" -> 0.35, "q98" -> 1.13, "q99" -> 0.42
     // END GENERATED FLOORS
   )
 
