@@ -272,6 +272,39 @@ class MetamorphicSpec extends SparkSpec {
       AudioWav.features(2L, AudioWav.sineWav(2L)).get.afp)
   }
 
+  test("q94 encodeCounts: text-determined counts — pure, word-additive, order-invariant") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq("low low lower newest", "newest widest low hug",
+      "hug hugs pugs pug low")
+    def docsOf(rows: Seq[String]) = rows.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val model = Bpe.learn(docsOf(texts), numMerges = 30)
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      Bpe.encodeCounts(s, df, model).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val base = rows(docsOf(texts))
+    assert(base.values.forall(_._2 > 0))
+    // purity: identical text under a different doc_id encodes identically
+    val twin = rows(Seq((0L, texts(0)), (99L, texts(0))).toDF("doc_id", "text"))
+    assert(twin(0L) === twin(99L))
+    // word additivity under a FIXED model: BPE merges never cross a
+    // whitespace boundary, so concatenating two docs sums both counts
+    // exactly — a fixture derivation with any cross-word or per-doc
+    // state would break one side
+    val cat = rows(Seq((7L, texts(0) + " " + texts(1))).toDF("doc_id", "text"))
+    assert(cat(7L)._1 === base(0L)._1 + base(1L)._1)
+    assert(cat(7L)._2 === base(0L)._2 + base(1L)._2)
+    // the full q94 composition (learn + encode over the same corpus) is
+    // invariant under physical row order
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val qa = collectSet(
+      graft.SparkEntry.queries("q94_bpe_encode")(spark, docsDir(docs)))
+    assert(qa.nonEmpty)
+    assert(collectSet(graft.SparkEntry.queries("q94_bpe_encode")(spark,
+      docsDir(new scala.util.Random(7).shuffle(docs)))) === qa)
+  }
+
   test("q77 Pq.encode: per-vector codes are invariant under corpus row order") {
     val s = spark
     import s.implicits._
