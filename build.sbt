@@ -11,10 +11,6 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// The packaged-jar CLI smoke (PackagedJarSpec) launches `java -cp
-// <jar>:/opt/spark/jars/*` as a child process: build the jar before any
-// test forks and tell the spec where it landed.
-Test / javaOptions += s"-Dgraft.packagedJar=${(Compile / packageBin).value.getAbsolutePath}"
 // Forked `run` output goes straight to stdout (no sbt [info] prefix):
 // the driver parses Bench's single JSON line from stdout — two rounds of
 // BENCH_r{N}.json "parsed": null came from the logger prefix.
@@ -41,3 +37,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The packaged-jar CLI smoke (PackagedJarSpec) launches `java -cp
+// <jar>:/opt/spark/jars/*` as a child process: build the jar before any
+// test forks, tell the spec where it landed, and hand it the module
+// options above (one source of truth — the spec must not copy the list).
+Test / javaOptions += s"-Dgraft.packagedJar=${(Compile / packageBin).value.getAbsolutePath}"
+Test / javaOptions += s"-Dgraft.addOpens=${jdk17AddOpens.mkString(",")}"

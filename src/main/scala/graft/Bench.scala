@@ -172,7 +172,8 @@ object Bench {
       (sec, status)
     }
 
-    val repsDetail = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val repsDetail =
+      scala.collection.mutable.LinkedHashMap[String, Seq[(Double, String)]]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(t => selected(only, t._1)).map { case (name, fn) =>
       def rep(tag: String): (Double, String) = {
@@ -183,7 +184,11 @@ object Bench {
       val first = rep("")
       val all: Seq[(Double, String)] =
         if (reps > 1) first +: (2 to reps).map(i => rep(s" rep$i"))
-        else if (floorsApply && first._2 == "ok" && needsRetry(name, first._1)) {
+        // only.isEmpty: an isolation run charges session/codegen init to
+        // its one query (the documented >3x-GUARD rationale), so a retry
+        // there would burn reps against a full-run floor that never applied
+        else if (only.isEmpty && floorsApply && first._2 == "ok" &&
+            needsRetry(name, first._1)) {
           // median-of-3 on a first-rep 2x-floor outlier: one external
           // steal/JIT burst can no longer put a green plan over the 2x
           // evidence bar (r11 q45/q96 false alarms); a REAL plan cost
@@ -193,20 +198,28 @@ object Bench {
           first +: (2 to 3).map(i => rep(s" rep$i"))
         } else Seq(first)
       val okTimes = all.collect { case (s, "ok") => s }
-      val status = if (all.exists(_._2 != "ok")) "fail" else "ok"
+      // ok if ANY rep measured: the retry exists to absorb transient
+      // noise, so a transient failure in rep 2 of 3 must not erase the
+      // two good measurements and flip a green query into a gate failure
+      val status = if (okTimes.nonEmpty) "ok" else "fail"
       val sec = if (okTimes.nonEmpty) median(okTimes) else all.head._1
-      if (all.length > 1) repsDetail(name) = all.map(_._1)
+      if (all.length > 1) repsDetail(name) = all
       (name, sec, status)
     }
     // per-rep detail artifact (multi-rep adjudication runs + any
     // median-of-3 retriggers): never on stdout — the driver contract
-    // stays one JSON line
+    // stays one JSON line. A failed rep records as a negative time so
+    // the artifact keeps per-rep status (a -0.8 rep is a failure at
+    // 0.8 s, distinguishable from a fast success).
     if (repsDetail.nonEmpty) {
-      val body = repsDetail.map { case (n, ts) =>
-        s""""$n":[${ts.map(t => "%.3f".formatLocal(java.util.Locale.ROOT, t)).mkString(",")}]"""
+      val body = repsDetail.map { case (n, rs) =>
+        val cells = rs.map { case (t, st) =>
+          "%.3f".formatLocal(java.util.Locale.ROOT, if (st == "ok") t else -t)
+        }
+        s""""$n":[${cells.mkString(",")}]"""
       }.mkString("{", ",", "}")
       try Files.writeString(Paths.get("BENCH_REPS.json"),
-        s"""{"reps":$body,"sf":"$sfDir","n_reps":$reps}""")
+        s"""{"reps":$body,"sf":"$sfDir"}""")
       catch { case _: Throwable => () }
     }
     // Regression guard: compare each time to the committed per-query

@@ -28,12 +28,18 @@ trait SparkSpec extends AnyFunSuite {
     * fresh temp dir and returns the dir, usable as the `dir` argument of
     * any SparkEntry query.
     */
-  def docsDir(rows: Seq[(Long, String)]): String = {
+  def docsDir(rows: Seq[(Long, String)]): String =
+    docsDirSrc(rows.map { case (id, t) => (id, t, "test") })
+
+  /** [[docsDir]] with a caller-chosen source per row (the multi-source
+    * fixtures the q96/q98 family needs). One writer serves both.
+    */
+  def docsDirSrc(rows: Seq[(Long, String, String)]): String = {
     val dir = Files.createTempDirectory("graft_docs").toString
     val s = spark
     import s.implicits._
-    rows.toDF("doc_id", "text")
-      .selectExpr("doc_id", "text", "'en' as lang", "'test' as source",
+    rows.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' as lang", "source",
         "length(text) as n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir

@@ -89,21 +89,6 @@ class SkewSpec extends SparkSpec {
       s"mega-chunk corpus max task read $sMax vs uniform $uMax")
   }
 
-  /** documents fixture with a caller-chosen source per row (SparkSpec's
-    * docsDir pins source='test'; the q96/q98 skew tests need the mega
-    * gram planted across SEVERAL sources).
-    */
-  private def docsDirSrc(rows: Seq[(Long, String, String)]): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_docs_src").toString
-    val s = spark
-    import s.implicits._
-    rows.toDF("doc_id", "text", "source")
-      .selectExpr("doc_id", "text", "'en' as lang", "source",
-        "length(text) as n_chars")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    dir
-  }
-
   test("q96/q98: a span in 50% of docs across ALL sources collapses map-side in the (g, source) aggs") {
     // round-11 verdict item #4: q96's (source, g) distinct and q98's
     // (g, source) min-agg both shuffle on gram-bearing keys; a span

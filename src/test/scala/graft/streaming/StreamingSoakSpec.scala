@@ -122,17 +122,20 @@ class StreamingSoakSpec extends SparkSpec {
         if (delivered.isEmpty) 0L else delivered.values.max }
 
       val q1 = start()
-      ms.addData((0 until 100).map(i => (at(5), i.toLong, span)))
-      q1.processAllAvailable()
-      assert(maxCount === 100L)
-      // arm the crash and feed trigger docs 100-199: the next trigger
-      // dies before its sink commit
-      crashArmed.set(true)
-      ms.addData((0 until 100).map(i => (at(10), 100L + i, span)))
-      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        ms.addData((0 until 100).map(i => (at(5), i.toLong, span)))
         q1.processAllAvailable()
-      }
-      assert(!q1.isActive)
+        assert(maxCount === 100L)
+        // arm the crash and feed trigger docs 100-199: the next trigger
+        // dies before its sink commit
+        crashArmed.set(true)
+        ms.addData((0 until 100).map(i => (at(10), 100L + i, span)))
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q1.processAllAvailable()
+        }
+        assert(!q1.isActive)
+      } finally if (q1.isActive) q1.stop() // an assert before the crash
+                                           // must not leak a live query
 
       val q2 = start()
       try {

@@ -20,12 +20,14 @@ def main():
     a, b = json.load(open(sys.argv[1])), json.load(open(sys.argv[2]))
     max_ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 12.0
     qa, qb = a["queries"], b["queries"]
-    # a query that crashed or was dropped at 10x is a gate FAILURE, not a
-    # skip — silently continuing would pass the super-linear gate with a
-    # missing query (round-11 advice)
-    missing = sorted(set(qa) - set(qb))
+    # a query that crashed or was dropped on EITHER side is a gate
+    # FAILURE, not a skip — silently scanning only the intersection would
+    # pass the super-linear gate with queries never compared (round-11
+    # advice; both directions, or a partial sf0.1 artifact produced under
+    # SPARK_GRAFT_ONLY would vacuously pass against a full 10x one)
+    missing = sorted(set(qa) ^ set(qb))
     if missing:
-        print(f"MISSING from 10x artifact: {missing}")
+        print(f"not in BOTH artifacts: {missing}")
     if a.get("failed", 0) or b.get("failed", 0):
         print(f"FAILED queries reported: sf0.1={a.get('failed')} "
               f"10x={b.get('failed')}")
