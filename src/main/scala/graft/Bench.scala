@@ -142,8 +142,19 @@ object Bench {
     // the committed floors are sf0.1 gate evidence; at any other scale
     // both the >3x GUARD and the median-of-3 retry would compare against
     // numbers from a different corpus (the first 10x scale-gate bench
-    // burned 58 pointless reruns on exactly this)
-    val floorsApply = new java.io.File(sfDir).getName == "sf0.1"
+    // burned 58 pointless reruns on exactly this). The basename check is
+    // a heuristic, so it is overridable (SPARK_GRAFT_FLOORS=on|off) and
+    // LOUD when it disarms the guard — a renamed copy of the real sf0.1
+    // corpus must not silently lose regression coverage.
+    val floorsApply = sys.env.get("SPARK_GRAFT_FLOORS") match {
+      case Some("on") => true
+      case Some("off") => false
+      case _ => new java.io.File(sfDir).getName == "sf0.1"
+    }
+    if (!floorsApply)
+      System.err.println(s"[bench] floors INACTIVE for $sfDir (not the " +
+        "sf0.1 evidence corpus; SPARK_GRAFT_FLOORS=on to force): no >3x " +
+        "guard, no median-of-3 retry")
 
     // one rep of one query: stderr start marker attributes any async
     // scheduler noise (e.g. the benign late-task accumulator ERRORs
@@ -198,10 +209,12 @@ object Bench {
           first +: (2 to 3).map(i => rep(s" rep$i"))
         } else Seq(first)
       val okTimes = all.collect { case (s, "ok") => s }
-      // ok if ANY rep measured: the retry exists to absorb transient
-      // noise, so a transient failure in rep 2 of 3 must not erase the
-      // two good measurements and flip a green query into a gate failure
-      val status = if (okTimes.nonEmpty) "ok" else "fail"
+      // ok iff a MAJORITY of reps measured: one transient failure in a
+      // median-of-3 must not erase two good measurements (the retry
+      // exists to absorb noise), but a query failing most of its reps is
+      // genuinely broken and must surface in the gate line, not just in
+      // stderr and the local reps artifact
+      val status = if (okTimes.length * 2 > all.length) "ok" else "fail"
       val sec = if (okTimes.nonEmpty) median(okTimes) else all.head._1
       if (all.length > 1) repsDetail(name) = all
       (name, sec, status)

@@ -47,7 +47,7 @@ def main():
         print(f"{q:8} {ta:7.2f} {tb:8.2f} {r:6.2f}{flag}")
     print(f"\ntotal sf0.1 {a['value']:.1f}s -> 10x {b['value']:.1f}s "
           f"({b['value'] / a['value']:.2f}x on 10x data); "
-          f"failed: {a['failed']}/{b['failed']}")
+          f"failed: {a.get('failed', 0)}/{b.get('failed', 0)}")
     if bad:
         print(f"SUPER-LINEAR (> {max_ratio}x time on 10x data): {bad}")
     if bad or missing or a.get("failed", 0) or b.get("failed", 0):
