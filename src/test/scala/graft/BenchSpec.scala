@@ -82,6 +82,22 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.needsRetry("q999_new", 99.0, floors))
   }
 
+  test("repVerdict: majority rule — one transient failure absorbed, majority failure surfaces") {
+    // single clean rep
+    assert(Bench.repVerdict(Seq((1.5, "ok"))) === ((1.5, "ok")))
+    // single failed rep (no retry on failures)
+    assert(Bench.repVerdict(Seq((0.8, "fail"))) === ((0.8, "fail")))
+    // median-of-3 with one transient failure: still ok, median of the 2 good
+    assert(Bench.repVerdict(
+      Seq((7.7, "ok"), (3.0, "fail"), (3.4, "ok"))) === ((5.55, "ok")))
+    // 1 of 3 ok: majority failed -> fail (but the measured time reports)
+    assert(Bench.repVerdict(
+      Seq((7.7, "ok"), (3.0, "fail"), (3.4, "fail")))._2 === "fail")
+    // REPS=5 with reps 2-5 failing: an intermittent breakage, not noise
+    assert(Bench.repVerdict(Seq((1.0, "ok"), (2.0, "fail"), (2.0, "fail"),
+      (2.0, "fail"), (2.0, "fail")))._2 === "fail")
+  }
+
   test("shortened query keys stay unique across the real query set") {
     val short = names.map(n => n.split('_').head)
     assert(short.distinct.length === names.length,
