@@ -155,6 +155,62 @@ class StreamingSoakSpec extends SparkSpec {
     }
   }
 
+  test("funnel-monitor crash recovery: a killed trigger replays without duplicate stage advances") {
+    // flatMapGroupsWithState's recovery contract: a trigger that died
+    // before its commit replays against the PRE-crash state, so each
+    // (user, stage) advance must be emitted exactly once across the
+    // whole crash + restart — a duplicate stage-2 row would double-count
+    // every funnel dashboard fed by this stream
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_funnel_ckpt").toString
+      val ms = MemoryStream[(Long, String, Long)]
+      // append-only advance log: replays would surface as duplicates
+      val advances = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def start(): StreamingQuery =
+        StreamingOps.funnelMonitor(
+          ms.toDS().toDF("user_id", "event_type", "ms"))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (crashArmed.getAndSet(false))
+              throw new RuntimeException("injected crash: trigger in flight")
+            batch.collect().foreach(r =>
+              advances.synchronized { advances += ((r.getLong(0), r.getInt(1))) })
+          }
+          .start()
+      val users = 0L until 50L
+      val q1 = start()
+      try {
+        ms.addData(users.map(u => (u, "view", 1000L)))
+        q1.processAllAvailable()
+        assert(advances.synchronized { advances.toSet } ===
+          users.map(u => (u, 1)).toSet)
+        // the click trigger dies in flight
+        crashArmed.set(true)
+        ms.addData(users.map(u => (u, "click", 2000L)))
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q1.processAllAvailable()
+        }
+      } finally if (q1.isActive) q1.stop()
+      val q2 = start()
+      try {
+        q2.processAllAvailable() // replays the click trigger
+        ms.addData(users.map(u => (u, "purchase", 3000L)))
+        q2.processAllAvailable()
+        val log = advances.synchronized { advances.toSeq }
+        // exactly one advance per (user, stage) across crash + replay:
+        // no stage re-emitted, none lost
+        assert(log.size === log.distinct.size,
+          s"duplicate advances after replay: ${log.diff(log.distinct).take(5)}")
+        assert(log.toSet === users.flatMap(u => Seq((u, 1), (u, 2), (u, 3))).toSet)
+      } finally q2.stop()
+    }
+  }
+
   test("incremental-screen crash recovery: data arriving while the query is down is delivered exactly once") {
     val s = spark
     import s.implicits._
