@@ -211,6 +211,61 @@ class StreamingSoakSpec extends SparkSpec {
     }
   }
 
+  test("exact-dedup crash recovery: first-seen emission survives a killed trigger") {
+    // dropDuplicatesWithinWatermark recovery: the killed trigger's docs
+    // replay against the pre-crash dedup state, so a text first seen
+    // BEFORE the crash must not re-emit when its duplicate replays, and
+    // every genuinely new text emits exactly once
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString
+      val ms = MemoryStream[(Timestamp, Long, String)]
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[Long] // doc_ids
+      val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def start(): StreamingQuery =
+        StreamingOps.exactDedup(
+          ms.toDS().toDF("event_time", "doc_id", "text"),
+          watermark = "10 minutes")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (crashArmed.getAndSet(false))
+              throw new RuntimeException("injected crash: trigger in flight")
+            batch.select("doc_id").collect().foreach(r =>
+              emitted.synchronized { emitted += r.getLong(0) })
+          }
+          .start()
+      def at(min: Long) = new Timestamp(min * 60000L)
+      def text(i: Long) = s"document body number $i with its own words"
+
+      val q1 = start()
+      try {
+        ms.addData((0L until 40L).map(i => (at(5), i, text(i))))
+        q1.processAllAvailable()
+        // the crashed trigger: 20 duplicates of texts 0-19 + 20 new texts
+        crashArmed.set(true)
+        ms.addData((0L until 20L).map(i => (at(6), 100L + i, text(i))) ++
+          (40L until 60L).map(i => (at(6), i, text(i))))
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q1.processAllAvailable()
+        }
+      } finally if (q1.isActive) q1.stop()
+      val q2 = start()
+      try {
+        q2.processAllAvailable() // replays the killed trigger
+        val got = emitted.synchronized { emitted.toSeq }
+        assert(got.size === got.distinct.size,
+          s"duplicate emissions after replay: ${got.diff(got.distinct).take(5)}")
+        // first-seen per text: originals 0-39 plus the 20 new texts; the
+        // 20 replayed duplicate docs (ids 100-119) must NOT emit
+        assert(got.toSet === (0L until 60L).toSet,
+          s"expected first-seen docs 0-59, got ${got.toSet.size} docs")
+      } finally q2.stop()
+    }
+  }
+
   test("incremental-screen crash recovery: data arriving while the query is down is delivered exactly once") {
     val s = spark
     import s.implicits._
