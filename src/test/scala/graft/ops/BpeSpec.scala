@@ -139,4 +139,29 @@ class BpeSpec extends SparkSpec {
     assert(a.length > 50, s"only ${a.length} merges learned")
     assert(a.map(_._1).sorted.toSeq === (0L until a.length).toSeq)
   }
+
+  test("encodeWord is lossless for ANY word under ANY learned model (seeded fuzz)") {
+    // merging only ever concatenates adjacent symbols, so the token
+    // concatenation must equal the unmerged symbol concatenation for
+    // every word — including words with characters the model never saw,
+    // multi-byte code points, and words longer than anything trained on
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdeé日本ß"
+    def word(n: Int) =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val trainWords = (0 until 30).map(_ => word(1 + rnd.nextInt(8)))
+    val model = Bpe.learn(
+      Seq((0L, trainWords.mkString(" "))).toDF("doc_id", "text"),
+      numMerges = 40)
+    val noMerges = model.copy(merges = Vector.empty)
+    for (_ <- 0 until 200) {
+      val w = word(1 + rnd.nextInt(14))
+      val tokens = Bpe.encodeWord(w, model)
+      assert(tokens.mkString === Bpe.encodeWord(w, noMerges).mkString,
+        s"characters lost/invented encoding '$w': $tokens")
+      assert(tokens.nonEmpty)
+    }
+  }
 }

@@ -387,4 +387,49 @@ class DedupSpec extends SparkSpec {
       "B" -> ((2L, 1L, 0L, 0.5)),   // spans X,Z; owns Z only
       "C" -> ((1L, 0L, 0L, 0.0)))) // Z arrived earlier in B
   }
+
+  test("bucketPairs: output is EXACTLY the within-cap same-bucket pairs (seeded fuzz)") {
+    // the one candidate generator every near-dup family rides (q31/q32/
+    // q34/q36/q58/...): for random bucket assignments, the pair set must
+    // equal the reference computed by brute force — every pair sharing a
+    // bucket of size 2..cap present once (a < b), every pair whose only
+    // shared buckets are over-cap absent. Seeded: failures reproduce.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    var done = 0
+    var draws = 0
+    while (done < 3 && draws < 20) {
+      draws += 1
+      val cap = 2 + rnd.nextInt(6)    // 2..7, small enough to over-fill
+      val nDocs = 30 + rnd.nextInt(40)
+      // enough buckets that sizes straddle the cap: some within (pairs
+      // expected), some over (disqualification expected)
+      val nBuckets = 8 + rnd.nextInt(20)
+      // each doc lands in 1..3 distinct buckets (multiple bands upstream
+      // run array_distinct, so the banded frame has no duplicate rows)
+      val rows = (0 until nDocs).flatMap { d =>
+        (0 to rnd.nextInt(3)).map(_ => (d.toLong, rnd.nextInt(nBuckets)))
+      }.distinct
+      val sizes = rows.groupBy(_._2).values.map(_.size)
+      // only grade draws that exercise BOTH branches: some within-cap
+      // bucket (pairs must appear) and some over-cap one (must vanish)
+      if (sizes.exists(sz => sz >= 2 && sz <= cap) && sizes.exists(_ > cap)) {
+        done += 1
+        val got = Dedup.bucketPairs(rows.toDF("doc_id", "bucket"),
+            Seq("bucket"), cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val expect = rows.groupBy(_._2).values.collect {
+          case ds if ds.size >= 2 && ds.size <= cap =>
+            val ids = ds.map(_._1).sorted
+            for (i <- ids.indices; j <- i + 1 until ids.size)
+              yield (ids(i), ids(j))
+        }.flatten.toSet
+        assert(got.toSet === expect, s"draw $draws cap=$cap")
+        assert(got.size === got.distinct.size, s"draw $draws: duplicate pairs")
+        assert(got.forall { case (a, b) => a < b }, s"draw $draws: unordered pair")
+      }
+    }
+    assert(done === 3, s"generator produced only $done usable draws in $draws")
+  }
 }
