@@ -388,6 +388,42 @@ class DedupSpec extends SparkSpec {
       "C" -> ((1L, 0L, 0L, 0.0)))) // Z arrived earlier in B
   }
 
+  test("connectedComponents equals a union-find reference on random graphs (seeded fuzz)") {
+    // q45's engine graded against an independent algorithm: for random
+    // pair lists, every doc must map to the MINIMUM doc_id of its
+    // transitive component, with is_canonical marking exactly the minima
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 20 + rnd.nextInt(40)
+      val pairs = (0 until n).map { _ =>
+        val a = rnd.nextInt(n); var b = rnd.nextInt(n)
+        while (b == a) b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.distinct
+      // reference: plain union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expect = members.map { d =>
+        val root = find(d)
+        val cmin = members.filter(m => find(m) == root).min
+        (d, cmin, d == cmin)
+      }.toSet
+      val got = Dedup.connectedComponents(pairs.toDF("a", "b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(got === expect, s"trial $trial (n=$n, ${pairs.size} edges)")
+    }
+  }
+
   test("bucketPairs: output is EXACTLY the within-cap same-bucket pairs (seeded fuzz)") {
     // the one candidate generator every near-dup family rides (q31/q32/
     // q34/q36/q58/...): for random bucket assignments, the pair set must
