@@ -45,7 +45,7 @@ object Verify {
       }
     }
     // corpus-keyed fixture oracles (q31/q32/q34/q36/q41/q42/q43/q51/
-    // q58/q66/q77/q78/q82/q84/q94): derived and
+    // q58/q60/q66/q77/q78/q82/q84/q94/q105): derived and
     // published AFTER the dumps, BEFORE the SQL dump — the oracle SQL
     // references them via read_parquet (round-9 verdict item #2). A
     // failure here must not kill the dump: the affected queries then
