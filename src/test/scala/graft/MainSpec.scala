@@ -307,4 +307,15 @@ class MainSpec extends SparkSpec {
     assert(code === 0, out)
     assert(out.linesIterator.exists(_.trim.startsWith("0")))
   }
+
+  test("SparkEntry.entry (the driver's flagship smoke) returns grouped rows") {
+    // the driver checks rows > 0 at sf0.001 every round; pin it here so
+    // a regression fails in CI before it fails the round
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(rows.head.fieldIndex("n")) > 0))
+    val cols = SparkEntry.entry(spark).columns.toSet
+    assert(Set("l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n")
+      .subsetOf(cols))
+  }
 }
