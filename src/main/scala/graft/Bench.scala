@@ -74,6 +74,33 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** LOWER median: for odd counts the true median, for even counts the
+    * lower middle. Used by [[repVerdict]] instead of the averaging
+    * [[median]] (round-12 advice): a median-of-3 where one rerun fails
+    * leaves TWO ok reps, and averaging them gives the triggering burst
+    * 50% weight (7.7 s burst + 3.4 s good reported 5.55 s — still over
+    * the 2x bar the retry exists to defeat). The lower middle keeps the
+    * report at a time an actual successful rep measured.
+    */
+  private[graft] def lowerMedian(xs: Seq[Double]): Double =
+    xs.sorted.apply((xs.length - 1) / 2)
+
+  /** Minimal JSON string escaping (backslash, quote, control chars) for
+    * values that reach the artifacts from outside the code — sfDir is
+    * env-provided, and a path containing a quote would otherwise render
+    * BENCH_REPS.json / the stdout line invalid (round-12 advice).
+    */
+  private[graft] def jsonStr(s: String): String = {
+    val b = new StringBuilder(s.length + 2)
+    s.foreach {
+      case '"'           => b.append("\\\"")
+      case '\\'          => b.append("\\\\")
+      case c if c < ' '  => b.append(f"\\u${c.toInt}%04x")
+      case c             => b.append(c)
+    }
+    b.result()
+  }
+
   /** Should a single-rep time trigger the median-of-3 rerun? True when
     * the first rep exceeds 2x the committed evidence floor AND is at
     * least 0.5 s over it in absolute terms — the absolute leg keeps
@@ -91,14 +118,79 @@ object Bench {
     * median-of-3 must not erase two good measurements (the retry exists
     * to absorb noise), but a query failing most of its reps is genuinely
     * broken and must surface in the gate line, not just in stderr and
-    * the local reps artifact. Reported time = median of the OK reps
-    * (first rep's time when none succeeded).
+    * the local reps artifact. Reported time = LOWER median of the OK
+    * reps (first rep's time when none succeeded): with an even ok-count
+    * — a retry where one rerun failed — averaging the middle two would
+    * hand the triggering outlier 50% weight (round-12 advice).
     */
   private[graft] def repVerdict(all: Seq[(Double, String)]): (Double, String) = {
     val okTimes = all.collect { case (s, "ok") => s }
     val status = if (okTimes.length * 2 > all.length) "ok" else "fail"
-    (if (okTimes.nonEmpty) median(okTimes) else all.head._1, status)
+    (if (okTimes.nonEmpty) lowerMedian(okTimes) else all.head._1, status)
   }
+
+  /** Fold a deferred end-of-sweep rerun into the in-sweep verdict: the
+    * rerun's verdict replaces the original only when it measured ok AND
+    * is better (lower median) — or when the original had already failed
+    * and the rerun succeeds. A deferred rerun can therefore never
+    * WORSEN a result: it exists to let a query escape a contention
+    * window that outlived its in-place median-of-3 (the r12 q10 gate:
+    * reps 11.39/6.19/2.38 s, all inside one burst, while two same-day
+    * runs put the query at ~1.6 s).
+    */
+  private[graft] def deferredVerdict(original: (Double, String),
+      rerun: Seq[(Double, String)]): (Double, String) = {
+    val (sec, status) = repVerdict(rerun)
+    if (status == "ok" && (original._2 != "ok" || sec < original._1))
+      (sec, status)
+    else original
+  }
+
+  /** Machine-health preamble for the JSON line: whole-run deltas of the
+    * r10-campaign drift discriminators. A contaminated gate is then
+    * self-describing — high steal or a foreign-JVM count in the
+    * artifact says "the host", without reconstructing it from stderr.
+    */
+  final case class Health(stealMs: Long, jitMs: Long, foreignJvms: Int) {
+    def json: String =
+      s""""host":{"steal_ms":$stealMs,"jit_ms":$jitMs,"jvms":$foreignJvms}"""
+  }
+
+  /** Foreign (non-ancestor, non-descendant) JVM/sbt processes among
+    * `procs` (pid, executable path). The r12 contaminated-run artifact
+    * proved a concurrent sbt suite reproduces every historical "bench
+    * regression" symptom; per the bench-measurement discipline the gate
+    * must not share the VM with another JVM. Pure for testability —
+    * [[liveForeignJvms]] feeds it the real process table.
+    */
+  private[graft] def foreignJvmPids(procs: Seq[(Long, String)],
+      ownChain: Set[Long]): Seq[Long] =
+    procs.collect {
+      case (pid, cmd) if !ownChain(pid) && {
+        val base = cmd.substring(cmd.lastIndexOf('/') + 1)
+        base == "java" || base == "sbt"
+      } => pid
+    }
+
+  /** Scan the live process table for foreign JVMs, excluding this
+    * process, its ancestors (the launching sbt server) and descendants
+    * (none today, but a forked child must not self-flag). Best-effort:
+    * masked /proc yields an empty command() and the process is skipped.
+    */
+  private[graft] def liveForeignJvms(): Seq[Long] =
+    try {
+      val self = ProcessHandle.current()
+      val chain = scala.collection.mutable.Set[Long](self.pid)
+      var p = self.parent()
+      while (p.isPresent) { chain += p.get.pid; p = p.get.parent() }
+      self.descendants().forEach(d => chain += d.pid)
+      val procs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      ProcessHandle.allProcesses().forEach { h =>
+        val c = h.info().command()
+        if (c.isPresent) procs += ((h.pid, c.get))
+      }
+      foreignJvmPids(procs.toSeq, chain.toSet)
+    } catch { case _: Throwable => Nil }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -111,6 +203,20 @@ object Bench {
     // println, which happens AFTER spark.stop() so nothing can log behind it.
     val realOut = System.out
     System.setOut(System.err)
+    // Preflight (round-12 verdict #5): the committed contaminated-run
+    // artifact (tools/r12/BENCH_REPS_7X_CONTAMINATED.json) proved a
+    // concurrent sbt/JVM on this shared VM reproduces every historical
+    // "bench regression" symptom. Warn LOUDLY rather than refuse — the
+    // driver's gate environment is not ours to veto — and carry the
+    // count into the JSON line so a contaminated artifact describes
+    // itself.
+    val foreignAtStart = liveForeignJvms()
+    if (foreignAtStart.nonEmpty)
+      System.err.println(s"[bench] PREFLIGHT: ${foreignAtStart.length} " +
+        s"foreign JVM/sbt process(es) live (pids ${foreignAtStart.mkString(",")})" +
+        " - timings may be contaminated; bench-measurement discipline says" +
+        " no concurrent JVMs during gate runs")
+    val runJvm0 = JvmTelemetry.snapshot()
     val spark = Sessions.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -204,16 +310,17 @@ object Bench {
 
     val repsDetail =
       scala.collection.mutable.LinkedHashMap[String, Seq[(Double, String)]]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    def rep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        tag: String): (Double, String) = {
+      System.err.println(s"[bench] $name$tag start")
+      runOnce(s"$name$tag",
+        () => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    }
+    val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(t => selected(only, t._1)).map { case (name, fn) =>
-      def rep(tag: String): (Double, String) = {
-        System.err.println(s"[bench] $name$tag start")
-        runOnce(s"$name$tag",
-          () => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-      }
-      val first = rep("")
+      val first = rep(name, fn, "")
       val all: Seq[(Double, String)] =
-        if (reps > 1) first +: (2 to reps).map(i => rep(s" rep$i"))
+        if (reps > 1) first +: (2 to reps).map(i => rep(name, fn, s" rep$i"))
         // only.isEmpty: an isolation run charges session/codegen init to
         // its one query (the documented >3x-GUARD rationale), so a retry
         // there would burn reps against a full-run floor that never applied
@@ -225,11 +332,31 @@ object Bench {
           // repeats in all three reps and still reports over the bar
           System.err.println(f"[bench] $name ${first._1}%.2fs > 2x floor " +
             f"${expected(short(name))}%.2fs - median-of-3 rerun")
-          first +: (2 to 3).map(i => rep(s" rep$i"))
+          first +: (2 to 3).map(i => rep(name, fn, s" rep$i"))
         } else Seq(first)
       val (sec, status) = repVerdict(all)
       if (all.length > 1) repsDetail(name) = all
       (name, sec, status)
+    }
+    // Deferred requeue (round-12 verdict #1): the r12 gate proved an
+    // in-place median-of-3 cannot escape a contention burst that
+    // outlives it (q10: reps 11.39/6.19/2.38 s, monotone decaying, all
+    // inside one window; two same-day committed runs put the query at
+    // ~1.6 s). When the retried MEDIAN still trips the retry bar,
+    // requeue the query ONCE at the end of the full sweep — minutes
+    // later, outside the burst — and report the better median
+    // (deferredVerdict: a failed or slower rerun never worsens the
+    // in-sweep result). All reps land in BENCH_REPS.json.
+    val results = if (reps > 1 || only.isDefined || !floorsApply) sweep
+    else sweep.map { case r @ (name, sec, status) =>
+      if (status == "ok" && repsDetail.contains(name) && needsRetry(name, sec)) {
+        System.err.println(f"[bench] $name deferred requeue: in-sweep " +
+          f"median $sec%.2fs still > 2x floor - rerunning at end of sweep")
+        val rerun = (1 to 3).map(i => rep(name, SparkEntry.queries(name), s" defer$i"))
+        repsDetail(name) = repsDetail(name) ++ rerun
+        val (dSec, dStatus) = deferredVerdict((sec, status), rerun)
+        (name, dSec, dStatus)
+      } else r
     }
     // per-rep detail artifact (multi-rep adjudication runs + any
     // median-of-3 retriggers): never on stdout — the driver contract
@@ -241,10 +368,10 @@ object Bench {
         val cells = rs.map { case (t, st) =>
           "%.3f".formatLocal(java.util.Locale.ROOT, if (st == "ok") t else -t)
         }
-        s""""$n":[${cells.mkString(",")}]"""
+        s""""${jsonStr(n)}":[${cells.mkString(",")}]"""
       }.mkString("{", ",", "}")
       try Files.writeString(Paths.get("BENCH_REPS.json"),
-        s"""{"reps":$body,"sf":"$sfDir"}""")
+        s"""{"reps":$body,"sf":"${jsonStr(sfDir)}"}""")
       catch { case _: Throwable => () }
     }
     // Regression guard: compare each time to the committed per-query
@@ -262,7 +389,12 @@ object Bench {
           f"[bench] GUARD: $name took $sec%.2f s vs ~${expected(short(name))}%.2f s baseline (>3x)")
         short(name)
     }
-    val json = renderJson(results, sfDir, slow)
+    val runDelta = JvmTelemetry.snapshot()
+    val health = Health(
+      stealMs = (runDelta.stealJiffies - runJvm0.stealJiffies) * 10,
+      jitMs = runDelta.jitMs - runJvm0.jitMs,
+      foreignJvms = foreignAtStart.length)
+    val json = renderJson(results, sfDir, slow, Some(health))
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), json)
     catch { case _: Throwable => () }
     // Stop Spark (and its late-task log noise) BEFORE the JSON line: the
@@ -278,22 +410,23 @@ object Bench {
   }
 
   /** Per-query baseline seconds (sf0.1, local[32]) for the >3x guard —
-    * REGENERATED, not hand-typed: `tools/floors.py BENCH_r07.json
-    * BENCH_r08.json BENCH_r09.json tools/r10/BENCH_LOCAL_SF01_*.json`
-    * rewrites the block between the markers below with the per-query
-    * MINIMUM across ALL the named artifacts — the r07-r09 accepted gate
-    * runs plus the committed builder-local runs at the driver's exact
-    * config that cover the queries those gates predate (round-9 verdict
-    * item #3 — floors are evidence; a legitimate plan-cost change is
-    * accepted by re-running the tool with the new artifact, reviewed
-    * like any diff; dropping an artifact from the command silently
-    * unguards the queries only it records). Queries absent from
-    * every named artifact aren't guarded until a run records them —
-    * never invent a number (BenchSpec enforces that no floor outlives
-    * its query).
+    * REGENERATED, not hand-typed: run `python3 tools/floors.py
+    * --from-artifacts` after each round (it globs the repo's
+    * BENCH_r*.json gate artifacts itself — no hand-maintained list to
+    * forget an artifact from) and review the diff like any other
+    * change. The exact provenance of the current block is the
+    * parenthesized list on the BEGIN GENERATED FLOORS marker line
+    * below — that line, written by the tool, is the single source of
+    * truth for which artifacts produced these numbers. Floors are
+    * evidence from accepted gate runs (round-9 verdict item #3); a
+    * legitimate plan-cost change is accepted by regenerating with the
+    * new artifact included. Queries absent from every artifact aren't
+    * guarded until a run records them — never invent a number
+    * (BenchSpec enforces both directions: no floor outlives its query,
+    * and no query ships unguarded without an explicit allowlisting).
     */
   private[graft] val expected: Map[String, Double] = Map(
-    // BEGIN GENERATED FLOORS (from: BENCH_r07.json BENCH_r08.json BENCH_r09.json BENCH_r10.json BENCH_r11.json --seed BENCH_LOCAL_SF01_a.json BENCH_LOCAL_SF01_b.json BENCH_LOCAL_SF01_c.json BENCH_LOCAL_SF01_d.json BENCH_LOCAL_SF01_e.json)
+    // BEGIN GENERATED FLOORS (from: BENCH_r07.json BENCH_r08.json BENCH_r09.json BENCH_r10.json BENCH_r11.json BENCH_r12.json)
     "q01" -> 0.93, "q02" -> 0.32, "q03" -> 1.64, "q04" -> 0.23,
     "q05" -> 0.42, "q06" -> 0.62, "q07" -> 0.35, "q08" -> 0.40,
     "q09" -> 0.77, "q10" -> 1.41, "q100" -> 0.77, "q101" -> 1.06,
@@ -315,13 +448,13 @@ object Bench {
     "q60" -> 0.34, "q61" -> 0.38, "q62" -> 1.92, "q63" -> 0.76,
     "q64" -> 0.32, "q65" -> 0.98, "q66" -> 0.95, "q67" -> 0.66,
     "q68" -> 0.61, "q69" -> 0.84, "q70" -> 0.90, "q71" -> 0.44,
-    "q72" -> 0.77, "q73" -> 0.38, "q74" -> 0.24, "q75" -> 1.33,
+    "q72" -> 0.77, "q73" -> 0.38, "q74" -> 0.24, "q75" -> 1.32,
     "q76" -> 0.45, "q77" -> 0.31, "q78" -> 0.28, "q79" -> 0.29,
     "q80" -> 0.29, "q81" -> 0.26, "q82" -> 0.18, "q83" -> 0.74,
     "q84" -> 0.89, "q85" -> 0.91, "q86" -> 0.45, "q87" -> 0.23,
     "q88" -> 0.85, "q89" -> 0.38, "q90" -> 0.59, "q91" -> 0.48,
     "q92" -> 0.41, "q93" -> 0.39, "q94" -> 0.40, "q95" -> 0.98,
-    "q96" -> 1.28, "q97" -> 0.35, "q98" -> 1.13, "q99" -> 0.42
+    "q96" -> 1.28, "q97" -> 0.35, "q98" -> 1.13, "q99" -> 0.40
     // END GENERATED FLOORS
   )
 
@@ -334,7 +467,7 @@ object Bench {
     * window minus sbt's trailing output.
     */
   def renderJson(results: Seq[(String, Double, String)], sfDir: String,
-                 slow: Seq[String] = Nil): String = {
+                 slow: Seq[String] = Nil, health: Option[Health] = None): String = {
     // Locale.ROOT: the f-interpolator is locale-sensitive and a comma
     // decimal separator would produce unparseable JSON
     def d3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -362,6 +495,9 @@ object Bench {
     val slowPart =
       if (slow.isEmpty) ""
       else s""","slow":${slow.take(4).map(s => s""""$s"""").mkString("[", ",", "]")}"""
-    s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,$failPart$slowPart,"sf":"$sfDir"}"""
+    // whole-run machine-health deltas (steal/JIT/foreign-JVM count): a
+    // contaminated gate artifact then carries its own diagnosis
+    val hostPart = health.map(h => "," + h.json).getOrElse("")
+    s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,$failPart$slowPart$hostPart,"sf":"${jsonStr(sfDir)}"}"""
   }
 }

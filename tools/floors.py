@@ -4,7 +4,18 @@ committed BENCH_rNN.json gate artifacts (dev tool only — NOT part of the
 library; the Scala code never depends on this).
 
 Usage:
+  python3 tools/floors.py --from-artifacts
   python3 tools/floors.py BENCH_r07.json ... [--seed LOCAL.json ...]
+
+`--from-artifacts` (the argument-free round-over-round mode — round-12
+verdict item #2: a hand-maintained artifact list silently unguards
+queries when a regeneration forgets one) globs the repo root's
+BENCH_r*.json itself, keeps every gate artifact from round
+MIN_GATE_ROUND on (earlier rounds predate the finalized per-query plans
+and the one-JSON-line parse fix, so their times are evidence about code
+that no longer exists), skips non-gate files (no parsed.queries) with a
+notice, and uses no seeds — the r10+ gates cover every current query,
+so seed files can no longer contribute (gate evidence always wins).
 
 For each query, the floor is the MINIMUM time across the named GATE
 artifacts — the guard's baselines are evidence from accepted gate runs,
@@ -23,10 +34,16 @@ import re
 import sys
 import pathlib
 
-BENCH = pathlib.Path(__file__).resolve().parent.parent / \
-    "src/main/scala/graft/Bench.scala"
+REPO = pathlib.Path(__file__).resolve().parent.parent
+BENCH = REPO / "src/main/scala/graft/Bench.scala"
 BEGIN = "// BEGIN GENERATED FLOORS"
 END = "// END GENERATED FLOORS"
+# First round whose gate artifact is floor evidence: r07 is when the
+# current query-plan generation and bench methodology stabilized (the
+# provenance every committed floor block has used since r09). Earlier
+# gates measured plans that were since replaced; their minima would
+# arm the guard with times the current code never evidenced.
+MIN_GATE_ROUND = 7
 
 
 def load_queries(path: str, gate: bool) -> dict:
@@ -49,10 +66,39 @@ def load_queries(path: str, gate: bool) -> dict:
     return {k: float(v) for k, v in qs.items()}
 
 
+def from_artifacts_args() -> list:
+    """Expand --from-artifacts into the gate-artifact list: every
+    BENCH_r{NN}.json in the repo root with NN >= MIN_GATE_ROUND that
+    actually parses as a gate artifact (parsed.queries present)."""
+    picked = []
+    for p in sorted(REPO.glob("BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
+        if not m:
+            continue
+        if int(m.group(1)) < MIN_GATE_ROUND:
+            print(f"skip {p.name}: round < r{MIN_GATE_ROUND:02d} "
+                  f"(pre-dates the current plan generation)")
+            continue
+        with open(p) as f:
+            doc = json.load(f)
+        if not ((doc.get("parsed") or {}).get("queries")):
+            print(f"skip {p.name}: no parsed.queries (gate parse failed "
+                  f"that round) - not floor evidence")
+            continue
+        picked.append(str(p))
+    if not picked:
+        raise SystemExit("--from-artifacts found no usable gate artifacts")
+    return picked
+
+
 def main():
     argv = sys.argv[1:]
     if not argv:
         raise SystemExit(__doc__)
+    if argv == ["--from-artifacts"]:
+        argv = from_artifacts_args()
+    elif "--from-artifacts" in argv:
+        raise SystemExit("--from-artifacts takes no other arguments")
     if "--seed" in argv:
         i = argv.index("--seed")
         gates, seeds = argv[:i], argv[i + 1:]
