@@ -104,7 +104,16 @@ object Dedup {
     * checked with a cheap per-iteration action (an iterative algorithm's
     * honest driver loop, not a plan-time pass); components from near-dup
     * blocking have tiny diameter, so this converges in a handful of
-    * rounds — `maxIters` caps pathological chains.
+    * rounds — and from iteration `JumpAfter` on, each round ALSO
+    * pointer-jumps the label table (label := label-of-label, one extra
+    * self-join of the small labels frame), so a pathological
+    * diameter-D chain needs O(log D) rounds instead of D: the reach of
+    * the min label at least doubles per jumped round. The first
+    * `JumpAfter` rounds stay jump-free on purpose — real near-dup
+    * components converge there, and those rounds keep their one-shuffle
+    * plan. `maxIters` (default 20 ≈ diameter 10^5 with jumps; measured
+    * 11 rounds for a planted 1000-chain that THREW non-convergence
+    * before) still caps the loop.
     *
     * Output: (doc_id, cluster, is_canonical) for every doc in ≥1 pair.
     * Throws if `maxIters` is exhausted before convergence — a silently
@@ -118,7 +127,18 @@ object Dedup {
     * (long, long)-pair table over CLUSTERED docs only, tiny relative to
     * the corpus.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    connectedComponentsIters(pairs, maxIters)._1
+
+  /** Plain-propagation rounds before pointer-jumping joins the loop. */
+  private val JumpAfter = 2
+
+  /** [[connectedComponents]] plus the number of rounds it took — the
+    * round count is the contract the pointer-jumping exists for, so the
+    * deep-chain spec pins it (O(log D), not O(D)).
+    */
+  private[ops] def connectedComponentsIters(pairs: DataFrame,
+      maxIters: Int = 20): (DataFrame, Int) = {
     val edges = Materialize(
       pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
@@ -137,19 +157,39 @@ object Dedup {
       // Convergence is then a filter over the just-materialized frame:
       // one action per iteration, where a join against the previous labels
       // would cost an extra exchange + a second scan.
-      val next = Materialize(
+      val prop =
         edges.join(labels, edges("src") === labels("doc_id"))
           .select(col("dst").as("doc_id"), col("cluster"),
             lit(null).cast("long").as("old"))
           .unionByName(labels.select(col("doc_id"), col("cluster"),
             col("cluster").as("old")))
           .groupBy(col("doc_id"))
-          .agg(min(col("cluster")).as("cluster"), max(col("old")).as("old")))
+          .agg(min(col("cluster")).as("cluster"), max(col("old")).as("old"))
+      // Pointer jump (from round JumpAfter on): label := label(label).
+      // Sound because every cluster value IS a member doc_id with its own
+      // labels row (labels start as doc_id; min-propagation only ever
+      // installs another member's label), so the self-join is total, and
+      // label(c) <= c under min-propagation means the jump only lowers.
+      // One extra exchange per round over the small labels frame buys the
+      // O(log D) bound; `old` (the pre-iteration label) rides along so
+      // the convergence check stays one filter over one frame.
+      val (next, inter) =
+        if (iter < JumpAfter) (Materialize(prop), None)
+        else {
+          val p = Materialize(prop)
+          val l2 = p.select(col("doc_id").as("j_doc"), col("cluster").as("j_cluster"))
+          (Materialize(
+            p.join(l2, p("cluster") === l2("j_doc"))
+              .select(p("doc_id"),
+                least(p("cluster"), col("j_cluster")).as("cluster"), p("old"))),
+            Some(p))
+        }
       converged = next.filter(col("cluster") =!= col("old")).isEmpty
       // The isEmpty action completed `next`'s lazy local checkpoint (all
       // missing partitions are cached at job end), so the previous labels
-      // blocks are dead — free them now instead of riding to context
-      // cleanup.
+      // blocks — and the jump's intermediate propagation frame — are
+      // dead; free them now instead of riding to context cleanup.
+      inter.foreach(Materialize.free)
       Materialize.free(prev)
       prev = next
       labels = next.select(col("doc_id"), col("cluster"))
@@ -160,7 +200,7 @@ object Dedup {
         s"connectedComponents did not converge in $maxIters iterations; " +
           "raise maxIters (component diameter exceeds the cap)")
     Materialize.free(edges) // the final labels frame is self-contained
-    labels.withColumn("is_canonical", col("doc_id") === col("cluster"))
+    (labels.withColumn("is_canonical", col("doc_id") === col("cluster")), iter)
   }
 
   /** Exact-dedup survivors: one `(doc_id, n_copies)` row per distinct
