@@ -1,5 +1,10 @@
 ThisBuild / scalaVersion := "2.13.17"
-ThisBuild / version := "0.1.0"
+// THE version: flows into the jar manifest (Implementation-Version,
+// which `graft.Main --version` reads) and down to tests as
+// -Dgraft.version; CHANGELOG.md documents each release. Never hard-code
+// it anywhere else — MainSpec/PackagedJarSpec assert the three surfaces
+// agree.
+ThisBuild / version := "0.13.0"
 name := "hbasepacketinspectorspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
@@ -43,3 +48,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // options above (one source of truth — the spec must not copy the list).
 Test / javaOptions += s"-Dgraft.packagedJar=${(Compile / packageBin).value.getAbsolutePath}"
 Test / javaOptions += s"-Dgraft.addOpens=${jdk17AddOpens.mkString(",")}"
+// the Spark jars location, from the same key the build resolves them
+// with (one source of truth — the spec must not hard-code /opt/spark/jars)
+Test / javaOptions += s"-Dgraft.sparkJars=${unmanagedBase.value.getAbsolutePath}"
+// the build version, for asserting `--version` output matches
+Test / javaOptions += s"-Dgraft.version=${version.value}"

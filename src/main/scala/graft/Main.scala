@@ -68,8 +68,19 @@ object Main {
     if (code != 0) sys.exit(code)
   }
 
+  /** Library version: the jar manifest's Implementation-Version (written
+    * by `sbt package` from build.sbt's `version` — the single source of
+    * truth), with a system-property fallback for class-directory runs
+    * (sbt test/run), where no manifest backs the package.
+    */
+  def version: String =
+    Option(getClass.getPackage)
+      .flatMap(p => Option(p.getImplementationVersion))
+      .orElse(sys.props.get("graft.version"))
+      .getOrElse("unknown")
+
   private val Usage =
-    """usage: graft.Main CAPTURE_DIR [-e SQL]... [-k SPEC] [-o PREFIX] [-p PORTS] [-t CKPT_DIR] [-d MS] [-c N] [-i [IFACE] [-n]] [-v] [-h]
+    """usage: graft.Main CAPTURE_DIR [-e SQL]... [-k SPEC] [-o PREFIX] [-p PORTS] [-t CKPT_DIR] [-d MS] [-c N] [-i [IFACE] [-n]] [-v] [-h] [--version]
       |  -e SQL     run a statement and print it (repeatable); exit after
       |  -k SPEC    stream records to Kafka (SERVERS/T1/T2[?k=v&...])
       |  -o PREFIX  persist the 4 tables as bucketed catalog tables; exit
@@ -83,6 +94,7 @@ object Main {
       |  -n         with -i: print the capture command instead of running
       |  -v         verbose: per-file load lines + per-trigger progress
       |  -h         print this help and exit
+      |  --version  print the library version and exit
       |with neither -e nor -k: interactive SQL over requests/responses/
       |actions/results (empty line or EOF quits)""".stripMargin
 
@@ -128,6 +140,7 @@ object Main {
           case "-n" => dryRun = true; i += 1
           case "-v" => verbose = true; i += 1
           case "-h" => out.println(Usage); return 0
+          case "--version" => out.println(s"graft $version"); return 0
           case flag if flag.startsWith("-") =>
             out.println(s"unknown option: $flag"); out.println(Usage); return 1
           case path => dir = Some(path); i += 1

@@ -264,6 +264,18 @@ class MainSpec extends SparkSpec {
     assert(code === 0)
     assert(out.contains("usage:"))
     assert(out.contains("-c N") && out.contains("-v") && out.contains("-h"))
+    assert(out.contains("--version"))
+  }
+
+  test("--version prints build.sbt's version and exits 0") {
+    // in-process (class-directory) runs have no jar manifest, so this
+    // exercises the -Dgraft.version fallback build.sbt passes to test
+    // JVMs; PackagedJarSpec pins the manifest path from the bare jar
+    val (code, out) = run(Array("--version"))
+    assert(code === 0)
+    val expected = sys.props.getOrElse("graft.version",
+      fail("build.sbt must pass -Dgraft.version to test JVMs"))
+    assert(out.linesIterator.exists(_.trim == s"graft $expected"), out)
   }
 
   test("-c caps the records the SQL surface sees") {
