@@ -63,24 +63,16 @@ object Bench {
   private[graft] def selected(only: Option[Set[String]], name: String): Boolean =
     only.forall(s => s.contains(name) || s.contains(short(name)))
 
-  /** Median of the ok rep times (even count averages the middle two).
-    * Medians, not minima: a minimum would grade the machine's best
-    * moment; the median grades the plan while stays robust to a single
-    * steal/JIT burst (the r8-r11 drift signature).
-    */
-  private[graft] def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    val n = s.length
-    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-  }
-
   /** LOWER median: for odd counts the true median, for even counts the
-    * lower middle. Used by [[repVerdict]] instead of the averaging
-    * [[median]] (round-12 advice): a median-of-3 where one rerun fails
-    * leaves TWO ok reps, and averaging them gives the triggering burst
-    * 50% weight (7.7 s burst + 3.4 s good reported 5.55 s — still over
-    * the 2x bar the retry exists to defeat). The lower middle keeps the
-    * report at a time an actual successful rep measured.
+    * lower middle (not the average of the middle two — round-12 advice:
+    * a median-of-3 where one rerun fails leaves TWO ok reps, and
+    * averaging them gives the triggering burst 50% weight, e.g. a
+    * 7.7 s burst + 3.4 s good would report 5.55 s — still over the 2x
+    * bar the retry exists to defeat). Median, not minimum: a minimum
+    * would grade the machine's best moment; the median grades the plan
+    * while staying robust to a single steal/JIT burst (the r8-r11
+    * drift signature), and the lower middle keeps the report at a time
+    * an actual successful rep measured.
     */
   private[graft] def lowerMedian(xs: Seq[Double]): Double =
     xs.sorted.apply((xs.length - 1) / 2)
@@ -145,6 +137,19 @@ object Bench {
       (sec, status)
     else original
   }
+
+  /** Should a query be requeued at the end of the sweep? Only RETRIED
+    * queries (`retried` = a median-of-3 ran in-sweep), and only when
+    * the retry failed to clear the air: its median still trips the
+    * retry bar, or the retry itself came back majority-failed (two
+    * transient failures inside one burst deserve the same escape as
+    * two slow reps). A never-retried failure stays final — a single
+    * clean-run failure is breakage, not noise.
+    */
+  private[graft] def needsDeferral(retried: Boolean, name: String,
+      sec: Double, status: String,
+      floors: Map[String, Double] = expected): Boolean =
+    retried && (status != "ok" || needsRetry(name, sec, floors))
 
   /** Machine-health preamble for the JSON line: whole-run deltas of the
     * r10-campaign drift discriminators. A contaminated gate is then
@@ -349,9 +354,11 @@ object Bench {
     // in-sweep result). All reps land in BENCH_REPS.json.
     val results = if (reps > 1 || only.isDefined || !floorsApply) sweep
     else sweep.map { case r @ (name, sec, status) =>
-      if (status == "ok" && repsDetail.contains(name) && needsRetry(name, sec)) {
-        System.err.println(f"[bench] $name deferred requeue: in-sweep " +
-          f"median $sec%.2fs still > 2x floor - rerunning at end of sweep")
+      if (needsDeferral(repsDetail.contains(name), name, sec, status)) {
+        val why = if (status == "ok") f"in-sweep median $sec%.2fs still > 2x floor"
+          else "retry majority-failed"
+        System.err.println(s"[bench] $name deferred requeue ($why): " +
+          "rerunning at end of sweep")
         val rerun = (1 to 3).map(i => rep(name, SparkEntry.queries(name), s" defer$i"))
         repsDetail(name) = repsDetail(name) ++ rerun
         val (dSec, dStatus) = deferredVerdict((sec, status), rerun)

@@ -119,13 +119,15 @@ object Dedup {
     * Throws if `maxIters` is exhausted before convergence — a silently
     * half-merged clustering would keep several "canonical" copies of one
     * duplicate group; raise `maxIters` for unusually deep chains.
-    * Storage note: at most TWO labels tables are live at any point — the
-    * convergence check fully materializes the new iteration (lazy local
-    * checkpoints cache all missing partitions at the job's end), after
-    * which the previous one is eagerly freed via [[Materialize.free]];
-    * the edges table is freed once the loop converges. Each is a
-    * (long, long)-pair table over CLUSTERED docs only, tiny relative to
-    * the corpus.
+    * Storage note: at most TWO labels tables are live in the plain
+    * rounds — THREE in jump rounds (previous labels, the intermediate
+    * propagation frame, and the jumped result) — the convergence check
+    * fully materializes the new iteration (lazy local checkpoints cache
+    * all missing partitions at the job's end), after which the previous
+    * labels and the jump intermediate are eagerly freed via
+    * [[Materialize.free]]; the edges table is freed once the loop
+    * converges. Each is a (long, long)-pair table over CLUSTERED docs
+    * only, tiny relative to the corpus.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame =
     connectedComponentsIters(pairs, maxIters)._1

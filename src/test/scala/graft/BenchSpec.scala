@@ -65,11 +65,11 @@ class BenchSpec extends AnyFunSuite {
     assert(json == expected)
   }
 
-  test("median is order-robust and averages even-count middles") {
-    assert(Bench.median(Seq(7.77, 3.42, 3.55)) === 3.55)
-    assert(Bench.median(Seq(3.42)) === 3.42)
-    assert(Bench.median(Seq(4.0, 2.0)) === 3.0)
-    assert(Bench.median(Seq(9.0, 1.0, 2.0, 8.0)) === 5.0)
+  test("lowerMedian is order-robust: true median on odd, lower middle on even") {
+    assert(Bench.lowerMedian(Seq(7.77, 3.42, 3.55)) === 3.55)
+    assert(Bench.lowerMedian(Seq(3.42)) === 3.42)
+    assert(Bench.lowerMedian(Seq(4.0, 2.0)) === 2.0)
+    assert(Bench.lowerMedian(Seq(9.0, 1.0, 2.0, 8.0)) === 2.0)
   }
 
   test("needsRetry fires only past 2x floor AND 0.5s absolute excess") {
@@ -103,13 +103,6 @@ class BenchSpec extends AnyFunSuite {
       (2.0, "fail"), (2.0, "fail")))._2 === "fail")
   }
 
-  test("lowerMedian picks the lower middle on even counts, true median on odd") {
-    assert(Bench.lowerMedian(Seq(7.7, 3.4)) === 3.4)
-    assert(Bench.lowerMedian(Seq(7.7, 3.4, 3.0)) === 3.4)
-    assert(Bench.lowerMedian(Seq(9.0, 1.0, 2.0, 8.0)) === 2.0)
-    assert(Bench.lowerMedian(Seq(5.0)) === 5.0)
-  }
-
   test("deferredVerdict: better rerun median wins, worse/failed rerun never hurts") {
     // the r12 q10 shape: in-sweep median 6.19 (burst), deferred reps clean
     assert(Bench.deferredVerdict((6.19, "ok"),
@@ -126,6 +119,20 @@ class BenchSpec extends AnyFunSuite {
     // original failed, deferred succeeds: the success reports
     assert(Bench.deferredVerdict((2.0, "fail"),
       Seq((2.1, "ok"), (2.2, "ok"), (2.0, "ok"))) === ((2.1, "ok")))
+  }
+
+  test("needsDeferral: retried queries over the bar or majority-failed, nothing else") {
+    val floors = Map("q10" -> 1.41)
+    // the r12 q10 gate shape: retried, median still 4.39x floor
+    assert(Bench.needsDeferral(retried = true, "q10_hot_regions", 6.19, "ok", floors))
+    // retried and the retry cleared the air: no requeue
+    assert(!Bench.needsDeferral(retried = true, "q10_hot_regions", 1.82, "ok", floors))
+    // retried but reps 2-3 failed transiently in the burst: requeue
+    assert(Bench.needsDeferral(retried = true, "q10_hot_regions", 3.5, "fail", floors))
+    // NEVER retried (single clean-run failure = breakage): final
+    assert(!Bench.needsDeferral(retried = false, "q10_hot_regions", 3.5, "fail", floors))
+    // not retried, fast and ok: nothing to do
+    assert(!Bench.needsDeferral(retried = false, "q10_hot_regions", 1.5, "ok", floors))
   }
 
   test("jsonStr escapes quotes, backslashes and control chars") {

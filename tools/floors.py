@@ -79,8 +79,13 @@ def from_artifacts_args() -> list:
             print(f"skip {p.name}: round < r{MIN_GATE_ROUND:02d} "
                   f"(pre-dates the current plan generation)")
             continue
-        with open(p) as f:
-            doc = json.load(f)
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+        except (OSError, json.JSONDecodeError) as e:
+            print(f"skip {p.name}: unreadable/malformed JSON ({e}) - "
+                  f"not floor evidence")
+            continue
         if not ((doc.get("parsed") or {}).get("queries")):
             print(f"skip {p.name}: no parsed.queries (gate parse failed "
                   f"that round) - not floor evidence")
