@@ -118,6 +118,34 @@ class ProtoDifferentialSpec extends AnyFunSuite {
       .addMessageType(msg("ScanResponsePacked",
         field("cells_per_result", 1, Type.TYPE_UINT32, Label.LABEL_REPEATED, packed = true),
         field("scanner_id", 2, Type.TYPE_UINT64)))
+      // response-side shapes (RPC.proto ResponseHeader/ExceptionResponse,
+      // Client.proto Result/GetResponse/MultiResponse family)
+      .addMessageType(msg("ExceptionResponse",
+        field("exception_class_name", 1, Type.TYPE_STRING)))
+      .addMessageType(msg("ResponseHeader",
+        field("call_id", 1, Type.TYPE_UINT32),
+        field("exception", 2, Type.TYPE_MESSAGE, typeName = ".graftdiff.ExceptionResponse")))
+      .addMessageType(msg("Cell",
+        field("row", 1, Type.TYPE_BYTES),
+        field("value", 7, Type.TYPE_BYTES)))
+      .addMessageType(msg("Result",
+        field("cell", 1, Type.TYPE_MESSAGE, Label.LABEL_REPEATED, ".graftdiff.Cell"),
+        field("associated_cell_count", 2, Type.TYPE_INT32)))
+      .addMessageType(msg("GetResponse",
+        field("result", 1, Type.TYPE_MESSAGE, typeName = ".graftdiff.Result")))
+      .addMessageType(msg("NameBytesPair",
+        field("name", 1, Type.TYPE_STRING),
+        field("value", 2, Type.TYPE_BYTES)))
+      .addMessageType(msg("ResultOrException",
+        field("index", 1, Type.TYPE_UINT32),
+        field("result", 2, Type.TYPE_MESSAGE, typeName = ".graftdiff.Result"),
+        field("exception", 3, Type.TYPE_MESSAGE, typeName = ".graftdiff.NameBytesPair")))
+      .addMessageType(msg("RegionActionResult",
+        field("resultOrException", 1, Type.TYPE_MESSAGE, Label.LABEL_REPEATED,
+          ".graftdiff.ResultOrException")))
+      .addMessageType(msg("MultiResponse",
+        field("regionActionResult", 1, Type.TYPE_MESSAGE, Label.LABEL_REPEATED,
+          ".graftdiff.RegionActionResult")))
       .build()
     Descriptors.FileDescriptor.buildFrom(fdp, Array.empty[Descriptors.FileDescriptor])
   }
@@ -249,10 +277,10 @@ class ProtoDifferentialSpec extends AnyFunSuite {
 
   private val shapes = Seq("RequestHeader", "RegionSpecifier", "Get",
     "GetRequest", "Scan", "ScanRequest", "MutationProto", "MutateRequest",
-    "ScanResponse")
+    "ScanResponse", "ResponseHeader", "GetResponse", "MultiResponse")
 
   test("writer: ProtoWire re-encoding is byte-identical to protobuf toByteArray " +
-      "(120 random messages x 9 shapes)") {
+      "(120 random messages x 12 shapes)") {
     val rnd = new Random(0xD1FF1)
     for (shape <- shapes; i <- 1 to 120) {
       val m = randomMessage(desc(shape), rnd)
@@ -264,7 +292,7 @@ class ProtoDifferentialSpec extends AnyFunSuite {
   }
 
   test("walker: ProtoWire.parse over protobuf bytes recovers exactly the " +
-      "protobuf content (120 random messages x 9 shapes)") {
+      "protobuf content (120 random messages x 12 shapes)") {
     val rnd = new Random(0x3A1C)
     for (shape <- shapes; i <- 1 to 120) {
       val m = randomMessage(desc(shape), rnd)
@@ -453,6 +481,147 @@ class ProtoDifferentialSpec extends AnyFunSuite {
         } else {
           // absent mutation: proto2 defaults — APPEND, use_default
           assert(info.method === (if (hasCondition) "check-and-append" else "append"))
+        }
+      }
+    }
+  }
+
+  // --- direction 3b: HbaseRpc response decode on protobuf-canonical frames
+
+  private def respHeader(callId: Int, excClass: Option[String]): DynamicMessage = {
+    val d = desc("ResponseHeader")
+    val b = DynamicMessage.newBuilder(d)
+      .setField(d.findFieldByNumber(1), Int.box(callId))
+    excClass.foreach { c =>
+      val ed = desc("ExceptionResponse")
+      b.setField(d.findFieldByNumber(2),
+        DynamicMessage.newBuilder(ed).setField(ed.findFieldByNumber(1), c).build())
+    }
+    b.build()
+  }
+
+  /** resultCells re-derived via protobuf reflection, independent of the
+    * walker: associated_cell_count (0 when absent) + repeated cell count.
+    */
+  private def cellsOf(result: DynamicMessage): Int = {
+    val rd = desc("Result")
+    val assoc = if (result.hasField(rd.findFieldByNumber(2)))
+      result.getField(rd.findFieldByNumber(2)).asInstanceOf[Int] else 0
+    assoc + result.getField(rd.findFieldByNumber(1))
+      .asInstanceOf[java.util.List[DynamicMessage]].size
+  }
+
+  test("HbaseRpc.parseResponse decodes 150 protobuf-built GetResponse frames: " +
+      "cells and exception class match the getters; header-only frames keep the error") {
+    val rnd = new Random(0x6E7B)
+    for (i <- 1 to 150) {
+      val callId = rnd.nextInt(1 << 16)
+      val excClass = if (rnd.nextDouble() < 0.3)
+        Some("org.apache.hadoop.hbase.NotServingRegionException") else None
+      val headerOnly = excClass.isDefined && rnd.nextBoolean()
+      val body = if (headerOnly) None else Some(randomMessage(desc("GetResponse"), rnd))
+      val req = HbaseRpc.RpcInfo("get", callId, table = Some("t1"), row = Some("r"))
+      val info = HbaseRpc.parseResponse(
+        new ProtoWire.Reader(frame(respHeader(callId, excClass), body)),
+        id => if (id == callId) Some(req) else None)
+      withClue(s"#$i headerOnly=$headerOnly:\n${body.getOrElse("")}\n") {
+        assert(info.method === "get")
+        assert(info.callId === callId)
+        assert(info.error === excClass)
+        assert(info.table === Some("t1")) // request context carried through
+        body match {
+          case None => assert(info.cells === None)
+          case Some(b) =>
+            val rFd = desc("GetResponse").findFieldByNumber(1)
+            val expected = if (b.hasField(rFd))
+              cellsOf(b.getField(rFd).asInstanceOf[DynamicMessage]) else 0
+            assert(info.cells === Some(expected))
+        }
+      }
+    }
+  }
+
+  test("HbaseRpc.parseResponse decodes 150 protobuf-built ScanResponse frames " +
+      "(both packed and unpacked cells_per_result) to the getters' sums") {
+    val rnd = new Random(0x5CA2)
+    for (i <- 1 to 150) {
+      val callId = rnd.nextInt(1 << 16)
+      val shape = if (rnd.nextBoolean()) "ScanResponse" else "ScanResponsePacked"
+      val d = desc(shape)
+      val counts = Vector.fill(rnd.nextInt(6))(rnd.nextInt(1 << 12))
+      val b = DynamicMessage.newBuilder(d)
+      counts.foreach(c => b.addRepeatedField(d.findFieldByNumber(1), Int.box(c)))
+      val scannerId = rnd.nextLong() & Long.MaxValue
+      b.setField(d.findFieldByNumber(2), Long.box(scannerId))
+      val req = HbaseRpc.RpcInfo("next-rows", callId, scanner = Some(scannerId))
+      val info = HbaseRpc.parseResponse(
+        new ProtoWire.Reader(frame(respHeader(callId, None), Some(b.build()))),
+        id => if (id == callId) Some(req) else None)
+      withClue(s"#$i $shape counts=$counts:\n") {
+        assert(info.method === "next-rows")
+        assert(info.scanner === Some(scannerId))
+        assert(info.cells === Some(counts.sum))
+      }
+    }
+  }
+
+  test("HbaseRpc.parseResponse decodes 120 protobuf-built MultiResponse frames: " +
+      "per-action results zip, cells sum, exception names match the getters") {
+    val rnd = new Random(0xAB08)
+    for (i <- 1 to 120) {
+      val callId = rnd.nextInt(1 << 16)
+      // random multi shape: 0-3 region-action results x 0-3 ROEs each,
+      // each ROE carrying a Result, an exception NameBytesPair, both
+      // (protobuf allows it; HbaseRpc reads both), or neither
+      val roeD = desc("ResultOrException")
+      val rarD = desc("RegionActionResult")
+      val mrD = desc("MultiResponse")
+      val nbpD = desc("NameBytesPair")
+      var expectedPer = Vector.empty[(Option[Int], Option[String])]
+      val mr = DynamicMessage.newBuilder(mrD)
+      (0 until rnd.nextInt(4)).foreach { _ =>
+        val rar = DynamicMessage.newBuilder(rarD)
+        (0 until rnd.nextInt(4)).foreach { _ =>
+          val roe = DynamicMessage.newBuilder(roeD)
+          val withResult = rnd.nextBoolean()
+          val withExc = rnd.nextDouble() < 0.4
+          var cells: Option[Int] = None
+          var exc: Option[String] = None
+          if (withResult) {
+            val res = randomMessage(desc("Result"), rnd)
+            roe.setField(roeD.findFieldByNumber(2), res)
+            cells = Some(cellsOf(res))
+          }
+          if (withExc) {
+            val name = s"org.example.Exc${rnd.nextInt(10)}"
+            roe.setField(roeD.findFieldByNumber(3), DynamicMessage.newBuilder(nbpD)
+              .setField(nbpD.findFieldByNumber(1), name).build())
+            exc = Some(name)
+          }
+          expectedPer :+= ((cells, exc))
+          rar.addRepeatedField(rarD.findFieldByNumber(1), roe.build())
+        }
+        mr.addRepeatedField(mrD.findFieldByNumber(1), rar.build())
+      }
+      // request context: one action per expected ROE (the zip source)
+      val actions = expectedPer.indices.map(j =>
+        HbaseRpc.RpcAction("put", Some(s"t$j"), Some(s"r$j"), Some(s"row$j"),
+          cells = Some(99), durability = Some("sync_wal")))
+      val req = HbaseRpc.RpcInfo("multi", callId, actions = actions)
+      val info = HbaseRpc.parseResponse(
+        new ProtoWire.Reader(frame(respHeader(callId, None), Some(mr.build()))),
+        id => if (id == callId) Some(req) else None)
+      withClue(s"#$i expected=$expectedPer:\n") {
+        assert(info.method === "multi")
+        assert(info.cells === Some(expectedPer.flatMap(_._1).sum))
+        assert(info.results.length === expectedPer.length)
+        info.results.zip(expectedPer).zipWithIndex.foreach {
+          case ((got, (cells, exc)), j) =>
+            assert(got.cells === cells,
+              s"action $j cells from the RESPONSE side only")
+            assert(got.error === exc)
+            assert(got.table === Some(s"t$j")) // request context zipped in
+            assert(got.method === "put")
         }
       }
     }
