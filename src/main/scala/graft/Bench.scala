@@ -151,6 +151,71 @@ object Bench {
       floors: Map[String, Double] = expected): Boolean =
     retried && (status != "ok" || needsRetry(name, sec, floors))
 
+  /** The whole sweep orchestration over an abstract rep runner
+    * (`rep(name, tag)` times one execution) — first reps, median-of-3
+    * retries on first-rep floor outliers, and the end-of-sweep deferred
+    * requeue — so the COMPOSITION is unit-testable without Spark, not
+    * just its pieces. Returns the final per-query results plus the
+    * per-rep detail that lands in BENCH_REPS.json.
+    *
+    * Retry rationale: a first rep over 2x its committed evidence floor
+    * triggers a median-of-3 (one external steal/JIT burst can no longer
+    * put a green plan over the 2x grading bar — the r11 q45/q96 false
+    * alarms; a REAL plan cost repeats in all three reps and still
+    * reports over the bar). Retries need a full run (`only` empty — an
+    * isolation run charges session/codegen init to its one query) with
+    * floors applicable and no explicit REPS override.
+    *
+    * Deferral rationale (round-12 verdict #1): the r12 gate proved an
+    * in-place median-of-3 cannot escape a contention burst that
+    * outlives it (q10: reps 11.39/6.19/2.38 s, monotone decaying, all
+    * inside one window; two same-day committed runs put the query at
+    * ~1.6 s). When the retried verdict still trips [[needsDeferral]],
+    * the query reruns ONCE at the end of the full sweep — minutes
+    * later, outside the burst — and [[deferredVerdict]] folds in the
+    * better median.
+    */
+  private[graft] def runSweep(
+      names: Seq[String],
+      rep: (String, String) => (Double, String),
+      only: Option[Set[String]], reps: Int, floorsApply: Boolean,
+      floors: Map[String, Double] = expected)
+    : (Seq[(String, Double, String)],
+       scala.collection.Map[String, Seq[(Double, String)]]) = {
+    val repsDetail =
+      scala.collection.mutable.LinkedHashMap[String, Seq[(Double, String)]]()
+    val sweep = names.sorted.filter(selected(only, _)).map { name =>
+      val first = rep(name, "")
+      val all: Seq[(Double, String)] =
+        if (reps > 1) first +: (2 to reps).map(i => rep(name, s" rep$i"))
+        else if (only.isEmpty && floorsApply && first._2 == "ok" &&
+            needsRetry(name, first._1, floors)) {
+          System.err.println(f"[bench] $name ${first._1}%.2fs > 2x floor " +
+            f"${floors(short(name))}%.2fs - median-of-3 rerun")
+          first +: (2 to 3).map(i => rep(name, s" rep$i"))
+        } else Seq(first)
+      val (sec, status) = repVerdict(all)
+      if (all.length > 1) repsDetail(name) = all
+      (name, sec, status)
+    }
+    // `sweep` is a strict Seq, so every in-sweep rep has run before the
+    // first deferred rerun fires — the requeue really is end-of-sweep
+    val results = if (reps > 1 || only.isDefined || !floorsApply) sweep
+    else sweep.map { case r @ (name, sec, status) =>
+      if (needsDeferral(repsDetail.contains(name), name, sec, status, floors)) {
+        val why = if (status == "ok") f"in-sweep median $sec%.2fs still > 2x floor"
+          else "retry majority-failed"
+        System.err.println(s"[bench] $name deferred requeue ($why): " +
+          "rerunning at end of sweep")
+        val rerun = (1 to 3).map(i => rep(name, s" defer$i"))
+        repsDetail(name) = repsDetail(name) ++ rerun
+        val (dSec, dStatus) = deferredVerdict((sec, status), rerun)
+        (name, dSec, dStatus)
+      } else r
+    }
+    (results, repsDetail)
+  }
+
   /** Machine-health preamble for the JSON line: whole-run deltas of the
     * r10-campaign drift discriminators. A contaminated gate is then
     * self-describing — high steal or a foreign-JVM count in the
@@ -313,58 +378,14 @@ object Bench {
       (sec, status)
     }
 
-    val repsDetail =
-      scala.collection.mutable.LinkedHashMap[String, Seq[(Double, String)]]()
-    def rep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        tag: String): (Double, String) = {
-      System.err.println(s"[bench] $name$tag start")
-      runOnce(s"$name$tag",
-        () => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-    }
-    val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(t => selected(only, t._1)).map { case (name, fn) =>
-      val first = rep(name, fn, "")
-      val all: Seq[(Double, String)] =
-        if (reps > 1) first +: (2 to reps).map(i => rep(name, fn, s" rep$i"))
-        // only.isEmpty: an isolation run charges session/codegen init to
-        // its one query (the documented >3x-GUARD rationale), so a retry
-        // there would burn reps against a full-run floor that never applied
-        else if (only.isEmpty && floorsApply && first._2 == "ok" &&
-            needsRetry(name, first._1)) {
-          // median-of-3 on a first-rep 2x-floor outlier: one external
-          // steal/JIT burst can no longer put a green plan over the 2x
-          // evidence bar (r11 q45/q96 false alarms); a REAL plan cost
-          // repeats in all three reps and still reports over the bar
-          System.err.println(f"[bench] $name ${first._1}%.2fs > 2x floor " +
-            f"${expected(short(name))}%.2fs - median-of-3 rerun")
-          first +: (2 to 3).map(i => rep(name, fn, s" rep$i"))
-        } else Seq(first)
-      val (sec, status) = repVerdict(all)
-      if (all.length > 1) repsDetail(name) = all
-      (name, sec, status)
-    }
-    // Deferred requeue (round-12 verdict #1): the r12 gate proved an
-    // in-place median-of-3 cannot escape a contention burst that
-    // outlives it (q10: reps 11.39/6.19/2.38 s, monotone decaying, all
-    // inside one window; two same-day committed runs put the query at
-    // ~1.6 s). When the retried MEDIAN still trips the retry bar,
-    // requeue the query ONCE at the end of the full sweep — minutes
-    // later, outside the burst — and report the better median
-    // (deferredVerdict: a failed or slower rerun never worsens the
-    // in-sweep result). All reps land in BENCH_REPS.json.
-    val results = if (reps > 1 || only.isDefined || !floorsApply) sweep
-    else sweep.map { case r @ (name, sec, status) =>
-      if (needsDeferral(repsDetail.contains(name), name, sec, status)) {
-        val why = if (status == "ok") f"in-sweep median $sec%.2fs still > 2x floor"
-          else "retry majority-failed"
-        System.err.println(s"[bench] $name deferred requeue ($why): " +
-          "rerunning at end of sweep")
-        val rerun = (1 to 3).map(i => rep(name, SparkEntry.queries(name), s" defer$i"))
-        repsDetail(name) = repsDetail(name) ++ rerun
-        val (dSec, dStatus) = deferredVerdict((sec, status), rerun)
-        (name, dSec, dStatus)
-      } else r
-    }
+    val (results, repsDetail) = runSweep(
+      SparkEntry.queries.keys.toSeq,
+      (name, tag) => {
+        System.err.println(s"[bench] $name$tag start")
+        runOnce(s"$name$tag", () => SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())
+      },
+      only, reps, floorsApply)
     // per-rep detail artifact (multi-rep adjudication runs + any
     // median-of-3 retriggers): never on stdout — the driver contract
     // stays one JSON line. A failed rep records as a negative time so

@@ -135,6 +135,84 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.needsDeferral(retried = false, "q10_hot_regions", 1.5, "ok", floors))
   }
 
+  test("runSweep composition: retry fires in place, deferral fires at end of sweep") {
+    val floors = Map("q10" -> 1.41, "q33" -> 2.25)
+    // scripted outcomes per (name, tag); the call ORDER is the contract
+    val calls = scala.collection.mutable.ArrayBuffer[String]()
+    val script = Map[(String, String), (Double, String)](
+      // q10: the r12 gate shape — burst swallows the in-place retry,
+      // the deferred rerun escapes it
+      ("q10_hot", "") -> ((6.0, "ok")),
+      ("q10_hot", " rep2") -> ((7.0, "ok")),
+      ("q10_hot", " rep3") -> ((6.5, "ok")),
+      ("q10_hot", " defer1") -> ((1.6, "ok")),
+      ("q10_hot", " defer2") -> ((1.7, "ok")),
+      ("q10_hot", " defer3") -> ((1.5, "ok")),
+      // q33: retry fires and clears the air in place — no deferral
+      ("q33_ng", "") -> ((5.0, "ok")),
+      ("q33_ng", " rep2") -> ((2.3, "ok")),
+      ("q33_ng", " rep3") -> ((2.4, "ok")),
+      // q99: no floor — a slow first rep never retries
+      ("q99_new", "") -> ((9.9, "ok")))
+    def rep(name: String, tag: String): (Double, String) = {
+      calls += s"$name$tag"
+      script((name, tag))
+    }
+    val (results, detail) = Bench.runSweep(
+      Seq("q33_ng", "q10_hot", "q99_new"), rep,
+      only = None, reps = 1, floorsApply = true, floors = floors)
+    // all in-sweep reps (sorted query order) run BEFORE any deferred rerun
+    assert(calls.toSeq === Seq(
+      "q10_hot", "q10_hot rep2", "q10_hot rep3",
+      "q33_ng", "q33_ng rep2", "q33_ng rep3",
+      "q99_new",
+      "q10_hot defer1", "q10_hot defer2", "q10_hot defer3"))
+    assert(results === Seq(
+      ("q10_hot", 1.6, "ok"),   // deferred median replaces the burst median
+      ("q33_ng", 2.4, "ok"),    // in-place retry median, under the bar
+      ("q99_new", 9.9, "ok")))  // unguarded: reported as measured
+    // ALL reps land in the detail artifact (6 for q10, 3 for q33)
+    assert(detail("q10_hot").map(_._1) === Seq(6.0, 7.0, 6.5, 1.6, 1.7, 1.5))
+    assert(detail("q33_ng").map(_._1) === Seq(5.0, 2.3, 2.4))
+    assert(!detail.contains("q99_new"))
+  }
+
+  test("runSweep: majority-failed retry gets the deferred second chance") {
+    val floors = Map("q10" -> 1.41)
+    var deferCalls = 0
+    def rep(name: String, tag: String): (Double, String) = tag match {
+      case ""       => (6.0, "ok")   // triggers the retry
+      case " rep2"  => (3.0, "fail") // burst kills both reruns
+      case " rep3"  => (3.1, "fail")
+      case _        => deferCalls += 1; (1.6, "ok")
+    }
+    val (results, detail) = Bench.runSweep(Seq("q10_hot"), rep,
+      only = None, reps = 1, floorsApply = true, floors = floors)
+    assert(deferCalls === 3)
+    // deferred verdict rescues the transient failure AND the burst time
+    assert(results === Seq(("q10_hot", 1.6, "ok")))
+    assert(detail("q10_hot").length === 6)
+  }
+
+  test("runSweep: REPS/isolation/floors-off modes never retry or defer") {
+    var calls = 0
+    def rep(name: String, tag: String): (Double, String) = { calls += 1; (9.9, "ok") }
+    val floors = Map("q10" -> 1.41)
+    // REPS=3: exactly 3 reps, no deferral even though 9.9 >> 2x floor
+    val (r1, _) = Bench.runSweep(Seq("q10_hot"), rep, None, 3, floorsApply = true, floors)
+    assert(calls === 3 && r1.head._2 === 9.9)
+    // isolation: single rep despite the floor breach
+    calls = 0
+    val (r2, _) = Bench.runSweep(Seq("q10_hot"), rep, Some(Set("q10")), 1,
+      floorsApply = true, floors)
+    assert(calls === 1 && r2.head._2 === 9.9)
+    // floors off (non-sf0.1 corpus): single rep
+    calls = 0
+    val (r3, _) = Bench.runSweep(Seq("q10_hot"), rep, None, 1,
+      floorsApply = false, floors)
+    assert(calls === 1 && r3.head._2 === 9.9)
+  }
+
   test("jsonStr escapes quotes, backslashes and control chars") {
     assert(Bench.jsonStr("""/plain/path""") === "/plain/path")
     assert(Bench.jsonStr("""a"b""") === """a\"b""")
