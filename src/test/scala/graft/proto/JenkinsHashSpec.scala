@@ -21,6 +21,26 @@ class JenkinsHashSpec extends AnyFunSuite {
     assert(hashes.distinct.size === hashes.size)
   }
 
+  test("differential vs Hadoop's real JenkinsHash (the class HBase's copy derives " +
+      "from): 2000 random inputs, all lengths 0-60, random initvals") {
+    // org.apache.hadoop.util.hash.JenkinsHash ships in
+    // hadoop-client-runtime on the Spark classpath and is the SAME
+    // lookup3 hashlittle HBase's JenkinsHash was copied from — an
+    // independent implementation of the exact contract
+    // encodeRegionName re-expresses (round-12 verdict: close same-author
+    // gaps with on-classpath reference runtimes where they exist)
+    val hadoop = org.apache.hadoop.util.hash.JenkinsHash.getInstance()
+    val rnd = new scala.util.Random(0xBEEF)
+    for (i <- 1 to 2000) {
+      val n = if (i <= 61) i - 1 else rnd.nextInt(61) // cover every length once
+      val bytes = new Array[Byte](n)
+      rnd.nextBytes(bytes)
+      val initval = if (rnd.nextBoolean()) 0 else rnd.nextInt()
+      assert(JenkinsHash.hash(bytes, initval) === hadoop.hash(bytes, n, initval),
+        s"#$i len=$n initval=$initval bytes=${bytes.take(16).mkString(",")}")
+    }
+  }
+
   test("encodeRegionName: decimal absolute value, deterministic") {
     val name = "t1,k,1234567890".getBytes(UTF_8)
     val enc = JenkinsHash.encodeRegionName(name)
