@@ -418,10 +418,17 @@ object Bench {
         short(name)
     }
     val runDelta = JvmTelemetry.snapshot()
+    // re-sample the process table at end of run: a competitor that
+    // STARTED mid-sweep would be invisible to the preflight alone
+    val foreignAtEnd = liveForeignJvms()
+    if (foreignAtEnd.nonEmpty)
+      System.err.println(s"[bench] POSTFLIGHT: ${foreignAtEnd.length} " +
+        s"foreign JVM/sbt process(es) live at end of run " +
+        s"(pids ${foreignAtEnd.mkString(",")})")
     val health = Health(
       stealMs = (runDelta.stealJiffies - runJvm0.stealJiffies) * 10,
       jitMs = runDelta.jitMs - runJvm0.jitMs,
-      foreignJvms = foreignAtStart.length)
+      foreignJvms = math.max(foreignAtStart.length, foreignAtEnd.length))
     val json = renderJson(results, sfDir, slow, Some(health))
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), json)
     catch { case _: Throwable => () }
