@@ -378,12 +378,17 @@ object Bench {
       (sec, status)
     }
 
+    // resolved ONCE, outside any timed region: SparkEntry.queries is a
+    // def that re-merges the per-module maps on each call, and the rep
+    // lambda's body runs inside runOnce's System.nanoTime window
+    val queryFns = SparkEntry.queries
     val (results, repsDetail) = runSweep(
-      SparkEntry.queries.keys.toSeq,
+      queryFns.keys.toSeq,
       (name, tag) => {
         System.err.println(s"[bench] $name$tag start")
-        runOnce(s"$name$tag", () => SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save())
+        val fn = queryFns(name)
+        runOnce(s"$name$tag",
+          () => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
       },
       only, reps, floorsApply)
     // per-rep detail artifact (multi-rep adjudication runs + any
@@ -428,7 +433,9 @@ object Bench {
     val health = Health(
       stealMs = (runDelta.stealJiffies - runJvm0.stealJiffies) * 10,
       jitMs = runDelta.jitMs - runJvm0.jitMs,
-      foreignJvms = math.max(foreignAtStart.length, foreignAtEnd.length))
+      // distinct union, not max of counts: one contaminator exiting
+      // mid-sweep while another starts must read as 2, not 1
+      foreignJvms = (foreignAtStart ++ foreignAtEnd).distinct.length)
     val json = renderJson(results, sfDir, slow, Some(health))
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), json)
     catch { case _: Throwable => () }

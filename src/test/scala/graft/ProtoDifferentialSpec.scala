@@ -627,6 +627,56 @@ class ProtoDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("HbaseRpc.parseResponse multi with MISALIGNED action/ROE counts: " +
+      "positional zip truncates to the shorter list, cells still sum every ROE " +
+      "(the reference's `map merge actions results` semantics)") {
+    // reference hbase.clj:49-69: results = (map merge actions results) —
+    // positional, index field ignored, truncating to the SHORTER side
+    // (its own TODO notes checked mutations can return an empty results
+    // list) — and :cells reduces over ALL ROEs regardless of the zip.
+    // The aligned-count fuzz above can never exercise this; pin it here.
+    val roeD = desc("ResultOrException")
+    val rarD = desc("RegionActionResult")
+    val mrD = desc("MultiResponse")
+    def multiBody(cellCounts: Seq[Int]): DynamicMessage = {
+      val rar = DynamicMessage.newBuilder(rarD)
+      cellCounts.foreach { n =>
+        val rd = desc("Result")
+        val res = DynamicMessage.newBuilder(rd)
+          .setField(rd.findFieldByNumber(2), Int.box(n)).build()
+        rar.addRepeatedField(rarD.findFieldByNumber(1),
+          DynamicMessage.newBuilder(roeD)
+            .setField(roeD.findFieldByNumber(2), res).build())
+      }
+      DynamicMessage.newBuilder(mrD)
+        .addRepeatedField(mrD.findFieldByNumber(1), rar.build()).build()
+    }
+    def actions(n: Int): Seq[HbaseRpc.RpcAction] = (0 until n).map(j =>
+      HbaseRpc.RpcAction("put", Some(s"t$j"), None, None, Some(99), None))
+    def decode(nActions: Int, cellCounts: Seq[Int]): HbaseRpc.RpcInfo =
+      HbaseRpc.parseResponse(
+        new ProtoWire.Reader(frame(respHeader(7, None), Some(multiBody(cellCounts)))),
+        id => Some(HbaseRpc.RpcInfo("multi", 7, actions = actions(nActions))))
+
+    // MORE actions than ROEs (the reference's checked-mutation case):
+    // zip truncates to the 2 ROEs; cells sum both
+    val fewer = decode(nActions = 4, cellCounts = Seq(3, 5))
+    assert(fewer.results.length === 2)
+    assert(fewer.results.map(_.cells) === Seq(Some(3), Some(5)))
+    assert(fewer.results.map(_.table) === Seq(Some("t0"), Some("t1")))
+    assert(fewer.cells === Some(8))
+    // MORE ROEs than actions: zip truncates to the 1 action, but cells
+    // still sum EVERY ROE including the unmatched ones
+    val more = decode(nActions = 1, cellCounts = Seq(2, 4, 6))
+    assert(more.results.length === 1)
+    assert(more.results.head.cells === Some(2))
+    assert(more.cells === Some(12))
+    // empty results list against a non-empty action list
+    val empty = decode(nActions = 3, cellCounts = Nil)
+    assert(empty.results.isEmpty)
+    assert(empty.cells === Some(0))
+  }
+
   test("delimited framing: ProtoWire readDelimited/toDelimitedBytes round-trip " +
       "protobuf writeDelimitedTo/parseDelimitedFrom") {
     val rnd = new Random(0xDE11)
