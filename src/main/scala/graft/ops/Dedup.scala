@@ -175,6 +175,14 @@ object Dedup {
       // One extra exchange per round over the small labels frame buys the
       // O(log D) bound; `old` (the pre-iteration label) rides along so
       // the convergence check stays one filter over one frame.
+      // Skew note (100 TB): the probe side keys on `cluster`, which
+      // concentrates as a component converges (a billion-member
+      // boilerplate component puts its whole membership under one key).
+      // The build side is ONE row per key (doc_id is unique), so this is
+      // exactly the shape AQE's skew-join splitting handles — the
+      // oversized probe partitions split and the single matching build
+      // row replicates; no salting needed. The propagation join and both
+      // groupBys stay doc_id-/gram-keyed (uniform).
       val (next, inter) =
         if (iter < JumpAfter) (Materialize(prop), None)
         else {
