@@ -119,6 +119,48 @@ class DedupSpec extends SparkSpec {
     info(s"converged in $iters rounds (plain propagation needs 999)")
   }
 
+  test("connectedComponents: 20k-node random graph (giant component, multi-partition " +
+      "jump joins) matches an iterative union-find reference in O(log) rounds") {
+    // 25k edges on 20k nodes → a giant component w.h.p. plus many small
+    // ones: the labels frame spans all 32 shuffle partitions and the
+    // jump join probes a heavily-concentrated cluster key — the shape
+    // the 1000-chain (single skinny path) and the n<=60 fuzz never hit.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(123)
+    val n = 20000
+    val edges = (1 to 25000).map { _ =>
+      val a = rnd.nextInt(n); var b = rnd.nextInt(n)
+      while (b == a) b = rnd.nextInt(n)
+      (math.min(a, b).toLong, math.max(a, b).toLong)
+    }.distinct
+    // reference: union-find, ITERATIVE find (20k-deep recursion would
+    // overflow the stack before path compression kicks in)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElseUpdate(x, x) != x) x = parent(x)
+      var y = x0 // path compression
+      while (parent(y) != x) { val p = parent(y); parent(y) = x; y = p }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val minOfRoot = members.groupBy(find).map { case (r, ms) => r -> ms.min }
+    val expect = members.map(d => d -> minOfRoot(find(d))).toMap
+    val (labelled, iters) =
+      Dedup.connectedComponentsIters(edges.toDF("a", "b"), maxIters = 20)
+    val got = labelled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === members.size)
+    assert(got === expect)
+    assert(iters <= 15, s"expected O(log) rounds on a random graph, took $iters")
+    val giant = expect.values.groupBy(identity).values.map(_.size).max
+    info(s"converged in $iters rounds; giant component: $giant of ${members.size} docs")
+  }
+
   test("connectedComponents: refuses to return a half-merged clustering") {
     val s = spark
     import s.implicits._
