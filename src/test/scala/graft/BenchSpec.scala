@@ -72,8 +72,8 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.lowerMedian(Seq(9.0, 1.0, 2.0, 8.0)) === 2.0)
   }
 
-  test("needsRetry fires only past 2x floor AND 0.5s absolute excess") {
-    val floors = Map("q45" -> 2.88, "q38" -> 0.17)
+  test("needsRetry fires only past 2x floor AND 0.25s absolute excess") {
+    val floors = Map("q45" -> 2.88, "q38" -> 0.17, "q81" -> 0.26)
     // r11's actual false alarm: 7.77 s vs floor 2.88 → retry
     assert(Bench.needsRetry("q45_dedup_clusters", 7.77, floors))
     // within 2x → no retry
@@ -81,6 +81,9 @@ class BenchSpec extends AnyFunSuite {
     // tiny query: 0.40 s is >2x of 0.17 but only +0.23 s absolute — jitter
     assert(!Bench.needsRetry("q38_quality_score", 0.40, floors))
     assert(Bench.needsRetry("q38_quality_score", 0.90, floors))
+    // the r13 shape the old 0.5 s leg missed: 0.68 s vs floor 0.26 is
+    // 2.6x and +0.42 s — over the grading bar, must retry
+    assert(Bench.needsRetry("q81_vocab_ids", 0.68, floors))
     // no floor recorded → never retriggers (no evidence to contradict)
     assert(!Bench.needsRetry("q999_new", 99.0, floors))
   }
