@@ -4,7 +4,7 @@ ThisBuild / scalaVersion := "2.13.17"
 // -Dgraft.version; CHANGELOG.md documents each release. Never hard-code
 // it anywhere else — MainSpec/PackagedJarSpec assert the three surfaces
 // agree.
-ThisBuild / version := "0.13.0"
+ThisBuild / version := "0.14.0"
 name := "hbasepacketinspectorspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
@@ -53,3 +53,8 @@ Test / javaOptions += s"-Dgraft.addOpens=${jdk17AddOpens.mkString(",")}"
 Test / javaOptions += s"-Dgraft.sparkJars=${unmanagedBase.value.getAbsolutePath}"
 // the build version, for asserting `--version` output matches
 Test / javaOptions += s"-Dgraft.version=${version.value}"
+// `sbt runMain` launches from class directories (no jar manifest), so
+// Main.version needs the same system-property fallback there — without
+// it the README-advertised `sbt "runMain graft.Main --version"` prints
+// "graft unknown" (round-13 advice)
+run / javaOptions += s"-Dgraft.version=${version.value}"

@@ -178,12 +178,21 @@ object Bench {
     * the query reruns ONCE at the end of the full sweep — minutes
     * later, outside the burst — and [[deferredVerdict]] folds in the
     * better median.
+    *
+    * `pauseBeforeDeferred` (round-13 advice): "minutes later, outside
+    * the burst" holds for every query EXCEPT the alphabetically last —
+    * its deferred rerun would fire immediately after its own in-place
+    * reps, inside the very burst the mechanism exists to escape. The
+    * hook is invoked (with the query name) before the deferred reruns
+    * of exactly that final sweep query; main wires it to a bounded
+    * sleep. Other queries get their gap from the rest of the sweep.
     */
   private[graft] def runSweep(
       names: Seq[String],
       rep: (String, String) => (Double, String),
       only: Option[Set[String]], reps: Int, floorsApply: Boolean,
-      floors: Map[String, Double] = expected)
+      floors: Map[String, Double] = expected,
+      pauseBeforeDeferred: String => Unit = _ => ())
     : (Seq[(String, Double, String)],
        scala.collection.Map[String, Seq[(Double, String)]]) = {
     val repsDetail =
@@ -211,6 +220,7 @@ object Bench {
           else "retry majority-failed"
         System.err.println(s"[bench] $name deferred requeue ($why): " +
           "rerunning at end of sweep")
+        if (name == sweep.last._1) pauseBeforeDeferred(name)
         val rerun = (1 to 3).map(i => rep(name, s" defer$i"))
         repsDetail(name) = repsDetail(name) ++ rerun
         val (dSec, dStatus) = deferredVerdict((sec, status), rerun)
@@ -224,10 +234,53 @@ object Bench {
     * r10-campaign drift discriminators. A contaminated gate is then
     * self-describing — high steal or a foreign-JVM count in the
     * artifact says "the host", without reconstructing it from stderr.
+    *
+    * `waitMs`/`contendedStart` record the quiet-window start gate
+    * (round-13 verdict item #2): waitMs is the wall time the preflight
+    * spent sampling and waiting for steal to subside (rendered only
+    * when > 0), and contendedStart=true means the bounded retries
+    * exhausted with the host still being robbed — the sweep proceeded
+    * anyway (the driver's gate is not ours to veto) and the artifact
+    * says so instead of leaving a burst to post-hoc adjudication.
     */
-  final case class Health(stealMs: Long, jitMs: Long, foreignJvms: Int) {
-    def json: String =
-      s""""host":{"steal_ms":$stealMs,"jit_ms":$jitMs,"jvms":$foreignJvms}"""
+  final case class Health(stealMs: Long, jitMs: Long, foreignJvms: Int,
+      waitMs: Long = 0L, contendedStart: Boolean = false) {
+    def json: String = {
+      val wait = if (waitMs > 0) s""","wait_ms":$waitMs""" else ""
+      val cont = if (contendedStart) s""","contended_start":true""" else ""
+      s""""host":{"steal_ms":$stealMs,"jit_ms":$jitMs,"jvms":$foreignJvms$wait$cont}"""
+    }
+  }
+
+  /** Quiet-window start gate (round-13 verdict item #2): the health
+    * preamble RECORDS steal after the fact, but three straight rounds
+    * (q45/q96 in r12, q10 in r13) still burned adjudication time on
+    * sweeps that STARTED inside a steal window. This samples steal
+    * over a short window before the first timed query and, while the
+    * window is contended, sleeps and resamples — bounded, then
+    * proceeds loudly (`contended=true`).
+    *
+    * Pure orchestration for unit tests: `stealWindowMs()` measures
+    * steal over one sampling window (the real one diffs /proc/stat
+    * around a sleep), `sleep()` backs off between retries. Returns
+    * (windows sampled, still-contended). Thresholds per the committed
+    * measurement discipline: a quiet host shows ~10 ms steal per 30 s,
+    * a contended one ~1000 ms — 100 ms over a 10 s window separates
+    * them by an order of magnitude each way.
+    */
+  private[graft] def quietStart(stealWindowMs: () => Long, sleep: () => Unit,
+      maxWaits: Int, thresholdMs: Long): (Int, Boolean) = {
+    var samples = 1
+    var s = stealWindowMs()
+    while (s > thresholdMs && samples <= maxWaits) {
+      System.err.println(s"[bench] PREFLIGHT: host contended " +
+        s"(steal ${s}ms over sampling window, threshold ${thresholdMs}ms) - " +
+        s"waiting (${samples}/$maxWaits)")
+      sleep()
+      samples += 1
+      s = stealWindowMs()
+    }
+    (samples, s > thresholdMs)
   }
 
   /** Foreign (non-ancestor, non-descendant) JVM/sbt processes among
@@ -267,7 +320,7 @@ object Bench {
     } catch { case _: Throwable => Nil }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val requestedSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // stdout is the bench contract: exactly one JSON line. Everything else
     // — log4j (routed to stderr by log4j2.properties, but belt-and-braces
@@ -290,7 +343,6 @@ object Bench {
         s"foreign JVM/sbt process(es) live (pids ${foreignAtStart.mkString(",")})" +
         " - timings may be contaminated; bench-measurement discipline says" +
         " no concurrent JVMs during gate runs")
-    val runJvm0 = JvmTelemetry.snapshot()
     val spark = Sessions.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -298,6 +350,38 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     quietRddWarnings()
+
+    // Scale resolution (round-13 verdict item #1): the official gate
+    // hands us sf0.1, where 80+ queries run sub-second and three
+    // straight rounds of adjudication proved the 2x grading rule is
+    // noise-dominated. When the requested corpus IS the sf0.1 evidence
+    // corpus (and SPARK_GRAFT_SCALE doesn't say "off"), upgrade to the
+    // derived 10x corpus — reused when current, re-derived (untimed,
+    // before any measurement) when /tmp didn't survive. Falls back
+    // LOUDLY to the requested corpus if derivation fails: a degraded
+    // sf0.1 artifact beats no artifact, and "sf" in the JSON line
+    // says which corpus actually ran.
+    val scaleWanted = sys.env.get("SPARK_GRAFT_SCALE") match {
+      case Some("off") => false
+      case Some("on")  => true
+      case _           => new java.io.File(requestedSf).getName == "sf0.1"
+    }
+    val (sfDir, scaledFrom) =
+      if (!scaleWanted) (requestedSf, None)
+      else {
+        val out = ScaleCorpus.defaultDir
+        try {
+          val reused = ScaleCorpus.ensure(spark, requestedSf, out)
+          System.err.println(s"[bench] scale upgrade: " +
+            s"${if (reused) "reused" else "DERIVED"} 10x corpus at $out " +
+            s"(from $requestedSf)")
+          (out, Some(requestedSf))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] scale upgrade FAILED ($e) - " +
+            s"falling back to $requestedSf")
+          (requestedSf, None)
+        }
+      }
 
     // Warmup: session/codegen/noop-sink init otherwise lands entirely on
     // the first timed query (alphabetically q01). Warm on a table the
@@ -338,22 +422,60 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_REPS")
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1)
       .getOrElse(1)
-    // the committed floors are sf0.1 gate evidence; at any other scale
-    // both the >3x GUARD and the median-of-3 retry would compare against
-    // numbers from a different corpus (the first 10x scale-gate bench
-    // burned 58 pointless reruns on exactly this). The basename check is
-    // a heuristic, so it is overridable (SPARK_GRAFT_FLOORS=on|off) and
-    // LOUD when it disarms the guard — a renamed copy of the real sf0.1
-    // corpus must not silently lose regression coverage.
+    // Floors are per-corpus evidence: `expected` holds sf0.1 gate
+    // minima, `expectedScaled` holds 10x-corpus minima — comparing a
+    // run against the other scale's numbers would arm the >3x guard
+    // and the median-of-3 retry with evidence about a different corpus
+    // (the first 10x scale-gate bench burned 58 pointless reruns on
+    // exactly this). The basename checks are heuristics, so they are
+    // overridable (SPARK_GRAFT_FLOORS=on|off) and LOUD when they
+    // disarm the guard — a renamed copy of an evidence corpus must not
+    // silently lose regression coverage.
+    val scaled = scaledFrom.isDefined
+    val floors = if (scaled) expectedScaled else expected
     val floorsApply = sys.env.get("SPARK_GRAFT_FLOORS") match {
       case Some("on") => true
       case Some("off") => false
-      case _ => new java.io.File(sfDir).getName == "sf0.1"
+      case _ => (scaled && floors.nonEmpty) ||
+        (!scaled && new java.io.File(sfDir).getName == "sf0.1")
     }
     if (!floorsApply)
-      System.err.println(s"[bench] floors INACTIVE for $sfDir (not the " +
-        "sf0.1 evidence corpus; SPARK_GRAFT_FLOORS=on to force): no >3x " +
+      System.err.println(s"[bench] floors INACTIVE for $sfDir (not an " +
+        "evidence corpus; SPARK_GRAFT_FLOORS=on to force): no >3x " +
         "guard, no median-of-3 retry")
+
+    // Quiet-window start gate (round-13 verdict item #2): sample steal
+    // over a 10 s window; while contended, back off 30 s and resample,
+    // at most 3 times (~2 min worst case), then proceed LOUDLY with
+    // contended_start=true in the health preamble. Full sweeps only by
+    // default (an isolation run is a dev loop; SPARK_GRAFT_QUIET=on|off
+    // overrides). The sampling threshold is 100 ms per 10 s window —
+    // an order of magnitude above the measured quiet host (~10 ms/30 s)
+    // and below the measured contended one (~1000 ms/30 s).
+    val quietGate = sys.env.get("SPARK_GRAFT_QUIET") match {
+      case Some("off") => false
+      case Some("on")  => true
+      case _           => only.isEmpty
+    }
+    val preT0 = System.nanoTime()
+    val (_, contendedStart) =
+      if (!quietGate) (0, false)
+      else quietStart(
+        stealWindowMs = () => {
+          val s0 = JvmTelemetry.snapshot().stealJiffies
+          Thread.sleep(10000)
+          (JvmTelemetry.snapshot().stealJiffies - s0) * JvmTelemetry.msPerJiffy
+        },
+        sleep = () => Thread.sleep(30000),
+        maxWaits = 3, thresholdMs = 100L)
+    val startWaitMs = (System.nanoTime() - preT0) / 1000000L
+    if (contendedStart)
+      System.err.println("[bench] PREFLIGHT: retries exhausted, host still " +
+        "contended - proceeding; artifact will carry contended_start=true")
+    // Whole-SWEEP telemetry baseline: taken after corpus derivation,
+    // warmup and the quiet-window preflight, so the health preamble's
+    // steal_ms/jit_ms describe the measured region, not setup cost.
+    val runJvm0 = JvmTelemetry.snapshot()
 
     // one rep of one query: stderr start marker attributes any async
     // scheduler noise (e.g. the benign late-task accumulator ERRORs
@@ -394,7 +516,12 @@ object Bench {
         runOnce(s"$name$tag",
           () => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
       },
-      only, reps, floorsApply)
+      only, reps, floorsApply, floors,
+      pauseBeforeDeferred = n => {
+        System.err.println(s"[bench] $n is the final sweep query - pausing " +
+          "20s before its deferred rerun (no natural end-of-sweep gap)")
+        Thread.sleep(20000)
+      })
     // per-rep detail artifact (multi-rep adjudication runs + any
     // median-of-3 retriggers): never on stdout — the driver contract
     // stays one JSON line. A failed rep records as a negative time so
@@ -421,9 +548,9 @@ object Bench {
     // exists for.
     val slow = if (only.isDefined || !floorsApply) Nil else results.collect {
       case (name, sec, "ok")
-        if expected.get(short(name)).exists(e => sec > 3 * e && sec - e > 1.5) =>
+        if floors.get(short(name)).exists(e => sec > 3 * e && sec - e > 1.5) =>
         System.err.println(
-          f"[bench] GUARD: $name took $sec%.2f s vs ~${expected(short(name))}%.2f s baseline (>3x)")
+          f"[bench] GUARD: $name took $sec%.2f s vs ~${floors(short(name))}%.2f s baseline (>3x)")
         short(name)
     }
     val runDelta = JvmTelemetry.snapshot()
@@ -435,12 +562,14 @@ object Bench {
         s"foreign JVM/sbt process(es) live at end of run " +
         s"(pids ${foreignAtEnd.mkString(",")})")
     val health = Health(
-      stealMs = (runDelta.stealJiffies - runJvm0.stealJiffies) * 10,
+      stealMs = (runDelta.stealJiffies - runJvm0.stealJiffies) *
+        JvmTelemetry.msPerJiffy,
       jitMs = runDelta.jitMs - runJvm0.jitMs,
       // distinct union, not max of counts: one contaminator exiting
       // mid-sweep while another starts must read as 2, not 1
-      foreignJvms = (foreignAtStart ++ foreignAtEnd).distinct.length)
-    val json = renderJson(results, sfDir, slow, Some(health))
+      foreignJvms = (foreignAtStart ++ foreignAtEnd).distinct.length,
+      waitMs = startWaitMs, contendedStart = contendedStart)
+    val json = renderJson(results, sfDir, slow, Some(health), scaledFrom)
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), json)
     catch { case _: Throwable => () }
     // Stop Spark (and its late-task log noise) BEFORE the JSON line: the
@@ -472,7 +601,7 @@ object Bench {
     * and no query ships unguarded without an explicit allowlisting).
     */
   private[graft] val expected: Map[String, Double] = Map(
-    // BEGIN GENERATED FLOORS (from: BENCH_r07.json BENCH_r08.json BENCH_r09.json BENCH_r10.json BENCH_r11.json BENCH_r12.json)
+    // BEGIN GENERATED FLOORS (from: BENCH_r07.json BENCH_r08.json BENCH_r09.json BENCH_r10.json BENCH_r11.json BENCH_r12.json BENCH_r13.json)
     "q01" -> 0.93, "q02" -> 0.32, "q03" -> 1.64, "q04" -> 0.23,
     "q05" -> 0.42, "q06" -> 0.62, "q07" -> 0.35, "q08" -> 0.40,
     "q09" -> 0.77, "q10" -> 1.41, "q100" -> 0.77, "q101" -> 1.06,
@@ -482,7 +611,7 @@ object Bench {
     "q113" -> 0.29, "q114" -> 0.50, "q115" -> 0.57, "q116" -> 0.62,
     "q117" -> 0.49, "q118" -> 0.38, "q12" -> 0.43, "q13" -> 0.37,
     "q14" -> 0.30, "q15" -> 0.57, "q16" -> 0.34, "q17" -> 0.34,
-    "q18" -> 0.57, "q20" -> 0.23, "q21" -> 0.39, "q22" -> 0.27,
+    "q18" -> 0.57, "q20" -> 0.10, "q21" -> 0.38, "q22" -> 0.27,
     "q23" -> 0.29, "q24" -> 0.26, "q30" -> 0.22, "q31" -> 0.98,
     "q32" -> 1.69, "q33" -> 2.25, "q34" -> 0.82, "q35" -> 0.34,
     "q36" -> 0.26, "q37" -> 0.29, "q38" -> 0.17, "q39" -> 0.28,
@@ -494,14 +623,57 @@ object Bench {
     "q60" -> 0.34, "q61" -> 0.38, "q62" -> 1.92, "q63" -> 0.76,
     "q64" -> 0.32, "q65" -> 0.98, "q66" -> 0.95, "q67" -> 0.66,
     "q68" -> 0.61, "q69" -> 0.84, "q70" -> 0.90, "q71" -> 0.44,
-    "q72" -> 0.77, "q73" -> 0.38, "q74" -> 0.24, "q75" -> 1.32,
+    "q72" -> 0.65, "q73" -> 0.38, "q74" -> 0.24, "q75" -> 1.32,
     "q76" -> 0.45, "q77" -> 0.31, "q78" -> 0.28, "q79" -> 0.29,
     "q80" -> 0.29, "q81" -> 0.26, "q82" -> 0.18, "q83" -> 0.74,
     "q84" -> 0.89, "q85" -> 0.91, "q86" -> 0.45, "q87" -> 0.23,
     "q88" -> 0.85, "q89" -> 0.38, "q90" -> 0.59, "q91" -> 0.48,
     "q92" -> 0.41, "q93" -> 0.39, "q94" -> 0.40, "q95" -> 0.98,
-    "q96" -> 1.28, "q97" -> 0.35, "q98" -> 1.13, "q99" -> 0.40
+    "q96" -> 1.28, "q97" -> 0.27, "q98" -> 1.13, "q99" -> 0.40
     // END GENERATED FLOORS
+  )
+
+  /** Per-query baseline seconds on the derived 10x corpus
+    * ([[ScaleCorpus]], local[32]) — the floor map the official gate
+    * grades against since round 14 (the sweep self-upgrades from sf0.1
+    * to the 10x corpus, where plan-cost signal exceeds shared-VM
+    * noise). Same regeneration discipline as [[expected]]: written by
+    * `python3 tools/floors.py --from-artifacts` from gate artifacts
+    * whose "sf" basename is the scaled corpus (seeded for round 14
+    * from two committed clean sweeps under tools/r14/ — the first
+    * round at a new scale has no gate artifact yet); never hand-typed.
+    */
+  private[graft] val expectedScaled: Map[String, Double] = Map(
+    // BEGIN GENERATED SCALED FLOORS (from: --scaled-seed BENCH_SF1_SEED_A.json BENCH_SF1_SEED_B.json BENCH_SF1_SEED_C.json)
+    "q01" -> 1.53, "q02" -> 0.59, "q03" -> 3.08, "q04" -> 0.41,
+    "q05" -> 0.74, "q06" -> 1.11, "q07" -> 0.59, "q08" -> 0.74,
+    "q09" -> 1.62, "q10" -> 2.44, "q100" -> 0.83, "q101" -> 1.23,
+    "q102" -> 4.36, "q103" -> 0.65, "q104" -> 1.47, "q105" -> 1.39,
+    "q106" -> 0.57, "q107" -> 1.21, "q108" -> 1.58, "q109" -> 0.47,
+    "q11" -> 0.90, "q110" -> 0.76, "q111" -> 1.02, "q112" -> 1.63,
+    "q113" -> 0.35, "q114" -> 0.50, "q115" -> 0.86, "q116" -> 1.20,
+    "q117" -> 0.64, "q118" -> 0.47, "q12" -> 0.82, "q13" -> 0.69,
+    "q14" -> 0.65, "q15" -> 0.69, "q16" -> 0.54, "q17" -> 0.46,
+    "q18" -> 1.67, "q20" -> 0.24, "q21" -> 0.38, "q22" -> 0.28,
+    "q23" -> 0.36, "q24" -> 0.32, "q30" -> 0.37, "q31" -> 2.85,
+    "q32" -> 2.78, "q33" -> 2.07, "q34" -> 1.92, "q35" -> 0.50,
+    "q36" -> 0.43, "q37" -> 0.34, "q38" -> 0.21, "q39" -> 1.10,
+    "q40" -> 0.68, "q41" -> 0.26, "q42" -> 0.46, "q43" -> 0.98,
+    "q44" -> 0.27, "q45" -> 4.24, "q46" -> 0.16, "q47" -> 0.81,
+    "q48" -> 0.63, "q49" -> 0.92, "q50" -> 0.55, "q51" -> 0.83,
+    "q52" -> 0.31, "q53" -> 1.76, "q54" -> 0.84, "q55" -> 0.22,
+    "q56" -> 1.07, "q57" -> 0.53, "q58" -> 2.20, "q59" -> 0.52,
+    "q60" -> 0.79, "q61" -> 0.45, "q62" -> 1.85, "q63" -> 1.49,
+    "q64" -> 0.57, "q65" -> 2.83, "q66" -> 1.87, "q67" -> 0.89,
+    "q68" -> 1.02, "q69" -> 2.79, "q70" -> 2.57, "q71" -> 1.05,
+    "q72" -> 1.74, "q73" -> 0.60, "q74" -> 0.75, "q75" -> 2.56,
+    "q76" -> 0.99, "q77" -> 1.49, "q78" -> 0.62, "q79" -> 0.47,
+    "q80" -> 0.68, "q81" -> 0.59, "q82" -> 0.28, "q83" -> 1.70,
+    "q84" -> 1.45, "q85" -> 1.55, "q86" -> 0.76, "q87" -> 0.84,
+    "q88" -> 3.18, "q89" -> 0.69, "q90" -> 1.09, "q91" -> 0.79,
+    "q92" -> 1.96, "q93" -> 0.55, "q94" -> 0.67, "q95" -> 2.94,
+    "q96" -> 2.10, "q97" -> 0.63, "q98" -> 1.67, "q99" -> 0.46
+    // END GENERATED SCALED FLOORS
   )
 
   /** One JSON line for the driver. The driver keeps only the LAST 2000
@@ -513,7 +685,8 @@ object Bench {
     * window minus sbt's trailing output.
     */
   def renderJson(results: Seq[(String, Double, String)], sfDir: String,
-                 slow: Seq[String] = Nil, health: Option[Health] = None): String = {
+                 slow: Seq[String] = Nil, health: Option[Health] = None,
+                 scaledFrom: Option[String] = None): String = {
     // Locale.ROOT: the f-interpolator is locale-sensitive and a comma
     // decimal separator would produce unparseable JSON
     def d3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -544,6 +717,10 @@ object Bench {
     // whole-run machine-health deltas (steal/JIT/foreign-JVM count): a
     // contaminated gate artifact then carries its own diagnosis
     val hostPart = health.map(h => "," + h.json).getOrElse("")
-    s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,$failPart$slowPart$hostPart,"sf":"${jsonStr(sfDir)}"}"""
+    // provenance of a scale-upgraded run: "sf" is the corpus that RAN,
+    // "scaled_from" the corpus the driver requested (absent otherwise)
+    val scalePart = scaledFrom
+      .map(s => s""","scaled_from":"${jsonStr(s)}"""").getOrElse("")
+    s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,$failPart$slowPart$hostPart$scalePart,"sf":"${jsonStr(sfDir)}"}"""
   }
 }

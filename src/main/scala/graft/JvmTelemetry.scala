@@ -33,6 +33,23 @@ object JvmTelemetry {
   final case class Snap(gcMs: Long, gcN: Long, jitMs: Long,
       codeMb: Double, metaMb: Double, classes: Long, stealJiffies: Long)
 
+  /** Milliseconds per /proc/stat jiffy, from `getconf CLK_TCK` (round-13
+    * advice: the previous hardcoded ×10 assumed USER_HZ=100, which is
+    * near-universal on Linux but not guaranteed). Integer division
+    * truncates for tick rates that don't divide 1000 (e.g. 300 Hz →
+    * 3 ms instead of 3.33) — acceptable for a diagnostic counter whose
+    * consumers compare orders of magnitude. Fallback 10 ms (100 Hz)
+    * when getconf is missing or unparseable.
+    */
+  private[graft] lazy val msPerJiffy: Long =
+    try {
+      val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+      val out = new String(p.getInputStream.readAllBytes()).trim
+      p.waitFor()
+      val hz = out.toLong
+      if (hz > 0) math.max(1L, 1000L / hz) else 10L
+    } catch { case _: Throwable => 10L }
+
   private def pools = ManagementFactory.getMemoryPoolMXBeans.asScala
 
   /** Cumulative hypervisor steal (jiffies, summed over all vCPUs) from
@@ -77,6 +94,6 @@ object JvmTelemetry {
       f"jit=+${now.jitMs - before.jitMs}ms " +
       f"code=${now.codeMb}%.0fMB meta=${now.metaMb}%.0fMB " +
       f"classes=${now.classes}%d(+${now.classes - before.classes}%d) " +
-      f"steal=+${(now.stealJiffies - before.stealJiffies) * 10}ms"
+      f"steal=+${(now.stealJiffies - before.stealJiffies) * msPerJiffy}ms"
   }
 }

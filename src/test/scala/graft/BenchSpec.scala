@@ -16,15 +16,57 @@ class BenchSpec extends AnyFunSuite {
   private val budget = 1800
 
   test("all-ok render with max-width times fits the driver tail window") {
-    // worst realistic case includes a non-empty guard list (capped at 4)
-    // AND the machine-health preamble with wide counters
-    val json = Bench.renderJson(names.map(n => (n, 999.999, "ok")), sfDir,
+    // worst realistic case includes a non-empty guard list (capped at 4),
+    // the machine-health preamble with wide counters INCLUDING the
+    // quiet-gate fields, and the scale-upgrade provenance. Per-query
+    // ceiling 99.99 s: the slowest 10x-corpus query measures ~10 s, so
+    // this still carries 10x width margin per entry (a 100 s+ query
+    // costs one extra char against the ~60-char slack this asserts)
+    val json = Bench.renderJson(names.map(n => (n, 99.99, "ok")),
+      "/tmp/graft_sf1d",
       slow = Seq("q66", "q65", "q58", "q45", "q33"),
-      health = Some(Bench.Health(9999999L, 9999999L, 99)))
+      health = Some(Bench.Health(9999999L, 9999999L, 99,
+        waitMs = 9999999L, contendedStart = true)),
+      scaledFrom = Some(sfDir))
     assert(json.length <= budget, s"bench JSON line ${json.length} > $budget chars")
     assert(json.startsWith("""{"metric":"total""""))
     assert(json.contains(""""slow":["q66","q65","q58","q45"]"""))
-    assert(json.contains(""""host":{"steal_ms":9999999,"jit_ms":9999999,"jvms":99}"""))
+    assert(json.contains(""""host":{"steal_ms":9999999,"jit_ms":9999999,""" +
+      """"jvms":99,"wait_ms":9999999,"contended_start":true}"""))
+    assert(json.contains(s""""scaled_from":"$sfDir""""))
+  }
+
+  test("health preamble renders quiet-gate fields only when set") {
+    assert(Bench.Health(10L, 20L, 0).json ===
+      """"host":{"steal_ms":10,"jit_ms":20,"jvms":0}""")
+    assert(Bench.Health(10L, 20L, 0, waitMs = 10042L).json ===
+      """"host":{"steal_ms":10,"jit_ms":20,"jvms":0,"wait_ms":10042}""")
+    assert(Bench.Health(10L, 20L, 0, waitMs = 1L, contendedStart = true).json ===
+      """"host":{"steal_ms":10,"jit_ms":20,"jvms":0,"wait_ms":1,"contended_start":true}""")
+  }
+
+  test("quietStart: quiet host samples once and never sleeps") {
+    var sleeps = 0
+    val (samples, contended) = Bench.quietStart(
+      () => 5L, () => sleeps += 1, maxWaits = 3, thresholdMs = 100L)
+    assert(samples === 1 && !contended && sleeps === 0)
+  }
+
+  test("quietStart: contention that clears mid-retries stops waiting") {
+    // steal per window: 900, 800, 3 — two waits, then a quiet window
+    val seq = Iterator(900L, 800L, 3L)
+    var sleeps = 0
+    val (samples, contended) = Bench.quietStart(
+      () => seq.next(), () => sleeps += 1, maxWaits = 3, thresholdMs = 100L)
+    assert(samples === 3 && !contended && sleeps === 2)
+  }
+
+  test("quietStart: bounded — exhausts retries and reports contended") {
+    var sleeps = 0
+    val (samples, contended) = Bench.quietStart(
+      () => 1000L, () => sleeps += 1, maxWaits = 3, thresholdMs = 100L)
+    // 1 initial sample + 3 retry samples, then proceed loudly
+    assert(samples === 4 && contended && sleeps === 3)
   }
 
   test("SPARK_GRAFT_ONLY tokens match qNN exactly, not as a prefix") {
@@ -47,6 +89,9 @@ class BenchSpec extends AnyFunSuite {
     val qs = names.map(Bench.short).toSet
     val orphans = Bench.expected.keys.filterNot(qs.contains)
     assert(orphans.isEmpty, s"baselines for nonexistent queries: $orphans")
+    val scaledOrphans = Bench.expectedScaled.keys.filterNot(qs.contains)
+    assert(scaledOrphans.isEmpty,
+      s"scaled baselines for nonexistent queries: $scaledOrphans")
   }
 
   test("everything-failed render still fits (fails list capped)") {
@@ -180,6 +225,19 @@ class BenchSpec extends AnyFunSuite {
     assert(!detail.contains("q99_new"))
   }
 
+  test("runSweep: deferred rerun of the FINAL sweep query pauses first (round-13 advice)") {
+    val floors = Map("q10" -> 1.41, "q99" -> 1.0)
+    val paused = scala.collection.mutable.ArrayBuffer[String]()
+    def rep(name: String, tag: String): (Double, String) =
+      if (tag.startsWith(" defer")) (1.6, "ok") else (6.0, "ok")
+    // q99 sorts last: its deferral has no natural end-of-sweep gap → pause.
+    // q10's deferral comes after the rest of the sweep → no pause.
+    val (_, _) = Bench.runSweep(Seq("q99_zz", "q10_hot"), rep,
+      only = None, reps = 1, floorsApply = true, floors = floors,
+      pauseBeforeDeferred = paused += _)
+    assert(paused.toSeq === Seq("q99_zz"))
+  }
+
   test("runSweep: majority-failed retry gets the deferred second chance") {
     val floors = Map("q10" -> 1.41)
     var deferCalls = 0
@@ -252,6 +310,14 @@ class BenchSpec extends AnyFunSuite {
     assert(unguarded.isEmpty,
       s"queries with no floor and no allowlist entry: $unguarded — run " +
         "python3 tools/floors.py --from-artifacts after the gate records them")
+    // the SCALED block is the one the official gate grades against since
+    // round 14 — an unguarded query there means no 2x retry protection
+    // exactly where the artifact is graded
+    val scaledUnguarded = names.map(Bench.short)
+      .filterNot(Bench.expectedScaled.contains).filterNot(newQueryAllowlist)
+    assert(scaledUnguarded.isEmpty,
+      s"queries with no SCALED floor and no allowlist entry: $scaledUnguarded" +
+        " — seed/regenerate via tools/floors.py (--scaled-seed or 10x gate artifacts)")
   }
 
   test("shortened query keys stay unique across the real query set") {

@@ -1,0 +1,86 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Fixture-corpus differential for [[HtmlToText]] (round-13 verdict
+  * item #3): the lexer contract + fuzz are same-author artifacts, so
+  * q74's one hostile-input codegen expression gets what the protobuf
+  * walker and JenkinsHash got in round 13 — an external reference.
+  * Here that reference is a committed corpus of genuinely messy
+  * hand-written pages (old-school table layouts, minified news pages
+  * with markup inside script strings, entity zoos, broken nesting,
+  * IE conditional comments, CDATA leftovers, truncation mid-tag,
+  * close-tag lookalikes inside scripts, quoted `>` in attributes,
+  * pre/code with literal angle brackets, forms/nav chrome, and an
+  * XHTML prolog page) whose expected text was DERIVED BY HAND from
+  * the documented contract in HtmlToText's scaladoc — not generated
+  * by the implementation — then adjudicated character-by-character.
+  *
+  * Notable contract consequences the corpus pins down:
+  *   - whitespace/newlines in source text pass through verbatim (no
+  *     collapsing), so formatted pages keep their inter-tag newlines;
+  *   - an unclosed `<p>` emits nothing — only CLOSING a block element
+  *     ends a line, so two paragraphs with a missing `</p>` join;
+  *   - `<![CDATA[ ... ]]>` is a bogus comment terminated at the FIRST
+  *     `>` (HTML5 lexer behavior), so cdata payload past that leaks
+  *     as text — 05 asserts the leak exactly;
+  *   - `</script ...>`-with-space closes a raw-text element while
+  *     `</scripts>` does not (07);
+  *   - unknown named entities (&copy; &euro; &mdash;) stay literal,
+  *     valid numeric ones (incl. astral &#x1F600;) decode, surrogate
+  *     and overflow references stay literal (03);
+  *   - `&` with no `;` within 12 chars stays literal — URLs like
+  *     `?add=42&qty=1` survive as text when they appear in content.
+  */
+class HtmlFixturesSpec extends SparkSpec {
+
+  private val names = Seq(
+    "01_table_layout", "02_news_article", "03_wiki_entities",
+    "04_broken_nesting", "05_conditional_cdata", "06_truncated",
+    "07_script_lookalikes", "08_quoted_attrs", "09_pre_code",
+    "10_forms_nav", "11_shop_page", "12_xhtml_prolog")
+
+  private def resource(path: String): String = {
+    val in = getClass.getResourceAsStream(s"/html_fixtures/$path")
+    assert(in != null, s"missing test resource /html_fixtures/$path")
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def fixtures: Seq[(String, String, String)] =
+    names.map(n => (n, resource(s"$n.html"), resource(s"$n.expected.txt")))
+
+  private def visible(s: String): String =
+    s.replace("\n", "\\n\n").replace("\u00a0", "\\u00a0")
+
+  for ((name, html, expected) <- fixtures)
+    test(s"fixture $name extracts exactly (interpreted path)") {
+      val got = HtmlToText.toText(html)
+      assert(got == expected,
+        s"\n--- got ---\n${visible(got)}\n--- expected ---\n${visible(expected)}")
+    }
+
+  test("all fixtures extract exactly through the codegen expression") {
+    val s = spark
+    import s.implicits._
+    val df = fixtures.map { case (n, h, e) => (n, h, e) }
+      .toDF("name", "html", "expected")
+    val bad = df
+      .withColumn("got", HtmlFunctions.htmlToText(col("html")))
+      .filter(not(col("got") === col("expected")))
+      .select("name").as[String].collect()
+    assert(bad.isEmpty, s"codegen-path mismatches: ${bad.mkString(", ")}")
+  }
+
+  test("fixture files carry no accidental trailing newline drift") {
+    // the .html files end exactly at the last markup character: a
+    // stray editor-added trailing newline would silently become part
+    // of both input and (un-derived) output and weaken the fixtures
+    for ((name, html, _) <- fixtures)
+      assert(!html.endsWith("\n"), s"$name.html has a trailing newline")
+  }
+}

@@ -77,7 +77,11 @@ def gate(corpus: str, report: pathlib.Path) -> int:
 def bench(sf_dir: str, dest: pathlib.Path) -> None:
     local = ROOT / "BENCH_LOCAL.json"
     local.unlink(missing_ok=True)
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    # SPARK_GRAFT_SCALE=off: since round 14 Bench self-upgrades an
+    # sf0.1 request to the derived 10x corpus — this tool benches the
+    # EXPLICIT corpus it was asked to (the sf0.1-vs-10x ratio scan
+    # needs the small leg to actually run at sf0.1)
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_SCALE="off")
     if run(["sbt", "-batch", "runMain graft.Bench"], env=env).returncode:
         raise SystemExit(f"bench at {sf_dir} failed")
     if not local.exists():
