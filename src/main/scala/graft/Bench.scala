@@ -179,24 +179,29 @@ object Bench {
     * later, outside the burst — and [[deferredVerdict]] folds in the
     * better median.
     *
-    * `pauseBeforeDeferred` (round-13 advice): "minutes later, outside
-    * the burst" holds for every query EXCEPT the alphabetically last —
-    * its deferred rerun would fire immediately after its own in-place
-    * reps, inside the very burst the mechanism exists to escape. The
-    * hook is invoked (with the query name) before the deferred reruns
-    * of exactly that final sweep query; main wires it to a bounded
-    * sleep. Other queries get their gap from the rest of the sweep.
+    * `pauseBeforeDeferred` (round-13 advice, depth-corrected by the
+    * round-14 review): "minutes later, outside the burst" only holds
+    * when enough sweep actually ran between a query's own reps and its
+    * deferred rerun — the alphabetically-last query gets NO gap, and a
+    * near-last query whose successors are all sub-second gets almost
+    * none. So the gap is measured, not inferred from position: each
+    * query's rep-block end is clocked (`now`, injectable for tests),
+    * and a deferred rerun starting sooner than `minGapNanos` after it
+    * first invokes the hook (main wires it to a bounded sleep).
     */
   private[graft] def runSweep(
       names: Seq[String],
       rep: (String, String) => (Double, String),
       only: Option[Set[String]], reps: Int, floorsApply: Boolean,
       floors: Map[String, Double] = expected,
-      pauseBeforeDeferred: String => Unit = _ => ())
+      pauseBeforeDeferred: String => Unit = _ => (),
+      now: () => Long = System.nanoTime,
+      minGapNanos: Long = 30L * 1000 * 1000 * 1000)
     : (Seq[(String, Double, String)],
        scala.collection.Map[String, Seq[(Double, String)]]) = {
     val repsDetail =
       scala.collection.mutable.LinkedHashMap[String, Seq[(Double, String)]]()
+    val endedAt = scala.collection.mutable.Map[String, Long]()
     val sweep = names.sorted.filter(selected(only, _)).map { name =>
       val first = rep(name, "")
       val all: Seq[(Double, String)] =
@@ -209,6 +214,7 @@ object Bench {
         } else Seq(first)
       val (sec, status) = repVerdict(all)
       if (all.length > 1) repsDetail(name) = all
+      endedAt(name) = now()
       (name, sec, status)
     }
     // `sweep` is a strict Seq, so every in-sweep rep has run before the
@@ -220,7 +226,7 @@ object Bench {
           else "retry majority-failed"
         System.err.println(s"[bench] $name deferred requeue ($why): " +
           "rerunning at end of sweep")
-        if (name == sweep.last._1) pauseBeforeDeferred(name)
+        if (now() - endedAt(name) < minGapNanos) pauseBeforeDeferred(name)
         val rerun = (1 to 3).map(i => rep(name, s" defer$i"))
         repsDetail(name) = repsDetail(name) ++ rerun
         val (dSec, dStatus) = deferredVerdict((sec, status), rerun)
@@ -431,13 +437,20 @@ object Bench {
     // overridable (SPARK_GRAFT_FLOORS=on|off) and LOUD when they
     // disarm the guard — a renamed copy of an evidence corpus must not
     // silently lose regression coverage.
-    val scaled = scaledFrom.isDefined
-    val floors = if (scaled) expectedScaled else expected
+    // keyed off the corpus that actually RUNS (round-14 review): a
+    // direct SPARK_GRAFT_SF_DIR=<scaled dir> run must grade against
+    // the scaled block too — keying off the upgrade path alone would
+    // arm sf0.1 minima against 10x timings under SPARK_GRAFT_FLOORS=on
+    // (the mass-rerun failure the per-corpus split exists to prevent)
+    val scaledCorpus = scaledFrom.isDefined ||
+      new java.io.File(sfDir).getName ==
+        new java.io.File(ScaleCorpus.defaultDir).getName
+    val floors = if (scaledCorpus) expectedScaled else expected
     val floorsApply = sys.env.get("SPARK_GRAFT_FLOORS") match {
       case Some("on") => true
       case Some("off") => false
-      case _ => (scaled && floors.nonEmpty) ||
-        (!scaled && new java.io.File(sfDir).getName == "sf0.1")
+      case _ => (scaledCorpus && floors.nonEmpty) ||
+        (!scaledCorpus && new java.io.File(sfDir).getName == "sf0.1")
     }
     if (!floorsApply)
       System.err.println(s"[bench] floors INACTIVE for $sfDir (not an " +
@@ -518,9 +531,9 @@ object Bench {
       },
       only, reps, floorsApply, floors,
       pauseBeforeDeferred = n => {
-        System.err.println(s"[bench] $n is the final sweep query - pausing " +
-          "20s before its deferred rerun (no natural end-of-sweep gap)")
-        Thread.sleep(20000)
+        System.err.println(s"[bench] $n deferred rerun would start <30s " +
+          "after its own reps (no natural end-of-sweep gap) - pausing 30s")
+        Thread.sleep(30000)
       })
     // per-rep detail artifact (multi-rep adjudication runs + any
     // median-of-3 retriggers): never on stdout — the driver contract

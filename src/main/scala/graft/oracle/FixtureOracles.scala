@@ -1168,6 +1168,50 @@ object FixtureOracles {
   private def fixtureDir(name: String, key: (Long, Long)): Path =
     tmpRoot.resolve(s"graft_${Version}_${name}_${key._1}_${key._2}")
 
+  /** The embedding fixtures whose derivation consumes the corpus's
+    * PHYSICAL byte count (it feeds the engine's no-job row estimate →
+    * nlist / LSH bits). Their identity must include those bytes: the
+    * round-14 unified scale gate proved identical CONTENT in a
+    * different physical layout (duckdb-written /tmp/sf1d vs
+    * Spark-written /tmp/graft_sf1d, 5,241,929 vs 5,226,907 data bytes)
+    * flips nlist 133→132 and the q43 IVF answer with it — a
+    * content-only key then reuses a stale fixture and reports a false
+    * mismatch.
+    */
+  private val BytesSensitive: Set[String] = Set(
+    "q34_embed_neardup", "q36_ann_lsh", "q43_ann_ivf",
+    "q66_semdedup", "q84_ivfpq")
+
+  private def embFixtureDir(name: String, key: (Long, Long), bytes: Long): Path =
+    tmpRoot.resolve(s"graft_${Version}_${name}_${key._1}_${key._2}_b$bytes")
+
+  /** The oracle SQL globs `name_*` and filters only on the CONTENT key
+    * (DuckDB cannot reproduce a file-listing byte count), so at most
+    * one byte-variant of a same-content fixture may exist: evict the
+    * others (including pre-round-14 dirs named without the `_b` leg)
+    * before publishing the current one.
+    */
+  private def evictOtherByteVariants(name: String, key: (Long, Long),
+      bytes: Long): Unit = {
+    val prefix = s"graft_${Version}_${name}_${key._1}_${key._2}"
+    val keep = embFixtureDir(name, key, bytes).getFileName.toString
+    try {
+      val listing = Files.list(tmpRoot)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            // exact old-format dir, or a _b-suffixed byte variant — NOT
+            // a different content key that happens to extend this one
+            // textually (key (n, 400) vs (n, 4001))
+            (n == prefix || n.startsWith(prefix + "_b")) && n != keep
+          }
+          .toSeq.foreach(graft.Fs.deleteTree)
+      } finally listing.close()
+    } catch { case _: Throwable => () }
+  }
+
   /** Stage + atomic publish (the SyntheticTraffic pattern): a concurrent
     * JVM must never see a half-written parquet dir; identical key ⇒
     * identical content, so losing the rename race is benign.
@@ -1200,9 +1244,15 @@ object FixtureOracles {
       "q41_multimodal", "q42_frame_sample", "q51_audio_features",
       "q58_media_neardup", "q105_fertility")
       .map(n => fixtureDir(n, key))
+    // byte-sensitive fixtures live under a byte-stamped identity (see
+    // [[BytesSensitive]]); computing the bytes is one directory listing
+    val embBytes = parquetBytes(s"$sfDir/embeddings.parquet")
+    def embDir(n: String): Path =
+      if (BytesSensitive(n)) embFixtureDir(n, embKey, embBytes)
+      else fixtureDir(n, embKey)
     val embFixtures = Seq("q34_embed_neardup", "q36_ann_lsh", "q43_ann_ivf",
       "q66_semdedup", "q77_pq", "q84_ivfpq", "q60_pca_whiten")
-      .map(n => fixtureDir(n, embKey))
+      .map(embDir)
     val needed = docFixtures ++ embFixtures
     if (!docFixtures.forall(Files.exists(_))) {
       require(key._1 <= MaxDocs,
@@ -1245,27 +1295,30 @@ object FixtureOracles {
       require(embKey._1 <= MaxDocs,
         s"fixture oracles are gate-scale machinery: embeddings has ${embKey._1} " +
           s"rows (max $MaxDocs) — not derived at bench scale by design")
-      val bytes = parquetBytes(s"$sfDir/embeddings.parquet")
+      // the oracle SQL globs name_* and keys only on content: a
+      // same-content fixture derived under a DIFFERENT byte count must
+      // not survive alongside the current one
+      BytesSensitive.foreach(n => evictOtherByteVariants(n, embKey, embBytes))
       val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
         .collect().toSeq.sortBy(_._1)
       def keyed(df: DataFrame): DataFrame =
         df.withColumn("corpus_n", lit(embKey._1)).withColumn("corpus_s", lit(embKey._2))
-      publish(keyed(deriveQ34(vecs, bytes).toDF("a", "b", "cos")),
-        fixtureDir("q34_embed_neardup", embKey))
-      publish(keyed(deriveQ36(vecs, bytes).toDF("qid", "vec_id", "cos", "rank")),
-        fixtureDir("q36_ann_lsh", embKey))
-      publish(keyed(deriveQ43(vecs, bytes).toDF("qid", "vec_id", "cos", "rank")),
-        fixtureDir("q43_ann_ivf", embKey))
-      publish(keyed(deriveQ66(vecs, bytes).toDF("a", "b", "cos")),
-        fixtureDir("q66_semdedup", embKey))
+      publish(keyed(deriveQ34(vecs, embBytes).toDF("a", "b", "cos")),
+        embDir("q34_embed_neardup"))
+      publish(keyed(deriveQ36(vecs, embBytes).toDF("qid", "vec_id", "cos", "rank")),
+        embDir("q36_ann_lsh"))
+      publish(keyed(deriveQ43(vecs, embBytes).toDF("qid", "vec_id", "cos", "rank")),
+        embDir("q43_ann_ivf"))
+      publish(keyed(deriveQ66(vecs, embBytes).toDF("a", "b", "cos")),
+        embDir("q66_semdedup"))
       publish(keyed(deriveQ77(vecs).toDF("vec_id", "pq_code", "recon_mse")),
-        fixtureDir("q77_pq", embKey))
-      publish(keyed(deriveQ84(vecs, bytes).toDF("query_id", "vec_id", "rank", "adc_dist")),
-        fixtureDir("q84_ivfpq", embKey))
+        embDir("q77_pq"))
+      publish(keyed(deriveQ84(vecs, embBytes).toDF("query_id", "vec_id", "rank", "adc_dist")),
+        embDir("q84_ivfpq"))
       publish(keyed(deriveQ60(vecs).toDF("vec_id", "pc_0", "pc_1", "pc_2",
         "pc_3", "pc_4", "pc_5", "pc_6", "pc_7")),
-        fixtureDir("q60_pca_whiten", embKey))
+        embDir("q60_pca_whiten"))
     }
     // liveness beacon + age-scoped sweep of fixture dirs from older
     // corpora/code versions (the SyntheticTraffic discipline: reads

@@ -225,17 +225,32 @@ class BenchSpec extends AnyFunSuite {
     assert(!detail.contains("q99_new"))
   }
 
-  test("runSweep: deferred rerun of the FINAL sweep query pauses first (round-13 advice)") {
-    val floors = Map("q10" -> 1.41, "q99" -> 1.0)
-    val paused = scala.collection.mutable.ArrayBuffer[String]()
-    def rep(name: String, tag: String): (Double, String) =
-      if (tag.startsWith(" defer")) (1.6, "ok") else (6.0, "ok")
-    // q99 sorts last: its deferral has no natural end-of-sweep gap → pause.
-    // q10's deferral comes after the rest of the sweep → no pause.
-    val (_, _) = Bench.runSweep(Seq("q99_zz", "q10_hot"), rep,
-      only = None, reps = 1, floorsApply = true, floors = floors,
-      pauseBeforeDeferred = paused += _)
-    assert(paused.toSeq === Seq("q99_zz"))
+  test("runSweep: deferred rerun pauses only when the MEASURED gap is too small") {
+    // round-13 advice, depth-corrected in round 14: the gap is clocked,
+    // not inferred from sweep position — a deferred query followed by
+    // enough wall time needs no pause; one followed by (almost) none
+    // does, whether it was last or merely near-last.
+    val floors = Map("q10" -> 1.41)
+    def run(names: Seq[String], tailSecs: Long): Seq[String] = {
+      var t = 0L
+      val paused = scala.collection.mutable.ArrayBuffer[String]()
+      def rep(name: String, tag: String): (Double, String) = {
+        // the q10 burst reps take 1 s each; the tail query models the
+        // rest of the sweep at a controllable wall cost
+        t += (if (name == "q10_hot") 1L else tailSecs) * 1000000000L
+        if (name == "q10_hot" && !tag.startsWith(" defer")) (6.0, "ok")
+        else (1.6, "ok")
+      }
+      Bench.runSweep(names, rep, only = None, reps = 1, floorsApply = true,
+        floors = floors, pauseBeforeDeferred = paused += _, now = () => t)
+      paused.toSeq
+    }
+    // 60 s of sweep between q10's reps and its deferred rerun: no pause
+    assert(run(Seq("q10_hot", "q99_tail"), tailSecs = 60L) === Nil)
+    // near-last with a sub-second successor: gap ~0, pause fires
+    assert(run(Seq("q10_hot", "q99_tail"), tailSecs = 0L) === Seq("q10_hot"))
+    // literally last: gap 0, pause fires
+    assert(run(Seq("q10_hot"), tailSecs = 0L) === Seq("q10_hot"))
   }
 
   test("runSweep: majority-failed retry gets the deferred second chance") {

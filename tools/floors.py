@@ -157,6 +157,13 @@ def main():
         raise SystemExit(__doc__)
     argv, seeds = split_flag(argv, "--seed")
     argv, scaled_seeds = split_flag(argv, "--scaled-seed")
+    # split_flag pops only the FIRST occurrence; a repeated flag (or a
+    # typo'd one) must fail loudly, not be opened as a gate artifact
+    stray = [a for a in argv if a.startswith("--") and a != "--from-artifacts"]
+    if stray:
+        raise SystemExit(f"unexpected/repeated flag(s): {stray} — pass each "
+                         f"of --seed/--scaled-seed at most once, with all "
+                         f"its files after it")
     if argv == ["--from-artifacts"]:
         gates = from_artifacts_args()
         if seeds:

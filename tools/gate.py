@@ -34,7 +34,11 @@ def main():
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         t = os.path.basename(p)[:-len(".parquet")]
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        # a corpus table may be a single parquet file (driver testdata,
+        # duckdb-derived corpora) or a Spark-written DIRECTORY of part
+        # files (graft.ScaleCorpus) — read both
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     bad = 0
     for qdir in sorted(glob.glob(os.path.join(out_dir, "q*"))):

@@ -8,6 +8,12 @@ committed gates never see).
 
 Usage: python3 tools/r11/derive.py [outDir]   (default /tmp/sf1d)
 
+SUPERSEDED (round 14): `graft.ScaleCorpus` is the single source of
+truth for this derivation now — the official bench self-upgrades to
+its corpus and tools/scale_gate.py ensures the same one. This file
+stays as the r11-r13 historical tool; keep its offsets in sync with
+ScaleCorpus.Remap if it is ever used again.
+
 Id offsets preserve every modular contract the queries rely on:
   - doc_id offset is a multiple of 20  (q49/q104/q108/q112's
     doc_id % 20 == 0 benchmark slice keeps its 5% share per replica)

@@ -7,8 +7,13 @@ that sf0.1 never surfaces, so it must be a standing, one-command gate
 rather than a per-round hand-assembled pipeline. This wires together the
 reviewed pieces — it adds no logic of its own:
 
-  1. derive the ~10x corpus (tools/r11/derive.py) — REUSED if every
-     table is already present at --corpus
+  1. ensure the ~10x corpus via `graft.ScaleCorpus` — the SAME
+     derivation (and, by default, the same directory) the official
+     bench self-upgrades to, so correctness evidence and bench floors
+     describe one dataset (round-14 review: the old split — duckdb
+     derive.py for correctness, ScaleCorpus for timing — duplicated
+     the offset rules with nothing asserting parity). ScaleCorpus's
+     fingerprint marker decides reuse vs re-derivation.
   2. full oracle gate there: `sbt "runMain graft.Verify <corpus> <out>"`
      then tools/gate.py (DuckDB driver-compare replication)
   3. bench at sf0.1 and at the corpus, same session config
@@ -34,8 +39,6 @@ import sys
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 SF01 = "/root/testdata/sf0.1"
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
 
 
 def run(cmd, **kw):
@@ -44,18 +47,13 @@ def run(cmd, **kw):
 
 
 def ensure_corpus(corpus: str) -> str:
-    have = [t for t in TABLES
-            if (pathlib.Path(corpus) / f"{t}.parquet").exists()]
-    if len(have) == len(TABLES):
-        print(f"[scale_gate] reusing derived corpus at {corpus}")
-        return "reused"
-    if have:
-        print(f"[scale_gate] partial corpus at {corpus} "
-              f"({len(have)}/{len(TABLES)} tables) — re-deriving")
-    r = run([sys.executable, "tools/r11/derive.py", corpus])
+    # graft.ScaleCorpus reuses a marker-valid corpus and (re)derives
+    # otherwise — single source of truth for the derivation rules
+    r = run(["sbt", "-batch",
+             f"runMain graft.ScaleCorpus {SF01} {corpus}"])
     if r.returncode != 0:
-        raise SystemExit("derive failed")
-    return "derived"
+        raise SystemExit("ScaleCorpus derivation failed")
+    return "ensured via graft.ScaleCorpus (marker decides reuse)"
 
 
 def gate(corpus: str, report: pathlib.Path) -> int:
@@ -91,7 +89,9 @@ def bench(sf_dir: str, dest: pathlib.Path) -> None:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--corpus", default="/tmp/sf1d")
+    # default = ScaleCorpus.defaultDir: the corpus the official bench
+    # self-upgrades to, so one directory serves both gates
+    ap.add_argument("--corpus", default="/tmp/graft_sf1d")
     ap.add_argument("--report", default=str(ROOT / "tools/scale_gate_out"))
     ap.add_argument("--skip-bench", action="store_true",
                     help="correctness gate only (no perf ratio table)")
