@@ -442,15 +442,15 @@ object Bench {
     // the scaled block too — keying off the upgrade path alone would
     // arm sf0.1 minima against 10x timings under SPARK_GRAFT_FLOORS=on
     // (the mass-rerun failure the per-corpus split exists to prevent)
+    val corpusBase = new java.io.File(sfDir).getName
     val scaledCorpus = scaledFrom.isDefined ||
-      new java.io.File(sfDir).getName ==
-        new java.io.File(ScaleCorpus.defaultDir).getName
+      corpusBase == new java.io.File(ScaleCorpus.defaultDir).getName
     val floors = if (scaledCorpus) expectedScaled else expected
     val floorsApply = sys.env.get("SPARK_GRAFT_FLOORS") match {
       case Some("on") => true
       case Some("off") => false
       case _ => (scaledCorpus && floors.nonEmpty) ||
-        (!scaledCorpus && new java.io.File(sfDir).getName == "sf0.1")
+        (!scaledCorpus && corpusBase == "sf0.1")
     }
     if (!floorsApply)
       System.err.println(s"[bench] floors INACTIVE for $sfDir (not an " +

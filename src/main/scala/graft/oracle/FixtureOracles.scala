@@ -1191,25 +1191,31 @@ object FixtureOracles {
     * others (including pre-round-14 dirs named without the `_b` leg)
     * before publishing the current one.
     */
-  private def evictOtherByteVariants(name: String, key: (Long, Long),
-      bytes: Long): Unit = {
-    val prefix = s"graft_${Version}_${name}_${key._1}_${key._2}"
-    val keep = embFixtureDir(name, key, bytes).getFileName.toString
+  /** Delete every tmpRoot entry matching `pred` — shared by the
+    * byte-variant eviction and the age-scoped sweep. Best-effort: a
+    * listing/permission failure never fails a derivation.
+    */
+  private def sweepTmp(pred: Path => Boolean): Unit =
     try {
       val listing = Files.list(tmpRoot)
       try {
         import scala.jdk.CollectionConverters._
-        listing.iterator().asScala
-          .filter { p =>
-            val n = p.getFileName.toString
-            // exact old-format dir, or a _b-suffixed byte variant — NOT
-            // a different content key that happens to extend this one
-            // textually (key (n, 400) vs (n, 4001))
-            (n == prefix || n.startsWith(prefix + "_b")) && n != keep
-          }
+        listing.iterator().asScala.filter(pred)
           .toSeq.foreach(graft.Fs.deleteTree)
       } finally listing.close()
     } catch { case _: Throwable => () }
+
+  private def evictOtherByteVariants(name: String, key: (Long, Long),
+      bytes: Long): Unit = {
+    val prefix = s"graft_${Version}_${name}_${key._1}_${key._2}"
+    val keep = embFixtureDir(name, key, bytes).getFileName.toString
+    sweepTmp { p =>
+      val n = p.getFileName.toString
+      // exact old-format dir, or a _b-suffixed byte variant — NOT a
+      // different content key that happens to extend this one
+      // textually (key (n, 400) vs (n, 4001))
+      (n == prefix || n.startsWith(prefix + "_b")) && n != keep
+    }
   }
 
   /** Stage + atomic publish (the SyntheticTraffic pattern): a concurrent
@@ -1328,23 +1334,15 @@ object FixtureOracles {
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
       catch { case _: Throwable => () }
     }
-    try {
-      val cutoff = System.currentTimeMillis() - 60 * 60 * 1000L
-      val current = needed.map(_.getFileName.toString).toSet
-      val listing = Files.list(tmpRoot)
-      try {
-        import scala.jdk.CollectionConverters._
-        listing.iterator().asScala
-          .filter { p =>
-            val n = p.getFileName.toString
-            (n.startsWith("graft_fx") || n.startsWith(s".tmp_graft_fx")) &&
-              !current(n) &&
-              (try Files.getLastModifiedTime(p).toMillis < cutoff
-               catch { case _: Throwable => false })
-          }
-          .toSeq.foreach(graft.Fs.deleteTree)
-      } finally listing.close()
-    } catch { case _: Throwable => () }
+    val cutoff = System.currentTimeMillis() - 60 * 60 * 1000L
+    val current = needed.map(_.getFileName.toString).toSet
+    sweepTmp { p =>
+      val n = p.getFileName.toString
+      (n.startsWith("graft_fx") || n.startsWith(s".tmp_graft_fx")) &&
+        !current(n) &&
+        (try Files.getLastModifiedTime(p).toMillis < cutoff
+         catch { case _: Throwable => false })
+    }
   }
 
   /** DuckDB side: glob over every published fixture set for the query,
