@@ -9,6 +9,17 @@ import org.apache.spark.sql.SparkSession
   * rounds 1/2 produced `"parsed": null` because sbt's logger prefixed the
   * stdout line (fixed via `run / outputStrategy` in build.sbt).
   *
+  * Scale (round 14): pointed at the sf0.1 corpus, the sweep
+  * SELF-UPGRADES to the derived 10x corpus ([[ScaleCorpus]]) and grades
+  * against the SCALED floor block — at sf0.1 most queries run
+  * sub-second, where timer jitter/JIT/steal dominate the 2x rule
+  * (three rounds of noise adjudication proved it). SPARK_GRAFT_SCALE
+  * =off pins the requested corpus; a derivation failure falls back to
+  * it loudly and the JSON line records which corpus ran ("sf" +
+  * "scaled_from"). A quiet-window preflight ([[quietStart]]) delays
+  * the first timed query while the host is being robbed, bounded,
+  * then proceeds with "contended_start":true.
+  *
   * Each query is fully materialized through the `noop` sink: `count()` lets
   * Catalyst prune the plan to the aggregated columns only, which under-times
   * wide projections. Failures are recorded per-query (`"status"`) instead of
