@@ -1209,13 +1209,29 @@ object FixtureOracles {
       bytes: Long): Unit = {
     val prefix = s"graft_${Version}_${name}_${key._1}_${key._2}"
     val keep = embFixtureDir(name, key, bytes).getFileName.toString
-    sweepTmp { p =>
+    // exact old-format dir, or a _b-suffixed byte variant — NOT a
+    // different content key that happens to extend this one textually
+    // (key (n, 400) vs (n, 4001))
+    def other(p: Path): Boolean = {
       val n = p.getFileName.toString
-      // exact old-format dir, or a _b-suffixed byte variant — NOT a
-      // different content key that happens to extend this one
-      // textually (key (n, 400) vs (n, 4001))
       (n == prefix || n.startsWith(prefix + "_b")) && n != keep
     }
+    sweepTmp(other)
+    // this eviction enforces a CORRECTNESS invariant (the oracle SQL
+    // globs name_* and keys only on content, so at most one byte
+    // variant may exist) — unlike the best-effort age sweep, a
+    // survivor must be loud, or the duplicated-rows gate mismatch it
+    // causes has nothing in stderr pointing at the stale dir
+    try {
+      val listing = Files.list(tmpRoot)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.filter(other).foreach(p =>
+          System.err.println(s"[fixtures] WARNING: stale byte-variant " +
+            s"$p survived eviction - the $name oracle will see duplicated " +
+            "rows until it is removed"))
+      } finally listing.close()
+    } catch { case _: Throwable => () }
   }
 
   /** Stage + atomic publish (the SyntheticTraffic pattern): a concurrent
@@ -1297,14 +1313,16 @@ object FixtureOracles {
       publish(keyed(deriveQ58(rows.map(_._1)).toDF("kind", "a", "b", "hamming")),
         fixtureDir("q58_media_neardup", key))
     }
+    // evict BEFORE the existence check, not inside the derivation
+    // branch: if an interrupted/interleaved earlier run left both byte
+    // variants published, the current variant exists, the derivation
+    // branch is skipped, and a derivation-scoped eviction would never
+    // run again — the state must self-heal on the next ensure()
+    BytesSensitive.foreach(n => evictOtherByteVariants(n, embKey, embBytes))
     if (!embFixtures.forall(Files.exists(_))) {
       require(embKey._1 <= MaxDocs,
         s"fixture oracles are gate-scale machinery: embeddings has ${embKey._1} " +
           s"rows (max $MaxDocs) — not derived at bench scale by design")
-      // the oracle SQL globs name_* and keys only on content: a
-      // same-content fixture derived under a DIFFERENT byte count must
-      // not survive alongside the current one
-      BytesSensitive.foreach(n => evictOtherByteVariants(n, embKey, embBytes))
       val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
         .collect().toSeq.sortBy(_._1)

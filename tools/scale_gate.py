@@ -22,8 +22,14 @@ reviewed pieces — it adds no logic of its own:
   5. write the SCALE.md report (gate verdict + full ratio table)
 
 Usage:
-  python3 tools/scale_gate.py [--corpus /tmp/sf1d] [--report DIR]
+  python3 tools/scale_gate.py [--corpus /tmp/graft_sf1d] [--report DIR]
                               [--skip-bench]
+
+Keep the default --corpus unless you have a reason: it is
+ScaleCorpus.defaultDir, the directory the official bench self-upgrades
+to, and its basename is what tools/floors.py uses to route a run's
+times into the SCALED floor block. A differently-named corpus benches
+with floors inactive and its artifacts route to the wrong block.
 
 Exit 0 only when the gate is 112/112 and no query is super-linear.
 Artifacts land in --report (default tools/scale_gate_out/):
