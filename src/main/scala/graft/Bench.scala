@@ -360,10 +360,22 @@ object Bench {
         s"foreign JVM/sbt process(es) live (pids ${foreignAtStart.mkString(",")})" +
         " - timings may be contaminated; bench-measurement discipline says" +
         " no concurrent JVMs during gate runs")
-    val spark = Sessions.tune(SparkSession.builder()
+    // Scan-stage split size (A/B knob, round 14): hypothesis was that
+    // Spark's 128 MB default leaves cores idle on the few-hundred-MB
+    // grading corpus. MEASURED WRONG same round (3-rep A/B, one quiet
+    // window, 8 MB vs default on q03/q31/q37/q39/q58/q65/q75/q95):
+    // finer splits were a wash to 13% SLOWER — the default already
+    // byte-range-splits large files, and 2x100 MB columnar scans are
+    // not the bottleneck while finer tasks add scheduling/open cost.
+    // Default stays Spark's; the knob remains for future A/Bs.
+    val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "")
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")
+    val spark = Sessions.tune(
+      if (maxPart.nonEmpty) b0.config("spark.sql.files.maxPartitionBytes", maxPart)
+      else b0)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     quietRddWarnings()
