@@ -92,6 +92,93 @@ object Dedup {
       .distinct()
   }
 
+  /** Payload-carrying, exactly-once banded candidate pairs — the
+    * high-duplication-rate complement to [[bucketPairs]].
+    *
+    * [[bucketPairs]] keeps payloads out of the shuffle and dedups pairs
+    * with `distinct()`, which is the right shape when duplication is low
+    * (pairs ≪ docs, the join-back is a broadcast). On a heavily
+    * duplicated corpus the pair stream dwarfs the corpus — every pair
+    * appears once per matching band, so the `distinct()` input is
+    * bands × |pairs| rows, and the est-similarity join-back shuffles the
+    * signature table once per side. Measured at the 100x probe corpus
+    * (100 exact copies per doc): 104.7M pre-distinct rows for 27M pairs,
+    * with distinct + join-back at 34.5 s of q31's 43.5 s wall.
+    *
+    * This variant instead:
+    *   1. computes per-band bucket keys once per doc (`bandKeys`, over
+    *      the payload columns of `perDoc`);
+    *   2. runs the NARROW (id, band, bucket) cap pass exactly like
+    *      [[bucketPairs]] (Σ|b|² ≤ cap·Σ|b| stays the fan-out bound) and
+    *      folds the surviving bands of each doc into one bitmask —
+    *      a doc-keyed agg co-partitioned with `perDoc`;
+    *   3. ships payload + band-key array + bitmask through ONE
+    *      (band, bucket) exchange — linear in docs × bands, never in
+    *      pairs — with twin self-join sides sharing the exchange
+    *      (ReuseExchange, audited by PlanAuditSpec);
+    *   4. emits each pair ONLY in its first surviving matching band:
+    *      in-row, band b' < b matched iff the two band keys agree AND
+    *      bit b' of the (shared) survival mask is set — so the output is
+    *      exactly one row per qualifying pair, no `distinct()`, and the
+    *      caller computes the verification measure (est-Jaccard, cosine)
+    *      from the in-row payloads, no join-back.
+    *
+    * The emitted pair SET is identical to
+    * `bucketPairs(banded, keys, cap)`: a pair qualifies iff some band
+    * puts both ids in one surviving (size 2..cap) bucket, and the
+    * first such band emits it exactly once. Size-1 buckets are excluded
+    * from the mask like the `bsz >= 2` filter — they cannot hold a pair,
+    * and a shared bucket always has size ≥ 2, so the mask bit is
+    * well-defined whenever the key-equality guard consults it.
+    *
+    * Output columns: `a`, `b` (idCol values, a < b) and `a_<p>` /
+    * `b_<p>` for every payload column `p`. `extraKeys` (e.g. q66's
+    * coarse cluster) are per-doc blocking columns folded into every
+    * bucket key.
+    */
+  private[ops] def pairsOnce(perDoc: DataFrame, idCol: String,
+                             bandKeys: Seq[Column], cap: Int,
+                             payload: Seq[String],
+                             extraKeys: Seq[String] = Nil): DataFrame = {
+    val nb = bandKeys.length
+    require(nb >= 1 && nb <= 62, s"pairsOnce: $nb bands won't fit a long mask")
+    def bit(band: Column): Column = call_function("shiftleft", lit(1L), band)
+    val withKeys = perDoc.withColumn("_bkeys", array(bandKeys: _*))
+    val gk = extraKeys ++ Seq("_band", "_bucket")
+    // narrow cap pass: payloads stay OUT of the counting shuffle
+    val narrow = withKeys.select(
+      col(idCol) +: extraKeys.map(col) :+
+        posexplode(col("_bkeys")).as(Seq("_band", "_bucket")): _*)
+    val small = narrow.groupBy(gk.map(col): _*)
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz").between(2, cap))
+      .select(gk.map(col): _*)
+    // surviving bands of each doc, as a bitmask — one row per (doc, band)
+    // reaches the agg, so the sum is a union of distinct bits
+    val bits = narrow.join(small, gk)
+      .groupBy(col(idCol)).agg(sum(bit(col("_band"))).as("_bits"))
+    // docs with no surviving band drop here (inner join) — they cannot pair
+    val banded = withKeys.join(bits, idCol)
+      .select(col(idCol) +: (extraKeys ++ payload).map(col) :+
+        col("_bkeys") :+ col("_bits") :+
+        posexplode(col("_bkeys")).as(Seq("_band", "_bucket")): _*)
+      .filter(col("_bits").bitwiseAND(bit(col("_band"))) =!= 0)
+    def side(p: String) = banded.select(
+      col(idCol).as(p) +: payload.map(c => col(c).as(s"${p}_$c")) ++:
+        extraKeys.map(col) :+ col("_bkeys").as(s"${p}_bkeys") :+
+        col("_bits").as(s"${p}_bits") :+ col("_band") :+ col("_bucket"): _*)
+    val joined = side("a").join(side("b"), gk).where(col("a") < col("b"))
+    // first-surviving-matching-band emission; key equality at b' implies
+    // one shared bucket, so a's survival bit speaks for both
+    val once = (0 until nb - 1).map { bp =>
+      col("_band") > bp &&
+        element_at(col("a_bkeys"), bp + 1) === element_at(col("b_bkeys"), bp + 1) &&
+        (col("a_bits").bitwiseAND(lit(1L << bp)) =!= 0)
+    }.reduceOption(_ || _).map(e => joined.where(!e)).getOrElse(joined)
+    once.select(col("a") +: col("b") +:
+      payload.flatMap(c => Seq(col(s"a_$c"), col(s"b_$c"))): _*)
+  }
+
   /** Connected components over a near-dup pair list by min-label
     * propagation, the step that turns candidate PAIRS into the actual
     * dedup decision: every doc in a component maps to the component's
@@ -245,16 +332,19 @@ object Dedup {
       exactSurvivors(Tables.documents(s, dir))
         .select(col("doc_id"), col("n_copies"))),
 
-    // MinHash + LSH near-dup pairs. Signature arrays stay out of the
-    // (band, bucket) shuffle: only (bucket-key, doc_id) rows shuffle, pairs
-    // are generated in-group, and signatures are joined back just for the
-    // surviving candidates.
+    // MinHash + LSH near-dup pairs.
     // Fully relational: explode grams, hash each ONCE, then 16 `min`
     // aggregates (codegen'd hash-aggregate with map-side combine). The
     // earlier array-HOF form re-evaluated the shingle array per minhash
     // column — higher-order functions are CodegenFallback and
     // CollapseProject inlines them into every consumer, so the plan
     // re-tokenized each doc ~20x.
+    // Pair generation is [[pairsOnce]] with the 16 minima as in-row
+    // payload: est_jaccard is computed at emission, so the pair stream —
+    // quadratic in a dup group's copy count by DESIGN (it is the
+    // operator's output) — never feeds a distinct() or a signature
+    // join-back. The round-14 probe corpus (100 copies/doc) spent 34.5 s
+    // of q31's 43.5 s in exactly those two pair-scale stages.
     "q31_dedup_minhash" -> ((s, dir) => {
       val hashed = Tables.documents(s, dir)
         .select(col("doc_id"), explode(array_distinct(
@@ -263,23 +353,20 @@ object Dedup {
       val minCols = (0 until NumHashes).map(i =>
         min(pmod(col("h") * permMul(i), lit(P))).as(s"m$i"))
       // one row per doc, 17 longs — materialized once ([[Materialize]])
-      // because three consumers (banding + both join sides) would otherwise
-      // each replay the whole gram pipeline (measured: relying on
-      // ReuseExchange instead is ~35% slower here — AQE replans the
-      // consumers independently and the reuse doesn't reliably fire)
+      // because multiple consumers (the narrow cap pass + the payload
+      // banding) would otherwise each replay the whole gram pipeline
+      // (measured: relying on ReuseExchange instead is ~35% slower here —
+      // AQE replans the consumers independently and the reuse doesn't
+      // reliably fire)
       val sigs = Materialize(
         hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*))
       val bandKeys = (0 until NumHashes / BandRows).map(b =>
         hash((b * BandRows until (b + 1) * BandRows).map(i => col(s"m$i")): _*))
-      val banded = sigs.select(col("doc_id"),
-        posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
-      val pairs = bucketPairs(banded, Seq("band", "bucket"), BucketCap)
-      def side(n: String) = sigs.select(
-        col("doc_id").as(n) +: (0 until NumHashes).map(i => col(s"m$i").as(s"$n$i")): _*)
-      pairs.join(side("a"), "a").join(side("b"), "b")
+      pairsOnce(sigs, "doc_id", bandKeys, BucketCap,
+          payload = (0 until NumHashes).map(i => s"m$i"))
         .withColumn("est_jaccard",
           (0 until NumHashes).map(i =>
-            when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+            when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
             .reduce(_ + _).cast("double") / NumHashes)
         .filter(col("est_jaccard") >= 0.5)
         .select(col("a"), col("b"), col("est_jaccard"))

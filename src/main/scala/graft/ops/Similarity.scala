@@ -341,21 +341,23 @@ object Similarity {
     // per consumer, and it is the kernel this operator exists to amortize
     val assigned = Materialize(assignClusters(s, e, bc))
     val bits = lshBitsFor(math.max(1L, n / math.max(1, cents.length)))
-    // (doc_id, band, cluster, bucket): like q34's banding with the cluster
-    // folded into the blocking key; all three consumers of the banded
-    // frame share the exchange (ReuseExchange — the bucketPairs note)
-    val banded = assigned.select(col("vec_id").as("doc_id"),
-      col("bucket").as("cluster"),
-      posexplode(array((0 until NeardupBands).map(b =>
-        lshBucket(col("embedding"), bits, BandSeed + b)): _*))
-        .as(Seq("band", "lsh")))
-    val pairs = Dedup.bucketPairs(banded, Seq("band", "cluster", "lsh"),
-      NeardupBucketCap)
-    val emb = e.select(col("vec_id"), col("embedding"))
+    // (band, cluster, lsh) blocking — q34's banding with the coarse
+    // cluster folded into the key — via the payload-carrying
+    // [[Dedup.pairsOnce]]: the embedding rides the ONE (band, bucket)
+    // exchange (bands × vecs rows, linear in the corpus), cosine is
+    // computed at pair emission, and no pair-scale distinct() or
+    // embedding join-back exists. On the round-14 probe corpus (100
+    // copies/vec) the old join-back shape shuffled the pair stream —
+    // quadratic in the copy count — three times; this shape's only
+    // pair-scale work is the top-100 TakeOrdered.
+    val pairs = Dedup.pairsOnce(
+      assigned.withColumnRenamed("bucket", "cluster"), "vec_id",
+      (0 until NeardupBands).map(b =>
+        lshBucket(col("embedding"), bits, BandSeed + b)),
+      NeardupBucketCap, payload = Seq("embedding"),
+      extraKeys = Seq("cluster"))
     pairs
-      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
-      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
-      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .withColumn("cos", cosine(col("a_embedding"), col("b_embedding")))
       .orderBy(col("cos").desc, col("a").asc, col("b").asc)
       .limit(100)
       .select(col("a"), col("b"), col("cos"))
