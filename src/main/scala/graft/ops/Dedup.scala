@@ -339,12 +339,17 @@ object Dedup {
     // column — higher-order functions are CodegenFallback and
     // CollapseProject inlines them into every consumer, so the plan
     // re-tokenized each doc ~20x.
-    // Pair generation is [[pairsOnce]] with the 16 minima as in-row
-    // payload: est_jaccard is computed at emission, so the pair stream —
-    // quadratic in a dup group's copy count by DESIGN (it is the
+    // Pair generation is [[pairsOnce]] with the 16 minima PACKED into one
+    // array<long> payload column: est_jaccard is computed at emission by
+    // the fused [[graft.functions.LongArrayMatches]] loop, so the pair
+    // stream — quadratic in a dup group's copy count by DESIGN (it is the
     // operator's output) — never feeds a distinct() or a signature
     // join-back. The round-14 probe corpus (100 copies/doc) spent 34.5 s
-    // of q31's 43.5 s in exactly those two pair-scale stages.
+    // of q31's 43.5 s in exactly those two pair-scale stages; round 15's
+    // UNPACKED payload (16 scalar columns per side, est as a 16-term
+    // when-chain) then cost 13-17 s of per-row evaluation at the official
+    // 10× gate (7.5× floor) — the q66 lesson applied here: one array
+    // value through the exchange, one codegen'd primitive loop per pair.
     "q31_dedup_minhash" -> ((s, dir) => {
       val hashed = Tables.documents(s, dir)
         .select(col("doc_id"), explode(array_distinct(
@@ -362,12 +367,16 @@ object Dedup {
         hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*))
       val bandKeys = (0 until NumHashes / BandRows).map(b =>
         hash((b * BandRows until (b + 1) * BandRows).map(i => col(s"m$i")): _*))
-      pairsOnce(sigs, "doc_id", bandKeys, BucketCap,
-          payload = (0 until NumHashes).map(i => s"m$i"))
+      // the m columns stay visible for the band keys; Catalyst prunes
+      // them right after `_bkeys`/`sig` are computed, so only the packed
+      // array rides the exchange
+      val packed = sigs.withColumn("sig",
+        array((0 until NumHashes).map(i => col(s"m$i")): _*))
+      pairsOnce(packed, "doc_id", bandKeys, BucketCap, payload = Seq("sig"))
         .withColumn("est_jaccard",
-          (0 until NumHashes).map(i =>
-            when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
-            .reduce(_ + _).cast("double") / NumHashes)
+          graft.functions.VectorFunctions
+            .longArrayMatches(col("a_sig"), col("b_sig"))
+            .cast("double") / NumHashes)
         .filter(col("est_jaccard") >= 0.5)
         .select(col("a"), col("b"), col("est_jaccard"))
     }),
