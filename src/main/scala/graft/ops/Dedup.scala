@@ -115,7 +115,8 @@ object Dedup {
     *   3. ships payload + band-key array + bitmask through ONE
     *      (band, bucket) exchange — linear in docs × bands, never in
     *      pairs — with twin self-join sides sharing the exchange
-    *      (ReuseExchange, audited by PlanAuditSpec);
+    *      (ReuseExchange, audited by PlanAuditSpec's q31/q66 entries in
+    *      the twin-sides test);
     *   4. emits each pair ONLY in its first surviving matching band:
     *      in-row, band b' < b matched iff the two band keys agree AND
     *      bit b' of the (shared) survival mask is set — so the output is
@@ -124,12 +125,21 @@ object Dedup {
     *      from the in-row payloads, no join-back.
     *
     * The emitted pair SET is identical to
-    * `bucketPairs(banded, keys, cap)`: a pair qualifies iff some band
+    * `bucketPairs(banded, keys, cap)` (differential seeded fuzz:
+    * DedupSpec "pairsOnce ≡ bucketPairs"): a pair qualifies iff some band
     * puts both ids in one surviving (size 2..cap) bucket, and the
     * first such band emits it exactly once. Size-1 buckets are excluded
     * from the mask like the `bsz >= 2` filter — they cannot hold a pair,
     * and a shared bucket always has size ≥ 2, so the mask bit is
     * well-defined whenever the key-equality guard consults it.
+    *
+    * PRECONDITION: band keys and `extraKeys` must be NON-NULL. Unlike
+    * bucketPairs' groupBy (which buckets NULL keys together), the inner
+    * equi-joins here drop NULL-keyed rows silently — a nullable blocking
+    * column would lose pairs, not mis-pair them. Current callers derive
+    * keys from hash()/lshBucket()/cluster ids, all non-null by
+    * construction; a future caller with a nullable blocking column must
+    * coalesce it first.
     *
     * Output columns: `a`, `b` (idCol values, a < b) and `a_<p>` /
     * `b_<p>` for every payload column `p`. `extraKeys` (e.g. q66's

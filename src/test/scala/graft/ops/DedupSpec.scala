@@ -527,4 +527,73 @@ class DedupSpec extends SparkSpec {
     }
     assert(done === 3, s"generator produced only $done usable draws in $draws")
   }
+
+  test("pairsOnce ≡ bucketPairs: same pair SET, exactly-once, payload intact (seeded fuzz)") {
+    // the docstring's contract, as a differential test: for random
+    // multi-band bucket assignments, pairsOnce's emitted pairs must equal
+    // (1) brute force — every pair sharing some size-2..cap band bucket —
+    // and (2) bucketPairs over the equivalent exploded banded frame; each
+    // pair exactly ONCE even when several bands qualify it (the
+    // first-surviving-matching-band rule), with both sides' payload
+    // columns carrying the right per-doc values. Draws are only graded
+    // when they exercise the interesting branches: an over-cap bucket, a
+    // size-1 bucket, and at least one pair qualified by >= 2 bands.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(4242)
+    var done = 0
+    var draws = 0
+    while (done < 3 && draws < 30) {
+      draws += 1
+      val nb = 1 + rnd.nextInt(4)        // 1..4 bands (1 = no once-filter)
+      val cap = 2 + rnd.nextInt(4)       // 2..5
+      val nDocs = 25 + rnd.nextInt(30)
+      val nBuckets = 4 + rnd.nextInt(8)  // few buckets -> collisions + over-cap
+      // rows: (doc_id, payload, k0..k{nb-1})
+      val rows = (0 until nDocs).map { d =>
+        (d.toLong, rnd.nextLong(), (0 until nb).map(_ => rnd.nextInt(nBuckets)))
+      }
+      // brute-force reference: per band, buckets of size 2..cap emit all pairs
+      val perBand = (0 until nb).map { b =>
+        rows.groupBy(_._3(b)).values.collect {
+          case ds if ds.size >= 2 && ds.size <= cap =>
+            val ids = ds.map(_._1).sorted
+            for (i <- ids.indices; j <- i + 1 until ids.size)
+              yield (ids(i), ids(j))
+        }.flatten.toSet
+      }
+      val expect = perBand.reduce(_ ++ _)
+      val bandSizes = (0 until nb).flatMap(b => rows.groupBy(_._3(b)).values.map(_.size))
+      val multiBand = nb >= 2 && perBand.combinations(2).exists(p => (p(0) & p(1)).nonEmpty)
+      if (expect.nonEmpty && bandSizes.exists(_ > cap) && bandSizes.contains(1) &&
+          (nb == 1 || multiBand)) {
+        done += 1
+        val perDoc = rows.map { case (d, p, ks) =>
+          (d, p, ks.lift(0).getOrElse(0), ks.lift(1).getOrElse(0),
+            ks.lift(2).getOrElse(0), ks.lift(3).getOrElse(0))
+        }.toDF("doc_id", "p", "k0", "k1", "k2", "k3")
+        val bandKeys = (0 until nb).map(i => col(s"k$i"))
+        val got = Dedup.pairsOnce(perDoc, "doc_id", bandKeys, cap, payload = Seq("p"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        val gotPairs = got.map(r => (r._1, r._2))
+        assert(gotPairs.toSet === expect, s"draw $draws nb=$nb cap=$cap: wrong pair set")
+        assert(gotPairs.size === gotPairs.distinct.size,
+          s"draw $draws nb=$nb cap=$cap: a pair emitted more than once")
+        val payloadOf = rows.map(r => r._1 -> r._2).toMap
+        got.foreach { case (a, b, pa, pb) =>
+          assert(a < b, s"draw $draws: unordered pair ($a,$b)")
+          assert(pa === payloadOf(a) && pb === payloadOf(b),
+            s"draw $draws: payload mismatch on ($a,$b)")
+        }
+        // the docstring's set-identity claim vs bucketPairs itself
+        val banded = rows.flatMap { case (d, _, ks) =>
+          ks.zipWithIndex.map { case (k, b) => (d, b, k) }
+        }.toDF("doc_id", "band", "bucket")
+        val bp = Dedup.bucketPairs(banded, Seq("band", "bucket"), cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(gotPairs.toSet === bp, s"draw $draws nb=$nb cap=$cap: diverges from bucketPairs")
+      }
+    }
+    assert(done === 3, s"generator produced only $done usable draws in $draws")
+  }
 }

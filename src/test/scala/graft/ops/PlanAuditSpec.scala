@@ -280,13 +280,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
   }
 
-  test("q31/q32/q34: bucketPairs' twin join subtrees share one exchange") {
-    // bucketPairs relies on exchange reuse (not a checkpoint) to avoid
-    // executing the full signature pipeline once per join side; if reuse
-    // silently stops firing (AQE replanning, canonicalization drift) the
-    // upstream pipeline runs twice. Execute and inspect the FINAL adaptive
-    // plan — reuse under AQE materializes at runtime.
-    for (q <- Seq("q31_dedup_minhash", "q32_dedup_simhash", "q34_embed_neardup")) {
+  test("q31/q32/q34/q66: twin self-join sides share one exchange (bucketPairs AND pairsOnce)") {
+    // both candidate generators rely on exchange reuse (not a checkpoint)
+    // to avoid executing the full signature pipeline once per join side:
+    // bucketPairs' narrow (band, bucket) twins (q32/q34) and pairsOnce's
+    // payload-carrying banded twins (q31/q66 — the docstring's "twin
+    // self-join sides sharing the exchange" claim, audited here). If
+    // reuse silently stops firing (AQE replanning, canonicalization
+    // drift) the upstream pipeline runs twice. Execute and inspect the
+    // FINAL adaptive plan — reuse under AQE materializes at runtime.
+    for (q <- Seq("q31_dedup_minhash", "q32_dedup_simhash",
+                  "q34_embed_neardup", "q66_semdedup")) {
       val df = graft.SparkEntry.queries(q)(spark, sf)
       df.collect() // executes THIS QueryExecution, finalizing the AQE plan
       val p = df.queryExecution.executedPlan.toString
