@@ -37,9 +37,22 @@ import org.apache.spark.sql.functions._
   *
   * Reuse is decided by a marker file carrying a fingerprint of the
   * SOURCE corpus (file sizes — the testdata is read-only, so size
-  * identity is a faithful proxy) plus the derivation version: a
-  * half-written corpus (crash mid-derive) never carries a valid
-  * marker because the marker is deleted first and rewritten last.
+  * identity is a faithful proxy) plus the derivation version, PLUS the
+  * derived tables' own file-count/byte totals: `ready` recomputes the
+  * derived stats from the live directory, so a corpus corrupted AFTER
+  * marker creation (partial deletion inside a table dir, disk-full
+  * truncation) fails the check and re-derives instead of being reused
+  * indefinitely (v1 only checked marker text + dir existence).
+  *
+  * Derivation writes into a UUID-suffixed sibling STAGING directory and
+  * publishes with one atomic rename (the FixtureOracles.publish
+  * pattern): a crash mid-derive leaves the previous corpus untouched
+  * and only staging garbage behind, and two JVMs racing the derivation
+  * (Bench's self-upgrade vs tools/scale_gate.py) can no longer
+  * interleave overwrite-mode writes into the same table dirs — the
+  * loser of the publish race discards its staging copy (identical
+  * content by construction, so losing is benign).
+  *
   * All id columns are int64 in the source parquet, so `col + lit`
   * with Long offsets preserves the schema exactly.
   */
@@ -48,9 +61,17 @@ object ScaleCorpus {
   /** Bump when the derivation rules change: a stale corpus then fails
     * the marker check and re-derives, instead of silently timing a
     * different dataset than the floors were evidenced on.
+    * v2: marker carries derived-table stats (content verification).
     */
-  val Version = "graft-scale-v1"
+  val Version = "graft-scale-v2"
 
+  /** Default replica count (the official ~10x gate corpus). Every
+    * entry point takes an explicit `replicas` so probe corpora at
+    * other scales (e.g. 100 for the ~sf10 linearity/oracle probes)
+    * derive through the SAME rules and marker protocol; the offsets
+    * are per-replica multiples, so any count that keeps
+    * `max(id) < offset` per table (asserted in [[derive]]) is safe.
+    */
   val Replicas = 10
 
   /** Dimension tables: copied through unchanged. */
@@ -85,48 +106,121 @@ object ScaleCorpus {
     * each source table's file size. Pure file metadata — the readiness
     * check must not need a Spark job.
     */
-  def fingerprint(srcDir: String): String = {
+  def fingerprint(srcDir: String, replicas: Int = Replicas): String = {
     val sizes = tables.map { t =>
       s"$t:${new File(srcDir, s"$t.parquet").length}"
     }
-    (s"$Version x$Replicas" +: sizes).mkString("\n")
+    (s"$Version x$replicas" +: sizes).mkString("\n")
   }
 
-  /** Is a previously-derived corpus at `outDir` current for `srcDir`?
-    * True iff the marker matches the fingerprint and every table path
-    * still exists (a deleted table dir with a surviving marker must
-    * not pass).
+  /** Data-file count and byte total of one derived table dir — the
+    * marker's content-verification leg. Pure directory listing (no
+    * Spark job); dotfiles (_SUCCESS stays, .crc are dot-prefixed) and
+    * subdirs are ignored the same way on write and re-check.
     */
-  def ready(srcDir: String, outDir: String): Boolean =
+  private def derivedStats(outDir: String, t: String): String = {
+    val fs = Option(new File(outDir, s"$t.parquet").listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+    s"derived:$t:${fs.length}:${fs.map(_.length).sum}"
+  }
+
+  /** Full marker text: source fingerprint + per-derived-table stats.
+    * [[ready]] recomputes this from the live directories, so both a
+    * changed source AND post-derivation corruption invalidate it.
+    */
+  private def markerText(srcDir: String, outDir: String, replicas: Int): String =
+    (fingerprint(srcDir, replicas) +: tables.map(t => derivedStats(outDir, t)))
+      .mkString("\n")
+
+  /** Is a previously-derived corpus at `outDir` current for `srcDir`?
+    * True iff the stored marker equals the recomputed marker text —
+    * which binds the source identity (version, replicas, source sizes)
+    * and the derived content (per-table file counts and byte totals,
+    * re-measured now). A deleted table dir, a missing part file, or a
+    * truncated one all change the recomputed text and fail the check.
+    */
+  def ready(srcDir: String, outDir: String, replicas: Int = Replicas): Boolean =
     try {
       Files.exists(marker(outDir)) &&
         new String(Files.readAllBytes(marker(outDir)), StandardCharsets.UTF_8) ==
-          fingerprint(srcDir) &&
-        tables.forall(t => new File(outDir, s"$t.parquet").exists())
+          markerText(srcDir, outDir, replicas)
     } catch { case _: Throwable => false }
 
-  private def replicate(df: DataFrame, shifts: Seq[(String, Long)]): DataFrame =
-    (0 until Replicas).map { k =>
+  private def replicate(df: DataFrame, shifts: Seq[(String, Long)],
+                        replicas: Int): DataFrame =
+    (0 until replicas).map { k =>
       shifts.foldLeft(df) { case (d, (c, off)) =>
         d.withColumn(c, col(c) + lit(off * k))
       }
     }.reduce(_.unionByName(_))
 
-  /** Derive the corpus (overwriting any stale tables) and stamp the
-    * marker. Marker ordering is the crash-safety: deleted before the
-    * first write, created after the last.
+  /** Derive the corpus into a staging sibling, then publish it with one
+    * atomic rename; stamp the marker (with derived-table stats) INSIDE
+    * staging before the rename, so no observer ever sees a marker
+    * without the exact bytes it describes. Before replicating each fact
+    * table, assert the disjointness precondition against the corpus
+    * actually being derived: every shifted column's max must sit BELOW
+    * its per-replica offset, or replica id ranges would overlap and
+    * silently corrupt every id-keyed contract downstream.
     */
-  def derive(spark: SparkSession, srcDir: String, outDir: String): Unit = {
-    Files.createDirectories(Paths.get(outDir))
-    Files.deleteIfExists(marker(outDir))
-    for (t <- CopyTables)
-      spark.read.parquet(s"$srcDir/$t.parquet")
-        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-    for ((t, shifts) <- Remap)
-      replicate(spark.read.parquet(s"$srcDir/$t.parquet"), shifts)
-        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-    Files.write(marker(outDir),
-      fingerprint(srcDir).getBytes(StandardCharsets.UTF_8))
+  def derive(spark: SparkSession, srcDir: String, outDir: String,
+             replicas: Int = Replicas): Unit = {
+    val out = Paths.get(outDir).toAbsolutePath
+    Files.createDirectories(out.getParent)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = out.resolveSibling(s"${out.getFileName}.staging-$tag")
+    try {
+      Files.createDirectories(staging)
+      for (t <- CopyTables)
+        spark.read.parquet(s"$srcDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$staging/$t.parquet")
+      for ((t, shifts) <- Remap) {
+        val df = spark.read.parquet(s"$srcDir/$t.parquet")
+        val maxes = df.agg(max(col(shifts.head._1)),
+          shifts.tail.map(s => max(col(s._1))): _*).head()
+        shifts.zipWithIndex.foreach { case ((c, off), i) =>
+          val mx = if (maxes.isNullAt(i)) Long.MinValue else maxes.getLong(i)
+          require(mx < off,
+            s"ScaleCorpus: $t.$c max id $mx >= replica offset $off — " +
+              "replicas would collide; raise the offset for this source")
+        }
+        replicate(df, shifts, replicas)
+          .write.mode("overwrite").parquet(s"$staging/$t.parquet")
+      }
+      Files.write(staging.resolve("_GRAFT_SCALE_OK"),
+        markerText(srcDir, staging.toString, replicas)
+          .getBytes(StandardCharsets.UTF_8))
+      publishStaging(staging, out, srcDir, replicas)
+    } catch {
+      case e: Throwable => Fs.deleteTree(staging); throw e
+    }
+  }
+
+  /** Atomic publish of a fully-written staging corpus. Losing a race to
+    * a concurrent deriver is benign — the derivation is deterministic,
+    * so a corpus that is `ready` now has identical content; the loser
+    * just discards its staging copy.
+    */
+  private def publishStaging(staging: java.nio.file.Path,
+      out: java.nio.file.Path, srcDir: String, replicas: Int): Unit = {
+    import java.nio.file.StandardCopyOption.ATOMIC_MOVE
+    if (Files.exists(out)) {
+      if (ready(srcDir, out.toString, replicas)) { Fs.deleteTree(staging); return }
+      val old = out.resolveSibling(s"${out.getFileName}.old-${staging.getFileName.toString.takeRight(8)}")
+      try Files.move(out, old)
+      catch { case e: Throwable =>
+        // someone else just vacated/replaced it; reuse theirs if valid
+        if (ready(srcDir, out.toString, replicas)) { Fs.deleteTree(staging); return }
+        else throw e
+      }
+      Fs.deleteTree(old)
+    }
+    try Files.move(staging, out, ATOMIC_MOVE)
+    catch { case e: Throwable =>
+      if (ready(srcDir, out.toString, replicas)) Fs.deleteTree(staging)
+      else throw e
+    }
   }
 
   /** Reuse the corpus when current, derive it otherwise. Returns true
@@ -134,24 +228,26 @@ object ScaleCorpus {
     * caller logs which, so a gate artifact's stderr records whether
     * derivation time preceded the sweep.
     */
-  def ensure(spark: SparkSession, srcDir: String, outDir: String): Boolean = {
-    val reused = ready(srcDir, outDir)
-    if (!reused) derive(spark, srcDir, outDir)
+  def ensure(spark: SparkSession, srcDir: String, outDir: String,
+             replicas: Int = Replicas): Boolean = {
+    val reused = ready(srcDir, outDir, replicas)
+    if (!reused) derive(spark, srcDir, outDir, replicas)
     reused
   }
 
-  /** Manual CLI: `sbt "runMain graft.ScaleCorpus [srcDir] [outDir]"`. */
+  /** Manual CLI: `sbt "runMain graft.ScaleCorpus [srcDir] [outDir] [replicas]"`. */
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else defaultDir
+    val replicas = if (args.length > 2) args(2).toInt else Replicas
     val spark = Sessions.tune(SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val reused = ensure(spark, srcDir, outDir)
-    println(s"[scale-corpus] ${if (reused) "reused" else "derived"} $outDir from $srcDir")
+    val reused = ensure(spark, srcDir, outDir, replicas)
+    println(s"[scale-corpus] ${if (reused) "reused" else "derived"} $outDir from $srcDir (x$replicas)")
     spark.stop()
   }
 }

@@ -51,7 +51,7 @@ object FixtureOracles {
     * dirs, so stale pre-fix fixtures would otherwise be reused —
     * fx1→fx2: the round6 shortest-decimal fix).
     */
-  private val Version = "fx2"
+  private[oracle] val Version = "fx2"
 
   // ---- operator contracts, restated (see the ops/ scaladoc) ------------
 
@@ -1163,7 +1163,7 @@ object FixtureOracles {
     } finally listing.close()
   }
 
-  private def tmpRoot: Path = Paths.get(sys.props("java.io.tmpdir"))
+  private[oracle] def tmpRoot: Path = Paths.get(sys.props("java.io.tmpdir"))
 
   private def fixtureDir(name: String, key: (Long, Long)): Path =
     tmpRoot.resolve(s"graft_${Version}_${name}_${key._1}_${key._2}")
@@ -1182,7 +1182,7 @@ object FixtureOracles {
     "q34_embed_neardup", "q36_ann_lsh", "q43_ann_ivf",
     "q66_semdedup", "q84_ivfpq")
 
-  private def embFixtureDir(name: String, key: (Long, Long), bytes: Long): Path =
+  private[oracle] def embFixtureDir(name: String, key: (Long, Long), bytes: Long): Path =
     tmpRoot.resolve(s"graft_${Version}_${name}_${key._1}_${key._2}_b$bytes")
 
   /** The oracle SQL globs `name_*` and filters only on the CONTENT key
@@ -1205,7 +1205,19 @@ object FixtureOracles {
       } finally listing.close()
     } catch { case _: Throwable => () }
 
-  private def evictOtherByteVariants(name: String, key: (Long, Long),
+  /** Byte-variant eviction grace window: a variant dir touched more
+    * recently than this is treated as possibly IN USE by a concurrent
+    * gate over a content-identical corpus in another physical layout
+    * (the duckdb-vs-Spark scenario the byte-stamped identity exists
+    * for) — deleting it between that JVM's publish and its DuckDB read
+    * would fail ITS gate. Recent variants are warned about, not
+    * deleted; the next ensure() past the window self-heals. The age
+    * sweep's mtime-beacon discipline makes mtime a faithful liveness
+    * proxy (each run touches the dirs it needs).
+    */
+  private val EvictionGraceMs = 10 * 60 * 1000L
+
+  private[oracle] def evictOtherByteVariants(name: String, key: (Long, Long),
       bytes: Long): Unit = {
     val prefix = s"graft_${Version}_${name}_${key._1}_${key._2}"
     val keep = embFixtureDir(name, key, bytes).getFileName.toString
@@ -1216,7 +1228,10 @@ object FixtureOracles {
       val n = p.getFileName.toString
       (n == prefix || n.startsWith(prefix + "_b")) && n != keep
     }
-    sweepTmp(other)
+    val graceCutoff = System.currentTimeMillis() - EvictionGraceMs
+    sweepTmp(p => other(p) &&
+      (try Files.getLastModifiedTime(p).toMillis < graceCutoff
+       catch { case _: Throwable => true }))
     // this eviction enforces a CORRECTNESS invariant (the oracle SQL
     // globs name_* and keys only on content, so at most one byte
     // variant may exist) — unlike the best-effort age sweep, a
@@ -1227,9 +1242,10 @@ object FixtureOracles {
       try {
         import scala.jdk.CollectionConverters._
         listing.iterator().asScala.filter(other).foreach(p =>
-          System.err.println(s"[fixtures] WARNING: stale byte-variant " +
-            s"$p survived eviction - the $name oracle will see duplicated " +
-            "rows until it is removed"))
+          System.err.println(s"[fixtures] WARNING: byte-variant $p " +
+            s"survived eviction (within the grace window, or delete " +
+            s"failed) - the $name oracle will see duplicated rows until " +
+            "it is removed"))
       } finally listing.close()
     } catch { case _: Throwable => () }
   }

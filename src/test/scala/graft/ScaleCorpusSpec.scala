@@ -75,6 +75,63 @@ class ScaleCorpusSpec extends SparkSpec {
     assert(d1 === d0, "replication must not perturb text content")
   }
 
+  test("replicas parameter: derived counts scale, marker binds the count") {
+    val dir = Files.createTempDirectory("graft_scale_r3").toString
+    ScaleCorpus.derive(spark, src, dir, replicas = 3)
+    val n0 = spark.read.parquet(s"$src/documents.parquet").count()
+    val n1 = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(n1 === n0 * 3)
+    assert(ScaleCorpus.ready(src, dir, replicas = 3), "x3 corpus must be ready for x3")
+    assert(!ScaleCorpus.ready(src, dir),
+      "an x3 corpus must NOT pass the default x10 readiness check")
+    graft.Fs.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("marker content verification: post-derivation corruption fails ready") {
+    val dir = Files.createTempDirectory("graft_scale_cv").toString
+    ScaleCorpus.derive(spark, src, dir, replicas = 2)
+    assert(ScaleCorpus.ready(src, dir, replicas = 2))
+    // delete ONE data file inside a table dir (marker + dir still exist):
+    // v1's existence-only check reused this corpus forever; v2's stats
+    // re-measurement must reject it
+    val part = new java.io.File(s"$dir/documents.parquet").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") && f.getName != "_SUCCESS")
+      .head
+    assert(part.delete())
+    assert(!ScaleCorpus.ready(src, dir, replicas = 2),
+      "corpus corrupted after marker creation must not be reused")
+    graft.Fs.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("offset disjointness is asserted against the source actually derived") {
+    // the already-derived x10 corpus has doc_id up to max+9*5000, far
+    // above the 5000 offset — re-deriving FROM it must throw loudly
+    // instead of silently producing colliding replica ids
+    val dir = Files.createTempDirectory("graft_scale_dj").toString
+    val e = intercept[IllegalArgumentException] {
+      ScaleCorpus.derive(spark, out, dir)
+    }
+    assert(e.getMessage.contains("replicas would collide"), e.getMessage)
+    graft.Fs.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("derive is staged: a valid corpus is never clobbered in place, and re-derive replaces a stale one") {
+    // point ensure at a STALE corpus (marker for a different replica
+    // count): it must re-derive, publish atomically, and end ready
+    val dir = Files.createTempDirectory("graft_scale_st").toString
+    ScaleCorpus.derive(spark, src, dir, replicas = 2)
+    assert(!ScaleCorpus.ready(src, dir, replicas = 3))
+    assert(!ScaleCorpus.ensure(spark, src, dir, replicas = 3), "must re-derive")
+    assert(ScaleCorpus.ready(src, dir, replicas = 3))
+    // no staging/old siblings left behind
+    val base = new java.io.File(dir).getName
+    val leftovers = new java.io.File(dir).getParentFile.listFiles()
+      .filter(f => f.getName.startsWith(base + ".staging-") ||
+        f.getName.startsWith(base + ".old-"))
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
+    graft.Fs.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("marker protocol: ready after derive, reuse in ensure, stale marker rejects") {
     assert(ScaleCorpus.ready(src, out), "fresh derivation must be ready")
     assert(ScaleCorpus.ensure(spark, src, out), "ensure must reuse, not re-derive")

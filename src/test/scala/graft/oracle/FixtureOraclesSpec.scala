@@ -277,4 +277,34 @@ class FixtureOraclesSpec extends SparkSpec {
     // idempotent second call (publish path short-circuits on existing dirs)
     FixtureOracles.ensure(spark, nullDir)
   }
+
+  test("byte-variant eviction: stale variants go, recent ones get a grace window") {
+    // a concurrent gate over a content-identical corpus in another
+    // physical layout publishes under a different _b byte stamp; evicting
+    // a FRESH one would break that JVM between its publish and its
+    // DuckDB read, so only dirs past the grace window may be deleted
+    import java.nio.file.{Files, Paths}
+    val name = "q66_semdedup"
+    val key = (123456L, 987654L)      // synthetic content key, no real fixture
+    val keepBytes = 1111L
+    val keep = FixtureOracles.embFixtureDir(name, key, keepBytes)
+    val staleOld = FixtureOracles.embFixtureDir(name, key, 2222L)
+    val fresh = FixtureOracles.embFixtureDir(name, key, 3333L)
+    val otherKey = FixtureOracles.tmpRoot.resolve(
+      s"graft_${FixtureOracles.Version}_${name}_${key._1}_${key._2}1_b9")
+    Seq(keep, staleOld, fresh, otherKey).foreach(Files.createDirectories(_))
+    try {
+      // age staleOld past the window; leave fresh at now
+      Files.setLastModifiedTime(staleOld,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2 * 60 * 60 * 1000L))
+      FixtureOracles.evictOtherByteVariants(name, key, keepBytes)
+      assert(Files.exists(keep), "the current variant must survive")
+      assert(!Files.exists(staleOld), "a stale variant past the window must be evicted")
+      assert(Files.exists(fresh), "a variant inside the grace window must survive")
+      assert(Files.exists(otherKey),
+        "a textually-extending DIFFERENT content key must never be touched")
+    } finally Seq(keep, fresh, otherKey).foreach(p =>
+      try graft.Fs.deleteTree(p) catch { case _: Throwable => () })
+  }
 }
