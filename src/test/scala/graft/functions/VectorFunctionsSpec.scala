@@ -95,4 +95,32 @@ class VectorFunctionsSpec extends SparkSpec {
     // strip the asterisk)
     assert(plan.contains("*(1) Project"), plan)
   }
+
+  test("long_array_matches: positional equality count, prefix rule, nulls, codegen") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),    // all match
+      (2L, Seq(1L, 2L, 3L), Seq(1L, 9L, 3L)),    // 2 of 3
+      (3L, Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),    // none
+      (4L, Seq(1L, 2L, 3L, 4L), Seq(1L, 2L)),    // common prefix only
+      (5L, Seq.empty[Long], Seq(1L)))            // empty side
+      .toDF("id", "a", "b")
+      .select(col("id"),
+        VectorFunctions.longArrayMatches(col("a"), col("b")).as("m"))
+    val m = rows.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(m === Map(1L -> 3, 2L -> 2, 3L -> 0, 4L -> 2, 5L -> 0))
+    // null input -> null out (BinaryExpression null semantics)
+    val withNull = Seq((1L, Some(Seq(1L)), None: Option[Seq[Long]]))
+      .toDF("id", "a", "b")
+      .select(VectorFunctions.longArrayMatches(col("a"), col("b"))).collect()
+    assert(withNull(0).isNullAt(0))
+    // interpreted path agrees with the codegen result above
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val e = LongArrayMatches(
+      Literal.create(Array(1L, 2L, 3L), ArrayType(LongType)),
+      Literal.create(Array(1L, 9L, 3L), ArrayType(LongType)))
+    assert(e.eval(null).asInstanceOf[Int] === 2)
+  }
 }
