@@ -168,6 +168,7 @@ object ScaleCorpus {
              replicas: Int = Replicas): Unit = {
     val out = Paths.get(outDir).toAbsolutePath
     Files.createDirectories(out.getParent)
+    sweepOrphans(out)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = out.resolveSibling(s"${out.getFileName}.staging-$tag")
     try {
@@ -197,6 +198,32 @@ object ScaleCorpus {
     }
   }
 
+  /** Best-effort cleanup of `.staging-*` / `.old-*` siblings from a
+    * HARD-crashed earlier derivation (kill -9 / OOM skips the in-process
+    * catch): these can be corpus-sized, no other sweeper matches their
+    * names, and they would otherwise accumulate until the disk fills.
+    * Age-scoped (>1h idle) so a concurrent deriver's LIVE staging dir is
+    * never touched — a healthy derivation completes well inside an hour.
+    */
+  private def sweepOrphans(out: java.nio.file.Path): Unit =
+    try {
+      val base = out.getFileName.toString
+      val cutoff = System.currentTimeMillis() - 60 * 60 * 1000L
+      val listing = Files.list(out.getParent)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          (n.startsWith(s"$base.staging-") || n.startsWith(s"$base.old-")) &&
+            (try Files.getLastModifiedTime(p).toMillis < cutoff
+             catch { case _: Throwable => false })
+        }.toSeq.foreach { p =>
+          System.err.println(s"[scale-corpus] sweeping orphaned $p")
+          Fs.deleteTree(p)
+        }
+      } finally listing.close()
+    } catch { case _: Throwable => () }
+
   /** Atomic publish of a fully-written staging corpus. Losing a race to
     * a concurrent deriver is benign — the derivation is deterministic,
     * so a corpus that is `ready` now has identical content; the loser
@@ -215,6 +242,9 @@ object ScaleCorpus {
         else throw e
       }
       Fs.deleteTree(old)
+      if (Files.exists(old))
+        System.err.println(s"[scale-corpus] WARNING: could not fully delete " +
+          s"$old — a corpus-sized orphan remains (next derive sweeps it)")
     }
     try Files.move(staging, out, ATOMIC_MOVE)
     catch { case e: Throwable =>

@@ -41,9 +41,38 @@ import org.apache.spark.sql.functions._
 object FixtureOracles {
 
   /** Fixture derivation collects the corpus to the driver; refuse
-    * anything that is clearly not a gate-scale corpus.
+    * anything that is clearly not a gate-scale corpus. 500k admits the
+    * ~sf10 (100-replica) oracle probe corpus — at that size the heavy
+    * derivations stay driver-feasible (q31's pair set is ~27M entries,
+    * a few GB of boxed tuples) — while still rejecting an accidental
+    * bench-sized or production corpus by orders of magnitude. Above the
+    * classic 200k gate ceiling, [[requireGateScale]] ALSO demands a
+    * large driver heap UP FRONT, so an operator who forgot
+    * SPARK_DRIVER_MEM fails with an explanation instead of an OOM
+    * mid-derivation (possibly after the expensive corpus work already
+    * ran).
     */
-  private val MaxDocs = 200000
+  private val MaxDocs = 500000
+
+  /** The probe-scale heap demand: ~27M boxed pair tuples plus the
+    * collected corpus need tens of GB; 20 GiB is the measured-safe
+    * lower bound to even start (the sf10 gate itself ran at 48g with a
+    * ~48 GB RSS peak).
+    */
+  private val ProbeScaleMinHeap = 20L * (1L << 30)
+
+  private def requireGateScale(what: String, n: Long): Unit = {
+    require(n <= MaxDocs,
+      s"fixture oracles are gate-scale machinery: $what has $n " +
+        s"rows (max $MaxDocs) — not derived at bench scale by design")
+    if (n > 200000) {
+      val heap = Runtime.getRuntime.maxMemory()
+      require(heap >= ProbeScaleMinHeap,
+        s"fixture derivation at $n $what rows builds multi-GB driver-side " +
+          s"pair sets; max heap is ${heap >> 30} GiB (< ${ProbeScaleMinHeap >> 30} " +
+          "GiB) — rerun with SPARK_DRIVER_MEM=48g or similar")
+    }
+  }
 
   /** Version token in the fixture directory name: bump when a fixture's
     * SCHEMA changes (a glob must never mix parquet of two layouts) or
@@ -1214,6 +1243,15 @@ object FixtureOracles {
     * deleted; the next ensure() past the window self-heals. The age
     * sweep's mtime-beacon discipline makes mtime a faithful liveness
     * proxy (each run touches the dirs it needs).
+    *
+    * Coexistence inside the window is made harmless by the
+    * `SELECT DISTINCT` in [[embFixtureSql]]: two variants whose values
+    * agree collapse to the single correct oracle result; variants that
+    * genuinely disagree (a byte-threshold nlist/bits flip) still fail
+    * the gate loudly, which is the correct signal — without DISTINCT,
+    * ANY overlap (even value-identical) was a false duplicated-rows
+    * mismatch for both runs, and alternating sub-window runs could hold
+    * each other in that state indefinitely.
     */
   private val EvictionGraceMs = 10 * 60 * 1000L
 
@@ -1293,9 +1331,7 @@ object FixtureOracles {
       .map(embDir)
     val needed = docFixtures ++ embFixtures
     if (!docFixtures.forall(Files.exists(_))) {
-      require(key._1 <= MaxDocs,
-        s"fixture oracles are gate-scale machinery: documents has ${key._1} " +
-          s"rows (max $MaxDocs) — not derived at bench scale by design")
+      requireGateScale("documents", key._1)
       // deterministic driver-side corpus copy, shared by all derivations
       val rows = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"), col("n_chars"))
@@ -1336,9 +1372,7 @@ object FixtureOracles {
     // run again — the state must self-heal on the next ensure()
     BytesSensitive.foreach(n => evictOtherByteVariants(n, embKey, embBytes))
     if (!embFixtures.forall(Files.exists(_))) {
-      require(embKey._1 <= MaxDocs,
-        s"fixture oracles are gate-scale machinery: embeddings has ${embKey._1} " +
-          s"rows (max $MaxDocs) — not derived at bench scale by design")
+      requireGateScale("embeddings", embKey._1)
       val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
         .collect().toSeq.sortBy(_._1)
@@ -1392,9 +1426,19 @@ object FixtureOracles {
        |                  FROM documents)""".stripMargin
   }
 
+  /** DISTINCT: two byte-variants of a BytesSensitive fixture can coexist
+    * inside the eviction grace window; when their VALUES agree (the
+    * common case — the byte count only changes a derivation when it
+    * crosses an nlist/bits threshold) the union collapses to the single
+    * correct result instead of a false duplicated-rows mismatch, and
+    * when they genuinely disagree the extra rows still fail the gate
+    * loudly (the correct signal — plus the eviction-survivor warning on
+    * stderr names the stale dir). Every emb fixture's rows are unique by
+    * construction (ranked lists / per-vec rows), so DISTINCT is lossless.
+    */
   private def embFixtureSql(name: String, cols: String): String = {
     val glob = tmpRoot.resolve(s"graft_${Version}_${name}_*").toString
-    s"""SELECT $cols FROM read_parquet('$glob/*.parquet')
+    s"""SELECT DISTINCT $cols FROM read_parquet('$glob/*.parquet')
        |WHERE corpus_n = (SELECT count(*) FROM embeddings)
        |  AND corpus_s = (SELECT CAST(coalesce(sum((vec_id+1)*(label+7)), 0) AS BIGINT)
        |                  FROM embeddings)""".stripMargin

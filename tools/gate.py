@@ -32,6 +32,14 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # probe-scale corpora (the 500k-doc sf10 gate) push the gram-space
+    # oracles past duckdb's default memory limit; its disk spill for one
+    # such query exceeded the whole /tmp volume (measured r16: q102
+    # filled 74 GB and died ENOSPC). A high explicit limit keeps the
+    # intermediates in RAM on the 125 GB gate host.
+    ml = os.environ.get("GRAFT_GATE_MEMLIMIT")
+    if ml:
+        con.execute(f"SET memory_limit='{ml}'")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         t = os.path.basename(p)[:-len(".parquet")]
         # a corpus table may be a single parquet file (driver testdata,
