@@ -941,18 +941,28 @@ object Dedup {
   // yields a leading empty token in both engines).
   /** q33's pair frame WITHOUT the final threshold filter — the shared
     * base for q33 (>= 0.8) and q102's calibration histogram over every
-    * candidate pair. */
+    * candidate pair.
+    *
+    * MATERIALIZED on `grams` and `kg`: duckdb inlines plain CTEs per
+    * reference — `grams` feeds kept+kg and `kg` feeds sizes plus BOTH
+    * self-join sides, so the un-hinted plan re-ran the document scan +
+    * token-list lateral SIX times (EXPLAIN-counted, r16). At gate SF
+    * that is waste; at the 500k-doc sf10 probe each expansion holds a
+    * ~50 GB wide intermediate and the query either exhausts RAM or
+    * fills the volume with spill. Materialized, the expansion runs once
+    * into a compact (doc_id, g) table and every consumer reads that.
+    */
   private val Q33BaseSql: String =
       raw"""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
            |),
-           |grams AS (
+           |grams AS MATERIALIZED (
            |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
            |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i)
            |  WHERE len(t) >= 3
            |),
            |kept AS (SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND $DfCap),
-           |kg AS (SELECT doc_id, g FROM grams JOIN kept USING (g)),
+           |kg AS MATERIALIZED (SELECT doc_id, g FROM grams JOIN kept USING (g)),
            |sizes AS (SELECT doc_id, count(*) AS sz FROM kg GROUP BY doc_id),
            |inter AS (
            |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
@@ -1140,9 +1150,15 @@ object Dedup {
     "q33_ngram_jaccard" -> Q33Sql,
     // Same base pair frame, threshold-free; bin = floor(j*20) on the
     // identical IEEE double; a doc counts once at its best pair's bin;
-    // cumulatives via the same tiny bin×bin upper-triangle join
+    // cumulatives via the same tiny bin×bin upper-triangle join.
+    // MATERIALIZED: binned is referenced three times (perbin + both
+    // docmax arms) and duckdb would otherwise inline — i.e. re-evaluate —
+    // the whole gram pipeline per reference; at the 500k-doc sf10 probe
+    // that tripled a ~25 s pipeline into a 70 GB disk spill (measured
+    // r16: single-reference Q33 consumers ran 25 s while this one filled
+    // the volume). The hint pins the tiny pair frame as the boundary.
     "q102_jaccard_calib" ->
-      s"""WITH binned AS (
+      s"""WITH binned AS MATERIALIZED (
          |  SELECT a, b, CAST(floor(jaccard * 20) AS BIGINT) AS bin
          |  FROM ($Q33BaseSql)),
          |perbin AS (SELECT bin, count(*) AS n_pairs FROM binned GROUP BY bin),
@@ -1165,11 +1181,16 @@ object Dedup {
     // components are tiny (the Spark side is the scalable label
     // propagation). min over the reachable set includes the doc itself
     // via any 2-cycle, but least() covers the general case.
+    // MATERIALIZED (the q102 note): pairs feeds both sym arms and sym
+    // feeds the recursion's base AND step — inlined, the gram pipeline
+    // re-evaluates per reference per iteration (the r16 sf10 probe run
+    // hit the disk floor at 295 s); materialized, the recursion walks a
+    // small edge table.
     "q45_dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |  SELECT a, b FROM ($Q33Sql)
          |),
-         |sym AS (
+         |sym AS MATERIALIZED (
          |  SELECT a AS s, b AS d FROM pairs
          |  UNION ALL
          |  SELECT b, a FROM pairs

@@ -40,6 +40,12 @@ def main():
     ml = os.environ.get("GRAFT_GATE_MEMLIMIT")
     if ml:
         con.execute(f"SET memory_limit='{ml}'")
+        # row order is irrelevant here (norm() sorts); preserving
+        # insertion order forces duckdb to MATERIALIZE wide lateral
+        # intermediates (the gram-space oracles carry the token list per
+        # exploded row) instead of streaming them — the difference
+        # between a pipelined aggregate and a 70 GB spill at 500k docs
+        con.execute("SET preserve_insertion_order=false")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         t = os.path.basename(p)[:-len(".parquet")]
         # a corpus table may be a single parquet file (driver testdata,
