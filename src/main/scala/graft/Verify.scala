@@ -24,7 +24,14 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] fixture pre-write failed: ${e.getMessage}")
     }
-    val status = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-only iteration aid: GRAFT_VERIFY_ONLY=q115_source_dup_matrix,...
+    // limits the dump to the named queries. The driver never sets it —
+    // default behavior (all queries) is unchanged.
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val status = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -433,8 +433,26 @@ object Dedup {
     "q70_strip_spans" -> ((s, dir) => stripDupSpans(Tables.documents(s, dir))),
 
     // Cross-source exact-duplicate matrix — see [[sourceDupMatrix]].
-    "q115_source_dup_matrix" -> ((s, dir) =>
-      sourceDupMatrix(Tables.documents(s, dir))),
+    // The sandbox corpus has no cross-source verbatim duplicate at the
+    // gate scales (the oracle passed VACUOUSLY through r16: 0 rows both
+    // engines), so the driver query plants them in-pipeline — the q58
+    // precedent: every doc_id % 37 == 0 doc is re-emitted under a
+    // synthetic 'mirror' source AND under a deterministically rotated
+    // existing source (src{(doc_id div 37) % 20}), both derivations
+    // SQL-expressible so the DuckDB oracle gates a NON-EMPTY matrix
+    // (29 rows at sf0.01) and the containment-ppm arithmetic is
+    // exercised by the hash gate, not just DedupSpec. Planting is a
+    // ~1/37 corpus fraction derived post-replication, so it survives
+    // ScaleCorpus and any SF unchanged in shape.
+    "q115_source_dup_matrix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val planted = docs.filter(col("doc_id") % 37 === 0)
+      sourceDupMatrix(docs.select(col("text"), col("source"))
+        .unionByName(planted.select(col("text"), lit("mirror").as("source")))
+        .unionByName(planted.select(col("text"),
+          concat(lit("src"), (expr("doc_id div 37") % 20).cast("string"))
+            .as("source"))))
+    }),
 
     // Duplicate-cluster-size histogram: per exact-copy multiplicity k,
     // how many content groups and docs sit at k — the curve that
@@ -996,10 +1014,21 @@ object Dedup {
 
     // content identity = text directly (hash renames, the q30/q53
     // convention); self-join with src_a < src_b mirrors the in-group
-    // sorted-pair expansion; containment in ppm (scale-0 rounding)
+    // sorted-pair expansion; containment in ppm (scale-0 rounding).
+    // `docs` replays the driver query's in-pipeline planting (mirror +
+    // rotated-source re-emission of every doc_id % 37 == 0 doc) so the
+    // gate checks a non-empty matrix at every scale; MATERIALIZED pins
+    // evaluation count (the r16 CTE-inlining lesson).
     "q115_source_dup_matrix" ->
-      """WITH st AS (
-        |  SELECT DISTINCT text, source FROM documents
+      """WITH docs AS MATERIALIZED (
+        |  SELECT text, source FROM documents
+        |  UNION ALL
+        |  SELECT text, 'mirror' AS source FROM documents WHERE doc_id % 37 = 0
+        |  UNION ALL
+        |  SELECT text, 'src' || CAST((doc_id // 37) % 20 AS VARCHAR) AS source
+        |  FROM documents WHERE doc_id % 37 = 0),
+        |st AS MATERIALIZED (
+        |  SELECT DISTINCT text, source FROM docs
         |  WHERE text IS NOT NULL AND source IS NOT NULL),
         |sizes AS (SELECT source, count(*) AS n FROM st GROUP BY source),
         |pairs AS (

@@ -361,6 +361,38 @@ class DedupSpec extends SparkSpec {
       ("B", "C") -> ((1L, 1000000L))))
   }
 
+  test("q115 driver query plants cross-source dups in-pipeline (non-vacuous at every scale)") {
+    // The r16 verdict's one oracle hole: the sandbox corpus has no
+    // cross-source verbatim duplicate at the gate scales, so the q115
+    // oracle passed vacuously (0 rows both engines). The registration
+    // now re-emits every doc_id % 37 == 0 doc under 'mirror' AND under
+    // src{(doc_id div 37) % 20} — pin that the planted matrix is
+    // non-empty and carries BOTH pair kinds, on a corpus that (like the
+    // driver's) has no native cross-source dup.
+    val dir = docsDirSrc(Seq(
+      (0L, "planted zero", "src5"),    // 0 div 37 = 0  -> rotated to src0
+      (37L, "planted one", "src9"),    // 37 div 37 = 1 -> rotated to src1
+      (74L, "planted two", "src1"),    // 74 div 37 = 2 -> rotated to src2
+      (5L, "bystander a", "src5"),
+      (6L, "bystander b", "src9")))
+    val r = graft.SparkEntry.queries("q115_source_dup_matrix")(spark, dir)
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3)))).toMap
+    // distinct contents: mirror {zero,one,two}=3, src5 {zero,a}=2,
+    // src9 {one,b}=2, src1 {two, one(rotated)}=2, src0 {zero}=1,
+    // src2 {two}=1
+    assert(r === Map(
+      ("mirror", "src5") -> ((1L, 500000L)), // planted-mirror pairs
+      ("mirror", "src9") -> ((1L, 500000L)),
+      ("mirror", "src1") -> ((2L, 1000000L)),
+      ("mirror", "src0") -> ((1L, 1000000L)),
+      ("mirror", "src2") -> ((1L, 1000000L)),
+      ("src0", "src5") -> ((1L, 1000000L)),  // rotated-source pairs
+      ("src1", "src9") -> ((1L, 500000L)),
+      ("src1", "src2") -> ((1L, 1000000L))))
+  }
+
   test("q118: multiplicity histogram over exact-copy groups, ppm of all docs") {
     val dir = docsDir(Seq(
       1L -> "aaa", 2L -> "aaa", 3L -> "aaa", // one group at k=3
