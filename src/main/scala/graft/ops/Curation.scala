@@ -41,7 +41,7 @@ object Curation {
     * |domain| histogram rows — then a window over the HISTOGRAM (partition
     * size ≤ |domain|, independent of corpus size) locates the two values
     * straddling the continuous rank and interpolates exactly like the
-    * builtins do: `v_lo + (h − ⌊h⌋)·(v_hi − v_lo)`, `h = (n−1)/2`.
+    * builtins do: `(⌈h⌉−h)·v_lo + (h−⌊h⌋)·v_hi`, `h = (n−1)/2`.
     */
   private[ops] def medianByHistogram(df: DataFrame, group: String,
                                      value: String): DataFrame =
@@ -85,12 +85,23 @@ object Curation {
       min(when(col("cumStart") <= col(s"hi_$nm") && col(s"hi_$nm") < col("cumEnd"),
         col(value))).as(s"vHi_$nm"),
       max(col(s"h_$nm")).as(s"hh_$nm"),
-      max(col(s"lo_$nm")).as(s"ll_$nm")) }
+      max(col(s"lo_$nm")).as(s"ll_$nm"),
+      max(col(s"hi_$nm")).as(s"cc_$nm")) }
+    // Interpolation is the SYMMETRIC weighted form — (⌈h⌉−h)·v_lo +
+    // (h−⌊h⌋)·v_hi, v_lo passthrough when ⌈h⌉ = ⌊h⌋ — because that is
+    // operand-for-operand what BOTH engines' exact builtins compute
+    // (Spark Percentile.getPercentile, DuckDB quantile_cont; determined
+    // empirically in r17 on fractional doubles where the lerp spelling
+    // v_lo + frac·(v_hi−v_lo) differs in the last ulp). Bit-identical
+    // doubles make every downstream round() agree by construction.
     cum.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
       .select(col(group) +: col("n_vals") +: ps.map { case (nm, _) =>
-        (col(s"vLo_$nm").cast("double")
-          + (col(s"hh_$nm") - col(s"ll_$nm").cast("double"))
-            * (col(s"vHi_$nm").cast("double") - col(s"vLo_$nm").cast("double")))
+        when(col(s"cc_$nm") === col(s"ll_$nm"), col(s"vLo_$nm").cast("double"))
+          .otherwise(
+            (col(s"cc_$nm").cast("double") - col(s"hh_$nm"))
+              * col(s"vLo_$nm").cast("double")
+            + (col(s"hh_$nm") - col(s"ll_$nm").cast("double"))
+              * col(s"vHi_$nm").cast("double"))
           .as(nm) }: _*)
   }
 

@@ -669,6 +669,31 @@ class PlanAuditSpec extends SparkSpec {
     assertBodyFreeExchanges(plan)
   }
 
+  test("q06: quantiles ride the histogram window, and no A-query buffers an unbounded group") {
+    // r17: q06 moved off the builtin `percentile` (per-group in-memory,
+    // non-spillable value buffer) onto quantilesByHistogram. Pin the
+    // shape the q111 guard pins: every Window sits above an aggregation,
+    // so its input is the (group, value) histogram, never raw events.
+    val plan = executed(graft.SparkEntry.queries("q06_latency_pctl")(spark, sf))
+    val windows = plan.collect { case w if w.nodeName.contains("Window") => w }
+    assert(windows.nonEmpty, s"expected a histogram-rank window:\n$plan")
+    windows.foreach { w =>
+      assert(w.collect {
+        case a if a.nodeName.contains("HashAggregate") => a
+      }.nonEmpty, s"window input is not aggregated (raw rows buffered):\n$plan")
+    }
+    // And sweep the whole relational surface: no plan may carry a
+    // row-buffering aggregate (exact percentile, collect_list/set) —
+    // the property that made q06 the last A-operator one would not ship
+    // at 100x. approx_percentile (bounded sketch) stays legal.
+    for (q <- Relational.queries.keys) {
+      val p = planString(q).replace("approx_percentile", "")
+      for (buf <- Seq("percentile(", "collect_list", "collect_set"))
+        assert(!p.contains(buf),
+          s"$q buffers per-group rows via $buf:\n$p")
+    }
+  }
+
   test("q113: one source-keyed partial agg, no join of any kind") {
     val df = graft.SparkEntry.queries("q113_truncation_yield")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -44,6 +44,29 @@ class RelationalSpec extends SparkSpec {
     assert(loaded.select("ts").collect()(0).getLong(0) === 1234567000L)
   }
 
+  test("q06: histogram quantiles ≡ builtin exact percentile, bit-identical doubles") {
+    // The r17 rewrite replaced the per-group row-buffering `percentile`
+    // with quantilesByHistogram. Differential vs the builtin (the q89
+    // pattern): the interpolation is operand-for-operand the same
+    // formula, so on real fractional doubles — sf0.001 events, 9909/10k
+    // distinct fractional values — every output double must be EXACTLY
+    // equal, nulls included.
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q06_latency_pctl")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val want = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        expr("percentile(value, 0.99)").as("p99"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("q107: a stage only advances on a strictly later event") {
     val sec = 1000000000L // 1 s in ns
     val dir = eventsDir(Seq(
