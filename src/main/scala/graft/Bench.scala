@@ -680,35 +680,35 @@ object Bench {
     * round at a new scale has no gate artifact yet); never hand-typed.
     */
   private[graft] val expectedScaled: Map[String, Double] = Map(
-    // BEGIN GENERATED SCALED FLOORS (from: --scaled-seed BENCH_SF1_SEED_A.json BENCH_SF1_SEED_B.json BENCH_SF1_SEED_C.json)
-    "q01" -> 1.53, "q02" -> 0.59, "q03" -> 3.08, "q04" -> 0.41,
-    "q05" -> 0.74, "q06" -> 1.11, "q07" -> 0.59, "q08" -> 0.74,
-    "q09" -> 1.62, "q10" -> 2.44, "q100" -> 0.83, "q101" -> 1.23,
-    "q102" -> 4.36, "q103" -> 0.65, "q104" -> 1.47, "q105" -> 1.39,
-    "q106" -> 0.57, "q107" -> 1.21, "q108" -> 1.58, "q109" -> 0.47,
-    "q11" -> 0.90, "q110" -> 0.76, "q111" -> 1.02, "q112" -> 1.63,
-    "q113" -> 0.35, "q114" -> 0.50, "q115" -> 0.86, "q116" -> 1.20,
-    "q117" -> 0.64, "q118" -> 0.47, "q12" -> 0.82, "q13" -> 0.69,
-    "q14" -> 0.65, "q15" -> 0.69, "q16" -> 0.54, "q17" -> 0.46,
-    "q18" -> 1.67, "q20" -> 0.24, "q21" -> 0.38, "q22" -> 0.28,
-    "q23" -> 0.36, "q24" -> 0.32, "q30" -> 0.37, "q31" -> 2.85,
-    "q32" -> 2.78, "q33" -> 2.07, "q34" -> 1.92, "q35" -> 0.50,
-    "q36" -> 0.43, "q37" -> 0.34, "q38" -> 0.21, "q39" -> 1.10,
-    "q40" -> 0.68, "q41" -> 0.26, "q42" -> 0.46, "q43" -> 0.98,
-    "q44" -> 0.27, "q45" -> 4.24, "q46" -> 0.16, "q47" -> 0.81,
-    "q48" -> 0.63, "q49" -> 0.92, "q50" -> 0.55, "q51" -> 0.83,
-    "q52" -> 0.31, "q53" -> 1.76, "q54" -> 0.84, "q55" -> 0.22,
-    "q56" -> 1.07, "q57" -> 0.53, "q58" -> 2.20, "q59" -> 0.52,
-    "q60" -> 0.79, "q61" -> 0.45, "q62" -> 1.85, "q63" -> 1.49,
-    "q64" -> 0.57, "q65" -> 2.83, "q66" -> 1.87, "q67" -> 0.89,
-    "q68" -> 1.02, "q69" -> 2.79, "q70" -> 2.57, "q71" -> 1.05,
-    "q72" -> 1.74, "q73" -> 0.60, "q74" -> 0.75, "q75" -> 2.56,
-    "q76" -> 0.99, "q77" -> 1.49, "q78" -> 0.62, "q79" -> 0.47,
-    "q80" -> 0.68, "q81" -> 0.59, "q82" -> 0.28, "q83" -> 1.70,
-    "q84" -> 1.45, "q85" -> 1.55, "q86" -> 0.76, "q87" -> 0.84,
-    "q88" -> 3.18, "q89" -> 0.69, "q90" -> 1.09, "q91" -> 0.79,
-    "q92" -> 1.96, "q93" -> 0.55, "q94" -> 0.67, "q95" -> 2.94,
-    "q96" -> 2.10, "q97" -> 0.63, "q98" -> 1.67, "q99" -> 0.46
+    // BEGIN GENERATED SCALED FLOORS (from: BENCH_r14.json BENCH_r15.json BENCH_r16.json)
+    "q01" -> 1.51, "q02" -> 0.61, "q03" -> 2.84, "q04" -> 0.44,
+    "q05" -> 0.70, "q06" -> 1.04, "q07" -> 0.54, "q08" -> 0.65,
+    "q09" -> 1.57, "q10" -> 2.21, "q100" -> 0.81, "q101" -> 1.17,
+    "q102" -> 3.70, "q103" -> 0.67, "q104" -> 1.23, "q105" -> 1.47,
+    "q106" -> 0.55, "q107" -> 1.00, "q108" -> 1.38, "q109" -> 0.47,
+    "q11" -> 0.99, "q110" -> 0.74, "q111" -> 0.86, "q112" -> 1.61,
+    "q113" -> 0.32, "q114" -> 0.49, "q115" -> 0.71, "q116" -> 1.27,
+    "q117" -> 0.64, "q118" -> 0.46, "q12" -> 0.71, "q13" -> 0.70,
+    "q14" -> 0.65, "q15" -> 0.65, "q16" -> 0.50, "q17" -> 0.43,
+    "q18" -> 1.55, "q20" -> 0.23, "q21" -> 0.41, "q22" -> 0.30,
+    "q23" -> 0.32, "q24" -> 0.29, "q30" -> 0.31, "q31" -> 1.97,
+    "q32" -> 2.51, "q33" -> 1.68, "q34" -> 1.67, "q35" -> 0.46,
+    "q36" -> 0.38, "q37" -> 0.30, "q38" -> 0.18, "q39" -> 0.98,
+    "q40" -> 0.52, "q41" -> 0.24, "q42" -> 0.24, "q43" -> 0.88,
+    "q44" -> 0.23, "q45" -> 3.43, "q46" -> 0.16, "q47" -> 0.68,
+    "q48" -> 0.55, "q49" -> 0.73, "q50" -> 0.53, "q51" -> 0.67,
+    "q52" -> 0.22, "q53" -> 1.68, "q54" -> 0.66, "q55" -> 0.16,
+    "q56" -> 0.76, "q57" -> 0.39, "q58" -> 1.90, "q59" -> 0.40,
+    "q60" -> 0.54, "q61" -> 0.45, "q62" -> 1.18, "q63" -> 1.27,
+    "q64" -> 0.48, "q65" -> 2.06, "q66" -> 1.22, "q67" -> 0.56,
+    "q68" -> 0.84, "q69" -> 2.15, "q70" -> 2.00, "q71" -> 0.71,
+    "q72" -> 1.38, "q73" -> 0.51, "q74" -> 0.40, "q75" -> 1.53,
+    "q76" -> 0.55, "q77" -> 0.87, "q78" -> 0.27, "q79" -> 0.32,
+    "q80" -> 0.43, "q81" -> 0.40, "q82" -> 0.20, "q83" -> 1.04,
+    "q84" -> 1.18, "q85" -> 1.37, "q86" -> 0.59, "q87" -> 0.71,
+    "q88" -> 1.86, "q89" -> 0.46, "q90" -> 0.85, "q91" -> 0.59,
+    "q92" -> 1.63, "q93" -> 0.43, "q94" -> 0.51, "q95" -> 2.20,
+    "q96" -> 0.96, "q97" -> 0.41, "q98" -> 1.41, "q99" -> 0.39
     // END GENERATED SCALED FLOORS
   )
 

@@ -204,19 +204,37 @@ object ScaleCorpus {
     * names, and they would otherwise accumulate until the disk fills.
     * Age-scoped (>1h idle) so a concurrent deriver's LIVE staging dir is
     * never touched — a healthy derivation completes well inside an hour.
+    * Liveness is the newest mtime found RECURSIVELY under the candidate
+    * (r16 advice): the top-level dir mtime only refreshes when a direct
+    * child appears, so a single fact-table write running past the hour
+    * at high replica counts would otherwise look idle mid-write while
+    * its part files are still landing deeper in the tree.
     */
   private def sweepOrphans(out: java.nio.file.Path): Unit =
     try {
       val base = out.getFileName.toString
       val cutoff = System.currentTimeMillis() - 60 * 60 * 1000L
+      // any unreadable entry counts as "just modified" — never delete on
+      // a failed read
+      def newestMtime(p: java.nio.file.Path): Long =
+        try {
+          val walk = Files.walk(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.foldLeft(Long.MinValue) { (mx, f) =>
+              math.max(mx,
+                try Files.getLastModifiedTime(f).toMillis
+                catch { case _: Throwable => Long.MaxValue })
+            }
+          } finally walk.close()
+        } catch { case _: Throwable => Long.MaxValue }
       val listing = Files.list(out.getParent)
       try {
         import scala.jdk.CollectionConverters._
         listing.iterator().asScala.filter { p =>
           val n = p.getFileName.toString
           (n.startsWith(s"$base.staging-") || n.startsWith(s"$base.old-")) &&
-            (try Files.getLastModifiedTime(p).toMillis < cutoff
-             catch { case _: Throwable => false })
+            newestMtime(p) < cutoff
         }.toSeq.foreach { p =>
           System.err.println(s"[scale-corpus] sweeping orphaned $p")
           Fs.deleteTree(p)
@@ -232,6 +250,18 @@ object ScaleCorpus {
   private def publishStaging(staging: java.nio.file.Path,
       out: java.nio.file.Path, srcDir: String, replicas: Int): Unit = {
     import java.nio.file.StandardCopyOption.ATOMIC_MOVE
+    // the staging copy is COMPLETE and correct by the time we are here —
+    // before giving up on any race with a rival publisher, briefly
+    // re-poll for the rival's finished corpus (its directory rename is
+    // atomic, so `ready` flips in one step)
+    def rivalFinished(): Boolean = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline) {
+        if (ready(srcDir, out.toString, replicas)) return true
+        Thread.sleep(500)
+      }
+      false
+    }
     if (Files.exists(out)) {
       if (ready(srcDir, out.toString, replicas)) { Fs.deleteTree(staging); return }
       val old = out.resolveSibling(s"${out.getFileName}.old-${staging.getFileName.toString.takeRight(8)}")
@@ -239,7 +269,14 @@ object ScaleCorpus {
       catch { case e: Throwable =>
         // someone else just vacated/replaced it; reuse theirs if valid
         if (ready(srcDir, out.toString, replicas)) { Fs.deleteTree(staging); return }
-        else throw e
+        // out may be briefly ABSENT (a rival mid-publish vacated the
+        // slot): claim it with our own valid staging copy rather than
+        // discarding a fully-derived corpus (r16 advice) — and only if
+        // the claim also fails, wait the rival out before rethrowing
+        try { Files.move(staging, out, ATOMIC_MOVE); return }
+        catch { case _: Throwable => () }
+        if (rivalFinished()) { Fs.deleteTree(staging); return }
+        throw e
       }
       Fs.deleteTree(old)
       if (Files.exists(old))
@@ -248,7 +285,7 @@ object ScaleCorpus {
     }
     try Files.move(staging, out, ATOMIC_MOVE)
     catch { case e: Throwable =>
-      if (ready(srcDir, out.toString, replicas)) Fs.deleteTree(staging)
+      if (rivalFinished()) Fs.deleteTree(staging)
       else throw e
     }
   }

@@ -336,8 +336,12 @@ object DistToPoint {
   * single-array + fused-cosine shape got FASTER under the same pairsOnce
   * rewrite. Same remedy here: the signature rides the exchange as one
   * array value and the comparison is this primitive loop.
-  * Mismatched lengths compare the common prefix; element nulls are not
-  * expected (minhash minima are non-null by construction).
+  * Mismatched lengths compare the common prefix; a NULL element never
+  * matches anything (including another NULL) — without the guard a null
+  * slot reads back as 0 and two nulls silently count as a match,
+  * inflating est_jaccard (r16 advice). Codegen emits the null check only
+  * when the input schema admits element nulls, so a containsNull=false
+  * caller keeps the tight branch-free loop.
   */
 case class LongArrayMatches(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -346,14 +350,21 @@ case class LongArrayMatches(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "long_array_matches"
 
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = elementsNullable
     var m = 0
     var i = 0
     while (i < n) {
-      if (x.getLong(i) == y.getLong(i)) m += 1
+      if (!(checkNulls && (x.isNullAt(i) || y.isNullAt(i))) &&
+        x.getLong(i) == y.getLong(i)) m += 1
       i += 1
     }
     m
@@ -364,11 +375,13 @@ case class LongArrayMatches(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val m = ctx.freshName("m")
+      val nullGuard =
+        if (elementsNullable) s"!$a.isNullAt($i) && !$b.isNullAt($i) && " else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |int $m = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) $m++;
+         |  if ($nullGuard$a.getLong($i) == $b.getLong($i)) $m++;
          |}
          |${ev.value} = $m;
        """.stripMargin

@@ -122,5 +122,24 @@ class VectorFunctionsSpec extends SparkSpec {
       Literal.create(Array(1L, 2L, 3L), ArrayType(LongType)),
       Literal.create(Array(1L, 9L, 3L), ArrayType(LongType)))
     assert(e.eval(null).asInstanceOf[Int] === 2)
+    // ELEMENT nulls (containsNull=true input): a null slot matches
+    // nothing — two aligned nulls are NOT a match (pre-r17 they read
+    // back as 0 == 0 and silently inflated est_jaccard), and a
+    // null-vs-value slot is a non-match rather than an NPE. Both
+    // codegen (via DataFrame) and interpreted paths.
+    val en = Seq(
+      (1L, Seq[Option[Long]](Some(1L), None, Some(3L)),
+        Seq[Option[Long]](Some(1L), None, Some(3L))),   // aligned nulls: 2
+      (2L, Seq[Option[Long]](None, Some(2L)),
+        Seq[Option[Long]](Some(1L), Some(2L))))          // null vs 1: 1
+      .toDF("id", "a", "b")
+      .select(col("id"),
+        VectorFunctions.longArrayMatches(col("a"), col("b")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(en === Map(1L -> 2, 2L -> 1))
+    val eNullElems = LongArrayMatches(
+      Literal.create(Array[java.lang.Long](null, 2L), ArrayType(LongType, containsNull = true)),
+      Literal.create(Array[java.lang.Long](null, 2L), ArrayType(LongType, containsNull = true)))
+    assert(eNullElems.eval(null).asInstanceOf[Int] === 1)
   }
 }

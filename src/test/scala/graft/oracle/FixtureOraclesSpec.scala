@@ -278,6 +278,47 @@ class FixtureOraclesSpec extends SparkSpec {
     FixtureOracles.ensure(spark, nullDir)
   }
 
+  test("emb fixtures: projected columns are duplicate-free (the DISTINCT losslessness pin)") {
+    // embFixtureSql unions byte-variant fixture dirs with SELECT
+    // DISTINCT, which is lossless ONLY if each fixture's projected rows
+    // are unique by construction — an assumption nothing enforced (r16
+    // advice). Pin it: a future fixture with legitimate duplicate
+    // projected rows would be silently collapsed by the oracle, so it
+    // must fail HERE first.
+    FixtureOracles.ensure(spark, nullDir)
+    val projections = Seq(
+      "q34_embed_neardup" -> Seq("a", "b", "cos"),
+      "q36_ann_lsh"       -> Seq("qid", "vec_id", "cos", "rank"),
+      "q43_ann_ivf"       -> Seq("qid", "vec_id", "cos", "rank"),
+      "q66_semdedup"      -> Seq("a", "b", "cos"),
+      "q77_pq"            -> Seq("vec_id", "pq_code", "recon_mse"),
+      "q84_ivfpq"         -> Seq("query_id", "vec_id", "rank", "adc_dist"),
+      "q60_pca_whiten"    -> Seq("vec_id", "pc_0", "pc_1", "pc_2", "pc_3",
+        "pc_4", "pc_5", "pc_6", "pc_7"))
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    projections.foreach { case (q, cols) =>
+      val dirs = {
+        val l = java.nio.file.Files.list(tmp)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala
+            .filter(_.getFileName.toString.startsWith(
+              s"graft_${FixtureOracles.Version}_${q}_")).toSeq
+        } finally l.close()
+      }
+      assert(dirs.nonEmpty, s"no published fixture dir for $q")
+      dirs.foreach { d =>
+        val df = spark.read.parquet(d.toString)
+          .select(cols.map(org.apache.spark.sql.functions.col): _*)
+        val n = df.count()
+        val nd = df.dropDuplicates(cols).count()
+        assert(n === nd,
+          s"$q fixture at $d has ${n - nd} duplicate projected rows — " +
+            "the oracle's DISTINCT would silently under-count")
+      }
+    }
+  }
+
   test("byte-variant eviction: stale variants go, recent ones get a grace window") {
     // a concurrent gate over a content-identical corpus in another
     // physical layout publishes under a different _b byte stamp; evicting

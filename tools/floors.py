@@ -4,9 +4,15 @@ baselines) from committed BENCH_rNN.json gate artifacts (dev tool only —
 NOT part of the library; the Scala code never depends on this).
 
 Usage:
-  python3 tools/floors.py --from-artifacts [--scaled-seed LOCAL.json ...]
+  python3 tools/floors.py --from-artifacts [--scaled-seed LOCAL.json ...] [--write]
   python3 tools/floors.py BENCH_r07.json ... [--seed LOCAL.json ...]
                                              [--scaled-seed LOCAL.json ...]
+                                             [--write]
+
+DRY-RUN BY DEFAULT (r16 verdict hygiene): without --write the tool
+prints the floors it would generate and a diff against the committed
+blocks, touching nothing — so a diagnostic run can never dirty
+src/main. Pass --write to rewrite Bench.scala in place.
 
 Two floor blocks live in Bench.scala since round 14, one per evidence
 corpus (comparing a run against the other scale's numbers armed the
@@ -155,6 +161,8 @@ def main():
     argv = sys.argv[1:]
     if not argv:
         raise SystemExit(__doc__)
+    write = "--write" in argv
+    argv = [a for a in argv if a != "--write"]
     argv, seeds = split_flag(argv, "--seed")
     argv, scaled_seeds = split_flag(argv, "--scaled-seed")
     # split_flag pops only the FIRST occurrence; a repeated flag (or a
@@ -199,7 +207,8 @@ def main():
             prov[blk] += [f"--{'scaled-' if blk == 'scaled' else ''}seed"] \
                 + seed_files
 
-    src = BENCH.read_text()
+    orig = BENCH.read_text()
+    src = orig
     for blk, (begin, end) in BLOCKS.items():
         if not floors[blk]:
             print(f"{blk} block: no inputs — left untouched")
@@ -211,8 +220,17 @@ def main():
         src = pat.sub(lambda _: gen, src)
         print(f"{blk} block: {len(floors[blk])} floors "
               f"from {len(prov[blk])} inputs")
-    BENCH.write_text(src)
-    print(f"wrote {BENCH}")
+    if src == orig:
+        print(f"{BENCH} already up to date")
+    elif write:
+        BENCH.write_text(src)
+        print(f"wrote {BENCH}")
+    else:
+        import difflib
+        sys.stdout.writelines(difflib.unified_diff(
+            orig.splitlines(keepends=True), src.splitlines(keepends=True),
+            fromfile=str(BENCH), tofile=f"{BENCH} (regenerated)"))
+        print(f"\ndry run — {BENCH} NOT touched; pass --write to apply")
 
 
 if __name__ == "__main__":
