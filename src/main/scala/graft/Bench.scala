@@ -40,6 +40,12 @@ import org.apache.spark.sql.SparkSession
   * times in one session for adjudication. Per-rep detail lands in
   * `BENCH_REPS.json`; the stdout contract stays one JSON line with the
   * per-query MEDIAN.
+  *
+  * Standing scale evidence (r16 → r17): `python3 tools/scale_gate.py`
+  * reruns the full oracled 10x gate on demand, and
+  * `python3 tools/scale_gate.py --replicas 100` reruns the ~sf10 probe
+  * (per-query DuckDB watchdog, SPARK_DRIVER_MEM=48g default — the
+  * protocol of tools/r16/GATE_SF10.md, now one command).
   */
 object Bench {
 

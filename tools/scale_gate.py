@@ -23,13 +23,28 @@ reviewed pieces — it adds no logic of its own:
 
 Usage:
   python3 tools/scale_gate.py [--corpus /tmp/graft_sf1d] [--report DIR]
-                              [--skip-bench]
+                              [--skip-bench] [--replicas N]
 
 Keep the default --corpus unless you have a reason: it is
 ScaleCorpus.defaultDir, the directory the official bench self-upgrades
 to, and its basename is what tools/floors.py uses to route a run's
 times into the SCALED floor block. A differently-named corpus benches
 with floors inactive and its artifacts route to the wrong block.
+
+`--replicas 100` is the 100x (~sf10) probe gate, folded in from the
+r16 hand-sequenced runner (tools/r16/gate_sf10_runner.py) per that
+round's verdict item 5. Probe mode (any --replicas != 10) switches to
+the protocol the r16 run validated:
+  - corpus defaults to /tmp/graft_sf{N//10}s (r16: /tmp/graft_sf10s)
+  - Verify runs with SPARK_DRIVER_MEM=48g (the ~27M-entry q31 fixture
+    derivation peaks near that; override via the env var)
+  - the oracle gate runs PER QUERY under a watchdog (9 min / 35 GB
+    free-disk budget per oracle, GRAFT_GATE_MEMLIMIT=95GB) so an
+    oracle-engine wall is recorded as oracle-engine-bound instead of
+    crashing the sweep with ENOSPC — the r16 lesson (q102/q45 pre-
+    MATERIALIZED filled the volume twice)
+  - the bench/ratio legs are skipped (floors only exist for the 10x
+    corpus; the probe is a correctness gate)
 
 Exit 0 only when the gate is 112/112 and no query is super-linear.
 Artifacts land in --report (default tools/scale_gate_out/):
@@ -40,11 +55,19 @@ import datetime
 import os
 import pathlib
 import shutil
+import signal
 import subprocess
 import sys
+import time
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 SF01 = "/root/testdata/sf0.1"
+
+# probe-mode watchdog budgets — the values the r16 sf10 run validated
+TIME_LIMIT = 9 * 60          # seconds per oracle
+DISK_FLOOR_GB = 35           # kill before the volume fills
+PROBE_MEMLIMIT = "95GB"
+PROBE_DRIVER_MEM = "48g"
 
 
 def run(cmd, **kw):
@@ -52,30 +75,80 @@ def run(cmd, **kw):
     return subprocess.run(cmd, cwd=ROOT, **kw)
 
 
-def ensure_corpus(corpus: str) -> str:
+def ensure_corpus(corpus: str, replicas: int) -> str:
     # graft.ScaleCorpus reuses a marker-valid corpus and (re)derives
     # otherwise — single source of truth for the derivation rules
     r = run(["sbt", "-batch",
-             f"runMain graft.ScaleCorpus {SF01} {corpus}"])
+             f"runMain graft.ScaleCorpus {SF01} {corpus} {replicas}"])
     if r.returncode != 0:
         raise SystemExit("ScaleCorpus derivation failed")
-    return "ensured via graft.ScaleCorpus (marker decides reuse)"
+    return f"ensured via graft.ScaleCorpus x{replicas} (marker decides reuse)"
 
 
-def gate(corpus: str, report: pathlib.Path) -> int:
+def free_gb(path="/"):
+    return shutil.disk_usage(path).free / (1 << 30)
+
+
+def gate_one_watchdog(out: str, corpus: str, q: str, log) -> str:
+    """One query through gate.py under the r16 watchdog: kill on the
+    time/disk budget and record it, instead of letting a runaway oracle
+    spill fill the volume."""
+    env = dict(os.environ)
+    env.setdefault("GRAFT_GATE_MEMLIMIT", PROBE_MEMLIMIT)
+    p = subprocess.Popen([sys.executable, "tools/gate.py", out, corpus, q],
+                         stdout=log, stderr=subprocess.STDOUT, env=env,
+                         cwd=ROOT, start_new_session=True)
+    t0 = time.time()
+    while True:
+        rc = p.poll()
+        if rc is not None:
+            return "ok" if rc == 0 else "mismatch"
+        el = time.time() - t0
+        if el > TIME_LIMIT or free_gb() < DISK_FLOOR_GB:
+            reason = "time" if el > TIME_LIMIT else "disk"
+            os.killpg(p.pid, signal.SIGKILL)
+            p.wait()
+            # reclaim any spill the killed engine left behind
+            shutil.rmtree(ROOT / ".tmp", ignore_errors=True)
+            return f"oracle-engine-bound({reason})"
+        time.sleep(5)
+
+
+def gate(corpus: str, report: pathlib.Path, probe: bool) -> int:
     out = f"{corpus.rstrip('/')}_verify"
     shutil.rmtree(out, ignore_errors=True)
-    if run(["sbt", "-batch", f"runMain graft.Verify {corpus} {out}"]).returncode:
+    env = dict(os.environ)
+    if probe:
+        env.setdefault("SPARK_DRIVER_MEM", PROBE_DRIVER_MEM)
+    if run(["sbt", "-batch", f"runMain graft.Verify {corpus} {out}"],
+           env=env).returncode:
         raise SystemExit("Verify failed")
     log = report / "GATE_SF1D.log"
+    if not probe:
+        with open(log, "w") as f:
+            rc = run([sys.executable, "tools/gate.py", out, corpus],
+                     stdout=f, stderr=subprocess.STDOUT).returncode
+        tail = log.read_text().strip().splitlines()
+        ok = sum(1 for l in tail if ": OK" in l)
+        bad = sum(1 for l in tail if "MISMATCH" in l)
+        print(f"[scale_gate] gate: {ok} OK, {bad} MISMATCH (log: {log})")
+        return 0 if (rc == 0 and bad == 0 and ok > 0) else 1
+    # probe mode: per-query watchdog sweep
+    queries = sorted(p.name for p in pathlib.Path(out).glob("q*") if p.is_dir())
+    ok = bad = bound = 0
     with open(log, "w") as f:
-        rc = run([sys.executable, "tools/gate.py", out, corpus],
-                 stdout=f, stderr=subprocess.STDOUT).returncode
-    tail = log.read_text().strip().splitlines()
-    ok = sum(1 for l in tail if ": OK" in l)
-    bad = sum(1 for l in tail if "MISMATCH" in l)
-    print(f"[scale_gate] gate: {ok} OK, {bad} MISMATCH (log: {log})")
-    return 0 if (rc == 0 and bad == 0 and ok > 0) else 1
+        for q in queries:
+            status = gate_one_watchdog(out, corpus, q, f)
+            line = f"[scale_gate] {q}: {status} (free={free_gb():.0f}G)"
+            print(line, flush=True)
+            f.write(line + "\n")
+            f.flush()
+            ok += status == "ok"
+            bad += status == "mismatch"
+            bound += status.startswith("oracle-engine-bound")
+    print(f"[scale_gate] probe gate: {ok} OK, {bad} MISMATCH, "
+          f"{bound} oracle-engine-bound (log: {log})")
+    return 0 if (bad == 0 and bound == 0 and ok > 0) else 1
 
 
 def bench(sf_dir: str, dest: pathlib.Path) -> None:
@@ -97,16 +170,26 @@ def main():
     ap = argparse.ArgumentParser()
     # default = ScaleCorpus.defaultDir: the corpus the official bench
     # self-upgrades to, so one directory serves both gates
-    ap.add_argument("--corpus", default="/tmp/graft_sf1d")
+    ap.add_argument("--corpus", default=None)
     ap.add_argument("--report", default=str(ROOT / "tools/scale_gate_out"))
     ap.add_argument("--skip-bench", action="store_true",
                     help="correctness gate only (no perf ratio table)")
+    ap.add_argument("--replicas", type=int, default=10,
+                    help="sf0.1 replicas; 100 = the ~sf10 probe gate")
     args = ap.parse_args()
+    probe = args.replicas != 10
+    if args.corpus is None:
+        args.corpus = ("/tmp/graft_sf1d" if not probe
+                       else f"/tmp/graft_sf{args.replicas // 10}s")
+    if probe and not args.skip_bench:
+        print("[scale_gate] probe mode: skipping the bench/ratio legs "
+              "(floors only exist for the 10x corpus)")
+        args.skip_bench = True
     report = pathlib.Path(args.report)
     report.mkdir(parents=True, exist_ok=True)
 
-    provenance = ensure_corpus(args.corpus)
-    gate_rc = gate(args.corpus, report)
+    provenance = ensure_corpus(args.corpus, args.replicas)
+    gate_rc = gate(args.corpus, report, probe)
 
     cmp_rc, cmp_out = 0, "(bench skipped)"
     if not args.skip_bench:
@@ -124,11 +207,12 @@ def main():
     verdict = "PASS" if gate_rc == 0 and cmp_rc == 0 else "FAIL"
     (report / "SCALE.md").write_text(f"""# Scale gate — {stamp}: {verdict}
 
-Derived 10x corpus at `{args.corpus}` ({provenance}); full oracle gate
-(`graft.Verify` + `tools/gate.py` driver-compare) and the sf0.1-vs-10x
-super-linear scan, produced by one command:
+Derived {args.replicas}x corpus at `{args.corpus}` ({provenance});
+full oracle gate (`graft.Verify` + `tools/gate.py` driver-compare)
+{'(per-query watchdog probe protocol)' if probe
+ else 'and the sf0.1-vs-10x super-linear scan'}, produced by one command:
 
-    python3 tools/scale_gate.py
+    python3 tools/scale_gate.py{f' --replicas {args.replicas}' if probe else ''}
 
 - correctness gate: {'112/112-style all-OK (see GATE_SF1D.log)'
                      if gate_rc == 0 else 'MISMATCHES — see GATE_SF1D.log'}
