@@ -83,6 +83,38 @@ class AudioWavSpec extends SparkSpec {
     assert(AudioWav.features(1L, out.toByteArray).isEmpty)
   }
 
+  test("q51 cross-engine: CPython-wave containers decode to independently computed features") {
+    // The r16 verdict's same-author-oracle item, q51 edition: the WAV
+    // containers here were WRITTEN by CPython's stdlib `wave` module (an
+    // independent RIFF/WAVE producer — nothing about the byte layout
+    // came from this repo) over pinned deterministic PCM, and the
+    // expected features were computed in Python/numpy
+    // (tools/r17/gen_q51_wav.py; rms is the standard
+    // sqrt(mean((pcm/32768)^2)), zero-cross/afp restate the house
+    // definitions in an independent runtime). rms compares at 1e-12 —
+    // numpy's pairwise summation vs the JVM's sequential loop differ in
+    // the last ulp; everything else is integer-exact.
+    val base = getClass.getResource("/graft/q51_wav_expected")
+    assert(base != null, "missing test resource dir q51_wav_expected")
+    val dir = java.nio.file.Paths.get(base.toURI)
+    val expected = spark.read.option("multiLine", "true")
+      .json(dir.resolve("expected.json").toString).collect()
+    assert(expected.length === 4)
+    expected.foreach { r =>
+      val name = r.getAs[String]("name")
+      val blob = java.nio.file.Files.readAllBytes(dir.resolve(s"$name.wav"))
+      val f = AudioWav.features(1L, blob)
+        .getOrElse(fail(s"$name: parser rejected a CPython-written WAV"))
+      assert(f.sample_rate === r.getAs[Long]("sample_rate").toInt, name)
+      assert(f.channels === r.getAs[Long]("channels").toInt, name)
+      assert(f.duration_ms === r.getAs[Long]("duration_ms"), name)
+      assert(f.zero_cross === r.getAs[Long]("zero_cross"), name)
+      assert(f.afp === r.getAs[Long]("afp"), name)
+      val rms = r.getAs[Double]("rms")
+      assert(math.abs(f.rms - rms) < 1e-12, s"$name: rms ${f.rms} != $rms")
+    }
+  }
+
   test("q51 end to end: one feature row per doc, real decode values") {
     val dir = docsDir(Seq((1L, "a b c"), (2L, "d e f"), (40L, "g h i")))
     val out = graft.SparkEntry.queries("q51_audio_features")(spark, dir)

