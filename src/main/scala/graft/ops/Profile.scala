@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -48,10 +49,66 @@ object Profile {
     one.select(explode(rows).as("s")).select(col("s.*"))
   }
 
+  /** Per-source Gini coefficient of document token counts (q120), in
+    * integer ppm — the inequality profile of a data mix: a source whose
+    * token mass sits in a few huge documents (gini → 1) packs, shards,
+    * and trains very differently from one with uniform documents
+    * (gini → 0), and drift in this number between crawl snapshots is a
+    * pipeline alarm.
+    *
+    * For ascending-sorted token counts x₁…x_m the classic rank form is
+    *
+    *   G = (2·Σ i·xᵢ − (m+1)·Σ xᵢ) / (m·Σ xᵢ)
+    *
+    * Scale shape: the corpus-scale sort that formula implies is NOT run
+    * over rows. Like q89/q111's exact quantiles, the corpus first
+    * collapses to a per-(source, token-count) VALUE HISTOGRAM (one
+    * map-side-combined aggregation — the only corpus-scale pass), and
+    * Σ i·xᵢ is reconstructed exactly from histogram blocks: a count
+    * value n with multiplicity c starting at cumulative rank p
+    * contributes n·(c·p + c(c−1)/2), because the ranks it occupies are
+    * exactly p…p+c−1 and Gini is tie-order invariant. The window that
+    * assigns p runs over histogram rows — bounded by the token-count
+    * DOMAIN per source, not its document count — so a dominant source
+    * degrades to a spilled sort of distinct lengths, never a
+    * corpus-scale row sort.
+    *
+    * Everything is int64 (c(c−1) is even, so `div 2` is exact; the
+    * ppm numerator 10⁶·(2·Σi·x − (m+1)·Σx) ≤ 10⁶·m·Σx overflows only
+    * past ~9·10¹² doc·tokens per source — ANSI mode fails loudly there;
+    * lift to decimal(38,0) at that scale).
+    */
+  def lengthGini(docs: DataFrame): DataFrame = {
+    // q38's n_words definition: raw split length of the trimmed text
+    // (NULL docs excluded; an empty doc counts 1, so Σx ≥ m ≥ 1 and no
+    // denominator can hit zero)
+    val n = size(split(trim(col("text")), "\\s+")).cast("long")
+    val hist = docs.filter(col("text").isNotNull)
+      .groupBy(col("source"), n.as("n"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n"))
+    hist
+      // p = 1-based cumulative rank where this value block starts
+      .withColumn("p", sum(col("c")).over(w) - col("c") + lit(1L))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("m"),
+        sum(col("n") * col("c")).as("s"),
+        sum(expr("n * (c * p + (c * (c - 1)) div 2)")).as("s1"))
+      .select(
+        col("source"),
+        col("m").as("n_docs"),
+        col("s").as("total_tokens"),
+        expr("(1000 * s) div m").as("mean_tokens_milli"),
+        expr("(1000000 * (2 * s1 - (m + 1) * s)) div (m * s)").as("gini_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_column_stats" -> ((s, dir) =>
       columnStats(Tables.documents(s, dir),
-        Seq("doc_id", "text", "lang", "source", "n_chars"))))
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+    "q120_length_gini" -> ((s, dir) =>
+      lengthGini(Tables.documents(s, dir))))
 
   def oracles: Map[String, String] = Map(
     // one UNION branch per column — counts + casts mirror exactly
@@ -67,5 +124,29 @@ object Profile {
            |  CAST(min($c) AS VARCHAR) AS min_val,
            |  CAST(max($c) AS VARCHAR) AS max_val
            |FROM documents""".stripMargin
-      }.mkString("\nUNION ALL\n"))
+      }.mkString("\nUNION ALL\n"),
+
+    // The oracle takes the NAIVE road the Spark side deliberately
+    // avoids — row_number over raw documents — which doubles as a
+    // derivation check that the histogram-block reconstruction of
+    // Σ i·xᵢ is exact (Gini is tie-order invariant, so the arbitrary
+    // tie resolution inside each equal-count block cannot diverge).
+    "q120_length_gini" ->
+      raw"""WITH t AS (
+           |  SELECT source,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           |      AS n
+           |  FROM documents WHERE text IS NOT NULL),
+           |r AS (
+           |  SELECT source, n,
+           |    row_number() OVER (PARTITION BY source ORDER BY n) AS i
+           |  FROM t)
+           |SELECT source,
+           |  count(*) AS n_docs,
+           |  CAST(sum(n) AS BIGINT) AS total_tokens,
+           |  CAST((1000 * sum(n)) // count(*) AS BIGINT)
+           |    AS mean_tokens_milli,
+           |  CAST((1000000 * (2 * sum(i * n) - (count(*) + 1) * sum(n)))
+           |    // (count(*) * sum(n)) AS BIGINT) AS gini_ppm
+           |FROM r GROUP BY source""".stripMargin)
 }

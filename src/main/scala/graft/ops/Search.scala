@@ -99,6 +99,68 @@ object Search {
         col("rank"))
   }
 
+  /** Bigram collocation mining (q119): the phrase-detection pass a
+    * tokenizer-training pipeline runs before BPE/vocab work — find the
+    * adjacent word pairs that co-occur far more than their parts
+    * (word2vec's phrase pass, Smadja's collocation extraction). The
+    * association measure is the Dice coefficient in integer ppm:
+    *
+    *   dice_ppm = ⌊2·10⁶ · n(w1,w2) / (n(w1) + n(w2))⌋
+    *
+    * — chosen over PMI because it needs no logarithm (every output cell
+    * is exact 64-bit integer arithmetic, so the cross-engine hash gate
+    * compares bit-identical values, not rounded doubles) and is
+    * monotone in the same "together more than apart" direction.
+    *
+    * Scale shape (the 100 TB audit):
+    *   - tokenize + adjacent-zip is map-side (one pass, linear in
+    *     tokens; the corpus never materializes pairs beyond its own
+    *     bigram count);
+    *   - bigram and unigram counts are groupBy aggregations with
+    *     map-side combine, so stopword-pair skew ("of the" everywhere)
+    *     collapses to one partial row per partition before either
+    *     exchange;
+    *   - `minCount` prunes the long tail BEFORE the joins, so the join
+    *     input is the (vocab × vocab ∩ observed, support ≥ minCount)
+    *     frame — vocab-scale, not corpus-scale; AQE broadcasts the
+    *     unigram side when it fits;
+    *   - the final cut is orderBy+limit = TakeOrderedAndProject
+    *     (per-partition heaps, no global sort), on a TOTAL order
+    *     (dice desc, support desc, w1, w2 — (w1,w2) is unique), so the
+    *     k-th row is the same row on every engine and every run.
+    *
+    * Overflow: 2·10⁶·n_pair stays in int64 while the corpus holds under
+    * ~4.6·10¹² occurrences of one bigram; past that, lift the ppm
+    * multiply to decimal(38,0) (ANSI mode fails loudly, not silently).
+    */
+  def collocations(docs: DataFrame, minCount: Long = 3, k: Int = 100): DataFrame = {
+    // empty tokens (leading tab/LF whitespace) are dropped so a bigram
+    // can never contain the empty word; NULL docs carry no bigrams
+    val toks = docs.filter(col("text").isNotNull)
+      .select(filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val pairs = toks
+      .filter(size(col("t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), Seq("w2"))
+      // integer floor division (`div`) — DuckDB's `//` on positive ints
+      .withColumn("dice_ppm", expr("(2000000 * n_pair) div (n_w1 + n_w2)"))
+      .orderBy(col("dice_ppm").desc, col("n_pair").desc,
+        col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select(col("w1"), col("w2"), col("n_pair"),
+        col("n_w1"), col("n_w2"), col("dice_ppm"))
+  }
+
   /** The driver query's pinned bag-of-words — terms present in the
     * synthetic corpus vocabulary with distinct document frequencies.
     */
@@ -106,7 +168,11 @@ object Search {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BM25 top-20 for a 3-term query — see [[bm25]].
-    "q72_bm25" -> ((s, dir) => bm25(Tables.documents(s, dir), QueryTerms))
+    "q72_bm25" -> ((s, dir) => bm25(Tables.documents(s, dir), QueryTerms)),
+    // Top-100 bigram collocations by integer-exact Dice — see
+    // [[collocations]].
+    "q119_colloc_dice" -> ((s, dir) =>
+      collocations(Tables.documents(s, dir)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -145,6 +211,34 @@ object Search {
            |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC)
            |    AS rank
            |  FROM scored)
-           |WHERE rank <= 20""".stripMargin
+           |WHERE rank <= 20""".stripMargin,
+
+    // Same tokenizer + empty-token filter, same adjacent-pair
+    // derivation (the q44 generate_series idiom), same integer floor
+    // division; the LIMIT cut rides the identical total order.
+    "q119_colloc_dice" ->
+      raw"""WITH toks AS (
+           |  SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+           |           x -> x <> '') AS t
+           |  FROM documents WHERE text IS NOT NULL),
+           |uni AS (
+           |  SELECT w, count(*) AS n_w
+           |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+           |pr AS (
+           |  SELECT unnest(list_transform(generate_series(1, len(t)-1),
+           |           i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+           |  FROM toks WHERE len(t) >= 2),
+           |pairs AS (
+           |  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+           |  FROM pr GROUP BY 1, 2 HAVING count(*) >= 3),
+           |scored AS (
+           |  SELECT w1, w2, n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+           |    (2000000 * n_pair) // (u1.n_w + u2.n_w) AS dice_ppm
+           |  FROM pairs
+           |  JOIN uni u1 ON pairs.w1 = u1.w
+           |  JOIN uni u2 ON pairs.w2 = u2.w)
+           |SELECT w1, w2, n_pair, n_w1, n_w2, dice_ppm FROM scored
+           |ORDER BY dice_ppm DESC, n_pair DESC, w1 ASC, w2 ASC
+           |LIMIT 100""".stripMargin
   )
 }

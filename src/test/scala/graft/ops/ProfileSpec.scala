@@ -39,4 +39,74 @@ class ProfileSpec extends SparkSpec {
     // the table is scanned once, not once per column
     assert("(?i)relation".r.findAllIn(plan).size <= 1, plan)
   }
+
+  private def giniDocs(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  test("q120: hand-computed Gini ppm per source, histogram blocks exact") {
+    // A: counts [1,2,3,4] → Σi·x = 1+4+9+16 = 30, s = 10, m = 4
+    //    → G = (60 − 5·10)/(4·10) = 0.25 → 250000 ppm; mean 2500 milli
+    // B: uniform [5,5,5] → G = 0 (one histogram block of multiplicity 3:
+    //    Σi·x = 5·(3·1 + 3) = 30, (60 − 4·15)/45 = 0)
+    // C: duplicates [2,2,4] → Σi·x = 2+4+12 = 18
+    //    → (36 − 4·8)/(3·8) = 4/24 → ⌊166666.6⌋ = 166666 ppm; mean 2666
+    val dir = giniDocs(Seq(
+      (1L, "A", "w"),
+      (2L, "A", "w w"),
+      (3L, "A", "w w w"),
+      (4L, "A", "w w w w"),
+      (5L, "B", "w w w w w"),
+      (6L, "B", "w w w w w"),
+      (7L, "B", "w w w w w"),
+      (8L, "C", "w w"),
+      (9L, "C", "w w"),
+      (10L, "C", "w w w w"),
+      (11L, "C", null.asInstanceOf[String]))) // NULL text excluded
+    val got = Profile.lengthGini(dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got("A") === ((4L, 10L, 2500L, 250000L)))
+    assert(got("B") === ((3L, 15L, 5000L, 0L)))
+    assert(got("C") === ((3L, 8L, 2666L, 166666L)))
+  }
+
+  test("q120: histogram reconstruction equals the naive sorted-rank form") {
+    // seeded fuzz: random per-source length multisets; Σi·x from the
+    // histogram blocks must equal the row-sorted rank sum exactly
+    val rnd = new scala.util.Random(120)
+    val rows = (0 until 400).map { i =>
+      val src = s"s${rnd.nextInt(5)}"
+      val n = 1 + rnd.nextInt(12)
+      (i.toLong, src, Seq.fill(n)("w").mkString(" "))
+    }
+    val got = Profile.lengthGini(giniDocs(rows)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+      .toMap
+    val expect = rows.groupBy(_._2).map { case (src, docs) =>
+      val xs = docs.map(_._3.split(" ").length.toLong).sorted
+      val m = xs.length.toLong
+      val s = xs.sum
+      val s1 = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      src -> ((m, s, 1000000L * (2 * s1 - (m + 1) * s) / (m * s)))
+    }
+    assert(got === expect)
+  }
+
+  test("q120 plan: the window runs over the HISTOGRAM, not corpus rows") {
+    val df = graft.SparkEntry.queries("q120_length_gini")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the printed tree runs root-first, so the shape must read
+    // Aggregate(per source) → Window → Aggregate(histogram) → scan: a
+    // second Aggregate BELOW the Window proves the sort runs over
+    // (source, n) histogram rows, not corpus rows
+    val winAt = plan.indexOf("Window")
+    val aggs = "Aggregate".r.findAllMatchIn(plan).map(_.start).toSeq
+    assert(winAt >= 0 && aggs.size === 2, plan)
+    assert(aggs.head < winAt && aggs.last > winAt, plan)
+    assert(df.count() > 0)
+  }
 }

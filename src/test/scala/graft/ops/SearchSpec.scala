@@ -95,4 +95,65 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](Search.bm25(docs, Seq("a b")))
     intercept[IllegalArgumentException](Search.bm25(docs, Seq("")))
   }
+
+  test("q119: hand-counted Dice ppm, min-support cut, empty-token hygiene") {
+    // hand counts: "a b a b a b" → bigrams (a,b)×3 (b,a)×2; "new york"×3
+    // docs → (new,york)×3; unigrams a=3 b=3 new=3 york=3. With
+    // minCount=3: (b,a) is cut, (a,b) and (new,york) survive with
+    // dice = ⌊2e6·3/(3+3)⌋ = 1_000_000. The tab/newline-edged doc
+    // contributes its pair ONCE (empty tokens never form bigrams).
+    val dir = docsDir(Seq(
+      1L -> "a b a b a b",
+      2L -> "new york",
+      3L -> "\tnew   york\n",
+      4L -> " new york ",
+      5L -> null.asInstanceOf[String]))
+    val got = Search.collocations(graft.Tables.documents(spark, dir))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.keySet === Set(("a", "b"), ("new", "york")))
+    assert(got(("a", "b")) === ((3L, 3L, 3L, 1000000L)))
+    assert(got(("new", "york")) === ((3L, 3L, 3L, 1000000L)))
+  }
+
+  test("q119: top-k cut rides a total order (dice, support, w1, w2)") {
+    // six distinct pairs, all support 3, all dice 1e6 — the cut at k=3
+    // must be decided by (w1, w2) alone and reproduce exactly
+    val pairs = Seq("p q", "r s", "t u", "v w", "x y", "z zz")
+    val dir = docsDir(pairs.zipWithIndex.flatMap { case (p, i) =>
+      (0 until 3).map(j => (i * 10L + j) -> p)
+    })
+    val docs = graft.Tables.documents(spark, dir)
+    val top3 = Search.collocations(docs, k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(top3.toSet === Set(("p", "q"), ("r", "s"), ("t", "u")))
+    // and the plan's cut is a TakeOrderedAndProject, never a global sort
+    val plan = Search.collocations(docs, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q119 driver query matches a naive local derivation at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().flatMap(r => Option(r.getString(0)))
+    val toks = docs.map(_.trim.split("\\s+").filter(_.nonEmpty).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val pair = toks.filter(_.length >= 2)
+      .flatMap(t => t.zip(t.tail))
+      .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+      .filter(_._2 >= 3L)
+    val scored = pair.toSeq.map { case ((w1, w2), c) =>
+      (w1, w2, c, uni(w1), uni(w2), 2000000L * c / (uni(w1) + uni(w2)))
+    }
+    val expect = scored
+      .sortBy { case (w1, w2, c, _, _, d) => (-d, -c, w1, w2) }.take(100)
+    val got = graft.SparkEntry.queries("q119_colloc_dice")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === expect)
+  }
 }
