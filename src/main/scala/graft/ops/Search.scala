@@ -216,12 +216,15 @@ object Search {
     // Same tokenizer + empty-token filter, same adjacent-pair
     // derivation (the q44 generate_series idiom), same integer floor
     // division; the LIMIT cut rides the identical total order.
+    // MATERIALIZED pins evaluation count only (the q102/q45 lesson at
+    // the 100x probe): toks feeds two CTEs and uni joins twice, so
+    // plain-CTE inlining would re-tokenize the corpus up to 4x.
     "q119_colloc_dice" ->
-      raw"""WITH toks AS (
+      raw"""WITH toks AS MATERIALIZED (
            |  SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
            |           x -> x <> '') AS t
            |  FROM documents WHERE text IS NOT NULL),
-           |uni AS (
+           |uni AS MATERIALIZED (
            |  SELECT w, count(*) AS n_w
            |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
            |pr AS (
