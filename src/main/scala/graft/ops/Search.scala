@@ -123,7 +123,11 @@ object Search {
     *   - `minCount` prunes the long tail BEFORE the joins, so the join
     *     input is the (vocab × vocab ∩ observed, support ≥ minCount)
     *     frame — vocab-scale, not corpus-scale; AQE broadcasts the
-    *     unigram side when it fits;
+    *     unigram side when it fits, and in the shuffle regime the two
+    *     unigram join sides canonicalize to ONE exchange (ReuseExchange
+    *     through the w→w1/w→w2 aliases — PlanAuditSpec audits the
+    *     final adaptive plan), so the corpus is tokenized and counted
+    *     once, not once per side;
     *   - the final cut is orderBy+limit = TakeOrderedAndProject
     *     (per-partition heaps, no global sort), on a TOTAL order
     *     (dice desc, support desc, w1, w2 — (w1,w2) is unique), so the

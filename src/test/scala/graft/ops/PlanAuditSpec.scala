@@ -299,6 +299,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q119: the two unigram join sides share one exchange at scale") {
+    // collocations joins the unigram frame twice (on w1, then w2). At
+    // sf0.001 AQE broadcasts both and the double compute is invisible;
+    // at corpus scale the joins go shuffle-shaped and the claim that
+    // matters is that the two identical unigram agg subtrees collapse
+    // into ONE exchange (ReuseExchange canonicalizes through the
+    // w→w1/w→w2 aliases) — otherwise the corpus is tokenized and
+    // counted twice. Force the shuffle regime and audit the final plan.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.SparkEntry.queries("q119_colloc_dice")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+        s"q119: unigram twin sides no longer share an exchange:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("q47: the window runs over the cutoff bucket only, never the stratum") {
     // the round-5 scale-killer was row_number over EVERY row of a stratum;
     // the two-phase plan must feed its one window from the b = cutB filter
