@@ -319,10 +319,7 @@ class BenchSpec extends AnyFunSuite {
     // item #2). A brand-new query may legitimately lack gate evidence
     // for one round: allowlist it HERE, by name, with the round it
     // shipped, and remove the entry after the next regeneration.
-    // q119/q120 shipped r17 (first 10x-corpus readings: 1.26 s / 0.50 s,
-    // tools/r17/ADJUDICATION_WORST6.md session); remove after the next
-    // floors.py regeneration from r17+ gate artifacts.
-    val newQueryAllowlist: Set[String] = Set("q119", "q120")
+    val newQueryAllowlist: Set[String] = Set()
     val unguarded = names.map(Bench.short)
       .filterNot(Bench.expected.contains).filterNot(newQueryAllowlist)
     assert(unguarded.isEmpty,
