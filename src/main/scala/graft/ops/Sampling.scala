@@ -318,9 +318,77 @@ object Sampling {
           .as("deficit_tokens"))
   }
 
+  /** Heaps-law vocabulary growth curve (q121): distinct-token count at
+    * each of `checkpoints` equal slices of the corpus in doc_id order —
+    * the curve a tokenizer budget is planned against (vocab still
+    * climbing steeply at 100% means the corpus under-covers its
+    * domain; a flat tail means diminishing returns per crawl). doc_id
+    * is the corpus order by convention (synthetic ids are
+    * intake-ordered; at 100 TB substitute any monotone intake key).
+    *
+    * Scale shape: NO corpus-scale sort or rank. Each token's first
+    * occurrence is `min(doc_id)` — one map-side-combined aggregation,
+    * the only corpus-scale pass (output is vocab-sized). The checkpoint
+    * index is pure integer arithmetic against a 1-row broadcast horizon
+    * (k = ⌈C·id/max_id⌉ via `div`), the per-checkpoint histogram is ≤ C
+    * rows, and the cumulative is the q102-style triangle join over the
+    * ≤ C-row spine — never a window (and never the unpartitioned-window
+    * warning, see the q72 note). Missing checkpoints (a slice minting
+    * no new token) still emit their cumulative row via the spine.
+    *
+    * Two vocabularies ride the same machinery: raw whitespace tokens
+    * (q48's definition) and adjacent bigram TYPES over the q119
+    * empty-filtered tokens — the bigram curve keeps climbing long
+    * after a small closed unigram vocabulary saturates (it is what
+    * makes the oracle non-vacuous on the synthetic corpus, whose 31
+    * words all appear in the first slice).
+    */
+  def vocabGrowth(docs: DataFrame, checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 1, s"checkpoints must be >= 1: $checkpoints")
+    val session = docs.sparkSession
+    val live = docs.filter(col("text").isNotNull)
+    val horizon = live.agg(max(col("doc_id")).as("max_id"))
+    def bucket(idCol: String) = greatest(lit(1L),
+      expr(s"($checkpoints * $idCol + max_id - 1) div max_id"))
+    def firstBuckets(first: DataFrame) = first
+      .crossJoin(broadcast(horizon))
+      .groupBy(bucket("first_id").as("bk")).agg(count(lit(1)).as("c"))
+    val tokenBuckets = firstBuckets(live
+      .select(col("doc_id"), explode(Dedup.tokens).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_id")))
+    val filtered = filter(Dedup.tokens, t => t =!= "")
+    val bigramBuckets = firstBuckets(live
+      .select(col("doc_id"), filtered.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("p.w1"), col("p.w2"))
+      .agg(min(col("doc_id")).as("first_id")))
+    val docBuckets = live
+      .select(col("doc_id")).crossJoin(broadcast(horizon))
+      .groupBy(bucket("doc_id").as("bk")).agg(count(lit(1)).as("c"))
+    val spine = session.range(1, checkpoints + 1L).select(col("id").as("k"))
+    def cum(buckets: DataFrame, as: String) =
+      spine.join(buckets, buckets("bk") <= spine("k"), "left")
+        .groupBy(col("k"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as(as))
+    cum(docBuckets, "n_docs")
+      .join(cum(tokenBuckets, "vocab"), Seq("k"))
+      .join(cum(bigramBuckets, "bigram_types"), Seq("k"))
+      .select(col("k").as("checkpoint"), col("n_docs"), col("vocab"),
+        col("bigram_types"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_importance_sample" -> ((s, dir) =>
       importanceSample(Tables.documents(s, dir))),
+
+    // Heaps-law vocabulary growth at 10 corpus checkpoints — see
+    // [[vocabGrowth]].
+    "q121_vocab_growth" -> ((s, dir) =>
+      vocabGrowth(Tables.documents(s, dir))),
 
     // α = 0.5 domain mixture weights — see [[domainMix]].
     "q93_domain_mix" -> ((s, dir) => domainMix(Tables.documents(s, dir))),
@@ -522,6 +590,59 @@ object Sampling {
         |  CAST(sum(len(tok)) AS DOUBLE) / count(*) AS avg_tok_len
         |FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         |      FROM documents)
-        |GROUP BY lang""".stripMargin
+        |GROUP BY lang""".stripMargin,
+
+    // Same tokenizer, same ceil-division checkpoint arithmetic
+    // (DuckDB's `//` floors like Spark's `div` for the non-negative
+    // operands here), same left-triangle cumulative; MATERIALIZED pins
+    // the shared CTEs to one evaluation (the q119/q102 lesson).
+    "q121_vocab_growth" ->
+      raw"""WITH live AS MATERIALIZED (
+           |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+           |h AS MATERIALIZED (SELECT max(doc_id) AS max_id FROM live),
+           |tb AS MATERIALIZED (
+           |  SELECT greatest(1, (10 * first_id + max_id - 1) // max_id)
+           |           AS bk,
+           |         count(*) AS c
+           |  FROM (SELECT tok, min(doc_id) AS first_id
+           |        FROM (SELECT doc_id,
+           |                unnest(regexp_split_to_array(trim(text), '\s+'))
+           |                  AS tok
+           |              FROM live)
+           |        GROUP BY tok), h
+           |  GROUP BY 1),
+           |bb AS MATERIALIZED (
+           |  SELECT greatest(1, (10 * first_id + max_id - 1) // max_id)
+           |           AS bk,
+           |         count(*) AS c
+           |  FROM (SELECT p.w1 AS w1, p.w2 AS w2, min(doc_id) AS first_id
+           |        FROM (SELECT doc_id,
+           |                unnest(list_transform(generate_series(1, len(t)-1),
+           |                  i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+           |              FROM (SELECT doc_id,
+           |                      list_filter(
+           |                        regexp_split_to_array(trim(text), '\s+'),
+           |                        x -> x <> '') AS t
+           |                    FROM live)
+           |              WHERE len(t) >= 2)
+           |        GROUP BY 1, 2), h
+           |  GROUP BY 1),
+           |db AS MATERIALIZED (
+           |  SELECT greatest(1, (10 * doc_id + max_id - 1) // max_id) AS bk,
+           |         count(*) AS c
+           |  FROM live, h GROUP BY 1),
+           |spine AS (SELECT unnest(generate_series(1, 10)) AS k),
+           |nd AS (SELECT s.k, CAST(coalesce(sum(db.c), 0) AS BIGINT)
+           |         AS n_docs
+           |       FROM spine s LEFT JOIN db ON db.bk <= s.k GROUP BY s.k),
+           |nv AS (SELECT s.k, CAST(coalesce(sum(tb.c), 0) AS BIGINT)
+           |         AS vocab
+           |       FROM spine s LEFT JOIN tb ON tb.bk <= s.k GROUP BY s.k),
+           |nb AS (SELECT s.k, CAST(coalesce(sum(bb.c), 0) AS BIGINT)
+           |         AS bigram_types
+           |       FROM spine s LEFT JOIN bb ON bb.bk <= s.k GROUP BY s.k)
+           |SELECT CAST(nd.k AS BIGINT) AS checkpoint, n_docs, vocab,
+           |       bigram_types
+           |FROM nd JOIN nv USING (k) JOIN nb USING (k)""".stripMargin
   )
 }

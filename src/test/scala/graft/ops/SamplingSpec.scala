@@ -247,4 +247,56 @@ class SamplingSpec extends SparkSpec {
     // tail source: budget wants more than it has -> capped, deficit > 0
     assert(rc === 1.0 && cc === 1 && kc === 4L && dc > 0L)
   }
+
+  test("q121: hand-walked growth curve — clamped id 0, NULL-excluded horizon, empty checkpoints") {
+    import spark.implicits._
+    // max_id = 10 over live docs (doc 11 is NULL text — excluded from
+    // the horizon too), so checkpoint k = doc_id, with doc 0 clamped
+    // into k=1. Firsts: z@0, a@1 -> k1; b and the only bigram (b a)@5
+    // -> k5; c@10 -> k10. Checkpoints 2-4 and 6-9 mint nothing and
+    // must still emit their cumulative rows via the spine.
+    val docs = (Seq((0L, "z"), (5L, "b a"), (10L, "c"),
+      (11L, null.asInstanceOf[String])) ++
+      (1L to 4L).map(i => (i, "a")) ++ (6L to 9L).map(i => (i, "a")))
+      .toDF("doc_id", "text")
+    val got = Sampling.vocabGrowth(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet === (1L to 10L).toSet)
+    (1L to 10L).foreach { k =>
+      val vocab = if (k >= 10) 4L else if (k >= 5) 3L else 2L
+      val bigrams = if (k >= 5) 1L else 0L
+      assert(got(k) === ((k + 1, vocab, bigrams)), s"checkpoint $k")
+    }
+  }
+
+  test("q121 driver query matches a naive local derivation at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .flatMap(r => Option(r.getString(1)).map(t => (r.getLong(0), t)))
+    val maxId = rows.map(_._1).max
+    def k(id: Long) = math.max(1L, (10 * id + maxId - 1) / maxId)
+    val toks = rows.map { case (id, t) => (id, t.trim.split("\\s+").toSeq) }
+    def firsts[A](occ: Seq[(A, Long)]): Map[Long, Long] =
+      occ.groupBy(_._1).values.map(o => k(o.map(_._2).min))
+        .groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    val uniB = firsts(toks.flatMap { case (id, t) => t.map(_ -> id) }.toSeq)
+    val bigB = firsts(toks.flatMap { case (id, t) =>
+      val f = t.filter(_.nonEmpty)
+      f.zip(f.tail).map(_ -> id)
+    }.toSeq)
+    val docB = rows.map(r => k(r._1)).groupBy(identity)
+      .map { case (b, o) => b -> o.size.toLong }
+    def cum(m: Map[Long, Long], upTo: Long) =
+      m.filter(_._1 <= upTo).values.sum
+    val got = graft.SparkEntry.queries("q121_vocab_growth")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    (1L to 10L).foreach { c =>
+      assert(got(c) === ((cum(docB, c), cum(uniB, c), cum(bigB, c))),
+        s"checkpoint $c")
+    }
+  }
 }
