@@ -454,6 +454,19 @@ object Dedup {
             .as("source"))))
     }),
 
+    // The q46 assignment audited against a re-crawl echo: every
+    // doc_id % 7 == 0 doc re-collected under a fresh id, whose
+    // md5-bucket split is independent of the original's (the q115
+    // in-pipeline planting precedent — the raw driver corpus is
+    // exact-dup-free at the gate scales, and a vacuous oracle gates
+    // nothing). See [[splitLeakage]].
+    "q123_split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      splitLeakage(docs.unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))))
+    }),
+
     // Duplicate-cluster-size histogram: per exact-copy multiplicity k,
     // how many content groups and docs sit at k — the curve that
     // predicts q101's savings before running the dedup (docs at k = 1
@@ -591,6 +604,64 @@ object Dedup {
         col("shared").as("n_shared_texts"),
         round(col("shared").cast("double") * 1e6
           / least(col("na"), col("nb")), 0).cast("long").as("containment_ppm"))
+  }
+
+  /** Train/eval split self-contamination (q123): the q46 assignment is
+    * content-blind by design (reproducible from the doc_id alone), so
+    * verbatim duplicates land in independent splits and every
+    * exact-copy group crossing the boundary silently promotes training
+    * text into eval. Per ordered split pair (pipeline order
+    * train→val→test): identity groups present on both sides, eval-side
+    * docs those groups contaminate, and the contaminated ppm of the
+    * eval split — the one-table answer to "is my held-out set actually
+    * held out", the SELF-corpus complement of q49/q104's external
+    * benchmark decontamination.
+    *
+    * Scale shape: rides exactSurvivors' (xxhash64, len) identity-key
+    * convention — 16 bytes + the split label per doc through the single
+    * corpus-scale exchange, bodies never shuffle; per-group split
+    * counts reduce map-side. The matrix is ONE total aggregate over the
+    * group frame unpivoted to 3 rows (the q83 explode idiom); ppm
+    * shares are int64 `div` against the eval split's own doc count
+    * (non-empty by the 80/10/10 contract — an empty split fails the
+    * ANSI div loudly rather than reporting a vacuous zero).
+    */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val groups = docs.filter(col("text").isNotNull)
+      .select(Sampling.splitLabel.as("split"),
+        xxhash64(col("text")).as("h"),
+        length(col("text")).cast("long").as("len"))
+      .groupBy(col("h"), col("len"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    def shared(a: String, b: String) =
+      sum(when(col(a) > 0 && col(b) > 0, 1L).otherwise(0L))
+    def leaked(a: String, b: String) =
+      sum(when(col(a) > 0 && col(b) > 0, col(b)).otherwise(0L))
+    val one = groups.agg(
+      sum(col("n_val")).as("d_val"),
+      sum(col("n_test")).as("d_test"),
+      shared("n_train", "n_val").as("g_tv"),
+      leaked("n_train", "n_val").as("l_tv"),
+      shared("n_train", "n_test").as("g_tt"),
+      leaked("n_train", "n_test").as("l_tt"),
+      shared("n_val", "n_test").as("g_vt"),
+      leaked("n_val", "n_test").as("l_vt"))
+    val rows = array(
+      struct(lit("train").as("earlier"), lit("val").as("later"),
+        col("g_tv").as("shared_groups"), col("l_tv").as("leaked_docs"),
+        col("d_val").as("later_docs")),
+      struct(lit("train").as("earlier"), lit("test").as("later"),
+        col("g_tt").as("shared_groups"), col("l_tt").as("leaked_docs"),
+        col("d_test").as("later_docs")),
+      struct(lit("val").as("earlier"), lit("test").as("later"),
+        col("g_vt").as("shared_groups"), col("l_vt").as("leaked_docs"),
+        col("d_test").as("later_docs")))
+    one.select(explode(rows).as("r")).select(col("r.*"))
+      .withColumn("leaked_ppm",
+        expr("(1000000 * leaked_docs) div later_docs"))
   }
 
   /** The in-group pair expansion + sizes join shared by the two
@@ -1000,6 +1071,58 @@ object Dedup {
     "q30_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    // Same echo derivation, same q46 md5-bucket split, groups keyed by
+    // text directly (the accepted 128-bit-fingerprint equivalence of
+    // every exact-dedup oracle); `//` floors like `div` on the
+    // non-negative operands; BIGINT casts because hugeint sums render
+    // as float64 in the compare. MATERIALIZED pins shared CTEs to one
+    // evaluation.
+    "q123_split_leakage" ->
+      raw"""WITH d AS MATERIALIZED (
+           |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+           |  UNION ALL
+           |  SELECT doc_id + 10000000, text FROM documents
+           |  WHERE text IS NOT NULL AND doc_id % 7 = 0),
+           |s AS MATERIALIZED (
+           |  SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+           |         ELSE 'test' END AS split, text
+           |  FROM (SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+           |                 1, 8))::BIGINT % 100 AS b, text FROM d)),
+           |g AS MATERIALIZED (
+           |  SELECT sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+           |           AS n_train,
+           |         sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+           |         sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+           |  FROM s GROUP BY text),
+           |one AS MATERIALIZED (
+           |  SELECT sum(n_val) AS d_val, sum(n_test) AS d_test,
+           |    sum(CASE WHEN n_train > 0 AND n_val > 0 THEN 1 ELSE 0 END)
+           |      AS g_tv,
+           |    sum(CASE WHEN n_train > 0 AND n_val > 0 THEN n_val ELSE 0 END)
+           |      AS l_tv,
+           |    sum(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+           |      AS g_tt,
+           |    sum(CASE WHEN n_train > 0 AND n_test > 0 THEN n_test
+           |        ELSE 0 END) AS l_tt,
+           |    sum(CASE WHEN n_val > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+           |      AS g_vt,
+           |    sum(CASE WHEN n_val > 0 AND n_test > 0 THEN n_test ELSE 0 END)
+           |      AS l_vt
+           |  FROM g)
+           |SELECT 'train' AS earlier, 'val' AS later,
+           |  CAST(g_tv AS BIGINT) AS shared_groups,
+           |  CAST(l_tv AS BIGINT) AS leaked_docs,
+           |  CAST(d_val AS BIGINT) AS later_docs,
+           |  CAST((1000000 * l_tv) // d_val AS BIGINT) AS leaked_ppm FROM one
+           |UNION ALL
+           |SELECT 'train', 'test', CAST(g_tt AS BIGINT), CAST(l_tt AS BIGINT),
+           |  CAST(d_test AS BIGINT), CAST((1000000 * l_tt) // d_test AS BIGINT)
+           |FROM one
+           |UNION ALL
+           |SELECT 'val', 'test', CAST(g_vt AS BIGINT), CAST(l_vt AS BIGINT),
+           |  CAST(d_test AS BIGINT), CAST((1000000 * l_vt) // d_test AS BIGINT)
+           |FROM one""".stripMargin,
 
     // q30's GROUP BY text collapsed one level further; the scalar
     // subquery is the Spark side's 1-row broadcast total

@@ -103,12 +103,74 @@ object Profile {
         expr("(1000000 * (2 * s1 - (m + 1) * s)) div (m * s)").as("gini_ppm"))
   }
 
+  /** Per-source distribution divergence (q122): total-variation (TV)
+    * distance between each source's unigram distribution and the
+    * corpus-wide one, in integer ppm — the "which source is
+    * distributionally unusual" diagnostic of a data mix (a boilerplate
+    * mirror at TV → 10⁶ dilutes a mixture very differently from a
+    * source that tracks the corpus at TV → 0, and per-source drift in
+    * this number between snapshots localizes what q86 only detects).
+    * TV(s) = ½·Σ_t |p_s(t) − p(t)| over the corpus vocabulary; q86
+    * ranks individual drifted TOKENS between two snapshots, this
+    * collapses each SOURCE to one comparable number against the whole.
+    *
+    * Exactness: both distributions are first floored to integer ppm
+    * (p = 10⁶·c div N — the metric is DEFINED on the floored values),
+    * so every term is int64 and the gate compares bit-identical
+    * integers; no FP sum order to pin. 10⁶·c must fit int64 — loud
+    * ANSI overflow past ~9·10¹² occurrences of one token in one
+    * source; lift to decimal(38,0) at that scale.
+    *
+    * Scale shape: ONE corpus-scale tokenize feeds ONE (source, token)
+    * partial-agg pass whose vocab×sources-scale output is MATERIALIZED
+    * ([[Materialize]] — the multi-consumer contract), and every
+    * downstream frame re-aggregates those blocks (corpus token counts =
+    * re-agg by token, source totals = re-agg by source; without the
+    * lineage break each broadcast consumer replans the whole chain and
+    * the corpus is tokenized six times — measured at sf0.001, and
+    * ReusedExchange only rescues the forced-shuffle regime). Absent
+    * tokens (in the corpus
+    * vocab but not in s) never materialize: their contribution
+    * Σ_{t∉s} p(t) folds to P_total − Σ_{t∈s} p(t), so the join stays on
+    * PRESENT (source, token) pairs — no source×vocab cross product. The
+    * per-token join is a vocab-scale shuffle on token; source totals
+    * (≤ domain-catalog rows) and the two 1-row corpus frames ride
+    * broadcasts.
+    */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    // q48/q86's token definition: whitespace words of the trimmed text,
+    // empty tokens dropped (NULL docs carry none)
+    val st = Materialize(docs.filter(col("text").isNotNull)
+      .select(col("source"), explode(TextAnalysis.words).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_st")))
+    val tok = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val src = st.groupBy(col("source"))
+      .agg(sum(col("c_st")).as("n_s"), count(lit(1)).as("vocab"))
+    val n = tok.agg(sum(col("c_t")).as("n"))
+    val tokPpm = tok.crossJoin(broadcast(n))
+      .select(col("tok"), expr("(1000000 * c_t) div n").as("p_t"))
+    val pTotal = tokPpm.agg(sum(col("p_t")).as("p_total"))
+    st.join(tokPpm, Seq("tok"))
+      .join(broadcast(src), Seq("source"))
+      .groupBy(col("source"), col("n_s"), col("vocab"))
+      .agg(
+        sum(abs(expr("(1000000 * c_st) div n_s") - col("p_t"))).as("terms"),
+        sum(col("p_t")).as("cov"))
+      .crossJoin(broadcast(pTotal))
+      .select(col("source"), col("n_s").as("n_tokens"), col("vocab"),
+        expr("(terms + p_total - cov) div 2").as("tv_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_column_stats" -> ((s, dir) =>
       columnStats(Tables.documents(s, dir),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
     "q120_length_gini" -> ((s, dir) =>
-      lengthGini(Tables.documents(s, dir))))
+      lengthGini(Tables.documents(s, dir))),
+    "q122_source_divergence" -> ((s, dir) =>
+      sourceDivergence(Tables.documents(s, dir))))
 
   def oracles: Map[String, String] = Map(
     // one UNION branch per column — counts + casts mirror exactly
@@ -148,5 +210,42 @@ object Profile {
            |    AS mean_tokens_milli,
            |  CAST((1000000 * (2 * sum(i * n) - (count(*) + 1) * sum(n)))
            |    // (count(*) * sum(n)) AS BIGINT) AS gini_ppm
-           |FROM r GROUP BY source""".stripMargin)
+           |FROM r GROUP BY source""".stripMargin,
+
+    // Same tokenizer, same floored-ppm definition, same absent-token
+    // fold (P_total − cov); `//` floors like Spark's `div` on the
+    // non-negative operands here. MATERIALIZED pins the shared CTEs to
+    // one evaluation (the q119/q102 inlining lesson); every output
+    // column is cast to BIGINT because DuckDB's sum() returns hugeint,
+    // which pandas would render as float64 and fail the hash.
+    "q122_source_divergence" ->
+      raw"""WITH st AS MATERIALIZED (
+           |  SELECT source, tok, count(*) AS c_st
+           |  FROM (SELECT source,
+           |          unnest(regexp_split_to_array(trim(text), '\s+'))
+           |            AS tok
+           |        FROM documents WHERE text IS NOT NULL)
+           |  WHERE tok <> ''
+           |  GROUP BY source, tok),
+           |tk AS MATERIALIZED (
+           |  SELECT tok, sum(c_st) AS c_t FROM st GROUP BY tok),
+           |n AS (SELECT sum(c_t) AS n FROM tk),
+           |tp AS MATERIALIZED (
+           |  SELECT tok, (1000000 * c_t) // n AS p_t FROM tk, n),
+           |pt AS (SELECT sum(p_t) AS p_total FROM tp),
+           |src AS MATERIALIZED (
+           |  SELECT source, sum(c_st) AS n_s, count(*) AS vocab
+           |  FROM st GROUP BY source),
+           |terms AS (
+           |  SELECT st.source,
+           |         sum(abs((1000000 * st.c_st) // s.n_s - tp.p_t))
+           |           AS terms,
+           |         sum(tp.p_t) AS cov
+           |  FROM st JOIN tp USING (tok) JOIN src s USING (source)
+           |  GROUP BY st.source)
+           |SELECT t.source, CAST(s.n_s AS BIGINT) AS n_tokens,
+           |       CAST(s.vocab AS BIGINT) AS vocab,
+           |       CAST((t.terms + pt.p_total - t.cov) // 2 AS BIGINT)
+           |         AS tv_ppm
+           |FROM terms t JOIN src s USING (source), pt""".stripMargin)
 }

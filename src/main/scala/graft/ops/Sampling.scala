@@ -20,6 +20,15 @@ object Sampling {
   private def bucket100 =
     pmod(TextAnalysis.md5Prefix(col("doc_id").cast("string")), lit(100L))
 
+  /** q46's 80/10/10 train/val/test label from the doc_id alone
+    * ([[bucket100]]), shared so q123's leakage audit grades the SAME
+    * assignment q46 ships.
+    */
+  private[ops] def splitLabel =
+    when(bucket100 < 80, lit("train"))
+      .when(bucket100 < 90, lit("val"))
+      .otherwise(lit("test"))
+
   /** Exact per-stratum `1/denom` sample, scale-safe.
     *
     * Semantics: within each stratum (a NULL stratum is its own stratum,

@@ -393,6 +393,81 @@ class DedupSpec extends SparkSpec {
       ("src1", "src2") -> ((1L, 1000000L))))
   }
 
+  // q46's md5-bucket split, recomputed independently of the Spark
+  // expression (the SamplingSpec md5-prefix precedent): first 8 hex
+  // chars of md5(doc_id) as a long, mod 100.
+  private def splitOf(id: Long): String = {
+    val h = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16) % 100
+    if (h < 80) "train" else if (h < 90) "val" else "test"
+  }
+
+  private def leakMatrixLocal(rows: Seq[(Long, String)]): Map[(String, String), (Long, Long, Long, Long)] = {
+    val labeled = rows.filter(_._2 != null)
+      .map { case (id, t) => (splitOf(id), t) }
+    val bySplit = labeled.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      .withDefaultValue(0L)
+    val groups = labeled.groupBy(_._2).values.map { g =>
+      val c = g.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        .withDefaultValue(0L)
+      (c("train"), c("val"), c("test"))
+    }.toSeq
+    def cell(earlier: String, later: String,
+             a: ((Long, Long, Long)) => Long,
+             b: ((Long, Long, Long)) => Long) = {
+      val hit = groups.filter(g => a(g) > 0 && b(g) > 0)
+      val leaked = hit.map(b).sum
+      (earlier, later) -> ((hit.size.toLong, leaked, bySplit(later),
+        1000000L * leaked / bySplit(later)))
+    }
+    Map(
+      cell("train", "val", _._1, _._2),
+      cell("train", "test", _._1, _._3),
+      cell("val", "test", _._2, _._3))
+  }
+
+  test("q123 splitLeakage: cross-split identity groups vs a naive md5 re-derivation") {
+    val s = spark
+    import s.implicits._
+    // 60 docs, texts shared in groups of 3 (ids i, i+100, i+200) so
+    // many groups straddle the md5 split boundary; a NULL doc and a
+    // within-split duplicate ride along
+    val rows = (0L until 20L).flatMap(i =>
+      Seq(i, i + 100L, i + 200L).map(_ -> s"text $i")) ++
+      Seq(300L -> null.asInstanceOf[String], 301L -> "text 1")
+    val got = Dedup.splitLeakage(rows.toDF("doc_id", "text")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === leakMatrixLocal(rows))
+    // the fixture is leaky by construction — a vacuous matrix here
+    // means the split re-derivation broke, not that the data is clean
+    assert(got.values.map(_._2).sum > 0)
+  }
+
+  test("q123 driver query plants a re-crawl echo (non-vacuous at every scale)") {
+    // The raw driver corpus is exact-dup-free at the gate scales
+    // (the q115 lesson), so the registration re-emits every
+    // doc_id % 7 == 0 doc under doc_id + 10M — an id whose md5 split is
+    // independent of the original's. Pin BOTH that the driver query
+    // matches the naive echo-inclusive derivation at sf0.001 AND that
+    // every matrix cell is exercised (leaked_docs > 0 in all 3 rows).
+    val dir = "/root/testdata/sf0.001"
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val echoed = base ++ base.collect {
+      case (id, t) if t != null && id % 7 == 0 => (id + 10000000L, t)
+    }
+    val got = graft.SparkEntry.queries("q123_split_leakage")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === leakMatrixLocal(echoed))
+    assert(got.size === 3 && got.values.forall(_._2 > 0))
+  }
+
   test("q118: multiplicity histogram over exact-copy groups, ppm of all docs") {
     val dir = docsDir(Seq(
       1L -> "aaa", 2L -> "aaa", 3L -> "aaa", // one group at k=3

@@ -58,8 +58,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("ALL queries: no document body or token array in any exchange; no cartesian product") {
-    // the universal form of the per-query guards: every one of the 112
-    // plans must keep corpus-scale payloads (text, string arrays) out of
+    // the universal form of the per-query guards: every registered
+    // plan must keep corpus-scale payloads (text, string arrays) out of
     // every shuffle and never degenerate to a non-broadcast cartesian.
     // Plan inspection itself is cheap, but NOT free end to end: a few
     // query CONSTRUCTORS run bounded fit jobs eagerly before a plan
@@ -316,6 +316,34 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
         s"q119: unigram twin sides no longer share an exchange:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("q122: ONE tokenize — every consumer reads the materialized (source, token) frame") {
+    // sourceDivergence derives corpus token counts, source totals, the
+    // ppm'd vocab frame and the join input all from the same (source,
+    // token) partial agg. Un-materialized, each broadcast consumer
+    // replans the whole chain and the corpus is tokenized SIX times
+    // (measured before the Materialize landed; ReusedExchange only
+    // rescues the forced-shuffle regime). The materialized shape shows
+    // every consumer on ExistingRDD and NO tokenize (Generate) in the
+    // final plan — the one Generate ran inside the checkpoint job.
+    val df = graft.SparkEntry.queries("q122_source_divergence")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("Generate"),
+      s"q122: a consumer re-tokenizes the corpus instead of reading the materialized frame:\n$p")
+  }
+
+  test("q123: leakage matrix is agg-only — no join, hashes + split label in the one exchange") {
+    // the whole matrix folds through the (xxhash64, len) group frame
+    // into ONE total aggregate; any Join in the plan means the
+    // unpivot regressed to a frame-join shape
+    val df = graft.SparkEntry.queries("q123_split_leakage")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assertBodyFreeExchanges(executed(df))
+    assert(df.count() === 3)
   }
 
   test("q47: the window runs over the cutoff bucket only, never the stratum") {

@@ -109,4 +109,51 @@ class ProfileSpec extends SparkSpec {
     assert(aggs.head < winAt && aggs.last > winAt, plan)
     assert(df.count() > 0)
   }
+
+  test("q122: hand-computed TV ppm — floored distributions, absent-token fold") {
+    import spark.implicits._
+    // corpus: x=3 y=1 z=1, N=5 → p_ppm x=600000 y=200000 z=200000,
+    // P_total=1000000. A: "x x y" (+ an ignored NULL doc and a
+    // whitespace-only doc that tokenizes to nothing): p_A x=666666
+    // y=333333 → terms=66666+133333=199999, cov=800000,
+    // tv=(199999+1000000-800000) div 2 = 199999 (true TV 0.2 — the
+    // floor costs 1 ppm). B: "x z": p_B both 500000 →
+    // terms=100000+300000=400000, cov=800000, tv=300000 exactly.
+    // B never sees y — its share folds through P_total − cov, never a
+    // materialized (B, y) row.
+    val docs = Seq(
+      ("A", "x x y"), ("A", null.asInstanceOf[String]), ("A", "  \t "),
+      ("B", "x z"))
+      .toDF("source", "text")
+    val got = Profile.sourceDivergence(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map("A" -> ((3L, 2L, 199999L)), "B" -> ((2L, 2L, 300000L))))
+  }
+
+  test("q122 driver query matches a naive local derivation at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .flatMap(r => Option(r.getString(1)).toSeq.flatMap(t =>
+        t.trim.split("\\s+").filter(_.nonEmpty).map(r.getString(0) -> _)))
+    val corpus = toks.groupBy(_._2).map { case (t, o) => t -> o.length.toLong }
+    val n = corpus.values.sum
+    val pT = corpus.map { case (t, c) => t -> 1000000L * c / n }
+    val pTotal = pT.values.sum
+    val expect = toks.groupBy(_._1).map { case (src, o) =>
+      val cs = o.groupBy(_._2).map { case (t, x) => t -> x.length.toLong }
+      val ns = cs.values.sum
+      val terms = cs.map { case (t, c) => math.abs(1000000L * c / ns - pT(t)) }.sum
+      // keysIterator, NOT keys.map: mapping a key SET through pT would
+      // deduplicate equal p_t values before the sum
+      val cov = cs.keysIterator.map(pT).sum
+      src -> ((ns, cs.size.toLong, (terms + pTotal - cov) / 2))
+    }
+    val got = graft.SparkEntry.queries("q122_source_divergence")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect)
+  }
 }
