@@ -467,6 +467,22 @@ object Dedup {
           .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))))
     }),
 
+    // Duplication growth curve, audited against a re-fetch echo: every
+    // doc_id % 7 == 0 doc re-collected immediately after its original
+    // (interleaved ids 2d / 2d+1 — evens host the corpus, odds the
+    // echoes, so intake order and checkpoint density stay scale-free at
+    // every SF and under ScaleCorpus replication). The raw driver
+    // corpus is exact-dup-free at the gate scales (the q115/q123
+    // in-pipeline planting precedent — a flat-zero curve would gate
+    // nothing), so the echo keeps every checkpoint's dup arithmetic
+    // non-vacuous. See [[dupGrowth]].
+    "q124_dup_growth" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      dupGrowth(docs.select((col("doc_id") * 2).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") * 2 + 1).as("doc_id"), col("text"))))
+    }),
+
     // Duplicate-cluster-size histogram: per exact-copy multiplicity k,
     // how many content groups and docs sit at k — the curve that
     // predicts q101's savings before running the dedup (docs at k = 1
@@ -662,6 +678,57 @@ object Dedup {
     one.select(explode(rows).as("r")).select(col("r.*"))
       .withColumn("leaked_ppm",
         expr("(1000000 * leaked_docs) div later_docs"))
+  }
+
+  /** Exact-duplication growth curve (q124): cumulative duplicate-doc
+    * count and share at each of `checkpoints` equal corpus slices in
+    * doc_id (intake) order. q118/q101 report what dedup saves on the
+    * corpus as it stands; this reports how the savings TREND as the
+    * crawl grows — a dup_ppm curve still accelerating at 100% means the
+    * next crawl buys mostly repeats, the "is crawl N+1 worth it"
+    * complement to q121's vocabulary curve at document rather than
+    * token granularity.
+    *
+    * A document is a duplicate iff an earlier document (smaller doc_id)
+    * carries identical text, so cumulative duplicates at checkpoint k
+    * are simply docs(≤k) − groups-first-seen(≤k) — no per-doc dup flag
+    * or join back to the corpus is ever computed.
+    *
+    * Scale shape: rides [[exactSurvivors]]' (xxhash64, len) identity
+    * convention — ONE corpus-scale 16-byte-key exchange produces the
+    * per-group first occurrence (`min(doc_id)`, map-side combined);
+    * first occurrences and raw docs bucket by integer ceil-division
+    * against the 1-row broadcast horizon (q121's
+    * [[Sampling.checkpointOf]] rule), both histograms are ≤ checkpoints
+    * rows, and cumulatives ride the spine triangle join
+    * ([[Sampling.cumOverSpine]]) — never a window, bodies never
+    * shuffle. An id-range checkpoint minting no docs (sparse remapping)
+    * still emits its cumulative row via the spine; its dup_ppm guards
+    * the k-before-first-doc case (n_docs = 0) to 0 rather than failing
+    * the ANSI division.
+    */
+  def dupGrowth(docs: DataFrame, checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 1, s"checkpoints must be >= 1: $checkpoints")
+    val live = docs.filter(col("text").isNotNull)
+    val horizon = live.agg(max(col("doc_id")).as("max_id"))
+    val groups = live
+      .groupBy(xxhash64(col("text")), length(col("text")))
+      .agg(min(col("doc_id")).as("first_id"))
+    val newGroups = groups.crossJoin(broadcast(horizon))
+      .groupBy(Sampling.checkpointOf("first_id", checkpoints).as("bk"))
+      .agg(count(lit(1)).as("c"))
+    val docBuckets = live.select(col("doc_id")).crossJoin(broadcast(horizon))
+      .groupBy(Sampling.checkpointOf("doc_id", checkpoints).as("bk"))
+      .agg(count(lit(1)).as("c"))
+    val session = docs.sparkSession
+    Sampling.cumOverSpine(session, checkpoints, docBuckets, "n_docs")
+      .join(Sampling.cumOverSpine(session, checkpoints, newGroups,
+        "n_groups"), Seq("k"))
+      .select(col("k").as("checkpoint"), col("n_docs"), col("n_groups"),
+        (col("n_docs") - col("n_groups")).as("dup_docs"),
+        when(col("n_docs") === 0, lit(0L)).otherwise(
+          expr("(1000000 * (n_docs - n_groups)) div n_docs"))
+          .as("dup_ppm"))
   }
 
   /** The in-group pair expansion + sizes join shared by the two
@@ -1123,6 +1190,46 @@ object Dedup {
            |SELECT 'val', 'test', CAST(g_vt AS BIGINT), CAST(l_vt AS BIGINT),
            |  CAST(d_test AS BIGINT), CAST((1000000 * l_vt) // d_test AS BIGINT)
            |FROM one""".stripMargin,
+
+    // Same interleaved-echo derivation, groups keyed by text directly
+    // (the exact-dedup oracle equivalence), same q121 ceil-division
+    // checkpoint arithmetic and left-triangle cumulative; the dup_ppm
+    // CASE mirrors the Spark side's n_docs = 0 guard. MATERIALIZED pins
+    // shared CTEs to one evaluation; BIGINT casts because hugeint sums
+    // render as float64 in the compare.
+    "q124_dup_growth" ->
+      raw"""WITH d AS MATERIALIZED (
+           |  SELECT doc_id * 2 AS doc_id, text FROM documents
+           |  WHERE text IS NOT NULL
+           |  UNION ALL
+           |  SELECT doc_id * 2 + 1, text FROM documents
+           |  WHERE text IS NOT NULL AND doc_id % 7 = 0),
+           |h AS MATERIALIZED (SELECT max(doc_id) AS max_id FROM d),
+           |g AS MATERIALIZED (
+           |  SELECT min(doc_id) AS first_id FROM d GROUP BY text),
+           |nb AS MATERIALIZED (
+           |  SELECT greatest(1, (10 * first_id + max_id - 1) // max_id)
+           |           AS bk,
+           |         count(*) AS c
+           |  FROM g, h GROUP BY 1),
+           |db AS MATERIALIZED (
+           |  SELECT greatest(1, (10 * doc_id + max_id - 1) // max_id)
+           |           AS bk,
+           |         count(*) AS c
+           |  FROM d, h GROUP BY 1),
+           |spine AS (SELECT unnest(generate_series(1, 10)) AS k),
+           |nd AS (SELECT s.k, CAST(coalesce(sum(db.c), 0) AS BIGINT)
+           |         AS n_docs
+           |       FROM spine s LEFT JOIN db ON db.bk <= s.k GROUP BY s.k),
+           |ng AS (SELECT s.k, CAST(coalesce(sum(nb.c), 0) AS BIGINT)
+           |         AS n_groups
+           |       FROM spine s LEFT JOIN nb ON nb.bk <= s.k GROUP BY s.k)
+           |SELECT CAST(nd.k AS BIGINT) AS checkpoint, n_docs, n_groups,
+           |       n_docs - n_groups AS dup_docs,
+           |       CAST(CASE WHEN n_docs = 0 THEN 0
+           |            ELSE (1000000 * (n_docs - n_groups)) // n_docs
+           |       END AS BIGINT) AS dup_ppm
+           |FROM nd JOIN ng USING (k)""".stripMargin,
 
     // q30's GROUP BY text collapsed one level further; the scalar
     // subquery is the Spark side's 1-row broadcast total

@@ -357,8 +357,7 @@ object Sampling {
     val session = docs.sparkSession
     val live = docs.filter(col("text").isNotNull)
     val horizon = live.agg(max(col("doc_id")).as("max_id"))
-    def bucket(idCol: String) = greatest(lit(1L),
-      expr(s"($checkpoints * $idCol + max_id - 1) div max_id"))
+    def bucket(idCol: String) = checkpointOf(idCol, checkpoints)
     def firstBuckets(first: DataFrame) = first
       .crossJoin(broadcast(horizon))
       .groupBy(bucket("first_id").as("bk")).agg(count(lit(1)).as("c"))
@@ -378,16 +377,85 @@ object Sampling {
     val docBuckets = live
       .select(col("doc_id")).crossJoin(broadcast(horizon))
       .groupBy(bucket("doc_id").as("bk")).agg(count(lit(1)).as("c"))
-    val spine = session.range(1, checkpoints + 1L).select(col("id").as("k"))
     def cum(buckets: DataFrame, as: String) =
-      spine.join(buckets, buckets("bk") <= spine("k"), "left")
-        .groupBy(col("k"))
-        .agg(coalesce(sum(col("c")), lit(0L)).as(as))
+      cumOverSpine(session, checkpoints, buckets, as)
     cum(docBuckets, "n_docs")
       .join(cum(tokenBuckets, "vocab"), Seq("k"))
       .join(cum(bigramBuckets, "bigram_types"), Seq("k"))
       .select(col("k").as("checkpoint"), col("n_docs"), col("vocab"),
         col("bigram_types"))
+  }
+
+  /** k = ⌈checkpoints·id/max_id⌉ clamped to ≥ 1: the intake-checkpoint
+    * index shared by the growth-curve family (q121/q124/q125) — pure
+    * integer ceil-division against a `max_id` column expected in scope
+    * from the broadcast 1-row horizon frame, so checkpoint assignment
+    * never sorts or ranks the corpus.
+    */
+  private[ops] def checkpointOf(idCol: String, checkpoints: Int) =
+    greatest(lit(1L),
+      expr(s"($checkpoints * $idCol + max_id - 1) div max_id"))
+
+  /** Left-triangle cumulative of a ≤ checkpoints-row `(bk, c)` histogram
+    * over the 1..checkpoints spine (the q102 triangle idiom — a
+    * checkpoint whose slice contributes nothing still emits its
+    * cumulative row; never a window).
+    */
+  private[ops] def cumOverSpine(session: SparkSession, checkpoints: Int,
+      buckets: DataFrame, as: String): DataFrame = {
+    val spine = session.range(1, checkpoints + 1L).select(col("id").as("k"))
+    spine.join(buckets, buckets("bk") <= spine("k"), "left")
+      .groupBy(col("k"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as(as))
+  }
+
+  /** Source-mix stationarity (q125): per intake checkpoint (`checkpoints`
+    * equal doc_id slices), the total-variation distance in integer ppm
+    * between the slice's source-share distribution and the whole
+    * corpus's — "is my crawl's mix stationary, or did the last 10%
+    * become all mirror dumps". q122 scores each SOURCE against the
+    * corpus token distribution; this scores each TIME SLICE against the
+    * corpus source mix — the curve a curriculum or mixing schedule is
+    * planned against, and the alarm that fires when an intake window's
+    * composition silently shifts. Doc-share based (every doc counts
+    * once, no text dependence); both distributions are floored to
+    * integer ppm FIRST (q122's rule — the metric is DEFINED on the
+    * floored values), so every term is int64 and the gate compares
+    * bit-identical integers.
+    *
+    * Scale shape: ONE corpus-scale pass — the (checkpoint, source)
+    * partial agg, map-side combined, output ≤ checkpoints·|catalog|
+    * rows — MATERIALIZED once ([[Materialize]], the multi-consumer
+    * contract) with everything downstream arithmetic on catalog-bounded
+    * frames riding broadcasts. Absent sources (in the corpus but not in
+    * a slice) never materialize: their contribution folds through
+    * P_total − cov (q122's absent-token rule), so no slice×catalog
+    * product is built. A slice minting no documents (possible only
+    * under sparse id remapping) has no distribution to score and emits
+    * no row — identically on both engines.
+    */
+  def mixDrift(docs: DataFrame, checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 1, s"checkpoints must be >= 1: $checkpoints")
+    val horizon = docs.agg(max(col("doc_id")).as("max_id"))
+    val sb = Materialize(docs.select(col("doc_id"), col("source"))
+      .crossJoin(broadcast(horizon))
+      .groupBy(checkpointOf("doc_id", checkpoints).as("k"), col("source"))
+      .agg(count(lit(1)).as("c")))
+    val slice = sb.groupBy(col("k")).agg(sum(col("c")).as("n_k"))
+    val srcTot = sb.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val n = srcTot.agg(sum(col("n_s")).as("n"))
+    val srcPpm = srcTot.crossJoin(broadcast(n))
+      .select(col("source"), expr("(1000000 * n_s) div n").as("p_s"))
+    val pTotal = srcPpm.agg(sum(col("p_s")).as("p_total"))
+    sb.join(broadcast(srcPpm), Seq("source"))
+      .join(broadcast(slice), Seq("k"))
+      .groupBy(col("k"), col("n_k"))
+      .agg(
+        sum(abs(expr("(1000000 * c) div n_k") - col("p_s"))).as("terms"),
+        sum(col("p_s")).as("cov"))
+      .crossJoin(broadcast(pTotal))
+      .select(col("k").as("checkpoint"), col("n_k").as("n_docs"),
+        expr("(terms + p_total - cov) div 2").as("tv_ppm"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -398,6 +466,29 @@ object Sampling {
     // [[vocabGrowth]].
     "q121_vocab_growth" -> ((s, dir) =>
       vocabGrowth(Tables.documents(s, dir))),
+
+    // Source-mix stationarity across intake checkpoints — see
+    // [[mixDrift]]. The raw corpus's source labels cycle uniformly over
+    // doc_id, so every slice sees the same mix: the TV curve is CONSTANT
+    // at every gate scale (and exactly 0 wherever the slice size divides
+    // the catalog — sf0.1's does), and the absent-source fold never
+    // fires. The driver query therefore plants drift in-pipeline (the
+    // q115/q123 precedent): in the last ~20% of intake every 5th doc is
+    // relabeled to a synthetic 'dump' source — late slices spike, early
+    // slices shift off their baseline (dump shrinks their corpus
+    // shares), and 'dump' is absent from slices 1-8 so the P_total − cov
+    // fold is exercised by the hash gate at every scale. The planting is
+    // horizon-relative (10·doc_id div max_id), so it is scale-free and
+    // survives ScaleCorpus replication.
+    "q125_mix_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val horizon = docs.agg(max(col("doc_id")).as("max_id"))
+      mixDrift(docs.crossJoin(broadcast(horizon))
+        .select(col("doc_id"),
+          when(expr("(10 * doc_id) div max_id") >= 8
+              && col("doc_id") % 5 === 0, lit("dump"))
+            .otherwise(col("source")).as("source")))
+    }),
 
     // α = 0.5 domain mixture weights — see [[domainMix]].
     "q93_domain_mix" -> ((s, dir) => domainMix(Tables.documents(s, dir))),
@@ -652,6 +743,47 @@ object Sampling {
            |       FROM spine s LEFT JOIN bb ON bb.bk <= s.k GROUP BY s.k)
            |SELECT CAST(nd.k AS BIGINT) AS checkpoint, n_docs, vocab,
            |       bigram_types
-           |FROM nd JOIN nv USING (k) JOIN nb USING (k)""".stripMargin
+           |FROM nd JOIN nv USING (k) JOIN nb USING (k)""".stripMargin,
+
+    // Same ceil-division checkpoint arithmetic as q121, same
+    // floored-ppm TV definition and absent-entity fold (P_total − cov)
+    // as q122; `//` floors like Spark's `div` on the non-negative
+    // operands here. MATERIALIZED pins shared CTEs to one evaluation
+    // (the q119/q102 inlining lesson); BIGINT casts because hugeint
+    // sums render as float64 in the compare.
+    "q125_mix_drift" ->
+      raw"""WITH h AS MATERIALIZED (
+           |  SELECT max(doc_id) AS max_id FROM documents),
+           |docs AS MATERIALIZED (
+           |  SELECT doc_id,
+           |         CASE WHEN (10 * doc_id) // max_id >= 8
+           |                   AND doc_id % 5 = 0
+           |              THEN 'dump' ELSE source END AS source
+           |  FROM documents, h),
+           |sb AS MATERIALIZED (
+           |  SELECT greatest(1, (10 * doc_id + max_id - 1) // max_id)
+           |           AS k,
+           |         source, count(*) AS c
+           |  FROM docs, h GROUP BY 1, 2),
+           |sl AS MATERIALIZED (
+           |  SELECT k, sum(c) AS n_k FROM sb GROUP BY k),
+           |st AS MATERIALIZED (
+           |  SELECT source, sum(c) AS n_s FROM sb GROUP BY source),
+           |n AS (SELECT sum(n_s) AS n FROM st),
+           |sp AS MATERIALIZED (
+           |  SELECT source, (1000000 * n_s) // n AS p_s FROM st, n),
+           |pt AS (SELECT sum(p_s) AS p_total FROM sp),
+           |terms AS (
+           |  SELECT sb.k, sl.n_k,
+           |         sum(abs((1000000 * sb.c) // sl.n_k - sp.p_s))
+           |           AS terms,
+           |         sum(sp.p_s) AS cov
+           |  FROM sb JOIN sp USING (source) JOIN sl USING (k)
+           |  GROUP BY sb.k, sl.n_k)
+           |SELECT CAST(t.k AS BIGINT) AS checkpoint,
+           |       CAST(t.n_k AS BIGINT) AS n_docs,
+           |       CAST((t.terms + pt.p_total - t.cov) // 2 AS BIGINT)
+           |         AS tv_ppm
+           |FROM terms t, pt""".stripMargin
   )
 }

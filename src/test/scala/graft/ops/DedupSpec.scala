@@ -468,6 +468,63 @@ class DedupSpec extends SparkSpec {
     assert(got.size === 3 && got.values.forall(_._2 > 0))
   }
 
+  test("q124 dupGrowth: hand-walked curve — clamp, NULL exclusion, empty checkpoints, 0-doc guard") {
+    val s = spark
+    import s.implicits._
+    // live max_id = 10 so checkpoint k = doc_id (id 0 clamps into k=1);
+    // checkpoints 2-4 and 6-9 mint nothing and still emit cumulative
+    // rows via the spine. Groups: "a" first@0 (dups @1 and @10), "b"
+    // first@5; the NULL doc is excluded from horizon and counts alike.
+    val docs = Seq((0L, "a"), (1L, "a"), (5L, "b"), (10L, "a"),
+      (11L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Dedup.dupGrowth(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === (1L to 10L).toSet)
+    (1L to 4L).foreach(k => assert(got(k) === ((2L, 1L, 1L, 500000L)), s"k=$k"))
+    (5L to 9L).foreach(k => assert(got(k) === ((3L, 2L, 1L, 333333L)), s"k=$k"))
+    assert(got(10L) === ((4L, 2L, 2L, 500000L)))
+    // a checkpoint BEFORE the first doc (sparse id remapping) has
+    // n_docs = 0: dup_ppm must guard to 0, not fail the ANSI division
+    val sparse = Seq((10L, "a")).toDF("doc_id", "text")
+    val g2 = Dedup.dupGrowth(sparse).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    (1L to 9L).foreach(k => assert(g2(k) === ((0L, 0L, 0L, 0L)), s"k=$k"))
+    assert(g2(10L) === ((1L, 1L, 0L, 0L)))
+  }
+
+  test("q124 driver query: interleaved re-fetch echo vs a naive derivation (non-vacuous everywhere)") {
+    // evens host the corpus, odds the echoes (every doc_id % 7 == 0 doc
+    // re-fetched immediately after its original), so every checkpoint's
+    // dup arithmetic is exercised — the raw corpus is exact-dup-free at
+    // the gate scales and a flat-zero curve would gate nothing
+    val dir = "/root/testdata/sf0.001"
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .flatMap(r => Option(r.getString(1)).map(t => (r.getLong(0), t))).toSeq
+    val all = base.map { case (id, t) => (id * 2, t) } ++
+      base.collect { case (id, t) if id % 7 == 0 => (id * 2 + 1, t) }
+    val maxId = all.map(_._1).max
+    def k(id: Long) = math.max(1L, (10 * id + maxId - 1) / maxId)
+    val docB = all.map(x => k(x._1)).groupBy(identity)
+      .map { case (b, o) => b -> o.size.toLong }
+    val grpB = all.groupBy(_._2).values.map(g => k(g.map(_._1).min))
+      .groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    def cum(m: Map[Long, Long], upTo: Long) =
+      m.filter(_._1 <= upTo).values.sum
+    val got = graft.SparkEntry.queries("q124_dup_growth")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    (1L to 10L).foreach { c =>
+      val (nd, ng) = (cum(docB, c), cum(grpB, c))
+      val ppm = if (nd == 0) 0L else (1000000L * (nd - ng)) / nd
+      assert(got(c) === ((nd, ng, nd - ng, ppm)), s"checkpoint $c")
+    }
+    assert((1L to 10L).forall(c => got(c)._3 > 0))
+  }
+
   test("q118: multiplicity histogram over exact-copy groups, ppm of all docs") {
     val dir = docsDir(Seq(
       1L -> "aaa", 2L -> "aaa", 3L -> "aaa", // one group at k=3

@@ -346,6 +346,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.count() === 3)
   }
 
+  test("q124: growth curve joins only on the ≤10-row spine — no corpus join-back, body-free exchanges") {
+    // the cumulative must come from the checkpoint histograms (≤ 10
+    // rows each), never from flagging each doc as dup via a join back
+    // to the corpus: every join condition may reference only the spine
+    // keys (bk/k), and no exchange may carry document bodies
+    val df = graft.SparkEntry.queries("q124_dup_growth")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, "expected the spine triangle joins")
+    joins.foreach { j =>
+      val refs = j.condition.toSeq.flatMap(_.references.map(_.name)).toSet
+      assert(refs.subsetOf(Set("bk", "k")),
+        s"q124: non-spine join on $refs — a corpus-scale join-back crept in")
+    }
+    assertBodyFreeExchanges(executed(df))
+    assert(df.count() === 10)
+  }
+
+  test("q125: ONE corpus pass — every consumer reads the materialized (slice, source) frame") {
+    // mixDrift derives slice totals, source totals, the ppm frame and
+    // the join input all from the same (checkpoint, source) partial
+    // agg; un-materialized, each broadcast consumer replans the whole
+    // chain and the corpus is re-scanned per consumer (the q122
+    // lesson). The materialized shape shows every consumer on
+    // ExistingRDD and NO file scan in the final plan — the one scan ran
+    // inside the checkpoint job.
+    val df = graft.SparkEntry.queries("q125_mix_drift")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.toLowerCase.contains("parquet"),
+      s"q125: a consumer re-scans the corpus instead of reading the materialized frame:\n$p")
+  }
+
   test("q47: the window runs over the cutoff bucket only, never the stratum") {
     // the round-5 scale-killer was row_number over EVERY row of a stratum;
     // the two-phase plan must feed its one window from the b = cutB filter

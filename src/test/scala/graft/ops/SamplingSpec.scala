@@ -299,4 +299,60 @@ class SamplingSpec extends SparkSpec {
         s"checkpoint $c")
     }
   }
+
+  test("q125 mixDrift: hand-walked TV — floored ppm, absent-source fold, empty slices omitted") {
+    val s = spark
+    import s.implicits._
+    // max_id = 10 → k = doc_id (0 never occurs here). Source B appears
+    // only in slice 10: slices 1-9 must fold B's corpus share through
+    // P_total − cov without materializing a (slice, B) row.
+    val docs = ((1L to 9L).map(i => (i, "A")) :+ ((10L, "B")))
+      .toDF("doc_id", "source")
+    val got = Sampling.mixDrift(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // corpus ppm: A 900000, B 100000. A pure-A slice:
+    // |10⁶ − 900000| + fold(100000) = 200000 → tv 100000; the B slice:
+    // |10⁶ − 100000| + fold(900000) = 1800000 → tv 900000 (= the true
+    // TV between {B: 1} and {A: .9, B: .1})
+    (1L to 9L).foreach(k => assert(got(k) === ((1L, 100000L)), s"k=$k"))
+    assert(got(10L) === ((1L, 900000L)))
+    // a slice minting no docs has no distribution to score — no row
+    val sparse = Seq((1L, "A"), (10L, "A")).toDF("doc_id", "source")
+    val ks = Sampling.mixDrift(sparse).collect().map(_.getLong(0)).toSet
+    assert(ks === Set(1L, 10L))
+  }
+
+  test("q125 driver query: planted late-intake drift vs a naive derivation (fold exercised)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val maxId = rows.map(_._1).max
+    // the in-pipeline plant: last ~20% of intake, every 5th doc → 'dump'
+    val drift = rows.map { case (id, src) =>
+      (id, if ((10 * id) / maxId >= 8 && id % 5 == 0) "dump" else src)
+    }
+    def k(id: Long) = math.max(1L, (10 * id + maxId - 1) / maxId)
+    val n = drift.size.toLong
+    val srcPpm = drift.groupBy(_._2)
+      .map { case (s0, o) => s0 -> 1000000L * o.size / n }
+    val pTotal = srcPpm.values.sum
+    val exp = drift.groupBy(x => k(x._1)).map { case (kk, o) =>
+      val nk = o.size.toLong
+      val counts = o.groupBy(_._2).map { case (s0, g) => s0 -> g.size.toLong }
+      val terms = counts.map { case (s0, c) =>
+        math.abs(1000000L * c / nk - srcPpm(s0)) }.sum
+      // .toSeq: mapping a key SET through srcPpm would collapse equal
+      // ppm values and under-count cov
+      kk -> ((nk, (terms + pTotal - counts.keys.toSeq.map(srcPpm).sum) / 2))
+    }
+    val got = graft.SparkEntry.queries("q125_mix_drift")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === exp)
+    // the plant guarantees real drift (late slices diverge more) and an
+    // absent source in the early slices (the fold path actually fires)
+    assert(got(10L)._2 > got(1L)._2)
+    assert(drift.filter(x => k(x._1) <= 7).forall(_._2 != "dump"))
+  }
 }
