@@ -643,7 +643,7 @@ object Bench {
     * and no query ships unguarded without an explicit allowlisting).
     */
   private[graft] val expected: Map[String, Double] = Map(
-    // BEGIN GENERATED FLOORS (from: BENCH_r07.json BENCH_r08.json BENCH_r09.json BENCH_r10.json BENCH_r11.json BENCH_r12.json BENCH_r13.json --seed SEED_Q119_Q120_SF01.json SEED_Q121_SF01.json)
+    // BEGIN GENERATED FLOORS (from: BENCH_r07.json BENCH_r08.json BENCH_r09.json BENCH_r10.json BENCH_r11.json BENCH_r12.json BENCH_r13.json --seed SEED_Q119_Q120_SF01.json SEED_Q121_SF01.json SEED_Q122_Q125_SF01.json)
     "q01" -> 0.93, "q02" -> 0.32, "q03" -> 1.64, "q04" -> 0.23,
     "q05" -> 0.42, "q06" -> 0.62, "q07" -> 0.35, "q08" -> 0.40,
     "q09" -> 0.77, "q10" -> 1.41, "q100" -> 0.77, "q101" -> 1.06,
@@ -652,7 +652,8 @@ object Bench {
     "q11" -> 0.43, "q110" -> 0.62, "q111" -> 0.77, "q112" -> 1.26,
     "q113" -> 0.29, "q114" -> 0.50, "q115" -> 0.57, "q116" -> 0.62,
     "q117" -> 0.49, "q118" -> 0.38, "q119" -> 0.96, "q12" -> 0.43,
-    "q120" -> 0.44, "q121" -> 1.05, "q13" -> 0.37, "q14" -> 0.30,
+    "q120" -> 0.44, "q121" -> 1.05, "q122" -> 1.08, "q123" -> 0.49,
+    "q124" -> 0.91, "q125" -> 0.78, "q13" -> 0.37, "q14" -> 0.30,
     "q15" -> 0.57, "q16" -> 0.34, "q17" -> 0.34, "q18" -> 0.57,
     "q20" -> 0.10, "q21" -> 0.38, "q22" -> 0.27, "q23" -> 0.29,
     "q24" -> 0.26, "q30" -> 0.22, "q31" -> 0.98, "q32" -> 1.69,
@@ -687,7 +688,7 @@ object Bench {
     * round at a new scale has no gate artifact yet); never hand-typed.
     */
   private[graft] val expectedScaled: Map[String, Double] = Map(
-    // BEGIN GENERATED SCALED FLOORS (from: BENCH_r14.json BENCH_r15.json BENCH_r16.json --scaled-seed SEED_Q119_Q120_SF1D.json SEED_Q121_SF1D.json)
+    // BEGIN GENERATED SCALED FLOORS (from: BENCH_r14.json BENCH_r15.json BENCH_r16.json --scaled-seed SEED_Q119_Q120_SF1D.json SEED_Q121_SF1D.json SEED_Q122_Q125_SF1D.json)
     "q01" -> 1.51, "q02" -> 0.61, "q03" -> 2.84, "q04" -> 0.44,
     "q05" -> 0.70, "q06" -> 1.04, "q07" -> 0.54, "q08" -> 0.65,
     "q09" -> 1.57, "q10" -> 2.21, "q100" -> 0.81, "q101" -> 1.17,
@@ -696,7 +697,8 @@ object Bench {
     "q11" -> 0.99, "q110" -> 0.74, "q111" -> 0.86, "q112" -> 1.61,
     "q113" -> 0.32, "q114" -> 0.49, "q115" -> 0.71, "q116" -> 1.27,
     "q117" -> 0.64, "q118" -> 0.46, "q119" -> 1.24, "q12" -> 0.71,
-    "q120" -> 0.56, "q121" -> 1.19, "q13" -> 0.70, "q14" -> 0.65,
+    "q120" -> 0.56, "q121" -> 1.19, "q122" -> 1.29, "q123" -> 0.81,
+    "q124" -> 1.17, "q125" -> 0.95, "q13" -> 0.70, "q14" -> 0.65,
     "q15" -> 0.65, "q16" -> 0.50, "q17" -> 0.43, "q18" -> 1.55,
     "q20" -> 0.23, "q21" -> 0.41, "q22" -> 0.30, "q23" -> 0.32,
     "q24" -> 0.29, "q30" -> 0.31, "q31" -> 1.97, "q32" -> 2.51,
