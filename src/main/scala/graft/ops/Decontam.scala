@@ -170,7 +170,56 @@ object Decontam {
           .cast("long").as("contam_rate_ppm"))
   }
 
+  /** Contamination growth curve (q126): cumulative benchmark-leaked
+    * train docs and leak ppm at each of `checkpoints` equal train
+    * slices in doc_id (intake) order — "WHEN did the eval set enter the
+    * crawl". q49 says which docs leak and q104 which benchmark items
+    * they leak; this localizes the leak in INTAKE TIME: a flat-then-
+    * jumping curve indicts one crawl batch (quarantine it), a steady
+    * slope says the contamination source is endemic to the pipeline.
+    * The operational complement of q121/q124/q125's growth family, on
+    * the decontamination axis.
+    *
+    * Scale shape: the leak flags come from [[contaminated]] — broadcast
+    * bench-gram hash join, map-side, survivors bounded by the
+    * contamination rate. Checkpoint assignment is q121's integer
+    * ceil-division against the 1-row broadcast train horizon
+    * ([[Sampling.checkpointOf]]), both histograms are ≤ checkpoints
+    * rows, cumulatives ride the spine triangle join
+    * ([[Sampling.cumOverSpine]]) — no corpus-scale sort, window, or
+    * join-back anywhere past the screen itself. leaked_ppm guards the
+    * n_docs = 0 (sparse id remapping) case to 0 instead of failing the
+    * ANSI division.
+    */
+  def leakGrowth(train: DataFrame, bench: DataFrame, checkpoints: Int = 10,
+                 n: Int = GramN): DataFrame = {
+    require(checkpoints >= 1, s"checkpoints must be >= 1: $checkpoints")
+    val horizon = train.agg(max(col("doc_id")).as("max_id"))
+    val leakB = contaminated(train, bench, n)
+      .crossJoin(broadcast(horizon))
+      .groupBy(Sampling.checkpointOf("doc_id", checkpoints).as("bk"))
+      .agg(count(lit(1)).as("c"))
+    val docB = train.select(col("doc_id")).crossJoin(broadcast(horizon))
+      .groupBy(Sampling.checkpointOf("doc_id", checkpoints).as("bk"))
+      .agg(count(lit(1)).as("c"))
+    val session = train.sparkSession
+    Sampling.cumOverSpine(session, checkpoints, docB, "n_docs")
+      .join(Sampling.cumOverSpine(session, checkpoints, leakB, "n_leaked"),
+        Seq("k"))
+      .select(col("k").as("checkpoint"), col("n_docs"), col("n_leaked"),
+        when(col("n_docs") === 0, lit(0L)).otherwise(
+          expr("(1000000 * n_leaked) div n_docs")).as("leaked_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Cumulative contamination over intake, same %20 bench slice as
+    // q49 — see [[leakGrowth]].
+    "q126_leak_growth" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      leakGrowth(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
+    }),
     // Driver form: the deterministic doc_id % 20 == 0 slice stands in for
     // the benchmark table (the library API takes any (doc_id, text) frame).
     "q49_decontam" -> ((s, dir) => {
@@ -229,6 +278,51 @@ object Decontam {
   def oracles: Map[String, String] = Map(
     "q49_decontam" -> Q49Sql,
     "q68_bloom_decontam" -> Q49Sql,
+
+    // q49's contamination set fed through the q121/q124 ceil-division
+    // checkpoint + left-triangle cumulative arithmetic; MATERIALIZED
+    // pins the twice-referenced gram CTE to one evaluation (the
+    // q119/q102 inlining lesson); the leaked_ppm CASE mirrors the
+    // Spark side's n_docs = 0 guard; BIGINT casts because hugeint sums
+    // render as float64 in the compare.
+    "q126_leak_growth" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           |  FROM documents),
+           |grams AS MATERIALIZED (
+           |  SELECT DISTINCT doc_id,
+           |    list_aggregate(t[i:i+7], 'string_agg', ' ') AS g
+           |  FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i)
+           |  WHERE len(t) >= 8),
+           |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+           |contam AS MATERIALIZED (
+           |  SELECT gr.doc_id FROM grams gr JOIN bench USING (g)
+           |  WHERE gr.doc_id % 20 <> 0 GROUP BY gr.doc_id),
+           |train AS MATERIALIZED (
+           |  SELECT doc_id FROM documents WHERE doc_id % 20 <> 0),
+           |h AS MATERIALIZED (SELECT max(doc_id) AS max_id FROM train),
+           |db AS MATERIALIZED (
+           |  SELECT greatest(1, (10 * doc_id + max_id - 1) // max_id)
+           |           AS bk,
+           |         count(*) AS c
+           |  FROM train, h GROUP BY 1),
+           |lb AS MATERIALIZED (
+           |  SELECT greatest(1, (10 * doc_id + max_id - 1) // max_id)
+           |           AS bk,
+           |         count(*) AS c
+           |  FROM contam, h GROUP BY 1),
+           |spine AS (SELECT unnest(generate_series(1, 10)) AS k),
+           |nd AS (SELECT s.k, CAST(coalesce(sum(db.c), 0) AS BIGINT)
+           |         AS n_docs
+           |       FROM spine s LEFT JOIN db ON db.bk <= s.k GROUP BY s.k),
+           |nl AS (SELECT s.k, CAST(coalesce(sum(lb.c), 0) AS BIGINT)
+           |         AS n_leaked
+           |       FROM spine s LEFT JOIN lb ON lb.bk <= s.k GROUP BY s.k)
+           |SELECT CAST(nd.k AS BIGINT) AS checkpoint, n_docs, n_leaked,
+           |       CAST(CASE WHEN n_docs = 0 THEN 0
+           |            ELSE (1000000 * n_leaked) // n_docs
+           |       END AS BIGINT) AS leaked_ppm
+           |FROM nd JOIN nl USING (k)""".stripMargin,
     // Same gram space, keyed from the bench side; both counts are
     // DISTINCT over the (train-doc, bench-item, gram) match triples
     "q104_leak_profile" ->

@@ -50,6 +50,58 @@ class DecontamSpec extends SparkSpec {
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(22L, 23L))
   }
 
+  test("q126 leakGrowth: hand-walked cumulative curve — leak entry points, 0-doc guard") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val leaky = "zulu bravo charlie delta echo foxtrot golf hotel india yankee"
+    val clean = "totally unrelated words about nothing at all in particular here now"
+    // train max_id = 10 → checkpoint k = doc_id; leaks enter at 3 and 7
+    val train = (1L to 10L)
+      .map(i => (i, if (i == 3 || i == 7) leaky else clean))
+      .toDF("doc_id", "text")
+    val got = Decontam.leakGrowth(train, bench).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    (1L to 10L).foreach { k =>
+      val leaked = (if (k >= 3) 1L else 0L) + (if (k >= 7) 1L else 0L)
+      assert(got(k) === ((k, leaked, 1000000L * leaked / k)), s"k=$k")
+    }
+    // a checkpoint before the first train doc (sparse id remapping)
+    // guards leaked_ppm to 0 instead of failing the ANSI division
+    val sparse = Decontam
+      .leakGrowth(Seq((10L, leaky)).toDF("doc_id", "text"), bench)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    (1L to 9L).foreach(k => assert(sparse(k) === ((0L, 0L, 0L)), s"k=$k"))
+    assert(sparse(10L) === ((1L, 1L, 1000000L)))
+  }
+
+  test("q126 driver query: curve matches the q49 screen folded locally (non-vacuous)") {
+    // the screen itself is q49's (independently DuckDB-oracled); what
+    // q126 adds — checkpoint assignment + cumulative fold — is
+    // re-derived here from q49's output and the raw train ids
+    val dir = "/root/testdata/sf0.001"
+    val contam = graft.SparkEntry.queries("q49_decontam")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val train = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 20 != 0)
+    val maxId = train.max
+    def k(id: Long) = math.max(1L, (10 * id + maxId - 1) / maxId)
+    val got = graft.SparkEntry.queries("q126_leak_growth")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    (1L to 10L).foreach { c =>
+      val nd = train.count(k(_) <= c).toLong
+      val nl = contam.count(k(_) <= c).toLong
+      val ppm = if (nd == 0) 0L else 1000000L * nl / nd
+      assert(got(c) === ((nd, nl, ppm)), s"checkpoint $c")
+    }
+    assert(got(10L)._2 > 0) // the corpus leaks at gate scales — non-vacuous
+  }
+
   test("q68 bloom path emits exactly q49's rows, even with a tiny saturated bloom") {
     val s = spark
     import s.implicits._

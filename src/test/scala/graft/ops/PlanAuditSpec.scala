@@ -265,6 +265,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q126: bench grams broadcast into the screen; no corpus-side gram shuffle; 10 spine rows") {
+    // the growth curve must inherit q49's screen shape (bench grams
+    // broadcast, corpus streamed map-side) — a SortMergeJoin here means
+    // the 100 TB side started shuffling on gram; everything past the
+    // screen is ≤10-row histogram arithmetic
+    val p = planString("q126_leak_growth")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    val df = graft.SparkEntry.queries("q126_leak_growth")(spark, sf)
+    // only the ≤10-row spine (k) may merge-join; a SortMergeJoin keyed
+    // on the gram would mean the corpus side shuffles on g
+    executed(df).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.foreach { j =>
+      val keys = (j.leftKeys ++ j.rightKeys).flatMap(_.references.map(_.name))
+      assert(keys.forall(_ == "k"),
+        s"q126: SortMergeJoin on non-spine keys $keys:\n$j")
+    }
+    assertBodyFreeExchanges(executed(df))
+    assert(df.count() === 10)
+  }
+
   test("q50/q51: map-side-only — no exchange anywhere in the plan") {
     for (q <- Seq("q50_pii", "q51_audio_features")) {
       val df = graft.SparkEntry.queries(q)(spark, sf)
