@@ -319,9 +319,7 @@ class BenchSpec extends AnyFunSuite {
     // item #2). A brand-new query may legitimately lack gate evidence
     // for one round: allowlist it HERE, by name, with the round it
     // shipped, and remove the entry after the next regeneration.
-    // q126 shipped r18 mid-round; seeded after the round's probe run
-    // frees the host (a contended seed would commit an inflated floor)
-    val newQueryAllowlist: Set[String] = Set("q126")
+    val newQueryAllowlist: Set[String] = Set()
     val unguarded = names.map(Bench.short)
       .filterNot(Bench.expected.contains).filterNot(newQueryAllowlist)
     assert(unguarded.isEmpty,
