@@ -1290,7 +1290,17 @@ object FixtureOracles {
 
   /** Stage + atomic publish (the SyntheticTraffic pattern): a concurrent
     * JVM must never see a half-written parquet dir; identical key ⇒
-    * identical content, so losing the rename race is benign.
+    * identical row set, so losing the rename race is benign.
+    *
+    * No `coalesce(1)`: these frames are driver-derived LocalRelations,
+    * so their rows ship INSIDE the write tasks' binaries — collapsed to
+    * one task, the q31-family naive pair set serialized as a single
+    * ~1.7 GB task at the 100-replica probe corpus (r18 observation).
+    * The default-parallelism write splits that across tasks; the dir
+    * becomes multi-file, which every consumer already tolerates (the
+    * oracle SQL reads the dir through a `read_parquet` part-file glob,
+    * the specs read the directory, and the race-benignity contract
+    * above is about the row SET, not file layout).
     */
   // df is BY-NAME: the existence check must short-circuit the derivation
   // too, or adding one new fixture would re-run every expensive driver
@@ -1299,7 +1309,7 @@ object FixtureOracles {
     if (Files.exists(target)) return
     val tmp = tmpRoot.resolve(
       s".tmp_${target.getFileName}_${java.util.UUID.randomUUID().toString.take(8)}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    df.write.mode("overwrite").parquet(tmp.toString)
     try Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch { case e: Throwable =>
       if (Files.exists(target)) graft.Fs.deleteTree(tmp)
