@@ -102,6 +102,42 @@ class DecontamSpec extends SparkSpec {
     assert(got(10L)._2 > 0) // the corpus leaks at gate scales — non-vacuous
   }
 
+  test("q126 seeded fuzz: leakGrowth matches a naive 8-gram screen + local fold") {
+    val s = spark
+    import s.implicits._
+    def grams(t: String): Set[Seq[String]] = {
+      val w = t.trim.split("\\s+").toSeq
+      if (w.length < 8) Set.empty else w.sliding(8).toSet
+    }
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(100 + seed)
+      // docs built from a tiny vocab with long texts so 8-gram overlaps
+      // occur naturally; sparse ids exercise clamping/empty checkpoints
+      def text() =
+        Seq.fill(6 + rnd.nextInt(8))("t" + rnd.nextInt(4)).mkString(" ")
+      val trainRows = rnd.shuffle((0L until 150L).toList)
+        .take(25 + rnd.nextInt(25)).map(id => (id, text()))
+      val benchRows = (1000L until 1000L + 3 + rnd.nextInt(3))
+        .map(id => (id, text()))
+      val benchG = benchRows.flatMap(r => grams(r._2)).toSet
+      val contam = trainRows.collect {
+        case (id, t) if grams(t).exists(benchG) => id
+      }.toSet
+      val maxId = trainRows.map(_._1).max
+      def k(id: Long) = math.max(1L, (10 * id + maxId - 1) / maxId)
+      val got = Decontam.leakGrowth(trainRows.toDF("doc_id", "text"),
+        benchRows.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      (1L to 10L).foreach { c =>
+        val nd = trainRows.count(x => k(x._1) <= c).toLong
+        val nl = contam.count(k(_) <= c).toLong
+        val ppm = if (nd == 0) 0L else 1000000L * nl / nd
+        assert(got(c) === ((nd, nl, ppm)), s"seed $seed checkpoint $c")
+      }
+    }
+  }
+
   test("q68 bloom path emits exactly q49's rows, even with a tiny saturated bloom") {
     val s = spark
     import s.implicits._

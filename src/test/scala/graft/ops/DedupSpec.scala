@@ -525,6 +525,42 @@ class DedupSpec extends SparkSpec {
     assert((1L to 10L).forall(c => got(c)._3 > 0))
   }
 
+  test("q124 seeded fuzz: dupGrowth matches a naive local derivation on random corpora") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // tiny vocab forces natural dup groups; sparse ids (incl. 0 and
+      // gaps) exercise clamping and empty checkpoints
+      val n = 30 + rnd.nextInt(40)
+      val ids = rnd.shuffle((0L until 200L).toList).take(n)
+      val rows = ids.map(id => (id,
+        if (rnd.nextInt(10) == 0) null
+        else Seq.fill(1 + rnd.nextInt(3))("w" + rnd.nextInt(6)).mkString(" ")))
+      val live = rows.collect { case (id, t) if t != null => (id, t) }
+      val maxId = live.map(_._1).max
+      def k(id: Long) = math.max(1L, (10 * id + maxId - 1) / maxId)
+      val docB = live.map(x => k(x._1)).groupBy(identity)
+        .map { case (b, o) => b -> o.size.toLong }
+      val grpB = live.groupBy(_._2).values.map(g => k(g.map(_._1).min))
+        .groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+      def cum(m: Map[Long, Long], c: Long) = m.filter(_._1 <= c).values.sum
+      val got = Dedup.dupGrowth(rows.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      (1L to 10L).foreach { c =>
+        val (nd, ng) = (cum(docB, c), cum(grpB, c))
+        val ppm = if (nd == 0) 0L else (1000000L * (nd - ng)) / nd
+        assert(got(c) === ((nd, ng, nd - ng, ppm)), s"seed $seed checkpoint $c")
+      }
+      // invariants: all three counters nondecreasing, dups never negative
+      (2L to 10L).foreach { c =>
+        assert(got(c)._1 >= got(c - 1)._1 && got(c)._2 >= got(c - 1)._2 &&
+          got(c)._3 >= got(c - 1)._3, s"seed $seed monotonicity at $c")
+      }
+    }
+  }
+
   test("q118: multiplicity histogram over exact-copy groups, ppm of all docs") {
     val dir = docsDir(Seq(
       1L -> "aaa", 2L -> "aaa", 3L -> "aaa", // one group at k=3

@@ -355,4 +355,36 @@ class SamplingSpec extends SparkSpec {
     assert(got(10L)._2 > got(1L)._2)
     assert(drift.filter(x => k(x._1) <= 7).forall(_._2 != "dump"))
   }
+
+  test("q125 seeded fuzz: mixDrift matches a naive local derivation on random skewed mixes") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // skewed source draw (square the uniform) + sparse ids: exercises
+      // absent sources per slice, clamping, and omitted empty slices
+      val n = 40 + rnd.nextInt(60)
+      val ids = rnd.shuffle((0L until 300L).toList).take(n)
+      val rows = ids.map(id =>
+        (id, "s" + (rnd.nextDouble() * rnd.nextDouble() * 5).toInt))
+      val maxId = rows.map(_._1).max
+      def k(id: Long) = math.max(1L, (10 * id + maxId - 1) / maxId)
+      val srcPpm = rows.groupBy(_._2)
+        .map { case (s0, o) => s0 -> 1000000L * o.size / n }
+      val pTotal = srcPpm.values.sum
+      val exp = rows.groupBy(x => k(x._1)).map { case (kk, o) =>
+        val nk = o.size.toLong
+        val counts = o.groupBy(_._2).map { case (s0, g) => s0 -> g.size.toLong }
+        val terms = counts.map { case (s0, c) =>
+          math.abs(1000000L * c / nk - srcPpm(s0)) }.sum
+        val cov = counts.keys.toSeq.map(srcPpm).sum
+        kk -> ((nk, (terms + pTotal - cov) / 2))
+      }
+      val got = Sampling.mixDrift(rows.toDF("doc_id", "source")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got === exp, s"seed $seed")
+      // invariant: TV lives in [0, 1e6] by construction
+      assert(got.values.forall(v => v._2 >= 0L && v._2 <= 1000000L), s"seed $seed")
+    }
+  }
 }
