@@ -449,6 +449,37 @@ object Similarity {
       topKPerQuery(s, scored, TopK)
     }),
 
+    // Hard-negative mining (q127): for each query vector, the TopK most
+    // cosine-similar vectors carrying a DIFFERENT label — the
+    // batch-at-a-time candidate table contrastive/metric-learning
+    // training reads (a "hard" negative is exactly a near-neighbor of
+    // the wrong class; random negatives are too easy to shape the
+    // margin). q35's scale shape verbatim: the query batch broadcasts,
+    // the corpus streams ONCE through the map-side join with the
+    // label-mismatch predicate fused into the join condition,
+    // per-partition bounded heaps prune to QueryK·TopK rows BEFORE the
+    // only exchange, and the rank window runs over partitions·QueryK·
+    // TopK survivors, never the corpus. Labels re-attach to the ≤
+    // QueryK·TopK result rows via a second map-side broadcast pass
+    // (corpus-side lookup, no shuffle).
+    "q127_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < QueryK)
+        .select(col("vec_id").as("qid"), col("label").as("q_label"),
+          col("embedding").as("qvec"))
+      val scored = e.join(broadcast(q),
+        col("vec_id") =!= col("qid") && col("label") =!= col("q_label"))
+        .select(col("qid"), col("vec_id"),
+          cosine(col("embedding"), col("qvec")).as("cos"))
+      val top = topKPerQuery(s, scored, TopK)
+      val negLabels = e.select(col("vec_id"), col("label"))
+      negLabels.join(broadcast(top), Seq("vec_id"))
+        .join(broadcast(q.select(col("qid"), col("q_label"))), Seq("qid"))
+        .select(col("qid"), col("q_label").cast("long").as("q_label"),
+          col("vec_id"), col("label").cast("long").as("neg_label"),
+          col("cos"), col("rank"))
+    }),
+
     "q43_ann_ivf" -> ((s, dir) => annIvf(s, dir)),
 
     "q36_ann_lsh" -> ((s, dir) => annLsh(s, dir)),
@@ -564,6 +595,28 @@ object Similarity {
         |                            ORDER BY cos DESC, vec_id ASC) AS rnk
         |  FROM scored)
         |SELECT qid, vec_id, cos, CAST(rnk AS INT) AS rank
+        |FROM ranked WHERE rnk <= 10""".stripMargin,
+
+    // q35's oracle with the label-mismatch predicate in the scoring
+    // join and both labels carried to the output (BIGINT casts: int32
+    // labels render identically after the gate's int widening, but the
+    // Spark side casts to long so the dtypes agree exactly)
+    "q127_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS q_label,
+        |                  embedding::DOUBLE[] AS qvec
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, CAST(q.q_label AS BIGINT) AS q_label, e.vec_id,
+        |         CAST(e.label AS BIGINT) AS neg_label,
+        |         list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS cos
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.qid AND e.label <> q.q_label),
+        |ranked AS (
+        |  SELECT qid, q_label, vec_id, neg_label, cos,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT qid, q_label, vec_id, neg_label, cos, CAST(rnk AS INT) AS rank
         |FROM ranked WHERE rnk <= 10""".stripMargin,
 
     // The corpus dimension is the modal len(embedding) (count desc, len

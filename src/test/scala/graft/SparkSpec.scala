@@ -46,12 +46,16 @@ trait SparkSpec extends AnyFunSuite {
   }
 
   /** Writes an `embeddings.parquet` fixture and returns the dir. */
-  def embeddingsDir(rows: Seq[(Long, Array[Float])]): String = {
+  def embeddingsDir(rows: Seq[(Long, Array[Float])]): String =
+    embeddingsDirLabeled(rows.map { case (id, e) => (id, e, 0) })
+
+  /** [[embeddingsDir]] with caller-chosen labels (the q109/q127 family
+    * reads them; the unlabeled writer pins label = 0). */
+  def embeddingsDirLabeled(rows: Seq[(Long, Array[Float], Int)]): String = {
     val dir = Files.createTempDirectory("graft_embs").toString
     val s = spark
     import s.implicits._
-    rows.toDF("vec_id", "embedding")
-      .selectExpr("vec_id", "embedding", "0 as label")
+    rows.toDF("vec_id", "embedding", "label")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     dir
   }

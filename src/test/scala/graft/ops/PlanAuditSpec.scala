@@ -122,6 +122,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q127: corpus pruned before any exchange; query batch broadcast, corpus never") {
+    // q35's guard applied to the hard-negative miner: every shuffle must
+    // sit above the mapPartitions heap pruning, and the scoring join
+    // must broadcast the query batch (a SortMergeJoin would shuffle the
+    // 100 TB side on the join predicate)
+    val df = graft.SparkEntry.queries("q127_hard_negatives")(spark, sf)
+    val plan = executed(df)
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    shuffles.foreach { s =>
+      val hasScanBelow = s.child.collect {
+        case f if f.nodeName.contains("Scan parquet") => f
+      }.nonEmpty
+      val hasPruneBelow = s.child.collect {
+        case f if f.nodeName.contains("SerializeFromObject") => f
+      }.nonEmpty
+      assert(!hasScanBelow || hasPruneBelow,
+        s"q127: shuffle over unpruned corpus:\n$s")
+    }
+    assert(plan.toString.contains("BroadcastHashJoin") ||
+      plan.toString.contains("BroadcastNestedLoopJoin"), plan.toString)
+    assert(!plan.toString.contains("SortMergeJoin"), plan.toString)
+  }
+
   test("q34: banded candidates are cap-bounded; no cross join") {
     val p = planString("q34_embed_neardup")
     assert(!p.contains("CartesianProduct"), p)

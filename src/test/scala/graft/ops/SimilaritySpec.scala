@@ -60,6 +60,33 @@ class SimilaritySpec extends SparkSpec {
     assert(cos === cos.sorted.reverse)
   }
 
+  test("q127 hard negatives: label-mismatch exclusion vs a local exact ranking") {
+    // labels = cluster index, so every query's TRUE nearest neighbors
+    // (its cluster mates) are same-label and must be excluded — the
+    // returned negatives are exactly the best other-cluster vectors
+    val labeled = embeddingsDirLabeled(
+      corpus.map { case (id, v) => (id, v, (id / 40).toInt) })
+    val rows = Similarity.queries("q127_hard_negatives")(spark, labeled)
+      .orderBy(col("qid"), col("rank")).collect()
+    for (qid <- 0L until 5L) {
+      val mine = rows.filter(_.getLong(0) == qid)
+      // queries 0-4 live in cluster 0: no returned vec may be cluster 0
+      assert(mine.forall(r => r.getLong(1) == 0L && r.getLong(3) != 0L
+        && r.getLong(2) >= 40L), s"qid $qid leaked a same-label vector")
+      // exact local ranking restricted to other-label vectors
+      val q = corpus.find(_._1 == qid).get._2
+      val want = corpus.filter(x => x._1 != qid && x._1 / 40 != qid / 40)
+        .map { case (id, v) => (id, cosLocal(q, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+      assert(mine.sortBy(_.getInt(5)).map(_.getLong(2)).toSeq === want,
+        s"qid $qid")
+      // ranks 1..10, cosine descending
+      assert(mine.map(_.getInt(5)).sorted.toSeq === (1 to 10))
+      val cos = mine.sortBy(_.getInt(5)).map(_.getDouble(4)).toSeq
+      assert(cos === cos.sorted.reverse)
+    }
+  }
+
   test("q36 multi-probe LSH ANN achieves high recall vs exact") {
     val rows = Similarity.queries("q36_ann_lsh")(spark, dir).collect()
     val recall = (0L until 5L).map { qid =>
