@@ -641,6 +641,17 @@ object Bench {
     * guarded until a run records them — never invent a number
     * (BenchSpec enforces both directions: no floor outlives its query,
     * and no query ships unguarded without an explicit allowlisting).
+    *
+    * SEED CARRYOVER (the r17 q122/q123 unguarded-query trip): seed
+    * files are consulted per-invocation, never persisted, and apply
+    * ONLY to queries absent from every artifact of their block — so a
+    * regeneration for a NEW query must re-pass EVERY prior round's
+    * SEED_*.json (tools/r17/, tools/r18/, …) alongside the new ones,
+    * with the explicit artifact-list form (`--from-artifacts` refuses
+    * `--seed`). Dry-run first and check no existing floor line
+    * disappears; BenchSpec's two-direction guard is the backstop.
+    * Once a gate artifact covers a formerly-seeded query, the artifact
+    * wins (even when the seed is lower) per the round-10 rule above.
     */
   private[graft] val expected: Map[String, Double] = Map(
     // BEGIN GENERATED FLOORS (from: BENCH_r07.json BENCH_r08.json BENCH_r09.json BENCH_r10.json BENCH_r11.json BENCH_r12.json BENCH_r13.json --seed SEED_Q119_Q120_SF01.json SEED_Q121_SF01.json SEED_Q122_Q125_SF01.json SEED_Q126_SF01.json SEED_Q127_SF01.json)
@@ -689,38 +700,38 @@ object Bench {
     * round at a new scale has no gate artifact yet); never hand-typed.
     */
   private[graft] val expectedScaled: Map[String, Double] = Map(
-    // BEGIN GENERATED SCALED FLOORS (from: BENCH_r14.json BENCH_r15.json BENCH_r16.json --scaled-seed SEED_Q119_Q120_SF1D.json SEED_Q121_SF1D.json SEED_Q122_Q125_SF1D.json SEED_Q126_SF1D.json SEED_Q127_SF1D.json)
-    "q01" -> 1.51, "q02" -> 0.61, "q03" -> 2.84, "q04" -> 0.44,
-    "q05" -> 0.70, "q06" -> 1.04, "q07" -> 0.54, "q08" -> 0.65,
-    "q09" -> 1.57, "q10" -> 2.21, "q100" -> 0.81, "q101" -> 1.17,
+    // BEGIN GENERATED SCALED FLOORS (from: BENCH_r14.json BENCH_r15.json BENCH_r16.json BENCH_r18.json --scaled-seed SEED_Q119_Q120_SF1D.json SEED_Q121_SF1D.json SEED_Q122_Q125_SF1D.json SEED_Q126_SF1D.json SEED_Q127_SF1D.json)
+    "q01" -> 0.46, "q02" -> 0.61, "q03" -> 2.84, "q04" -> 0.44,
+    "q05" -> 0.70, "q06" -> 0.84, "q07" -> 0.54, "q08" -> 0.65,
+    "q09" -> 1.50, "q10" -> 2.21, "q100" -> 0.81, "q101" -> 1.17,
     "q102" -> 3.70, "q103" -> 0.67, "q104" -> 1.23, "q105" -> 1.47,
     "q106" -> 0.55, "q107" -> 1.00, "q108" -> 1.38, "q109" -> 0.47,
-    "q11" -> 0.99, "q110" -> 0.74, "q111" -> 0.86, "q112" -> 1.61,
-    "q113" -> 0.32, "q114" -> 0.49, "q115" -> 0.71, "q116" -> 1.27,
-    "q117" -> 0.64, "q118" -> 0.46, "q119" -> 1.24, "q12" -> 0.71,
-    "q120" -> 0.56, "q121" -> 1.19, "q122" -> 1.29, "q123" -> 0.81,
-    "q124" -> 1.17, "q125" -> 0.95, "q126" -> 1.23, "q127" -> 1.13,
-    "q13" -> 0.70, "q14" -> 0.65, "q15" -> 0.65, "q16" -> 0.50,
-    "q17" -> 0.43, "q18" -> 1.55, "q20" -> 0.23, "q21" -> 0.41,
+    "q11" -> 0.89, "q110" -> 0.74, "q111" -> 0.86, "q112" -> 1.61,
+    "q113" -> 0.32, "q114" -> 0.49, "q115" -> 0.71, "q116" -> 1.25,
+    "q117" -> 0.64, "q118" -> 0.46, "q119" -> 1.12, "q12" -> 0.70,
+    "q120" -> 0.57, "q121" -> 1.49, "q122" -> 1.08, "q123" -> 0.85,
+    "q124" -> 0.97, "q125" -> 1.05, "q126" -> 1.27, "q127" -> 0.63,
+    "q13" -> 0.63, "q14" -> 0.65, "q15" -> 0.65, "q16" -> 0.47,
+    "q17" -> 0.43, "q18" -> 1.39, "q20" -> 0.23, "q21" -> 0.40,
     "q22" -> 0.30, "q23" -> 0.32, "q24" -> 0.29, "q30" -> 0.31,
-    "q31" -> 1.97, "q32" -> 2.51, "q33" -> 1.68, "q34" -> 1.67,
+    "q31" -> 1.97, "q32" -> 2.51, "q33" -> 1.68, "q34" -> 1.10,
     "q35" -> 0.46, "q36" -> 0.38, "q37" -> 0.30, "q38" -> 0.18,
-    "q39" -> 0.98, "q40" -> 0.52, "q41" -> 0.24, "q42" -> 0.24,
-    "q43" -> 0.88, "q44" -> 0.23, "q45" -> 3.43, "q46" -> 0.16,
-    "q47" -> 0.68, "q48" -> 0.55, "q49" -> 0.73, "q50" -> 0.53,
+    "q39" -> 0.98, "q40" -> 0.42, "q41" -> 0.24, "q42" -> 0.24,
+    "q43" -> 0.88, "q44" -> 0.22, "q45" -> 3.43, "q46" -> 0.16,
+    "q47" -> 0.68, "q48" -> 0.55, "q49" -> 0.73, "q50" -> 0.52,
     "q51" -> 0.67, "q52" -> 0.22, "q53" -> 1.68, "q54" -> 0.66,
-    "q55" -> 0.16, "q56" -> 0.76, "q57" -> 0.39, "q58" -> 1.90,
-    "q59" -> 0.40, "q60" -> 0.54, "q61" -> 0.45, "q62" -> 1.18,
-    "q63" -> 1.27, "q64" -> 0.48, "q65" -> 2.06, "q66" -> 1.22,
+    "q55" -> 0.16, "q56" -> 0.76, "q57" -> 0.39, "q58" -> 1.87,
+    "q59" -> 0.40, "q60" -> 0.54, "q61" -> 0.40, "q62" -> 1.18,
+    "q63" -> 1.24, "q64" -> 0.48, "q65" -> 2.06, "q66" -> 1.22,
     "q67" -> 0.56, "q68" -> 0.84, "q69" -> 2.15, "q70" -> 2.00,
-    "q71" -> 0.71, "q72" -> 1.38, "q73" -> 0.51, "q74" -> 0.40,
-    "q75" -> 1.53, "q76" -> 0.55, "q77" -> 0.87, "q78" -> 0.27,
+    "q71" -> 0.71, "q72" -> 1.38, "q73" -> 0.48, "q74" -> 0.40,
+    "q75" -> 1.53, "q76" -> 0.55, "q77" -> 0.83, "q78" -> 0.27,
     "q79" -> 0.32, "q80" -> 0.43, "q81" -> 0.40, "q82" -> 0.20,
     "q83" -> 1.04, "q84" -> 1.18, "q85" -> 1.37, "q86" -> 0.59,
-    "q87" -> 0.71, "q88" -> 1.86, "q89" -> 0.46, "q90" -> 0.85,
+    "q87" -> 0.70, "q88" -> 1.86, "q89" -> 0.46, "q90" -> 0.82,
     "q91" -> 0.59, "q92" -> 1.63, "q93" -> 0.43, "q94" -> 0.51,
     "q95" -> 2.20, "q96" -> 0.96, "q97" -> 0.41, "q98" -> 1.41,
-    "q99" -> 0.39
+    "q99" -> 0.38
     // END GENERATED SCALED FLOORS
   )
 

@@ -1196,7 +1196,12 @@ object Dedup {
     // checkpoint arithmetic and left-triangle cumulative; the dup_ppm
     // CASE mirrors the Spark side's n_docs = 0 guard. MATERIALIZED pins
     // shared CTEs to one evaluation; BIGINT casts because hugeint sums
-    // render as float64 in the compare.
+    // render as float64 in the compare. Identity caveat (accepted, the
+    // exactSurvivors convention): Spark groups by (xxhash64(text),
+    // length(text)) while this oracle groups by text — a 64-bit-hash+
+    // length collision between distinct texts would merge groups only
+    // on the Spark side. Negligible at any corpus that fits a cluster
+    // (~n^2/2^65 per length class), same trade q30/q101 document.
     "q124_dup_growth" ->
       raw"""WITH d AS MATERIALIZED (
            |  SELECT doc_id * 2 AS doc_id, text FROM documents

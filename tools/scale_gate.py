@@ -46,7 +46,8 @@ the protocol the r16 run validated:
   - the bench/ratio legs are skipped (floors only exist for the 10x
     corpus; the probe is a correctness gate)
 
-Exit 0 only when the gate is 112/112 and no query is super-linear.
+Exit 0 only when the gate is all-OK (every registered query) and no
+query is super-linear.
 Artifacts land in --report (default tools/scale_gate_out/):
 GATE_SF1D.log, BENCH_SF01_LOCAL.json, BENCH_SF1D_LOCAL.json, SCALE.md.
 """
@@ -114,7 +115,11 @@ def gate_one_watchdog(out: str, corpus: str, q: str, log) -> str:
         time.sleep(5)
 
 
-def gate(corpus: str, report: pathlib.Path, probe: bool) -> int:
+def gate(corpus: str, report: pathlib.Path, probe: bool) -> "tuple[int, str]":
+    """Returns (rc, summary) where summary states the REAL per-query
+    tally ("121 OK, 0 MISMATCH") — SCALE.md used to hardcode a stale
+    '112/112-style' phrase that misdescribed wider gates (r18 verdict
+    item 3)."""
     out = f"{corpus.rstrip('/')}_verify"
     shutil.rmtree(out, ignore_errors=True)
     env = dict(os.environ)
@@ -132,7 +137,8 @@ def gate(corpus: str, report: pathlib.Path, probe: bool) -> int:
         ok = sum(1 for l in tail if ": OK" in l)
         bad = sum(1 for l in tail if "MISMATCH" in l)
         print(f"[scale_gate] gate: {ok} OK, {bad} MISMATCH (log: {log})")
-        return 0 if (rc == 0 and bad == 0 and ok > 0) else 1
+        return (0 if (rc == 0 and bad == 0 and ok > 0) else 1,
+                f"{ok} OK, {bad} MISMATCH")
     # probe mode: per-query watchdog sweep
     queries = sorted(p.name for p in pathlib.Path(out).glob("q*") if p.is_dir())
     ok = bad = bound = 0
@@ -148,7 +154,8 @@ def gate(corpus: str, report: pathlib.Path, probe: bool) -> int:
             bound += status.startswith("oracle-engine-bound")
     print(f"[scale_gate] probe gate: {ok} OK, {bad} MISMATCH, "
           f"{bound} oracle-engine-bound (log: {log})")
-    return 0 if (bad == 0 and bound == 0 and ok > 0) else 1
+    return (0 if (bad == 0 and bound == 0 and ok > 0) else 1,
+            f"{ok} OK, {bad} MISMATCH, {bound} oracle-engine-bound")
 
 
 def bench(sf_dir: str, dest: pathlib.Path) -> None:
@@ -189,7 +196,7 @@ def main():
     report.mkdir(parents=True, exist_ok=True)
 
     provenance = ensure_corpus(args.corpus, args.replicas)
-    gate_rc = gate(args.corpus, report, probe)
+    gate_rc, gate_summary = gate(args.corpus, report, probe)
 
     cmp_rc, cmp_out = 0, "(bench skipped)"
     if not args.skip_bench:
@@ -214,8 +221,7 @@ full oracle gate (`graft.Verify` + `tools/gate.py` driver-compare)
 
     python3 tools/scale_gate.py{f' --replicas {args.replicas}' if probe else ''}
 
-- correctness gate: {'112/112-style all-OK (see GATE_SF1D.log)'
-                     if gate_rc == 0 else 'MISMATCHES — see GATE_SF1D.log'}
+- correctness gate: {gate_summary} (see GATE_SF1D.log)
 - super-linear scan (enforced: missing/failed queries also fail):
 
 ```
