@@ -62,6 +62,66 @@ class DedupSpec extends SparkSpec {
     assert(!byPair.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  // ---- Hand-computed signature evidence (the q94 evidence class) ----
+  //
+  // Every literal below is derived OUTSIDE this codebase by
+  // tools/r19/hand_minhash.py: an XXH64 implemented directly from the
+  // public xxHash specification (not Spark's XXH64.scala), the
+  // HashedGrams rolling polynomial ((th0*P + th1)*P + th2 mod 2^64,
+  // P = 0x9E3779B97F4A7C15) applied step by step, and the committed
+  // permutation family a_i = (1000003*(2i+1)) mod (2^31-1)
+  // (Dedup.permMul) applied by hand. These tests pin the CONSTANTS:
+  // a silent change to the seed (42), the multiplier (1000003), the
+  // modulus (2^31-1), NumHashes/BandRows, or the simhash vote rule
+  // breaks a literal, not just a property.
+  //
+  // Corpus: doc 0 = "a b c d e f g h", doc 1 = "a b c d e f g i"
+  // (differ in the last token; 6 distinct 3-grams each, 5 shared).
+  //
+  // Hand derivation (hand_minhash.py prints each step):
+  //   gram pmods doc0: 281855639, 464982965, 609201593, 1016556185,
+  //                    1463851143, 1499251580
+  //   gram pmods doc1: 375163764 replaces 281855639, rest identical.
+  //   minhash_i = min over gram pmods h of (h * a_i) mod (2^31-1);
+  //   worked i=0 (a_0 = 1000003), doc0: the six products mod 2^31-1
+  //   are 1403381814, 463282220, 964656525, 605720871, 1831739409,
+  //   1107019925 -> min 463282220. Full signatures agree on 11 of 16
+  //   slots -> est_jaccard = 11/16 = 0.6875; band 1 (slots 4-7)
+  //   agrees fully, so the banded join emits the pair.
+  //   simhash: per distinct token, bit i of XXH64(token) votes +1/-1;
+  //   sh0 = 0x81603e010db4a54e, sh1 = 0x81703e050db4a54c ->
+  //   XOR = 0x0010000400000002, hamming 3 (quarter 1 agrees -> banded
+  //   blocking emits the pair; 3 <= 6 -> kept).
+
+  test("xxhash64 differential: Spark matches from-spec XXH64 (seed 42)") {
+    val s = spark
+    import s.implicits._
+    val expected = Seq( // from-spec XXH64 over UTF-8 bytes, seed 42
+      ("a", -8582455328737087284L), ("b", -6391946315847899181L),
+      ("c", -3446348257159517350L), ("d", 4409375254388155230L),
+      ("e", -6921883615627926489L), ("f", 610608359497745772L),
+      ("g", -4479768789114049076L), ("h", -5241787637716031954L),
+      ("i", 511563035442587425L))
+    val got = expected.map(_._1).toDF("t")
+      .select(col("t"), xxhash64(col("t")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    expected.foreach { case (t, h) => assert(got(t) === h, s"token $t") }
+  }
+
+  test("q31 hand evidence: exact pair and est_jaccard from hand-derived signatures") {
+    val dir = docsDir(Seq((0L, "a b c d e f g h"), (1L, "a b c d e f g i")))
+    val rows = Dedup.queries("q31_dedup_minhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq((0L, 1L, 0.6875))) // 11/16, see derivation
+  }
+
+  test("q32 hand evidence: exact hamming from hand-derived simhashes") {
+    val dir = docsDir(Seq((0L, "a b c d e f g h"), (1L, "a b c d e f g i")))
+    val rows = Dedup.queries("q32_dedup_simhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSeq === Seq((0L, 1L, 3)))
+  }
+
   test("q33 ngram jaccard: near-dup above 0.8, unrelated absent") {
     val p = pairs("q33_ngram_jaccard")
     assert(p.contains((1L, 4L)))
