@@ -336,6 +336,38 @@ object Dedup {
       val pairs = queries("q33_ngram_jaccard")(s, dir).select(col("a"), col("b"))
       connectedComponents(pairs)
     }),
+
+    // The near-dup PRODUCTION tail, composed in ONE plan: q33's
+    // exact-Jaccard pairs -> q45's connected components -> q92's
+    // representative election (richest raw text per cluster, ties to
+    // the lowest doc_id) — "which copy does the training set keep and
+    // how many bytes does the drop save", the near-dup analogue of
+    // q91's exact-dedup->pack composition. Composed because this is
+    // where AQE replans and exchange-reuse bugs hide at 100 TB: each
+    // stage keeps its individual scale shape inside the composed plan
+    // (df-capped gram index and capped bucket pairs; O(log D)
+    // pointer-jumping rounds over the pair-scale edge table, never the
+    // corpus; then ONE cluster-keyed partial aggregate). The label
+    // frame joins back to the corpus for n_chars as (doc_id, n_chars)
+    // 16-byte rows — counts map-side BEFORE the join, the q91
+    // discipline, bodies never shuffle — and the election is the q92
+    // ArgMaxTieMin partial aggregate (HashAggregate; a mega-cluster is
+    // a hot partial-agg key, not a buffered group), never a window.
+    "q128_neardup_reps" -> ((s, dir) => {
+      val labels = queries("q45_dedup_clusters")(s, dir)
+        .select(col("doc_id"), col("cluster"))
+      val chars = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      labels.join(chars, Seq("doc_id"))
+        .groupBy(col("cluster"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          graft.functions.ArgMaxTieMin(col("n_chars"), col("doc_id")).as("m"),
+          sum(col("n_chars")).as("tot_chars"))
+        .select(col("cluster"), col("n_members"),
+          col("m.id").as("rep_doc_id"), col("m.c").as("rep_chars"),
+          (col("tot_chars") - col("m.c")).as("drop_chars"))
+    }),
     // Exact dedup: keep the smallest doc_id per identical text — see
     // [[exactSurvivors]] for the shuffle discipline.
     "q30_dedup_exact" -> ((s, dir) =>
@@ -1466,7 +1498,47 @@ object Dedup {
          |)
          |SELECT s AS doc_id, least(s, min(d)) AS cluster,
          |       s = least(s, min(d)) AS is_canonical
-         |FROM reach GROUP BY s""".stripMargin
+         |FROM reach GROUP BY s""".stripMargin,
+    // q45's recursive closure composed with the q92 row_number mirror:
+    // same pair CTEs, same cluster label (least over the reachable set),
+    // then per-cluster election ordered (n_chars DESC, doc_id ASC) —
+    // the deterministic total order ArgMaxTieMin implements. BIGINT
+    // casts because hugeint window sums render as float64 in the
+    // compare.
+    "q128_neardup_reps" ->
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
+         |  SELECT a, b FROM ($Q33Sql)
+         |),
+         |sym AS MATERIALIZED (
+         |  SELECT a AS s, b AS d FROM pairs
+         |  UNION ALL
+         |  SELECT b, a FROM pairs
+         |),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM sym
+         |  UNION
+         |  SELECT r.s, p.d FROM reach r JOIN sym p ON r.d = p.s
+         |),
+         |lab AS MATERIALIZED (
+         |  SELECT s AS doc_id, least(s, min(d)) AS cluster
+         |  FROM reach GROUP BY s
+         |),
+         |m AS (
+         |  SELECT l.cluster, l.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+         |  FROM lab l JOIN documents d ON l.doc_id = d.doc_id
+         |),
+         |r AS (
+         |  SELECT cluster, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY cluster
+         |                       ORDER BY n_chars DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster) AS n_members,
+         |    sum(n_chars) OVER (PARTITION BY cluster) AS tot_chars
+         |  FROM m
+         |)
+         |SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+         |  doc_id AS rep_doc_id, n_chars AS rep_chars,
+         |  CAST(tot_chars - n_chars AS BIGINT) AS drop_chars
+         |FROM r WHERE rn = 1""".stripMargin
     // q31/q32: minhash/simhash signatures are xxhash64-valued on BOTH
     // sides of the comparison (the hash defines the signature, not just a
     // shuffle key) — not reproducible in DuckDB; rows-only + ScalaTest

@@ -122,6 +122,27 @@ class DedupSpec extends SparkSpec {
     assert(rows.toSeq === Seq((0L, 1L, 3)))
   }
 
+  test("q128 neardup reps: membership, richest-doc election, tie to min id, drop accounting") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // one token changed, and LONGER than the original -> doc 2 is the
+    // richest member of the {1, 2, 4} cluster and must win election
+    val b = ((1 to 39).map(i => s"tok$i") :+ "CHANGEDLONGER").mkString(" ")
+    val c = (1 to 40).map(i => s"other$i").mkString(" ")
+    // docs 5/6: a second cluster of EXACT copies — equal n_chars, so the
+    // election must tie-break to the lowest doc_id
+    val e = (1 to 30).map(i => s"extra$i").mkString(" ")
+    val dir = docsDir(Seq((1L, base), (2L, b), (3L, c), (4L, base),
+      (5L, e), (6L, e)))
+    val rows = Dedup.queries("q128_neardup_reps")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet === Set(1L, 5L)) // cluster label = min member id
+    // cluster 1 = {1, 2, 4}: doc 2 is longest, drops both copies of base
+    assert(rows(1L) === ((3L, 2L, b.length.toLong, 2L * base.length)))
+    // cluster 5 = {5, 6}: equal length, rep = min doc_id, one copy dropped
+    assert(rows(5L) === ((2L, 5L, e.length.toLong, e.length.toLong)))
+  }
+
   test("q33 ngram jaccard: near-dup above 0.8, unrelated absent") {
     val p = pairs("q33_ngram_jaccard")
     assert(p.contains((1L, 4L)))

@@ -631,6 +631,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q128: composed tail keeps the q92 election shape — partial hash agg, no window, no body") {
+    val df = graft.SparkEntry.queries("q128_neardup_reps")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the election must stay the ArgMaxTieMin HASH aggregate with a
+    // map-side partial — the oracle's row_number window (or a
+    // SortAggregate fallback) would buffer/sort whole clusters
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the pair/component machinery is materialized upstream
+    // (connectedComponents' bounded iteration); the composed tail the
+    // plan shows is label-frame JOIN (doc_id, n_chars) -> agg, and no
+    // shuffle in it may carry a body or token array
+    assertBodyFreeExchanges(executed(df))
+  }
+
   test("q93: token sums reduce map-side; stats side broadcasts, never sort-merges") {
     val df = graft.SparkEntry.queries("q93_domain_mix")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
