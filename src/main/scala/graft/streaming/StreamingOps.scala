@@ -120,6 +120,41 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("bench_id", "doc_id")
       .groupBy(col("bench_id")).agg(count(lit(1)).as("n_train_docs"))
 
+  /** Streaming intake-localized leak monitor — the live form of batch
+    * q126 ([[graft.ops.Decontam.leakGrowth]]): as documents stream in,
+    * keep a per-intake-bucket running count of DISTINCT contaminated
+    * documents, so the pipeline localizes WHEN contamination entered
+    * (a flat-then-jumping bucket indicts one crawl batch — quarantine
+    * it) without waiting for the batch audit. [[leakMonitor]] answers
+    * WHICH eval items leak; this answers WHEN they arrived. Update-mode
+    * output: (intake_start timestamp, n_leaked_docs), revised as a
+    * bucket's docs accumulate.
+    *
+    * State discipline (the [[leakMonitor]] contract): `benchGramIds` is
+    * the caller-derived broadcast index; the gram explode + join is
+    * map-side and stateless, and only LEAKED docs survive it. The two
+    * stateful operators are bounded: dropDuplicatesWithinWatermark on
+    * doc_id alone — contamination-rate-bounded, and strictly SMALLER
+    * state than leakMonitor's (bench_id, doc_id) pairs since a doc
+    * hitting many eval items is one key here — and the windowed counts
+    * hold one row per intake bucket inside the watermark horizon
+    * (closed buckets evict). Same watermark trade: a leaked doc
+    * re-arriving after the horizon can double-count.
+    */
+  def leakIntakeMonitor(docs: DataFrame, benchGramIds: DataFrame,
+                        n: Int = graft.ops.Decontam.GramN,
+                        watermark: String = "10 minutes",
+                        bucket: String = "1 minute"): DataFrame =
+    docs
+      .withWatermark("event_time", watermark)
+      .select(col("event_time"), col("doc_id"),
+        explode(graft.ops.Decontam.gramArray(n)).as("g"))
+      .join(broadcast(benchGramIds), "g")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .groupBy(window(col("event_time"), bucket))
+      .agg(count(lit(1)).as("n_leaked_docs"))
+      .select(col("window.start").as("intake_start"), col("n_leaked_docs"))
+
   /** Per-user funnel marks: epoch-ms of the first view, first qualifying
     * click, first qualifying purchase; -1 = not reached. 24 bytes/user —
     * 10⁹ users ≈ 24 GB of state, the RocksDB-store class (see

@@ -340,4 +340,50 @@ class StreamingOpsSpec extends SparkSpec {
       assert(state() === Map(20L -> 2L))  // item 40 never leaks: absent
     } finally query.stop()
   }
+
+  test("streaming intake leak monitor: late-batch leak localized to its bucket; state leak-bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val leakSpan = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val bg = graft.ops.Decontam.benchGramIds(
+      Seq((20L, leakSpan)).toDF("doc_id", "text"))
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val mon = StreamingOps.leakIntakeMonitor(
+      ms.toDS().toDF("event_time", "doc_id", "text"), bg)
+    val query = mon.writeStream.format("memory")
+      .queryName("leak_intake").outputMode("update").start()
+    try {
+      // batch 1 (intake minute 0): clean docs only — no bucket appears
+      ms.addData((ts(0), 1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+        (ts(5), 2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"))
+      query.processAllAvailable()
+      // update-mode memory sink appends revisions; counts are monotone
+      def state() = s.table("leak_intake").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+      assert(state().isEmpty, "clean batch must emit no leak bucket")
+      // batch 2: the PLANTED LATE LEAK — two contaminated docs arrive a
+      // minute into the intake, plus another clean doc
+      ms.addData((ts(65), 3L, s"prefix then $leakSpan inside"),
+        (ts(70), 4L, leakSpan),
+        (ts(72), 5L, "y1 y2 y3 y4 y5 y6 y7 y8 y9"))
+      query.processAllAvailable()
+      val after2 = state()
+      assert(after2.values.toSeq === Seq(2L),
+        s"exactly one bucket with both leaked docs: $after2")
+      val leakBucket = after2.keys.head
+      // batch 3: doc 3 re-observed (deduped, no bump) + more clean docs
+      ms.addData((ts(75), 3L, s"prefix then $leakSpan inside"),
+        (ts(80), 6L, "z1 z2 z3 z4 z5 z6 z7 z8 z9"))
+      query.processAllAvailable()
+      assert(state() === Map(leakBucket -> 2L),
+        "re-observed doc must not bump; clean docs never appear")
+      // bounded state: dedup rows track LEAKED docs (2), agg rows track
+      // live buckets (1) — the three clean docs contribute nothing
+      val stateRows = query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 4, s"state must be leak-bounded, got $stateRows rows")
+      assert(stateRows >= 1, "expected live state")
+    } finally query.stop()
+  }
 }
