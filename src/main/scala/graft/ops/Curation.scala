@@ -553,6 +553,47 @@ object Curation {
         col("n_copies"),
         col("norm_len"))
 
+  /** Cross-document boilerplate-line profile (q129): a LINE (newline
+    * split, space-trimmed, non-empty) occurring in >= `minDf` DISTINCT
+    * documents is boilerplate — the CCNet/RefinedWeb-style cross-doc
+    * complement of q55's doc-local prose filter (navigation chrome,
+    * cookie banners, footers repeat across a crawl, and doc-local
+    * heuristics cannot see that). Per doc: line counts, flagged count,
+    * integer-ppm boilerplate share, and the char mass that survives
+    * stripping — the numbers that decide whether line-level dedup is
+    * worth a rewrite pass over the corpus.
+    *
+    * Scale shape (q56's df + join-back discipline): lines travel as
+    * (doc_id, xxhash64(line), len) 24-byte rows from the scan
+    * projection on — bodies never shuffle; the line-df aggregate and
+    * the df join-back share the 8-byte line-hash key; the per-doc
+    * rollup folds flags and char sums into ONE doc-keyed partial
+    * aggregate (no second corpus pass for totals). The hash only
+    * renames lines (the q33 argument), so DuckDB's GROUP BY over line
+    * STRINGS is the exact oracle.
+    */
+  def boilerplateStats(docs: DataFrame, minDf: Int = 3): DataFrame = {
+    val lines = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), "\n", -1)).as("raw"))
+      .select(col("doc_id"), trim(col("raw"), " ").as("l"))
+      .filter(length(col("l")) > 0)
+      .select(col("doc_id"), xxhash64(col("l")).as("h"),
+        length(col("l")).cast("long").as("len"))
+    val dfc = lines.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("line_df"))
+    lines.join(dfc, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("line_df") >= minDf, 1L).otherwise(0L)).as("n_boiler"),
+        sum(col("len")).as("tot_chars"),
+        sum(when(col("line_df") >= minDf, col("len")).otherwise(0L))
+          .as("boiler_chars"))
+      .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+        expr("(1000000 * n_boiler) div n_lines").as("boiler_ppm"),
+        (col("tot_chars") - col("boiler_chars")).as("kept_chars"))
+  }
+
   /** Screen-overlap calibration: are the vocabulary-diversity filter and
     * the duplicated-span screen redundant or orthogonal? Per
     * diversity-decile bucket (floor(uniq_ratio·10), clamped to 9), over
@@ -902,10 +943,67 @@ object Curation {
           col("st.n_kept").as("n_kept"),
           round(col("st.n_kept").cast("double") / col("st.n_lines"), 6)
             .as("kept_ratio"),
-          col("st.kept_chars").as("kept_chars")))
+          col("st.kept_chars").as("kept_chars"))),
+
+    // Cross-doc boilerplate profile — see [[boilerplateStats]]. The
+    // synthetic corpus is single-line, so the driver query PLANTS the
+    // cross-doc structure in-pipeline (the q124 lesson: the signal must
+    // exist at every scale so the oracle gates non-vacuously; modular
+    // id plants survive ScaleCorpus): two footer lines at different df
+    // (% 3, % 7) and a per-doc line REPEATED WITHIN its doc (% 13) that
+    // must stay unflagged — occurrences must not inflate the distinct
+    // doc frequency. The oracle applies the identical transform.
+    "q129_boilerplate" -> ((s, dir) => {
+      val d = col("doc_id")
+      val planted = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(d, concat(col("text"),
+          when(d % 7 === 0, lit("\nvisit example dot com for more"))
+            .otherwise(lit("")),
+          when(d % 3 === 0, lit("\nall rights reserved")).otherwise(lit("")),
+          when(d % 13 === 0, concat(lit("\ndup line "), d.cast("string"),
+            lit("\ndup line "), d.cast("string"))).otherwise(lit("")))
+          .as("text"))
+      boilerplateStats(planted)
+    })
   )
 
   def oracles: Map[String, String] = Map(
+    // Same plant, same line contract (chr(10) split, space trim,
+    // non-empty), df over DISTINCT docs per line STRING (the xxhash64
+    // rename argument); the per-doc rollup mirrors the single
+    // flag-fold aggregate. BIGINT casts for the hugeint sums.
+    "q129_boilerplate" ->
+      raw"""WITH base AS (
+           |  SELECT doc_id, text
+           |    || CASE WHEN doc_id % 7 = 0
+           |         THEN chr(10) || 'visit example dot com for more'
+           |         ELSE '' END
+           |    || CASE WHEN doc_id % 3 = 0
+           |         THEN chr(10) || 'all rights reserved' ELSE '' END
+           |    || CASE WHEN doc_id % 13 = 0
+           |         THEN chr(10) || 'dup line ' || doc_id
+           |           || chr(10) || 'dup line ' || doc_id ELSE '' END
+           |    AS text
+           |  FROM documents WHERE text IS NOT NULL),
+           |l AS MATERIALIZED (
+           |  SELECT doc_id, trim(x, ' ') AS l,
+           |         CAST(len(trim(x, ' ')) AS BIGINT) AS ln
+           |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS x
+           |        FROM base)
+           |  WHERE len(trim(x, ' ')) > 0),
+           |d AS MATERIALIZED (
+           |  SELECT l, count(DISTINCT doc_id) AS line_df FROM l GROUP BY l)
+           |SELECT doc_id,
+           |  count(*) AS n_lines,
+           |  CAST(sum(CASE WHEN line_df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_boiler,
+           |  CAST((1000000 * sum(CASE WHEN line_df >= 3 THEN 1 ELSE 0 END))
+           |       // count(*) AS BIGINT) AS boiler_ppm,
+           |  CAST(sum(ln) - sum(CASE WHEN line_df >= 3 THEN ln ELSE 0 END)
+           |       AS BIGINT) AS kept_chars
+           |FROM l JOIN d USING (l)
+           |GROUP BY doc_id""".stripMargin,
+
     // q30's dedup (GROUP BY text ≡ the Spark side's (xxhash64, len)
     // grouping — the hash only renames the group) composed with q57's
     // pack CTEs over the survivor set.

@@ -620,4 +620,31 @@ class CurationSpec extends SparkSpec {
       1L -> ((2L, 3L, 1L, 3L, 200000L, 44118L)),
       4L -> ((16L, 31L, 3L, 64L, 600000L, 941176L))))
   }
+
+  test("q129 boilerplateStats: cross-doc df flags; within-doc repeats and empties don't") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha one\nfooter line"),
+      (2L, "beta two\nfooter line"),
+      (3L, "gamma three\nfooter line"),
+      // within-doc repeat: occurrences must NOT inflate the distinct df
+      (4L, "solo content\nrepeat\nrepeat"),
+      // leading empty line dropped; spaces trimmed before hashing
+      (5L, "  \n  spaced  \nfooter line"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = Curation.boilerplateStats(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))).toMap
+    // "footer line" df = 4 (docs 1/2/3/5) >= 3 -> boilerplate everywhere
+    assert(r(1L) === ((2L, 1L, 500000L, "alpha one".length.toLong)))
+    assert(r(2L) === ((2L, 1L, 500000L, "beta two".length.toLong)))
+    assert(r(3L) === ((2L, 1L, 500000L, "gamma three".length.toLong)))
+    // doc 4: "repeat" occurs twice in ONE doc -> df 1, nothing flagged
+    assert(r(4L) === ((3L, 0L, 0L, ("solo content".length + 12).toLong)))
+    // doc 5: empty line dropped, "spaced" trimmed to 6 chars, footer flagged
+    assert(r(5L) === ((2L, 1L, 500000L, 6L)))
+    assert(!r.contains(6L)) // null text excluded
+  }
 }

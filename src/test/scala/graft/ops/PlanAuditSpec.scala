@@ -649,6 +649,21 @@ class PlanAuditSpec extends SparkSpec {
     assertBodyFreeExchanges(executed(df))
   }
 
+  test("q129: line df and join-back share the hash key; rollup is one partial agg, no window") {
+    val df = graft.SparkEntry.queries("q129_boilerplate")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the per-doc rollup folds flags + char sums into ONE doc-keyed
+    // HASH aggregate with a map-side partial — a second corpus pass for
+    // totals (or a window) would double the scan at 100 TB
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // lines travel as (doc_id, h, len) from the scan on — never the
+    // line string or the body
+    assertBodyFreeExchanges(executed(df))
+  }
+
   test("q93: token sums reduce map-side; stats side broadcasts, never sort-merges") {
     val df = graft.SparkEntry.queries("q93_domain_mix")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
