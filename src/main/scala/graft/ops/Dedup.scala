@@ -499,6 +499,13 @@ object Dedup {
           .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))))
     }),
 
+    // Near-dup cross-split leakage over the RAW corpus (no plant needed:
+    // the synthetic near-dup families cross the md5 split boundaries
+    // naturally at every SF — verified non-vacuous for all three split
+    // pairs at sf0.001). See [[fuzzyLeakage]].
+    "q130_fuzzy_leakage" -> ((s, dir) =>
+      fuzzyLeakage(Tables.documents(s, dir))),
+
     // Duplication growth curve, audited against a re-fetch echo: every
     // doc_id % 7 == 0 doc re-collected immediately after its original
     // (interleaved ids 2d / 2d+1 — evens host the corpus, odds the
@@ -710,6 +717,51 @@ object Dedup {
     one.select(explode(rows).as("r")).select(col("r.*"))
       .withColumn("leaked_ppm",
         expr("(1000000 * leaked_docs) div later_docs"))
+  }
+
+  /** NEAR-duplicate cross-split leakage (q130): [[splitLeakage]] flags a
+    * held-out doc whose text is byte-identical to a train doc; this
+    * flags the PARAPHRASE case — an eval doc whose 3-gram Jaccard
+    * against some doc in an earlier split clears q33's near-dup bar.
+    * Exact-identity audits systematically miss re-hosted/lightly-edited
+    * copies, and those inflate held-out scores exactly like identical
+    * ones. Per (earlier, later) split pair: crossing candidate pairs,
+    * DISTINCT later-split docs contaminated, the later split's size,
+    * and the leaked ppm.
+    *
+    * Scale shape: rides [[jaccardPairs]]' capped candidate machinery
+    * (the pair stream is the operator's bounded input, never
+    * corpus-scale); split labels are a PURE id function
+    * ([[Sampling.splitLabelOf]] — the q46 md5-prefix assignment)
+    * computed map-side on both pair columns, so there is NO join back
+    * to the corpus; the rollup is a ≤6-key aggregate and the split
+    * sizes broadcast as a ≤3-row frame.
+    */
+  def fuzzyLeakage(docs: DataFrame): DataFrame = {
+    val rank: Column => Column = s =>
+      when(s === "train", 0).when(s === "val", 1).otherwise(2)
+    val crossing = jaccardPairs(docs).select(
+      col("a"), col("b"),
+      Sampling.splitLabelOf(col("a")).as("sa"),
+      Sampling.splitLabelOf(col("b")).as("sb"))
+      .filter(col("sa") =!= col("sb"))
+    val oriented = crossing.select(
+      when(rank(col("sa")) < rank(col("sb")), col("sa")).otherwise(col("sb"))
+        .as("earlier"),
+      when(rank(col("sa")) < rank(col("sb")), col("sb")).otherwise(col("sa"))
+        .as("later"),
+      when(rank(col("sa")) < rank(col("sb")), col("b")).otherwise(col("a"))
+        .as("later_doc"))
+    val leaks = oriented.groupBy(col("earlier"), col("later"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("later_doc")).as("leaked_docs"))
+    val denom = docs.filter(col("text").isNotNull)
+      .groupBy(Sampling.splitLabelOf(col("doc_id")).as("later"))
+      .agg(count(lit(1)).as("later_docs"))
+    leaks.join(broadcast(denom), Seq("later"))
+      .select(col("earlier"), col("later"), col("n_pairs"),
+        col("leaked_docs"), col("later_docs"),
+        expr("(1000000 * leaked_docs) div later_docs").as("leaked_ppm"))
   }
 
   /** Exact-duplication growth curve (q124): cumulative duplicate-doc
@@ -1499,6 +1551,50 @@ object Dedup {
          |SELECT s AS doc_id, least(s, min(d)) AS cluster,
          |       s = least(s, min(d)) AS is_canonical
          |FROM reach GROUP BY s""".stripMargin,
+    // Q33Sql's pairs labeled by the q46/q123 md5-prefix split arithmetic
+    // on BOTH pair sides (a pure id function — the oracle joins the
+    // label frame only because SQL has no map-side column reuse; the
+    // Spark side computes it in place), oriented earlier→later by the
+    // train<val<test rank, distinct later docs per split pair, ppm
+    // against the later split's size. BIGINT casts for hugeint sums.
+    "q130_fuzzy_leakage" ->
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT a, b FROM ($Q33Sql)
+         |),
+         |sp AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+         |                1, 8))::BIGINT % 100 < 80 THEN 'train'
+         |         WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+         |                1, 8))::BIGINT % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents WHERE text IS NOT NULL),
+         |o AS (
+         |  SELECT CASE WHEN ra < rb THEN sa ELSE sb END AS earlier,
+         |         CASE WHEN ra < rb THEN sb ELSE sa END AS later,
+         |         CASE WHEN ra < rb THEN b ELSE a END AS later_doc
+         |  FROM (
+         |    SELECT p.a, p.b, x.split AS sa, y.split AS sb,
+         |      CASE x.split WHEN 'train' THEN 0 WHEN 'val' THEN 1
+         |           ELSE 2 END AS ra,
+         |      CASE y.split WHEN 'train' THEN 0 WHEN 'val' THEN 1
+         |           ELSE 2 END AS rb
+         |    FROM p JOIN sp x ON p.a = x.doc_id
+         |           JOIN sp y ON p.b = y.doc_id)
+         |  WHERE sa <> sb),
+         |l AS (
+         |  SELECT earlier, later, count(*) AS n_pairs,
+         |         count(DISTINCT later_doc) AS leaked_docs
+         |  FROM o GROUP BY 1, 2),
+         |d AS (SELECT split AS later, count(*) AS later_docs
+         |      FROM sp GROUP BY 1)
+         |SELECT earlier, later, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(leaked_docs AS BIGINT) AS leaked_docs,
+         |  CAST(later_docs AS BIGINT) AS later_docs,
+         |  CAST((1000000 * leaked_docs) // later_docs AS BIGINT)
+         |    AS leaked_ppm
+         |FROM l JOIN d USING (later)""".stripMargin,
+
     // q45's recursive closure composed with the q92 row_number mirror:
     // same pair CTEs, same cluster label (least over the reachable set),
     // then per-cluster election ordered (n_chars DESC, doc_id ASC) —

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,17 +17,21 @@ object Sampling {
   /** Hash bucket 0..99 from the doc_id ([[TextAnalysis.md5Prefix]] — the
     * one shared definition of the cross-engine md5-prefix hash).
     */
-  private def bucket100 =
-    pmod(TextAnalysis.md5Prefix(col("doc_id").cast("string")), lit(100L))
+  private def bucket100Of(id: Column) =
+    pmod(TextAnalysis.md5Prefix(id.cast("string")), lit(100L))
 
-  /** q46's 80/10/10 train/val/test label from the doc_id alone
-    * ([[bucket100]]), shared so q123's leakage audit grades the SAME
-    * assignment q46 ships.
+  /** q46's 80/10/10 train/val/test label from an id column alone
+    * ([[bucket100Of]]), shared so q123's exact and q130's near-dup
+    * leakage audits grade the SAME assignment q46 ships. The column
+    * form exists because q130 labels BOTH sides of a pair map-side —
+    * a pure id function, never a join back to the corpus.
     */
-  private[ops] def splitLabel =
-    when(bucket100 < 80, lit("train"))
-      .when(bucket100 < 90, lit("val"))
+  private[ops] def splitLabelOf(id: Column) =
+    when(bucket100Of(id) < 80, lit("train"))
+      .when(bucket100Of(id) < 90, lit("val"))
       .otherwise(lit("test"))
+
+  private[ops] def splitLabel = splitLabelOf(col("doc_id"))
 
   /** Exact per-stratum `1/denom` sample, scale-safe.
     *
@@ -506,7 +510,7 @@ object Sampling {
     // 80/10/10 train/val/test assignment, reproducible from doc_id alone.
     "q46_train_split" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), bucket100.as("bucket"))
+        .select(col("doc_id"), bucket100Of(col("doc_id")).as("bucket"))
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val")

@@ -143,6 +143,32 @@ class DedupSpec extends SparkSpec {
     assert(rows(5L) === ((2L, 5L, e.length.toLong, e.length.toLong)))
   }
 
+  test("q130 fuzzyLeakage: cross-split near-dups oriented and counted; same-split pairs excluded") {
+    // md5-prefix split labels (hand-checked against the q46 arithmetic):
+    // ids 1, 2, 22 -> train; 16 -> val; 8, 20 -> test
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val endChanged = ((1 to 39).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
+    val startChanged = ("CHANGED" +: (2 to 40).map(i => s"tok$i")).mkString(" ")
+    val docs = Seq(
+      (1L, base),          // train
+      (16L, endChanged),   // val   — near-dup of 1 and 8
+      (8L, startChanged),  // test  — near-dup of 1 and 16
+      (2L, "same split twin one two three four five six"),   // train
+      (22L, "same split twin one two three four five six"),  // train
+      (20L, (1 to 40).map(i => s"other$i").mkString(" ")))   // test, unrelated
+    val s = spark
+    import s.implicits._
+    val df = Dedup.fuzzyLeakage(docs.toDF("doc_id", "text"))
+    val rows = df.collect().map(r => ((r.getString(0), r.getString(1)),
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // splits: train {1, 2, 22}, val {16}, test {8, 20}
+    assert(rows === Map(
+      ("train", "val") -> ((1L, 1L, 1L, 1000000L)),
+      ("train", "test") -> ((1L, 1L, 2L, 500000L)),
+      ("val", "test") -> ((1L, 1L, 2L, 500000L))))
+    // the (2, 22) same-split exact pair contributed nowhere
+  }
+
   test("q33 ngram jaccard: near-dup above 0.8, unrelated absent") {
     val p = pairs("q33_ngram_jaccard")
     assert(p.contains((1L, 4L)))

@@ -664,6 +664,20 @@ class PlanAuditSpec extends SparkSpec {
     assertBodyFreeExchanges(executed(df))
   }
 
+  test("q130: split labels are computed in place on the pair stream; sizes broadcast") {
+    val df = graft.SparkEntry.queries("q130_fuzzy_leakage")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // both pair sides get their split from the pure md5-prefix id
+    // function map-side — a join back to a corpus-side label frame
+    // would shuffle the corpus a second time for no information
+    assert(!p.contains("CartesianProduct"), p)
+    // the ≤3-row split-size frame must broadcast, never sort-merge
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+    assertBodyFreeExchanges(executed(df))
+  }
+
   test("q93: token sums reduce map-side; stats side broadcasts, never sort-merges") {
     val df = graft.SparkEntry.queries("q93_domain_mix")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
