@@ -307,6 +307,74 @@ object Similarity {
     topKPerQuery(s, scored, TopK)
   }
 
+  /** ANN recall-vs-cost tuning table (q131): per `nprobe` in `probes`,
+    * the mean and worst recall@k of the IVF index (q43's machinery)
+    * against the exact brute-force top-k (q35's) — THE operational
+    * question an approximate index raises ("which nprobe clears my
+    * recall bar, and what does the next step cost"). q43 verifies the
+    * nprobe=1 answer is exactly right; this measures how much of the
+    * TRUE answer each probe budget recovers. Integer-ppm recall (hits
+    * and k are ints; mean = sum div n) keeps the table cross-engine
+    * hashable with zero float-division drift.
+    *
+    * Scale shape: ONE centroid fit (the q43 bounded-sample contract)
+    * and ONE corpus assignment pass, materialized and shared by every
+    * probe leg; each leg's probe fan-out rides the tiny broadcast query
+    * side (corpus never re-shuffles), prunes through the per-partition
+    * heaps of [[topKPerQuery]], and the recall join is QueryK·TopK vs
+    * QueryK·TopK rows. The exact reference is computed once —
+    * |probes| + 1 passes over the cached assignment total, never
+    * |probes| re-fits.
+    */
+  def annRecallSweep(s: SparkSession, dir: String,
+                     probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val n = estimatedRowCount(e, EmbeddingRowBytes)
+    val cents = fitCentroids(e, nlistFor(n))
+    val bc = s.sparkContext.broadcast(cents)
+    val assigned = Materialize(assignClusters(s, e, bc))
+    val q = e.filter(col("vec_id") < QueryK)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = topKPerQuery(s,
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          cosine(col("embedding"), col("qvec")).as("cos")), TopK)
+    val ex = Materialize(exact.select(col("qid"), col("vec_id")))
+    val legs = probes.map { np =>
+      val pr = math.max(1, math.min(np, cents.length))
+      // probe selection mirrors annIvf's: centroid cos desc, index asc
+      // on ties (stable sort over the index-ordered list)
+      val qp = e.filter(col("vec_id") < QueryK)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.flatMap { case (id, v) =>
+            cs.indices.map(i => (KMeansLite.cos(cs(i), v), i))
+              .sortBy { case (c, i) => (-c, i) }.take(pr)
+              .map { case (_, cid) => (id, v, cid.toLong) }
+          }
+        }.toDF("qid", "qvec", "bucket")
+      val scored = assigned.join(broadcast(qp), Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          cosine(col("embedding"), col("qvec")).as("cos"))
+      val approx = topKPerQuery(s, scored, TopK)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      ex.join(approx, Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(np.toLong).as("nprobe"), col("qid"),
+          expr("(1000000 * n_hit) div k").as("r_ppm"))
+    }
+    legs.reduce(_.unionByName(_))
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_queries"),
+        expr("sum(r_ppm) div count(1)").as("mean_recall_ppm"),
+        min(col("r_ppm")).as("min_recall_ppm"))
+  }
+
   /** Semantic dedup (the SemDeDup recipe): k-means clusters the embedding
     * space, then near-duplicate candidates are generated WITHIN each
     * cluster — two-level blocking where the coarse level is data-aware
@@ -483,6 +551,9 @@ object Similarity {
     "q43_ann_ivf" -> ((s, dir) => annIvf(s, dir)),
 
     "q36_ann_lsh" -> ((s, dir) => annLsh(s, dir)),
+
+    // IVF recall-vs-nprobe tuning table — see [[annRecallSweep]].
+    "q131_ann_recall" -> ((s, dir) => annRecallSweep(s, dir)),
 
     // Per-label per-dimension centroid/variance profile — see
     // [[labelCentroids]].

@@ -901,6 +901,39 @@ object FixtureOracles {
     }
   }
 
+  /** q131: IVF recall-vs-nprobe sweep — per nprobe in {1, 2, 4}, the
+    * mean and worst integer-ppm recall@10 of the probed-lists top-10
+    * against the exact brute-force top-10, per the q43 fit/assign
+    * contract. Probe order: centroid cos desc, index asc on ties (the
+    * annIvf stable-sort contract); per-query recall_ppm = 1e6·hits div
+    * k; mean = sum div n (integer division, documented on the op).
+    */
+  private[oracle] def deriveQ131(vecs: Seq[(Long, Array[Float])],
+      fileBytes: Long): Seq[(Long, Long, Long, Long)] = {
+    val cents = ivfFit(vecs, fileBytes)
+    val live = vecs.filter(_._2 != null)
+    val buckets = live.map { case (id, v) => id -> assignBucket(v, cents) }.toMap
+    val queries = live.filter(_._1 < AnnQueryK)
+    Seq(1, 2, 4).map { np =>
+      val pr = math.max(1, math.min(np, cents.length))
+      val rppms = queries.map { case (qid, qv) =>
+        val exact = live.iterator.filter(_._1 != qid)
+          .map { case (id, v) => (id, cosine(v, qv)) }
+          .toSeq.sortBy { case (id, c) => (-c, id) }
+          .take(AnnTopK).map(_._1).toSet
+        val probed = cents.indices.map(i => (kmCos(cents(i), qv), i))
+          .sortBy { case (c, i) => (-c, i) }.take(pr).map(_._2).toSet
+        val approx = live.iterator
+          .filter { case (id, _) => id != qid && probed(buckets(id)) }
+          .map { case (id, v) => (id, cosine(v, qv)) }
+          .toSeq.sortBy { case (id, c) => (-c, id) }
+          .take(AnnTopK).map(_._1).toSet
+        (1000000L * exact.count(approx)) / exact.size
+      }
+      (np.toLong, queries.size.toLong, rppms.sum / rppms.size, rppms.min)
+    }
+  }
+
   /** q66: SemDeDup pairs — banded hyperplane LSH conditioned on the IVF
     * cluster (bits sized for the expected cluster size n/nlist), capped
     * buckets, exact cosine, deterministic (cos desc, a, b) top-100.
@@ -1209,7 +1242,7 @@ object FixtureOracles {
     */
   private val BytesSensitive: Set[String] = Set(
     "q34_embed_neardup", "q36_ann_lsh", "q43_ann_ivf",
-    "q66_semdedup", "q84_ivfpq")
+    "q66_semdedup", "q84_ivfpq", "q131_ann_recall")
 
   private[oracle] def embFixtureDir(name: String, key: (Long, Long), bytes: Long): Path =
     tmpRoot.resolve(s"graft_${Version}_${name}_${key._1}_${key._2}_b$bytes")
@@ -1337,7 +1370,8 @@ object FixtureOracles {
       if (BytesSensitive(n)) embFixtureDir(n, embKey, embBytes)
       else fixtureDir(n, embKey)
     val embFixtures = Seq("q34_embed_neardup", "q36_ann_lsh", "q43_ann_ivf",
-      "q66_semdedup", "q77_pq", "q84_ivfpq", "q60_pca_whiten")
+      "q66_semdedup", "q77_pq", "q84_ivfpq", "q60_pca_whiten",
+      "q131_ann_recall")
       .map(embDir)
     val needed = docFixtures ++ embFixtures
     if (!docFixtures.forall(Files.exists(_))) {
@@ -1394,6 +1428,9 @@ object FixtureOracles {
         embDir("q36_ann_lsh"))
       publish(keyed(deriveQ43(vecs, embBytes).toDF("qid", "vec_id", "cos", "rank")),
         embDir("q43_ann_ivf"))
+      publish(keyed(deriveQ131(vecs, embBytes)
+        .toDF("nprobe", "n_queries", "mean_recall_ppm", "min_recall_ppm")),
+        embDir("q131_ann_recall"))
       publish(keyed(deriveQ66(vecs, embBytes).toDF("a", "b", "cos")),
         embDir("q66_semdedup"))
       publish(keyed(deriveQ77(vecs).toDF("vec_id", "pq_code", "recon_mse")),
@@ -1473,6 +1510,8 @@ object FixtureOracles {
     "q34_embed_neardup"  -> embFixtureSql("q34_embed_neardup", "a, b, cos"),
     "q36_ann_lsh"        -> embFixtureSql("q36_ann_lsh", "qid, vec_id, cos, \"rank\""),
     "q43_ann_ivf"        -> embFixtureSql("q43_ann_ivf", "qid, vec_id, cos, \"rank\""),
+    "q131_ann_recall"    -> embFixtureSql("q131_ann_recall",
+      "nprobe, n_queries, mean_recall_ppm, min_recall_ppm"),
     "q66_semdedup"       -> embFixtureSql("q66_semdedup", "a, b, cos"),
     "q77_pq"             -> embFixtureSql("q77_pq", "vec_id, pq_code, recon_mse"),
     "q84_ivfpq"          -> embFixtureSql("q84_ivfpq",

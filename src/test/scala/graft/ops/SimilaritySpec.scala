@@ -130,6 +130,21 @@ class SimilaritySpec extends SparkSpec {
     assert(r3 >= 0.5)
   }
 
+  test("q131 recall sweep: monotone in nprobe; a full probe budget recovers recall exactly 1") {
+    // 1024 >= nlist always holds here, so the last leg probes EVERY list:
+    // the approx candidate set equals the exact one and integer-ppm
+    // recall must be exactly 1_000_000 — a literal, not a threshold
+    val rows = Similarity.annRecallSweep(spark, dir, probes = Seq(1, 3, 1024))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet === Set(1L, 3L, 1024L))
+    rows.values.foreach { case (nq, _, _) => assert(nq === 5L) }
+    val mean = rows.view.mapValues(_._2).toMap
+    assert(mean(3L) >= mean(1L), s"nprobe=3 mean ${mean(3L)} < nprobe=1 ${mean(1L)}")
+    assert(rows(1024L) === ((5L, 1000000L, 1000000L)),
+      s"full probe budget must be exact: ${rows(1024L)}")
+  }
+
   test("KMeansLite collapses over-provisioned k to the natural clusters") {
     val cents = KMeansLite.fit(corpus.map(_._2).toArray, 9, 3)
     // 5 planted clusters; duplicate centroids within one cluster merge
