@@ -499,6 +499,29 @@ object Dedup {
           .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))))
     }),
 
+    // The APPLIED form of q128: the per-document substitution table a
+    // near-dup rewrite job actually joins against — every cluster
+    // member mapped to its elected representative plus a keep flag
+    // (q128 summarizes clusters for the human; a rewrite pass needs one
+    // row per member). Same composed machinery; the election result
+    // re-attaches to members via a cluster-keyed equi-join of two
+    // ALREADY-BOUNDED frames (members = docs in the pair graph, reps ≤
+    // clusters) — no window, bodies never shuffle.
+    "q132_rep_remap" -> ((s, dir) => {
+      val labels = queries("q45_dedup_clusters")(s, dir)
+        .select(col("doc_id"), col("cluster"))
+      val chars = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      val members = labels.join(chars, Seq("doc_id"))
+      val reps = members.groupBy(col("cluster"))
+        .agg(graft.functions.ArgMaxTieMin(col("n_chars"), col("doc_id")).as("m"))
+        .select(col("cluster"), col("m.id").as("rep_doc_id"))
+      members.select(col("doc_id"), col("cluster"))
+        .join(reps, Seq("cluster"))
+        .select(col("doc_id"), col("cluster"), col("rep_doc_id"),
+          (col("doc_id") === col("rep_doc_id")).as("keep"))
+    }),
+
     // Near-dup cross-split leakage over the RAW corpus (no plant needed:
     // the synthetic near-dup families cross the md5 split boundaries
     // naturally at every SF — verified non-vacuous for all three split
@@ -1634,7 +1657,41 @@ object Dedup {
          |SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
          |  doc_id AS rep_doc_id, n_chars AS rep_chars,
          |  CAST(tot_chars - n_chars AS BIGINT) AS drop_chars
-         |FROM r WHERE rn = 1""".stripMargin
+         |FROM r WHERE rn = 1""".stripMargin,
+    // q128's CTEs with the rn=1 rep joined back to every member instead
+    // of reported once per cluster.
+    "q132_rep_remap" ->
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
+         |  SELECT a, b FROM ($Q33Sql)
+         |),
+         |sym AS MATERIALIZED (
+         |  SELECT a AS s, b AS d FROM pairs
+         |  UNION ALL
+         |  SELECT b, a FROM pairs
+         |),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM sym
+         |  UNION
+         |  SELECT r.s, p.d FROM reach r JOIN sym p ON r.d = p.s
+         |),
+         |lab AS MATERIALIZED (
+         |  SELECT s AS doc_id, least(s, min(d)) AS cluster
+         |  FROM reach GROUP BY s
+         |),
+         |m AS MATERIALIZED (
+         |  SELECT l.cluster, l.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+         |  FROM lab l JOIN documents d ON l.doc_id = d.doc_id
+         |),
+         |r AS (
+         |  SELECT cluster, doc_id,
+         |    row_number() OVER (PARTITION BY cluster
+         |                       ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM m
+         |),
+         |rep AS (SELECT cluster, doc_id AS rep_doc_id FROM r WHERE rn = 1)
+         |SELECT m.doc_id, m.cluster, rep.rep_doc_id,
+         |  m.doc_id = rep.rep_doc_id AS keep
+         |FROM m JOIN rep USING (cluster)""".stripMargin
     // q31/q32: minhash/simhash signatures are xxhash64-valued on BOTH
     // sides of the comparison (the hash defines the signature, not just a
     // shuffle key) — not reproducible in DuckDB; rows-only + ScalaTest

@@ -143,6 +143,26 @@ class DedupSpec extends SparkSpec {
     assert(rows(5L) === ((2L, 5L, e.length.toLong, e.length.toLong)))
   }
 
+  test("q132 rep remap: one row per member, elected rep attached, keep flag exact") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val b = ((1 to 39).map(i => s"tok$i") :+ "CHANGEDLONGER").mkString(" ")
+    val c = (1 to 40).map(i => s"other$i").mkString(" ")
+    val e = (1 to 30).map(i => s"extra$i").mkString(" ")
+    val dir = docsDir(Seq((1L, base), (2L, b), (3L, c), (4L, base),
+      (5L, e), (6L, e)))
+    val rows = Dedup.queries("q132_rep_remap")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // cluster {1,2,4}: doc 2 (longest) elected; cluster {5,6}: tie -> 5
+    assert(rows === Map(
+      1L -> ((1L, 2L, false)), 2L -> ((1L, 2L, true)),
+      4L -> ((1L, 2L, false)),
+      5L -> ((5L, 5L, true)), 6L -> ((5L, 5L, false))))
+    // doc 3 (unrelated, not in any pair) has no remap row: singletons
+    // are implicit keepers, the rewrite job left-anti-joins them away
+    assert(!rows.contains(3L))
+  }
+
   test("q130 fuzzyLeakage: cross-split near-dups oriented and counted; same-split pairs excluded") {
     // md5-prefix split labels (hand-checked against the q46 arithmetic):
     // ids 1, 2, 22 -> train; 16 -> val; 8, 20 -> test

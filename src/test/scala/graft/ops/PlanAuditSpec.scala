@@ -678,6 +678,19 @@ class PlanAuditSpec extends SparkSpec {
     assertBodyFreeExchanges(executed(df))
   }
 
+  test("q132: remap is bounded-frame joins on 16-byte keys — no window, no body") {
+    val df = graft.SparkEntry.queries("q132_rep_remap")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the election stays the ArgMaxTieMin hash aggregate and the rep
+    // re-attaches via a cluster-keyed equi-join of two already-bounded
+    // frames — the oracle's row_number spelling must NOT leak in
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assertBodyFreeExchanges(executed(df))
+  }
+
   test("q93: token sums reduce map-side; stats side broadcasts, never sort-merges") {
     val df = graft.SparkEntry.queries("q93_domain_mix")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
