@@ -75,6 +75,50 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(m(4L) === (~m(1L) & 0xFFL)) // sign symmetry of the hyperplanes
   }
 
+  // ---- Hand-computed hyperplane evidence (the q94/q31 evidence class,
+  // extended to the q34/q36 LSH family in r19) ----
+  //
+  // Every literal below is derived OUTSIDE this codebase by
+  // tools/r19/hand_lsh.py: the same from-spec XXH64 that
+  // tools/r19/hand_minhash.py validated against Spark token hashes,
+  // applied to the committed weight contract — weight(plane, dim, seed)
+  // = +1 iff bit 1 of XXH64_le8(dim, seed = XXH64_le8(plane, seed)),
+  // bucket bit p set iff the float*double projection is > 0. The
+  // hand-derived seed-42 4x4 weight matrix is
+  //   plane 0: (+1, -1, -1, -1)    plane 1: (-1, +1, +1, -1)
+  //   plane 2: (-1, -1, -1, -1)    plane 3: (-1, -1, +1, +1)
+  // so bucket(e0) = 1 (only plane 0 weights dim 0 positively),
+  // bucket(v = (1, 2, -1, 0.5)) = 0 (all four projections negative:
+  // -0.5, -0.5, -2.5, -3.5) and bucket(-v) = 15. A silent change to
+  // the seed, the parity bit, the hash chaining order, or the bit
+  // packing breaks a literal, not just the collide/flip properties.
+  test("lsh_bucket hand evidence: seed-42 buckets match from-spec XXH64 derivation") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 2.0f, -1.0f, 0.5f)),
+      (3L, Array(-1.0f, -2.0f, 1.0f, -0.5f)))
+      .toDF("id", "v")
+      .select(col("id"), VectorFunctions.lshBucket(col("v"), 4).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows === Map(1L -> 1L, 2L -> 0L, 3L -> 15L))
+  }
+
+  test("lsh_bucket hand evidence: q34's band seeds 43-45 match the derivation") {
+    val s = spark
+    import s.implicits._
+    // same vector, the three other band-family seeds (BandSeed + 1..3):
+    // hand-derived buckets 10, 3, 4 — pins the per-band seed offsets
+    val v = Array(1.0f, 2.0f, -1.0f, 0.5f)
+    val got = (43L to 45L).map { seed =>
+      Seq(Tuple1(v)).toDF("v")
+        .select(VectorFunctions.lshBucket(col("v"), 4, seed).as("b"))
+        .collect()(0).getLong(0)
+    }
+    assert(got === Seq(10L, 3L, 4L))
+  }
+
   test("null inputs yield null; stays inside whole-stage codegen") {
     val s = spark
     import s.implicits._
