@@ -85,6 +85,69 @@ object Snapshot {
         col("p_a_ppm"), col("p_b_ppm"), col("contrib_ppm"))
   }
 
+  /** Per-source quality-distribution drift between two corpus snapshots
+    * (q133): q86 asks "did the VOCABULARY move between crawls", q110
+    * "did the EMBEDDING space move"; this asks "did the QUALITY mix
+    * move, and in which source" — a crawler change or an upstream spam
+    * wave shows up as a shifted vocabulary-diversity distribution in
+    * one source long before aggregate quality means move. Per source
+    * present in BOTH snapshots (q110's both-endpoints rule): doc
+    * counts, integer-ppm mean uniq-ratio per side, and the total-
+    * variation distance between the two sides' diversity-decile
+    * histograms (q95's decile, q125's floored-shares TVD).
+    *
+    * Exactness contract: EVERYTHING is integer arithmetic — per-doc
+    * quality ppm = (1e6·n_uniq) div n_words, decile = min((10·n_uniq)
+    * div n_words, 9), mean = sum div n, shares floored FIRST, TVD =
+    * Σ|Δ| div 2 — so there is no float quotient anywhere for the two
+    * engines to round differently (the q60 tree-aggregation lesson
+    * applied by construction).
+    *
+    * Scale shape: ONE corpus-scale partial-agg exchange — the
+    * (source, snapshot, decile) cell frame, ≤ |sources|·2·10 rows,
+    * with per-doc counts reduced map-side (the exchange carries the
+    * 3-part key + two longs, never tokens); every downstream frame is
+    * catalog-bounded and joins by broadcast.
+    */
+  def qualityDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def scored(df: DataFrame, snapA: Boolean) = df
+      .filter(col("text").isNotNull)
+      .select(col("source"), lit(snapA).as("snap_a"),
+        size(Dedup.tokens).cast("long").as("n_words"),
+        size(array_distinct(Dedup.tokens)).cast("long").as("n_uniq"))
+      .filter(col("n_words") > 0)
+      .select(col("source"), col("snap_a"),
+        expr("(1000000 * n_uniq) div n_words").as("ppm"),
+        least(expr("(10 * n_uniq) div n_words"), lit(9L)).as("bucket"))
+    val cells = Materialize(
+      scored(a, snapA = true).unionByName(scored(b, snapA = false))
+        .groupBy(col("source"), col("snap_a"), col("bucket"))
+        .agg(count(lit(1)).as("c"), sum(col("ppm")).as("sp")))
+    val sides = cells.groupBy(col("source"), col("snap_a"))
+      .agg(sum(col("c")).as("n"), sum(col("sp")).as("sp"))
+    val sa = sides.filter(col("snap_a")).select(col("source"),
+      col("n").as("n_a"), expr("sp div n").as("mean_ppm_a"))
+    val sb = sides.filter(!col("snap_a")).select(col("source"),
+      col("n").as("n_b"), expr("sp div n").as("mean_ppm_b"))
+    val ca = cells.filter(col("snap_a"))
+      .select(col("source"), col("bucket"), col("c").as("c_a"))
+    val cb = cells.filter(!col("snap_a"))
+      .select(col("source"), col("bucket"), col("c").as("c_b"))
+    // deciles absent on one side take share 0 through the full join —
+    // a ≤10-bucket frame per source, never a corpus-scale structure
+    val tvd = ca.join(cb, Seq("source", "bucket"), "full")
+      .join(broadcast(sa.select(col("source"), col("n_a"))), Seq("source"))
+      .join(broadcast(sb.select(col("source"), col("n_b"))), Seq("source"))
+      .select(col("source"),
+        (expr("(1000000 * coalesce(c_a, 0)) div n_a")
+          - expr("(1000000 * coalesce(c_b, 0)) div n_b")).as("d"))
+      .groupBy(col("source")).agg(sum(abs(col("d"))).as("terms"))
+      .select(col("source"), expr("terms div 2").as("tvd_ppm"))
+    sa.join(sb, Seq("source")).join(tvd, Seq("source"))
+      .select(col("source"), col("n_a"), col("n_b"),
+        col("mean_ppm_a"), col("mean_ppm_b"), col("tvd_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Snapshot B is DERIVED from the corpus deterministically (drop
     // doc_id%7=0, edit text of doc_id%5=0, add fresh ids for doc_id%11=0)
@@ -114,6 +177,33 @@ object Snapshot {
       val docs = Tables.documents(s, dir)
       tokenDrift(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 =!= 0))
+    }),
+
+    // Per-source quality drift between md5-split snapshot halves — see
+    // [[qualityDrift]]. NOT the q86 even/odd convention: the synthetic
+    // corpus assigns source = doc_id % 20, so parity halves are
+    // source-DISJOINT and the both-endpoints join would be empty at
+    // every scale; the md5-prefix split (the q46 bucket hash, % 2)
+    // mixes every source across both halves instead. Replicated gate
+    // corpora still put each distinct text on both sides (~equally),
+    // converging the raw halves' distributions toward TVD 0 (the q125
+    // constant-curve trap) — so the driver query PLANTS a quality
+    // shift in-pipeline, mirrored in the oracle: every 7th B-side doc
+    // gets 8 repeated filler tokens appended (uniq_ratio drops),
+    // shifting deciles and means so the TVD arithmetic gates
+    // non-vacuously at every scale; modular-id planting survives
+    // ScaleCorpus replication.
+    "q133_quality_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val half = pmod(
+        TextAnalysis.md5Prefix(col("doc_id").cast("string")), lit(2L))
+      val a = docs.filter(half === 0)
+      val b = docs.filter(half =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" x x x x x x x x")))
+            .otherwise(col("text")))
+      qualityDrift(a, b)
     }))
 
   def oracles: Map[String, String] = Map(
@@ -150,5 +240,64 @@ object Snapshot {
            |    AS contrib_ppm
            |FROM counts, tot
            |ORDER BY abs(contrib_ppm) DESC, tok ASC
-           |LIMIT 50""".stripMargin)
+           |LIMIT 50""".stripMargin,
+
+    // Same plant (odd-half %7 docs get 8 filler tokens; NULL text stays
+    // NULL through || and drops on both sides), same all-integer
+    // arithmetic: per-doc ppm/decile via // on BIGINTs, mean = sum //
+    // n, shares floored FIRST, TVD = sum|Δ| // 2. The full join covers
+    // deciles absent on one side (share 0); sources present on only
+    // one side drop via the inner joins (the q110 both-endpoints rule).
+    "q133_quality_drift" ->
+      raw"""WITH base AS (
+           |  SELECT source,
+           |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           |      ::BIGINT % 2 = 0 AS snap_a,
+           |    CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+           |                1, 8))::BIGINT % 2 <> 0 AND doc_id % 7 = 0
+           |         THEN text || ' x x x x x x x x' ELSE text END AS text
+           |  FROM documents WHERE text IS NOT NULL),
+           |s AS MATERIALIZED (
+           |  SELECT source, snap_a,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+           |         AS BIGINT) AS n_words,
+           |    CAST(len(list_distinct(regexp_split_to_array(trim(text),
+           |         '\s+'))) AS BIGINT) AS n_uniq
+           |  FROM base),
+           |q AS MATERIALIZED (
+           |  SELECT source, snap_a,
+           |    (1000000 * n_uniq) // n_words AS ppm,
+           |    least((10 * n_uniq) // n_words, 9) AS bucket
+           |  FROM s WHERE n_words > 0),
+           |cells AS MATERIALIZED (
+           |  SELECT source, snap_a, bucket, count(*) AS c, sum(ppm) AS sp
+           |  FROM q GROUP BY 1, 2, 3),
+           |sides AS (
+           |  SELECT source, snap_a, sum(c) AS n, sum(sp) AS sp
+           |  FROM cells GROUP BY 1, 2),
+           |a AS (SELECT source, n AS n_a, sp // n AS mean_ppm_a
+           |      FROM sides WHERE snap_a),
+           |b AS (SELECT source, n AS n_b, sp // n AS mean_ppm_b
+           |      FROM sides WHERE NOT snap_a),
+           |ca AS (SELECT source, bucket, c FROM cells WHERE snap_a),
+           |cb AS (SELECT source, bucket, c FROM cells WHERE NOT snap_a),
+           |d AS (
+           |  SELECT coalesce(ca.source, cb.source) AS source,
+           |         coalesce(ca.c, 0) AS c_a, coalesce(cb.c, 0) AS c_b
+           |  FROM ca FULL JOIN cb
+           |    ON ca.source = cb.source AND ca.bucket = cb.bucket),
+           |t AS (
+           |  SELECT d.source,
+           |    sum(abs((1000000 * c_a) // n_a - (1000000 * c_b) // n_b))
+           |      AS terms
+           |  FROM d JOIN a ON d.source = a.source
+           |         JOIN b ON d.source = b.source
+           |  GROUP BY 1)
+           |SELECT a.source, CAST(n_a AS BIGINT) AS n_a,
+           |  CAST(n_b AS BIGINT) AS n_b,
+           |  CAST(mean_ppm_a AS BIGINT) AS mean_ppm_a,
+           |  CAST(mean_ppm_b AS BIGINT) AS mean_ppm_b,
+           |  CAST(terms // 2 AS BIGINT) AS tvd_ppm
+           |FROM a JOIN b ON a.source = b.source
+           |       JOIN t ON a.source = t.source""".stripMargin)
 }

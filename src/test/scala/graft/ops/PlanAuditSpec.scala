@@ -691,6 +691,20 @@ class PlanAuditSpec extends SparkSpec {
     assertBodyFreeExchanges(executed(df))
   }
 
+  test("q133: one corpus partial agg; catalog-bounded tail broadcasts; no window") {
+    val df = graft.SparkEntry.queries("q133_quality_drift")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the only corpus-scale work is the (source, snapshot, decile) cell
+    // aggregate with a map-side partial; everything downstream is
+    // ≤|sources|·2·10 rows and joins by broadcast
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assertBodyFreeExchanges(executed(df))
+  }
+
   test("q93: token sums reduce map-side; stats side broadcasts, never sort-merges") {
     val df = graft.SparkEntry.queries("q93_domain_mix")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

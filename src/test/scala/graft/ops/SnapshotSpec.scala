@@ -86,4 +86,26 @@ class SnapshotSpec extends SparkSpec {
     assert(joinLine.isDefined, plan)
     assert(!joinLine.get.contains("text"), joinLine.get)
   }
+
+  test("q133 qualityDrift: integer deciles/means, floored-share TVD, both-endpoints rule") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(
+      (1L, "w x y z", "s1"),  // 4/4 uniq: ppm 1000000, decile clamps 10->9
+      (2L, "w w x x", "s1"),  // 2/4: ppm 500000, decile 5
+      (3L, "a b c", "only_a")) // source absent from B: must drop
+      .toDF("doc_id", "text", "source")
+    val b = Seq(
+      (4L, "p p q q", "s1"),  // 2/4: ppm 500000, decile 5
+      (5L, "p p p p", "s1"),  // 1/4: ppm 250000, decile 2
+      (6L, null.asInstanceOf[String], "s1")) // NULL text excluded
+      .toDF("doc_id", "text", "source")
+    val rows = Snapshot.qualityDrift(a, b).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // s1: means (1000000+500000) div 2 = 750000 vs (500000+250000) div 2;
+    // decile shares A = {9: 0.5, 5: 0.5}, B = {5: 0.5, 2: 0.5} ->
+    // terms = |500000-0| + |500000-500000| + |0-500000| -> tvd 500000
+    assert(rows === Map("s1" -> ((2L, 2L, 750000L, 375000L, 500000L))))
+  }
 }
