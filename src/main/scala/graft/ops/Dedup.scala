@@ -354,19 +354,10 @@ object Dedup {
     // ArgMaxTieMin partial aggregate (HashAggregate; a mega-cluster is
     // a hot partial-agg key, not a buffered group), never a window.
     "q128_neardup_reps" -> ((s, dir) => {
-      val labels = queries("q45_dedup_clusters")(s, dir)
-        .select(col("doc_id"), col("cluster"))
-      val chars = Tables.documents(s, dir).filter(col("text").isNotNull)
-        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
-      labels.join(chars, Seq("doc_id"))
-        .groupBy(col("cluster"))
-        .agg(
-          count(lit(1)).as("n_members"),
-          graft.functions.ArgMaxTieMin(col("n_chars"), col("doc_id")).as("m"),
-          sum(col("n_chars")).as("tot_chars"))
-        .select(col("cluster"), col("n_members"),
-          col("m.id").as("rep_doc_id"), col("m.c").as("rep_chars"),
-          (col("tot_chars") - col("m.c")).as("drop_chars"))
+      val (_, reps) = neardupMembers(s, dir)
+      reps.select(col("cluster"), col("n_members"),
+        col("m.id").as("rep_doc_id"), col("m.c").as("rep_chars"),
+        (col("tot_chars") - col("m.c")).as("drop_chars"))
     }),
     // Exact dedup: keep the smallest doc_id per identical text — see
     // [[exactSurvivors]] for the shuffle discipline.
@@ -508,16 +499,10 @@ object Dedup {
     // ALREADY-BOUNDED frames (members = docs in the pair graph, reps ≤
     // clusters) — no window, bodies never shuffle.
     "q132_rep_remap" -> ((s, dir) => {
-      val labels = queries("q45_dedup_clusters")(s, dir)
-        .select(col("doc_id"), col("cluster"))
-      val chars = Tables.documents(s, dir).filter(col("text").isNotNull)
-        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
-      val members = labels.join(chars, Seq("doc_id"))
-      val reps = members.groupBy(col("cluster"))
-        .agg(graft.functions.ArgMaxTieMin(col("n_chars"), col("doc_id")).as("m"))
-        .select(col("cluster"), col("m.id").as("rep_doc_id"))
+      val (members, reps) = neardupMembers(s, dir)
       members.select(col("doc_id"), col("cluster"))
-        .join(reps, Seq("cluster"))
+        .join(reps.select(col("cluster"), col("m.id").as("rep_doc_id")),
+          Seq("cluster"))
         .select(col("doc_id"), col("cluster"), col("rep_doc_id"),
           (col("doc_id") === col("rep_doc_id")).as("keep"))
     }),
@@ -785,6 +770,34 @@ object Dedup {
       .select(col("earlier"), col("later"), col("n_pairs"),
         col("leaked_docs"), col("later_docs"),
         expr("(1000000 * leaked_docs) div later_docs").as("leaked_ppm"))
+  }
+
+  /** Shared q128/q132 composed tail: cluster MEMBERS (q45's labels
+    * joined with map-side (doc_id, n_chars) 16-byte rows — the q91
+    * discipline, bodies never shuffle) and the per-cluster ELECTION
+    * (ArgMaxTieMin on n_chars, ties to min doc_id — the q92 order,
+    * one partial hash aggregate, never a window). ONE definition so
+    * the summary (q128) and the substitution table (q132) — which a
+    * production rewrite applies TOGETHER — cannot silently fork their
+    * cluster semantics. `members` is Materialized: it feeds both the
+    * election and q132's remap join, and without the checkpoint each
+    * consumer would replay the corpus-scale n_chars join (the two
+    * consumers shuffle on different keys, so ReuseExchange cannot
+    * fire). The frame itself is pair-graph-bounded, so the checkpoint
+    * is small even when the corpus is not.
+    */
+  private def neardupMembers(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val labels = queries("q45_dedup_clusters")(s, dir)
+      .select(col("doc_id"), col("cluster"))
+    val chars = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    val members = Materialize(labels.join(chars, Seq("doc_id")))
+    val reps = members.groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        graft.functions.ArgMaxTieMin(col("n_chars"), col("doc_id")).as("m"),
+        sum(col("n_chars")).as("tot_chars"))
+    (members, reps)
   }
 
   /** Exact-duplication growth curve (q124): cumulative duplicate-doc
@@ -1237,6 +1250,35 @@ object Dedup {
            |JOIN sizes sa ON sa.doc_id = a
            |JOIN sizes sb ON sb.doc_id = b""".stripMargin
 
+  /** The q128/q132 oracles' shared CTE stack (q45's recursive closure
+    * + the n_chars member frame) — ONE definition mirroring
+    * [[neardupMembers]], so the two oracles cannot fork either.
+    * Interpolate inside a `WITH RECURSIVE ...` that appends the
+    * query-specific CTEs after it.
+    */
+  private lazy val NeardupMembersCtes: String =
+    s"""pairs AS MATERIALIZED (
+       |  SELECT a, b FROM ($Q33Sql)
+       |),
+       |sym AS MATERIALIZED (
+       |  SELECT a AS s, b AS d FROM pairs
+       |  UNION ALL
+       |  SELECT b, a FROM pairs
+       |),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM sym
+       |  UNION
+       |  SELECT r.s, p.d FROM reach r JOIN sym p ON r.d = p.s
+       |),
+       |lab AS MATERIALIZED (
+       |  SELECT s AS doc_id, least(s, min(d)) AS cluster
+       |  FROM reach GROUP BY s
+       |),
+       |m AS MATERIALIZED (
+       |  SELECT l.cluster, l.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+       |  FROM lab l JOIN documents d ON l.doc_id = d.doc_id
+       |)""".stripMargin
+
   private val Q33Sql: String =
     s"""SELECT * FROM ($Q33BaseSql)
        |WHERE jaccard >= 0.8""".stripMargin
@@ -1625,27 +1667,7 @@ object Dedup {
     // casts because hugeint window sums render as float64 in the
     // compare.
     "q128_neardup_reps" ->
-      s"""WITH RECURSIVE pairs AS MATERIALIZED (
-         |  SELECT a, b FROM ($Q33Sql)
-         |),
-         |sym AS MATERIALIZED (
-         |  SELECT a AS s, b AS d FROM pairs
-         |  UNION ALL
-         |  SELECT b, a FROM pairs
-         |),
-         |reach(s, d) AS (
-         |  SELECT s, d FROM sym
-         |  UNION
-         |  SELECT r.s, p.d FROM reach r JOIN sym p ON r.d = p.s
-         |),
-         |lab AS MATERIALIZED (
-         |  SELECT s AS doc_id, least(s, min(d)) AS cluster
-         |  FROM reach GROUP BY s
-         |),
-         |m AS (
-         |  SELECT l.cluster, l.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
-         |  FROM lab l JOIN documents d ON l.doc_id = d.doc_id
-         |),
+      s"""WITH RECURSIVE $NeardupMembersCtes,
          |r AS (
          |  SELECT cluster, doc_id, n_chars,
          |    row_number() OVER (PARTITION BY cluster
@@ -1661,27 +1683,7 @@ object Dedup {
     // q128's CTEs with the rn=1 rep joined back to every member instead
     // of reported once per cluster.
     "q132_rep_remap" ->
-      s"""WITH RECURSIVE pairs AS MATERIALIZED (
-         |  SELECT a, b FROM ($Q33Sql)
-         |),
-         |sym AS MATERIALIZED (
-         |  SELECT a AS s, b AS d FROM pairs
-         |  UNION ALL
-         |  SELECT b, a FROM pairs
-         |),
-         |reach(s, d) AS (
-         |  SELECT s, d FROM sym
-         |  UNION
-         |  SELECT r.s, p.d FROM reach r JOIN sym p ON r.d = p.s
-         |),
-         |lab AS MATERIALIZED (
-         |  SELECT s AS doc_id, least(s, min(d)) AS cluster
-         |  FROM reach GROUP BY s
-         |),
-         |m AS MATERIALIZED (
-         |  SELECT l.cluster, l.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
-         |  FROM lab l JOIN documents d ON l.doc_id = d.doc_id
-         |),
+      s"""WITH RECURSIVE $NeardupMembersCtes,
          |r AS (
          |  SELECT cluster, doc_id,
          |    row_number() OVER (PARTITION BY cluster

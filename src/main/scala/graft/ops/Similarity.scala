@@ -329,7 +329,11 @@ object Similarity {
   def annRecallSweep(s: SparkSession, dir: String,
                      probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
+    // NULL embeddings excluded up front (the fitCentroids contract —
+    // and deriveQ131 filters them identically): an unguarded NULL row
+    // would NPE in the probe-leg mapPartitions or break topKPerQuery's
+    // non-nullable encoder, while the oracle returned a valid answer
+    val e = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
     val n = estimatedRowCount(e, EmbeddingRowBytes)
     val cents = fitCentroids(e, nlistFor(n))
     val bc = s.sparkContext.broadcast(cents)
