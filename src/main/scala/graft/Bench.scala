@@ -654,7 +654,7 @@ object Bench {
     * wins (even when the seed is lower) per the round-10 rule above.
     */
   private[graft] val expected: Map[String, Double] = Map(
-    // BEGIN GENERATED FLOORS (from: BENCH_r07.json BENCH_r08.json BENCH_r09.json BENCH_r10.json BENCH_r11.json BENCH_r12.json BENCH_r13.json --seed SEED_Q119_Q120_SF01.json SEED_Q121_SF01.json SEED_Q122_Q125_SF01.json SEED_Q126_SF01.json SEED_Q127_SF01.json SEED_Q128_SF01.json SEED_Q129_SF01.json SEED_Q130_SF01.json SEED_Q131_SF01.json SEED_Q132_SF01.json SEED_Q133_SF01.json)
+    // BEGIN GENERATED FLOORS (from: BENCH_r07.json BENCH_r08.json BENCH_r09.json BENCH_r10.json BENCH_r11.json BENCH_r12.json BENCH_r13.json --seed SEED_Q119_Q120_SF01.json SEED_Q121_SF01.json SEED_Q122_Q125_SF01.json SEED_Q126_SF01.json SEED_Q127_SF01.json SEED_Q128_SF01.json SEED_Q129_SF01.json SEED_Q130_SF01.json SEED_Q131_SF01.json SEED_Q132_SF01.json SEED_Q133_SF01.json SEED_Q128_Q132_FIX_SF01.json)
     "q01" -> 0.93, "q02" -> 0.32, "q03" -> 1.64, "q04" -> 0.23,
     "q05" -> 0.42, "q06" -> 0.62, "q07" -> 0.35, "q08" -> 0.40,
     "q09" -> 0.77, "q10" -> 1.41, "q100" -> 0.77, "q101" -> 1.06,
@@ -666,7 +666,7 @@ object Bench {
     "q120" -> 0.44, "q121" -> 1.05, "q122" -> 1.08, "q123" -> 0.49,
     "q124" -> 0.91, "q125" -> 0.78, "q126" -> 1.41, "q127" -> 0.76,
     "q128" -> 2.85, "q129" -> 1.24, "q13" -> 0.37, "q130" -> 3.65,
-    "q131" -> 1.56, "q132" -> 4.07, "q133" -> 1.03, "q14" -> 0.30,
+    "q131" -> 1.56, "q132" -> 2.68, "q133" -> 1.03, "q14" -> 0.30,
     "q15" -> 0.57, "q16" -> 0.34, "q17" -> 0.34, "q18" -> 0.57,
     "q20" -> 0.10, "q21" -> 0.38, "q22" -> 0.27, "q23" -> 0.29,
     "q24" -> 0.26, "q30" -> 0.22, "q31" -> 0.98, "q32" -> 1.69,
@@ -701,7 +701,7 @@ object Bench {
     * round at a new scale has no gate artifact yet); never hand-typed.
     */
   private[graft] val expectedScaled: Map[String, Double] = Map(
-    // BEGIN GENERATED SCALED FLOORS (from: BENCH_r14.json BENCH_r15.json BENCH_r16.json BENCH_r18.json --scaled-seed SEED_Q119_Q120_SF1D.json SEED_Q121_SF1D.json SEED_Q122_Q125_SF1D.json SEED_Q126_SF1D.json SEED_Q127_SF1D.json SEED_Q128_SF1D.json SEED_Q129_SF1D.json SEED_Q130_SF1D.json SEED_Q131_SF1D.json SEED_Q132_SF1D.json SEED_Q133_SF1D.json)
+    // BEGIN GENERATED SCALED FLOORS (from: BENCH_r14.json BENCH_r15.json BENCH_r16.json BENCH_r18.json --scaled-seed SEED_Q119_Q120_SF1D.json SEED_Q121_SF1D.json SEED_Q122_Q125_SF1D.json SEED_Q126_SF1D.json SEED_Q127_SF1D.json SEED_Q128_SF1D.json SEED_Q129_SF1D.json SEED_Q130_SF1D.json SEED_Q131_SF1D.json SEED_Q132_SF1D.json SEED_Q133_SF1D.json SEED_Q128_Q132_FIX_SF1D.json)
     "q01" -> 0.46, "q02" -> 0.61, "q03" -> 2.84, "q04" -> 0.44,
     "q05" -> 0.70, "q06" -> 0.84, "q07" -> 0.54, "q08" -> 0.65,
     "q09" -> 1.50, "q10" -> 2.21, "q100" -> 0.81, "q101" -> 1.17,
@@ -713,7 +713,7 @@ object Bench {
     "q120" -> 0.57, "q121" -> 1.49, "q122" -> 1.08, "q123" -> 0.85,
     "q124" -> 0.97, "q125" -> 1.05, "q126" -> 1.27, "q127" -> 0.63,
     "q128" -> 3.00, "q129" -> 0.95, "q13" -> 0.63, "q130" -> 1.96,
-    "q131" -> 1.94, "q132" -> 3.42, "q133" -> 1.10, "q14" -> 0.65,
+    "q131" -> 1.94, "q132" -> 3.36, "q133" -> 1.10, "q14" -> 0.65,
     "q15" -> 0.65, "q16" -> 0.47, "q17" -> 0.43, "q18" -> 1.39,
     "q20" -> 0.23, "q21" -> 0.40, "q22" -> 0.30, "q23" -> 0.32,
     "q24" -> 0.29, "q30" -> 0.31, "q31" -> 1.97, "q32" -> 2.51,
