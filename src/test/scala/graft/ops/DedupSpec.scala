@@ -774,6 +774,59 @@ class DedupSpec extends SparkSpec {
       "C" -> ((1L, 0L, 0L, 0.0)))) // Z arrived earlier in B
   }
 
+  test("q130 fuzzyLeakage ≡ naive reference over the pair stream (seeded fuzz)") {
+    // the marginal logic past the (already fuzz-verified) pair machinery
+    // is labeling/orientation/aggregation: grade it against a plain-Scala
+    // reference that labels via an INDEPENDENT md5 (MessageDigest, not
+    // TextAnalysis.md5Prefix), orients train<val<test, and counts by hand
+    val s = spark
+    import s.implicits._
+    def mdSplit(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val b = (java.lang.Long.parseLong(
+        d.take(4).map(x => f"$x%02x").mkString, 16) % 100 + 100) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val rank = Map("train" -> 0, "val" -> 1, "test" -> 2)
+    val rnd = new scala.util.Random(19)
+    for (_ <- 0 until 3) {
+      // random near-dup families: a base doc and 2-3 one-token variants,
+      // ids drawn sparsely so splits vary across and within families
+      val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var nextId = 0L
+      for (fam <- 0 until (4 + rnd.nextInt(4))) {
+        val n = 12 + rnd.nextInt(8)
+        val base = (1 to n).map(i => s"f${fam}t$i")
+        for (_ <- 0 until (2 + rnd.nextInt(2))) {
+          val v = base.updated(n - 1, s"v${rnd.nextInt(3)}")
+          docs += ((nextId, v.mkString(" "))); nextId += 1 + rnd.nextInt(5)
+        }
+      }
+      val df = docs.toSeq.toDF("doc_id", "text")
+      val pairs = Dedup.jaccardPairs(df)
+        .select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val crossing = pairs
+        .map { case (a, b) => (a, mdSplit(a), b, mdSplit(b)) }
+        .filter { case (_, sa, _, sb) => sa != sb }
+        .map { case (a, sa, b, sb) =>
+          if (rank(sa) < rank(sb)) (sa, sb, b) else (sb, sa, a)
+        }
+      val denom = docs.map { case (id, _) => mdSplit(id) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expect = crossing.groupBy(t => (t._1, t._2)).map { case ((e, l), g) =>
+        val leaked = g.map(_._3).distinct.length.toLong
+        (e, l) -> ((g.length.toLong, leaked, denom(l),
+          1000000L * leaked / denom(l)))
+      }
+      val got = Dedup.fuzzyLeakage(df).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(got === expect)
+    }
+  }
+
   test("connectedComponents equals a union-find reference on random graphs (seeded fuzz)") {
     // q45's engine graded against an independent algorithm: for random
     // pair lists, every doc must map to the MINIMUM doc_id of its

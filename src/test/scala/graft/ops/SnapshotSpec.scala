@@ -108,4 +108,44 @@ class SnapshotSpec extends SparkSpec {
     // terms = |500000-0| + |500000-500000| + |0-500000| -> tvd 500000
     assert(rows === Map("s1" -> ((2L, 2L, 750000L, 375000L, 500000L))))
   }
+
+  test("q133 qualityDrift ≡ naive local reference on random corpora (seeded fuzz)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    for (_ <- 0 until 3) {
+      def corpus(tag: String) = (0 until (30 + rnd.nextInt(30))).map { i =>
+        val n = 1 + rnd.nextInt(12)
+        // draw from a small token pool so uniq ratios spread over deciles
+        val toks = (0 until n).map(_ => s"w${rnd.nextInt(6)}")
+        (s"src${rnd.nextInt(3)}", toks.mkString(" "), s"$tag$i")
+      }
+      val aRows = corpus("a"); val bRows = corpus("b")
+      def stats(t: String): (Long, Long) = {
+        val w = t.trim.split("\\s+"); (w.length.toLong, w.distinct.length.toLong)
+      }
+      def cells(rows: Seq[(String, String, String)]) = rows.map { case (src, t, _) =>
+        val (nw, nu) = stats(t)
+        (src, 1000000L * nu / nw, math.min(10L * nu / nw, 9L))
+      }
+      val ca = cells(aRows).groupBy(_._1); val cb = cells(bRows).groupBy(_._1)
+      val expect = (ca.keySet intersect cb.keySet).map { src =>
+        val (xa, xb) = (ca(src), cb(src))
+        val (na, nb) = (xa.length.toLong, xb.length.toLong)
+        val terms = (0L to 9L).map { bk =>
+          val sa = 1000000L * xa.count(_._3 == bk) / na
+          val sb = 1000000L * xb.count(_._3 == bk) / nb
+          math.abs(sa - sb)
+        }.sum
+        src -> ((na, nb, xa.map(_._2).sum / na, xb.map(_._2).sum / nb,
+          terms / 2))
+      }.toMap
+      val got = Snapshot.qualityDrift(
+        aRows.toDF("source", "text", "tag").select(col("source"), col("text")),
+        bRows.toDF("source", "text", "tag").select(col("source"), col("text")))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(got === expect)
+    }
+  }
 }
