@@ -4,7 +4,7 @@ import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic ~10x (sf1-equivalent) bench corpus, derived from the
@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions._
   *     `doc_id % 20 == 0` benchmark slice keeps its 5% share per
   *     replica)
   *   - vec_id offset is even (q110's even/odd snapshot halves)
-  *   - texts/embeddings/ts are NOT perturbed: replicas are exact
-  *     content duplicates — precisely the duplication stress the
-  *     dedup family must absorb via caps, not pair blowups
+  *   - texts/embeddings/ts are NOT perturbed in replicas 0..9: the gate
+  *     corpus is exact content duplicates — precisely the duplication
+  *     stress the dedup family must absorb via caps, not pair blowups.
+  *     PROBE replicas (k >= 10, only reached at --replicas > 10) plant
+  *     near-dup tails on a small documents slice (see [[plantDocs]]) so
+  *     the df-capped gram family stays non-vacuous at 100x
   *   - dimension tables copy through unchanged; fact foreign keys
   *     stay valid (cust/order keys shift consistently, so joins land
   *     inside each replica)
@@ -62,8 +65,13 @@ object ScaleCorpus {
     * the marker check and re-derives, instead of silently timing a
     * different dataset than the floors were evidenced on.
     * v2: marker carries derived-table stats (content verification).
+    * v3: probe replicas (k >= [[PlantFrom]]) plant near-dup tails on a
+    *     slice of documents (see [[plantDocs]]); replicas 0..9 are
+    *     byte-identical to v2, so the official 10x gate corpus (and the
+    *     floors evidenced on it) is unchanged — only stale PROBE corpora
+    *     re-derive.
     */
-  val Version = "graft-scale-v2"
+  val Version = "graft-scale-v3"
 
   /** Default replica count (the official ~10x gate corpus). Every
     * entry point takes an explicit `replicas` so probe corpora at
@@ -147,10 +155,55 @@ object ScaleCorpus {
           markerText(srcDir, outDir, replicas)
     } catch { case _: Throwable => false }
 
+  /** First replica index that plants near-dup tails on documents, and
+    * the base-id stride: within each planted replica, docs with
+    * `doc_id % PlantStride ∈ {0, 1}` (an even/odd ADJACENT pair per
+    * stride window) get a shared [[PlantTailTokens]]-token tail keyed by
+    * (doc_id div stride, k).
+    *
+    * WHY (r19 verdict item 2): at 100x pure replication every gram's
+    * df ≈ 100 exceeds Dedup's DfCap 50, so the whole q33 family
+    * (q33/q45/q62/q102/q128/q130/q132) returns 0 rows at the probe — the
+    * capped-pair machinery was short-circuited exactly where AQE replans
+    * differently. The planted pair's interior tail grams have df = 2 at
+    * EVERY scale (the tail is unique to one (stride-window, replica)),
+    * so once replication exceeds DfCap the pair's kept-gram sets are
+    * exactly the 10 shared interior grams → jaccard 1.0 candidates that
+    * exercise pair expansion, components, election and remap for real.
+    * The two boundary grams (doc words + first tail tokens) are df = 1
+    * and drop out of the [2, DfCap] window. The pair is (even, odd) by
+    * construction (q62's reference/increment straddle) and adjacent ids
+    * land in different md5 splits often enough for q130's cross-split
+    * leakage. Replicas below PlantFrom are untouched, so any corpus with
+    * replicas <= 10 — the official gate corpus — is byte-identical to v2.
+    */
+  val PlantFrom = Replicas
+  val PlantStride = 50L
+  val PlantTailTokens = 12
+
+  /** The planted tail for replica `k`: 12 tokens `p<i>x<window>k<k>`,
+    * identical for the window's two docs, unique to (window, k).
+    */
+  private[graft] def plantTail(k: Int): Column =
+    format_string(
+      (1 to PlantTailTokens).map(i => s"p${i}x%1$$dk$k").mkString(" ", " ", ""),
+      expr(s"doc_id div $PlantStride"))
+
+  /** Apply the probe-mode near-dup plant to a BASE-id documents frame
+    * (called before the replica's id shift so the plant keys off the
+    * source doc_id). Identity for k < [[PlantFrom]].
+    */
+  private[graft] def plantDocs(df: DataFrame, k: Int): DataFrame =
+    if (k < PlantFrom) df
+    else df.withColumn("text",
+      when(col("text").isNotNull && col("doc_id") % PlantStride < 2,
+        concat(col("text"), plantTail(k))).otherwise(col("text")))
+
   private def replicate(df: DataFrame, shifts: Seq[(String, Long)],
-                        replicas: Int): DataFrame =
+                        replicas: Int,
+                        perReplica: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until replicas).map { k =>
-      shifts.foldLeft(df) { case (d, (c, off)) =>
+      shifts.foldLeft(perReplica(df, k)) { case (d, (c, off)) =>
         d.withColumn(c, col(c) + lit(off * k))
       }
     }.reduce(_.unionByName(_))
@@ -186,7 +239,9 @@ object ScaleCorpus {
             s"ScaleCorpus: $t.$c max id $mx >= replica offset $off — " +
               "replicas would collide; raise the offset for this source")
         }
-        replicate(df, shifts, replicas)
+        val perReplica: (DataFrame, Int) => DataFrame =
+          if (t == "documents") plantDocs else (d, _) => d
+        replicate(df, shifts, replicas, perReplica)
           .write.mode("overwrite").parquet(s"$staging/$t.parquet")
       }
       Files.write(staging.resolve("_GRAFT_SCALE_OK"),

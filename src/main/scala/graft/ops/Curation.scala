@@ -566,11 +566,16 @@ object Curation {
     * Scale shape (q56's df + join-back discipline): lines travel as
     * (doc_id, xxhash64(line), len) 24-byte rows from the scan
     * projection on — bodies never shuffle; the line-df aggregate and
-    * the df join-back share the 8-byte line-hash key; the per-doc
-    * rollup folds flags and char sums into ONE doc-keyed partial
-    * aggregate (no second corpus pass for totals). The hash only
-    * renames lines (the q33 argument), so DuckDB's GROUP BY over line
-    * STRINGS is the exact oracle.
+    * the df join-back share the (hash, len) line identity — q30's
+    * exact-dedup convention: len already travels in the 24-byte row,
+    * so the stronger key costs nothing and a 64-bit collision between
+    * DIFFERENT-length lines can no longer merge their dfs on the Spark
+    * side only (the DuckDB oracle groups by the line string, which a
+    * bare-hash key silently diverged from at collision; r19 advice).
+    * The per-doc rollup folds flags and char sums into ONE doc-keyed
+    * partial aggregate (no second corpus pass for totals). The
+    * (hash, len) pair only renames lines (the q33 argument), so
+    * DuckDB's GROUP BY over line STRINGS is the exact oracle.
     */
   def boilerplateStats(docs: DataFrame, minDf: Int = 3): DataFrame = {
     val lines = docs.filter(col("text").isNotNull)
@@ -579,9 +584,9 @@ object Curation {
       .filter(length(col("l")) > 0)
       .select(col("doc_id"), xxhash64(col("l")).as("h"),
         length(col("l")).cast("long").as("len"))
-    val dfc = lines.groupBy(col("h"))
+    val dfc = lines.groupBy(col("h"), col("len"))
       .agg(count_distinct(col("doc_id")).as("line_df"))
-    lines.join(dfc, Seq("h"))
+    lines.join(dfc, Seq("h", "len"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines"),

@@ -22,9 +22,13 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Number of minhash permutations and LSH bands (16 sigs x 4 rows/band). */
-  private val NumHashes = 16
-  private val BandRows  = 4
+  /** Number of minhash permutations and LSH bands (16 sigs x 4 rows/band).
+    * private[graft]: the streaming near-dup screen
+    * ([[graft.streaming.StreamingOps.nearDupScreen]]) shares the exact
+    * q31 signature geometry.
+    */
+  private[graft] val NumHashes = 16
+  private[graft] val BandRows  = 4
 
   /** Inverted-index caps: a gram shared by more than DfCap docs is dropped
     * from the similarity space (ubiquitous shingles carry no dedup signal
@@ -33,7 +37,7 @@ object Dedup {
     * corpus size instead of quadratic.
     */
   private val DfCap     = 50
-  private val BucketCap = 200
+  private[graft] val BucketCap = 200
 
   /** Whitespace tokens of `text`. */
   private[graft] def tokens: Column = split(trim(col("text")), "\\s+")
@@ -62,6 +66,47 @@ object Dedup {
     */
   private val P = 2147483647L
   private def permMul(i: Int): Long = (1000003L * (2 * i + 1)) % P
+
+  /** [[rowMinhashSig]]'s "no grams" sentinel: every pmod(·, P) is < P,
+    * so a signature whose first element is P can only be the untouched
+    * aggregate seed — the row-form equivalent of the aggregate form
+    * simply having no row for a doc with < 3 tokens.
+    */
+  private[graft] val SigSentinel: Long = P
+
+  /** Per-row minhash signature — the map-side twin of q31's aggregate
+    * form: the SAME hashedGrams(3) gram space, the SAME P / permMul
+    * permutation family, the SAME [[NumHashes]] minima (equality with
+    * the aggregate pipeline is differential-asserted through the public
+    * q31 surface in StreamingOpsSpec). For contexts where a doc must be
+    * signed WITHOUT a groupBy — the streaming near-dup screen
+    * ([[graft.streaming.StreamingOps.nearDupScreen]]), where one doc =
+    * one row and a stream-side aggregation would be a second stateful
+    * operator. One `aggregate` HOF pass over the gram array computes all
+    * 16 minima together (HOFs are CodegenFallback, but this runs once
+    * per doc, map-side — never in a pair-scale path; the batch q31 keeps
+    * its aggregate form exactly because there the 16 `min`s ride an
+    * existing codegen'd hash-aggregate).
+    */
+  private[graft] def rowMinhashSig: Column = {
+    val perms = array((0 until NumHashes).map(i => lit(permMul(i))): _*)
+    aggregate(
+      transform(
+        array_distinct(graft.functions.TextFunctions.hashedGrams(tokens, 3)),
+        g => pmod(g, lit(P))),
+      array_repeat(lit(P), NumHashes),
+      (acc, h) => zip_with(acc, perms, (m, a) => least(m, pmod(h * a, lit(P)))))
+  }
+
+  /** q31's LSH band keys over a signature ARRAY column — hash() of each
+    * band's [[BandRows]] minima, matching the aggregate form's
+    * hash(m0..m3) band keys value-for-value (same hash function over the
+    * same longs).
+    */
+  private[graft] def rowBandKeys(sig: Column): Seq[Column] =
+    (0 until NumHashes / BandRows).map(b =>
+      hash((b * BandRows until (b + 1) * BandRows)
+        .map(i => element_at(sig, i + 1)): _*))
 
   /** Bucketed candidate pairs: cap the bucket size, then self-join the
     * surviving posting lists on the blocking key. The join is fully
@@ -354,7 +399,8 @@ object Dedup {
     // ArgMaxTieMin partial aggregate (HashAggregate; a mega-cluster is
     // a hot partial-agg key, not a buffered group), never a window.
     "q128_neardup_reps" -> ((s, dir) => {
-      val (_, reps) = neardupMembers(s, dir)
+      // members feeds only the election here — no checkpoint needed
+      val (_, reps) = neardupMembers(s, dir, materialize = false)
       reps.select(col("cluster"), col("n_members"),
         col("m.id").as("rep_doc_id"), col("m.c").as("rep_chars"),
         (col("tot_chars") - col("m.c")).as("drop_chars"))
@@ -779,19 +825,23 @@ object Dedup {
     * one partial hash aggregate, never a window). ONE definition so
     * the summary (q128) and the substitution table (q132) — which a
     * production rewrite applies TOGETHER — cannot silently fork their
-    * cluster semantics. `members` is Materialized: it feeds both the
-    * election and q132's remap join, and without the checkpoint each
-    * consumer would replay the corpus-scale n_chars join (the two
-    * consumers shuffle on different keys, so ReuseExchange cannot
-    * fire). The frame itself is pair-graph-bounded, so the checkpoint
-    * is small even when the corpus is not.
+    * cluster semantics. `materialize` (q132's default): checkpoint
+    * `members` when it feeds BOTH the election and the remap join —
+    * without it each consumer would replay the corpus-scale n_chars
+    * join (the two consumers shuffle on different keys, so
+    * ReuseExchange cannot fire). q128 consumes members ONCE (election
+    * only) and passes false, skipping an unneeded checkpoint
+    * write/read (r19 advice). The frame itself is pair-graph-bounded,
+    * so the checkpoint is small even when the corpus is not.
     */
-  private def neardupMembers(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def neardupMembers(s: SparkSession, dir: String,
+      materialize: Boolean = true): (DataFrame, DataFrame) = {
     val labels = queries("q45_dedup_clusters")(s, dir)
       .select(col("doc_id"), col("cluster"))
     val chars = Tables.documents(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
-    val members = Materialize(labels.join(chars, Seq("doc_id")))
+    val joined = labels.join(chars, Seq("doc_id"))
+    val members = if (materialize) Materialize(joined) else joined
     val reps = members.groupBy(col("cluster"))
       .agg(
         count(lit(1)).as("n_members"),

@@ -277,6 +277,20 @@ object Similarity {
       }.toDF("vec_id", "embedding", "bucket")
   }
 
+  /** THE probe-selection contract, shared by [[annIvf]] (q43) and
+    * [[annRecallSweep]] (q131): a query probes its `probes` closest
+    * centroid lists — cosine DESC, centroid index ASC on ties — as ONE
+    * definition, so the recall table always measures exactly the index
+    * q43 verifies (r19 advice: the sweep's former inline copy could
+    * silently fork the contract; FixtureOracles.deriveQ131 restates
+    * this ordering independently as the oracle side).
+    */
+  private def probedCentroids(cs: Array[Array[Float]], v: Array[Float],
+                              probes: Int): Seq[Long] =
+    cs.indices.map(i => (KMeansLite.cos(cs(i), v), i))
+      .sortBy { case (c, i) => (-c, i) }.take(probes)
+      .map { case (_, i) => i.toLong }
+
   def annIvf(s: SparkSession, dir: String, nHint: Option[Long] = None,
              nlistHint: Option[Int] = None, nprobe: Int = 1): DataFrame = {
     import s.implicits._
@@ -295,9 +309,7 @@ object Similarity {
       .mapPartitions { it =>
         val cs = bc.value
         it.flatMap { case (id, v) =>
-          cs.indices.map(i => (KMeansLite.cos(cs(i), v), i.toLong))
-            .sortBy(-_._1).take(probes)
-            .map { case (_, cid) => (id, v, cid) }
+          probedCentroids(cs, v, probes).map(cid => (id, v, cid))
         }
       }.toDF("qid", "qvec", "bucket")
     val scored = assigned.join(broadcast(q), Seq("bucket"))
@@ -347,16 +359,14 @@ object Similarity {
     val ex = Materialize(exact.select(col("qid"), col("vec_id")))
     val legs = probes.map { np =>
       val pr = math.max(1, math.min(np, cents.length))
-      // probe selection mirrors annIvf's: centroid cos desc, index asc
-      // on ties (stable sort over the index-ordered list)
+      // probe selection IS annIvf's ([[probedCentroids]], one shared
+      // definition — the recall table measures the index q43 verifies)
       val qp = e.filter(col("vec_id") < QueryK)
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
         .mapPartitions { it =>
           val cs = bc.value
           it.flatMap { case (id, v) =>
-            cs.indices.map(i => (KMeansLite.cos(cs(i), v), i))
-              .sortBy { case (c, i) => (-c, i) }.take(pr)
-              .map { case (_, cid) => (id, v, cid.toLong) }
+            probedCentroids(cs, v, pr).map(cid => (id, v, cid))
           }
         }.toDF("qid", "qvec", "bucket")
       val scored = assigned.join(broadcast(qp), Seq("bucket"))

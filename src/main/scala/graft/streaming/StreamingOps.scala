@@ -155,6 +155,106 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_leaked_docs"))
       .select(col("window.start").as("intake_start"), col("n_leaked_docs"))
 
+  /** One doc retained in a [[nearDupScreen]] band bucket: id, packed
+    * minhash signature, event-time ms (for watermark pruning). */
+  case class BandMember(docId: Long, sig: Seq[Long], tsMs: Long)
+
+  /** [[nearDupScreen]] state per (band, bucket): the retained members,
+    * arrival-ordered, never more than the bucket cap. */
+  case class BandBucket(members: List[BandMember])
+
+  /** A [[nearDupScreen]] hit: `doc_id` arrived and collided with the
+    * earlier `dup_of` in LSH band `band` at estimated Jaccard
+    * `est_jaccard`. */
+  case class NearDupHit(doc_id: Long, dup_of: Long, band: Int,
+                        est_jaccard: Double)
+
+  /** Streaming near-dup screen — the live form of batch q31's
+    * MinHash+LSH machinery (the one dedup family that previously had no
+    * streaming form; exact copies are [[exactDedup]]'s job and
+    * reference-screening is [[incrementalScreen]]'s — this flags a doc
+    * that is a NEAR-dup of another doc seen earlier ON THE SAME STREAM,
+    * within the watermark horizon). Emits
+    * (doc_id, dup_of, band, est_jaccard) in append mode.
+    *
+    * Geometry is IDENTICAL to batch q31 — same hashedGrams(3) space,
+    * same 16-permutation minhash family, same hash-of-4-minima band
+    * keys, same est = matching-minima/16, same ≥ 0.5 default flag
+    * threshold ([[graft.ops.Dedup.rowMinhashSig]] /
+    * [[graft.ops.Dedup.rowBandKeys]] — the per-row twins of the batch
+    * aggregate form) — so a hit here means "batch q31 would pair these
+    * two docs via this band", and the spec asserts exactly that
+    * differentially through the public q31 surface.
+    *
+    * State discipline (the [[leakMonitor]] contract, band-keyed):
+    * signatures are computed MAP-SIDE (one row per doc, no stream-side
+    * aggregation); the single stateful operator keys on (band, bucket)
+    * and each bucket retains at most [[graft.ops.Dedup.BucketCap]]
+    * members of ≤ 17 longs each, watermark-pruned on every visit and
+    * evicted whole by event-time timeout once the horizon passes —
+    * state is bounded by live-horizon volume × bands, never corpus
+    * size. A bucket at cap stops comparing AND retaining (the batch
+    * "mass-duplicate bucket is skipped, not exploded" rule: identical
+    * payloads are exactDedup's job upstream). Two trades vs batch,
+    * both documented q31 deltas: a pair matching in several bands can
+    * emit once per band (pairsOnce's first-band dedup needs pair-scale
+    * global state — consumers that care distinct on (doc_id, dup_of));
+    * and a near-dup arriving after its twin left the horizon is missed,
+    * the standard watermark trade.
+    */
+  def nearDupScreen(docs: DataFrame, watermark: String = "10 minutes",
+                    minEst: Double = 0.5,
+                    cap: Int = graft.ops.Dedup.BucketCap): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import java.sql.Timestamp
+    val s = docs.sparkSession
+    import s.implicits._
+    val banded = docs
+      .withWatermark("event_time", watermark)
+      .select(col("event_time"), col("doc_id"),
+        graft.ops.Dedup.rowMinhashSig.as("sig"))
+      // all-sentinel = no gram (< 3 tokens): the aggregate form has no
+      // row for such docs; the screen drops them the same way
+      .filter(element_at(col("sig"), 1) < lit(graft.ops.Dedup.SigSentinel))
+      .select(col("event_time"), col("doc_id"), col("sig"),
+        posexplode(array(graft.ops.Dedup.rowBandKeys(col("sig")): _*))
+          .as(Seq("band", "bkey")))
+      .as[(Timestamp, Long, Seq[Long], Int, Int)]
+    banded.groupByKey(r => (r._4, r._5))
+      .flatMapGroupsWithState[BandBucket, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, it, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val horizon = state.getCurrentWatermarkMs()
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+              .filter(_.tsMs >= horizon)
+            val out = List.newBuilder[NearDupHit]
+            // (ts, id) order: in-batch disorder repaired exactly, and
+            // "earlier doc = dup_of" is deterministic within a batch
+            for ((ts, id, sig, band, _) <-
+                 it.toArray.sortBy(r => (r._1.getTime, r._2))) {
+              if (members.size < cap) {
+                for (m <- members if m.docId != id) {
+                  val matches = sig.iterator.zip(m.sig.iterator)
+                    .count { case (x, y) => x == y }
+                  val est = matches.toDouble / sig.length
+                  if (est >= minEst) out += NearDupHit(id, m.docId, band, est)
+                }
+                members = members :+ BandMember(id, sig, ts.getTime)
+              }
+            }
+            if (members.isEmpty) state.remove()
+            else {
+              state.update(BandBucket(members))
+              // evict the bucket one horizon after its newest member
+              state.setTimeoutTimestamp(members.map(_.tsMs).max, watermark)
+            }
+            out.result().iterator
+          }
+      }.toDF()
+  }
+
   /** Per-user funnel marks: epoch-ms of the first view, first qualifying
     * click, first qualifying purchase; -1 = not reached. 24 bytes/user —
     * 10⁹ users ≈ 24 GB of state, the RocksDB-store class (see

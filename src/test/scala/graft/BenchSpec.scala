@@ -100,6 +100,18 @@ class BenchSpec extends AnyFunSuite {
       s"scaled baselines for nonexistent queries: $scaledOrphans")
   }
 
+  test("generated floors honor the tiny-floor clamp (>= 0.30s)") {
+    // tools/floors.py clamps every generated floor to FLOOR_MIN = 0.30s
+    // (r19 verdict item 5: sub-0.3s floors manufactured a 2x false
+    // alarm per round out of pure JIT/window noise). A floor below the
+    // clamp can only mean a hand edit or a stale regeneration.
+    for ((blk, floors) <- Seq("base" -> Bench.expected,
+                              "scaled" -> Bench.expectedScaled);
+         (q, f) <- floors)
+      assert(f >= 0.30, s"$blk floor for $q is $f < 0.30 — regenerate "
+        + "with tools/floors.py (FLOOR_MIN clamp)")
+  }
+
   test("everything-failed render still fits (fails list capped)") {
     val json = Bench.renderJson(names.map(n => (n, 999.999, "fail")), sfDir)
     assert(json.length <= budget, s"bench JSON line ${json.length} > $budget chars")

@@ -75,6 +75,58 @@ class ScaleCorpusSpec extends SparkSpec {
     assert(d1 === d0, "replication must not perturb text content")
   }
 
+  test("probe plant: replicas 0..9 byte-identical, k >= 10 plants the tail") {
+    val dir = Files.createTempDirectory("graft_scale_pl").toString
+    ScaleCorpus.derive(spark, src, dir, replicas = 12)
+    val srcText = spark.read.parquet(s"$src/documents.parquet")
+      .filter(col("doc_id").isin(0L, 1L, 2L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val derived = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id").isin(0L, 1L, 2L, 45000L, 45001L, 45002L, 55000L, 55001L, 55002L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // replica 0 and replica 9 (id 45000 = 0 + 5000*9): untouched — the
+    // official 10x gate corpus is byte-identical to the v2 derivation
+    assert(derived(0L) === srcText(0L))
+    assert(derived(45000L) === srcText(0L))
+    assert(derived(45001L) === srcText(1L))
+    // replica 11 (ids 55000/55001): the shared (window 0, k=11) tail —
+    // identical 12 tokens on both docs of the window, nothing else
+    val tail = (1 to ScaleCorpus.PlantTailTokens)
+      .map(i => s"p${i}x0k11").mkString(" ", " ", "")
+    assert(derived(55000L) === srcText(0L) + tail)
+    assert(derived(55001L) === srcText(1L) + tail)
+    // a doc outside the stride window is untouched even in probe replicas
+    assert(derived(55002L) === srcText(2L))
+    graft.Fs.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("probe plant makes the df-capped gram family non-vacuous past DfCap") {
+    // the r19 verdict's vacuity hole: at 100x pure replication every
+    // gram's df exceeds DfCap(50) and q33 returns 0 rows. Build the
+    // plantDocs replication at x60 (> DfCap, same regime) directly and
+    // assert jaccardPairs returns EXACTLY the planted within-window
+    // pairs at jaccard 1.0: original grams (df = 60+) and boundary
+    // grams (df = 1) both fall outside [2, DfCap], the 10 interior tail
+    // grams (df = 2) are the whole kept space.
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val reps = 60
+    val corpus = (0 until reps).map { k =>
+      ScaleCorpus.plantDocs(docs, k)
+        .withColumn("doc_id", col("doc_id") + lit(5000L * k))
+    }.reduce(_.unionByName(_))
+    val pairs = graft.ops.Dedup.jaccardPairs(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = (for {
+      k <- ScaleCorpus.PlantFrom until reps
+      w <- 0L until 500L by ScaleCorpus.PlantStride
+    } yield (w + 5000L * k, w + 1 + 5000L * k, 1.0)).toSet
+    assert(pairs.toSet === expected,
+      s"got ${pairs.length} pairs, expected ${expected.size}")
+    // the q62 straddle: every planted pair is (even, odd) by construction
+    assert(expected.forall { case (a, b, _) => a % 2 == 0 && b % 2 == 1 })
+  }
+
   test("replicas parameter: derived counts scale, marker binds the count") {
     val dir = Files.createTempDirectory("graft_scale_r3").toString
     ScaleCorpus.derive(spark, src, dir, replicas = 3)

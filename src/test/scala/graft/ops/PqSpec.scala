@@ -75,6 +75,49 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("hand-pinned fit arithmetic: KMeansL2 seed walk + Lloyd round, PQ codebooks/encode/ADC (tools/r20/hand_kmeans.py)") {
+    // Every literal below was hand-derived OUTSIDE this codebase by
+    // walking the documented algorithm in tools/r20/hand_kmeans.py on
+    // exact-in-float32 grids (all inputs and all centroid means are
+    // dyadic rationals, so equality is bit-exact) — the q31/q32
+    // hand-evidence class applied to the q77/q84 (and q43/q66/q131)
+    // fit legs, which were previously restatement-only.
+    // 1. farthest-point seeding + ONE Lloyd round: seeds walk to (9,9)
+    //    (min-dists 0/2/128/162), clusters split {(0,0),(1,1)} /
+    //    {(8,8),(9,9)} -> means (0.5,0.5), (8.5,8.5)
+    val grid = Array(Array(0f, 0f), Array(1f, 1f), Array(8f, 8f), Array(9f, 9f))
+    assert(KMeansL2.fit(grid, 2, iters = 1).map(_.toSeq).toSeq ===
+      Seq(Seq(0.5f, 0.5f), Seq(8.5f, 8.5f)))
+    // stable at Pq.fit's iters=8 (assignment is already converged)
+    assert(KMeansL2.fit(grid, 2, iters = 8).map(_.toSeq).toSeq ===
+      Seq(Seq(0.5f, 0.5f), Seq(8.5f, 8.5f)))
+    // 2. the 2-subspace PQ grid: per-subspace codebooks from the same
+    //    hand walk; encode = per-subspace argmin packed little-end-first
+    val vs = Seq(
+      0L -> Array(0f, 0f, 10f, 10f), 1L -> Array(1f, 1f, 11f, 11f),
+      2L -> Array(8f, 8f, 2f, 2f), 3L -> Array(9f, 9f, 3f, 3f))
+    val cb0 = KMeansL2.fit(vs.map(_._2.slice(0, 2)).toArray, 2, iters = 8)
+    val cb1 = KMeansL2.fit(vs.map(_._2.slice(2, 4)).toArray, 2, iters = 8)
+    assert(cb0.map(_.toSeq).toSeq === Seq(Seq(0.5f, 0.5f), Seq(8.5f, 8.5f)))
+    assert(cb1.map(_.toSeq).toSeq === Seq(Seq(10.5f, 10.5f), Seq(2.5f, 2.5f)))
+    val model = Pq.Model(m = 2, k = 2, subDim = 2, codebooks = Array(cb0, cb1))
+    assert(model.bits === 1)
+    val enc = Pq.encode(spark, vecsDf(vs), model).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // v0/v1 pick centroid 0 in both subspaces (0.5 vs 144.5 / 112.5),
+    // v2/v3 centroid 1 -> code 0b11 = 3; every residual is 2·0.25 per
+    // subspace -> errSum 1.0 over d=4 -> recon_mse 0.25 exactly
+    assert(enc === Map(0L -> ((0L, 0.25)), 1L -> ((0L, 0.25)),
+      2L -> ((3L, 0.25)), 3L -> ((3L, 0.25))))
+    // 3. ADC: query (0,0,10,10) LUTs are [0.5,144.5] / [0.5,112.5] ->
+    //    code-0 rows read 1.0, code-3 rows 144.5+112.5 = 257.0
+    val adc = Pq.adcTopK(spark, Pq.encode(spark, vecsDf(vs), model), model,
+      queries = Array(9L -> Array(0f, 0f, 10f, 10f)), topK = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adc_dist"))
+      .toMap
+    assert(adc === Map(0L -> 1.0, 1L -> 1.0, 2L -> 257.0, 3L -> 257.0))
+  }
+
   test("more centroids never hurt: mean mse at k=16 <= k=2") {
     val rnd = new Random(21)
     val vs = (0 until 400).map(i =>

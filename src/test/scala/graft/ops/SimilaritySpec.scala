@@ -145,6 +145,29 @@ class SimilaritySpec extends SparkSpec {
       s"full probe budget must be exact: ${rows(1024L)}")
   }
 
+  test("hand-pinned fit arithmetic: KMeansLite cosine seed walk + Lloyd + merge (tools/r20/hand_kmeans.py)") {
+    // Literals hand-derived OUTSIDE the codebase (tools/r20/hand_kmeans.py)
+    // on exact-in-float32 grids — the coarse-quantizer fit behind
+    // q43/q66/q131, previously restatement-only evidence.
+    // seed walk: max-cos to (1,0) is 1.0 / 0.894 / 0.832 / -1.0 ->
+    // second seed (-1,0); Lloyd sends the first three to c0 ->
+    // mean ((1+0.5+0.75)/3, (0+0.25+0.5)/3) = (0.75, 0.25) exactly
+    val grid = Array(Array(1f, 0f), Array(0.5f, 0.25f),
+      Array(0.75f, 0.5f), Array(-1f, 0f))
+    assert(KMeansLite.fit(grid, 2, iters = 1).map(_.toSeq).toSeq ===
+      Seq(Seq(0.75f, 0.25f), Seq(-1f, 0f)))
+    // collinear degenerate: cos((1,0),(0.5,0)) = 1.0 exactly, NOT < 1.0,
+    // so the walk re-picks the first point; the empty twin cluster is
+    // DROPPED (KMeansLite semantics, unlike KMeansL2's keep-old) and the
+    // survivor is the mean (0.75, 0)
+    assert(KMeansLite.fit(Array(Array(1f, 0f), Array(0.5f, 0f)), 2, iters = 1)
+      .map(_.toSeq).toSeq === Seq(Seq(0.75f, 0f)))
+    // near-duplicate merge: both points survive Lloyd as their own
+    // centroid, cos = 0.96.. > 0.95 -> merged to the first
+    assert(KMeansLite.fit(Array(Array(1f, 0f), Array(0.96f, 0.28f)), 2, iters = 1)
+      .map(_.toSeq).toSeq === Seq(Seq(1f, 0f)))
+  }
+
   test("KMeansLite collapses over-provisioned k to the natural clusters") {
     val cents = KMeansLite.fit(corpus.map(_._2).toArray, 9, 3)
     // 5 planted clusters; duplicate centroids within one cluster merge

@@ -144,6 +144,61 @@ class SkewSpec extends SparkSpec {
         "(31125 would be the uncapped pair matrix)")
   }
 
+  test("q128/q132: a 1000-member near-dup mega-cluster is a hot partial-agg key — no single-reducer election, no spill") {
+    // The Dedup.scala q128 comment claims "a mega-cluster is a hot
+    // partial-agg key, not a buffered group" (r19 verdict item 6: that
+    // claim deserves a test). Plant ONE chain-shaped near-dup cluster
+    // of 1000 members: doc i = sliding window w_i..w_{i+15}, so
+    // adjacent docs share 13 of ~15 kept grams (jaccard 0.87-0.93, all
+    // gram dfs <= 14 — the pairs SURVIVE the df cap, unlike an exact
+    // mega-group) and q45 chains them into one 1000-member component —
+    // the deepest pointer-jumping shape. The baseline corpus holds the
+    // SAME 1000 docs x 16 tokens as 500 disjoint near-dup pairs.
+    // If the election ever buffered a cluster's members on one reducer,
+    // the mega corpus's heaviest task would read ~1000 records where
+    // the uniform one reads ~2; partial aggregation bounds both to the
+    // partial-row count. Spill must stay zero in both runs.
+    val spills = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          spills.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    val mega = docsDir((0 until 1000).map(i =>
+      i.toLong -> (i until i + 16).map(j => s"w$j").mkString(" ")))
+    val uniform = docsDir((0 until 1000).map { i =>
+      val pair = i / 2
+      val toks = (0 until 16).map(j => s"u${pair}x$j")
+      i.toLong -> (if (i % 2 == 0) toks
+                   else toks.dropRight(1) :+ s"odd$pair").mkString(" ")
+    })
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (uMax, uTot) = shuffleReadProfile(
+        graft.SparkEntry.queries("q128_neardup_reps")(spark, uniform))
+      val (sMax, sTot) = shuffleReadProfile(
+        graft.SparkEntry.queries("q128_neardup_reps")(spark, mega))
+      assert(uTot > 0 && sTot > 0) // non-vacuity
+      assert(sMax <= 3 * math.max(uMax, 500),
+        s"mega-cluster corpus max task read $sMax vs uniform $uMax")
+      // the composed outputs themselves: one 1000-member cluster vs 500
+      // pair-clusters; the remap table keeps every member
+      val reps = graft.SparkEntry.queries("q128_neardup_reps")(spark, mega)
+        .collect()
+      assert(reps.length === 1 && reps.head.getAs[Long]("n_members") === 1000L,
+        s"expected one 1000-member cluster: ${reps.toSeq}")
+      assert(graft.SparkEntry.queries("q128_neardup_reps")(spark, uniform)
+        .count() === 500L)
+      val remap = graft.SparkEntry.queries("q132_rep_remap")(spark, mega)
+      assert(remap.count() === 1000L)
+      assert(remap.filter("keep").count() === 1L)
+      assert(spills.get() === 0L,
+        s"election/remap must not spill: ${spills.get()} bytes")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("q61: a token in half the corpus rides the bounded sketch, not raw postings") {
     val n = 200
     val uniform = docsDir((0 until n).map(i =>

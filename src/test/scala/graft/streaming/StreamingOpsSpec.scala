@@ -341,6 +341,52 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming near-dup screen: cross-batch LSH hit equals batch q31; state band-bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the committed q31 planted-dup pair (DedupSpec): one token differs,
+    // so the pair is a NEAR-dup (est < 1.0) that batch q31 provably pairs
+    val a = "a b c d e f g h"
+    val b = "a b c d e f g i"
+    val unrelated = "u1 u2 u3 u4 u5 u6 u7 u8 u9"
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val hits = StreamingOps.nearDupScreen(
+      ms.toDS().toDF("event_time", "doc_id", "text"))
+    val query = hits.writeStream.format("memory")
+      .queryName("neardup_screen").outputMode("append").start()
+    try {
+      ms.addData((ts(0), 1L, a), (ts(1), 2L, unrelated))
+      query.processAllAvailable()
+      assert(s.table("neardup_screen").isEmpty,
+        "no near-dups in the first batch")
+      // the planted CROSS-BATCH near-dup arrives in a later trigger,
+      // plus a short doc (< 3 tokens — no signature, silently dropped)
+      ms.addData((ts(5), 3L, b), (ts(6), 4L, "v1 v2"))
+      query.processAllAvailable()
+      // a pair may emit once per matching band (documented trade) —
+      // consumers distinct on (doc_id, dup_of, est)
+      val rows = s.table("neardup_screen").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).distinct
+      assert(rows.length === 1, s"exactly one distinct hit: ${rows.toSeq}")
+      val (docId, dupOf, est) = rows.head
+      assert(docId === 3L && dupOf === 1L, "later doc flags against earlier")
+      assert(est >= 0.5 && est < 1.0, s"near-dup, not exact: est=$est")
+      // the screen IS q31 live: the batch operator on the same three docs
+      // (public query surface) emits the same pair at the same estimate
+      val batch = graft.ops.Dedup.queries("q31_dedup_minhash")(s,
+        docsDir(Seq((1L, a), (2L, unrelated), (3L, b))))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(batch.toSeq === Seq((1L, 3L, est)),
+        s"batch q31 disagrees: ${batch.toSeq} vs est=$est")
+      // bounded state: one row per LIVE (band, bucket) — 3 signed docs x
+      // 4 bands is the ceiling; the 2-token doc contributes nothing
+      val stateRows = query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 12, s"state must be band-bounded, got $stateRows")
+      assert(stateRows >= 1, "expected live band-bucket state")
+    } finally query.stop()
+  }
+
   test("streaming intake leak monitor: late-batch leak localized to its bucket; state leak-bounded") {
     val s = spark
     import s.implicits._

@@ -67,6 +67,14 @@ BLOCKS = {
 }
 # ScaleCorpus.defaultDir's basename — the artifact-side discriminator.
 SCALED_BASENAME = "graft_sf1d"
+# Generated floors are clamped to this minimum (seconds). Tiny-floor
+# queries (q82 0.20 s, q42 0.24 s, q30 0.31 s) tripped >=1.8x ratios in
+# each of r17-r19 purely on JIT/window noise — at sub-0.3 s durations a
+# single JIT burst is a 2x "breach". Bench already carries the 0.25 s
+# absolute materiality guard for retries; this clamps the GRADING floor
+# too, so the ratio stops manufacturing adjudication work every round
+# (r19 verdict item 5). The clamp is recorded in the provenance line.
+FLOOR_MIN = 0.30
 # First round whose gate artifact is floor evidence: r07 is when the
 # current query-plan generation and bench methodology stabilized (the
 # provenance every committed floor block has used since r09). Earlier
@@ -143,7 +151,8 @@ def render(floors: dict, provenance: list, begin: str, end: str) -> str:
         sep = "," if i + 4 < len(items) else ""
         body.append(f"    {chunk}{sep}")
     names = " ".join(pathlib.Path(a).name for a in provenance)
-    return begin + f" (from: {names})\n" + "\n".join(body) + "\n    " + end
+    return (begin + f" (from: {names} | clamped to >= {FLOOR_MIN:.2f}s)\n"
+            + "\n".join(body) + "\n    " + end)
 
 
 def split_flag(argv: list, flag: str):
@@ -206,6 +215,10 @@ def main():
         if seed_files:
             prov[blk] += [f"--{'scaled-' if blk == 'scaled' else ''}seed"] \
                 + seed_files
+    # tiny-floor clamp (see FLOOR_MIN) — applied LAST so it binds gate
+    # evidence and seeds alike
+    for blk in floors:
+        floors[blk] = {q: max(t, FLOOR_MIN) for q, t in floors[blk].items()}
 
     orig = BENCH.read_text()
     src = orig
