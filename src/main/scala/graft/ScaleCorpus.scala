@@ -70,8 +70,12 @@ object ScaleCorpus {
     *     byte-identical to v2, so the official 10x gate corpus (and the
     *     floors evidenced on it) is unchanged — only stale PROBE corpora
     *     re-derive.
+    * v4: tail tokens come from the fixed [[PlantPool]] instead of being
+    *     minted per (window, k) — v3's minted tokens blew q61's
+    *     MisraGries exactness bound at 100x (see [[PlantPool]]).
+    *     Replicas 0..9 still byte-identical to v2.
     */
-  val Version = "graft-scale-v3"
+  val Version = "graft-scale-v4"
 
   /** Default replica count (the official ~10x gate corpus). Every
     * entry point takes an explicit `replicas` so probe corpora at
@@ -181,13 +185,51 @@ object ScaleCorpus {
   val PlantStride = 50L
   val PlantTailTokens = 12
 
-  /** The planted tail for replica `k`: 12 tokens `p<i>x<window>k<k>`,
-    * identical for the window's two docs, unique to (window, k).
+  /** Plant-tail vocabulary: a FIXED 64-token pool + one marker rather
+    * than tokens minted per (window, k). Minted tokens made the tail
+    * GRAMS unique trivially — but also added ~108k distinct tokens at
+    * the 100x probe, blowing q61's MisraGriesTopK(cap=256) past its
+    * exactness bound (#distinct <= cap) and decaying every heavy
+    * hitter's count (observed: top-10 counts short by ~100-400 at
+    * 100x, ranks intact). The pool form keeps per-lang vocabulary at
+    * 31 corpus words + 65 plant words, far inside the sketch cap.
     */
-  private[graft] def plantTail(k: Int): Column =
-    format_string(
-      (1 to PlantTailTokens).map(i => s"p${i}x%1$$dk$k").mkString(" ", " ", ""),
-      expr(s"doc_id div $PlantStride"))
+  private[graft] val PlantPool: Seq[String] = (0 until 64).map(i => s"pv$i")
+  private[graft] val PlantMarker = "pvm"
+
+  /** The planted tail for replica `k` — 12 tokens, DETERMINISTICALLY
+    * gram-unique per (window, k): with u = window*128 + k and
+    * (d1, d2, d3) its base-64 digits, the tail is
+    *
+    *   M p[d1] p[d2] p[d3]  M p[d3] p[d2] p[d1]  M p[d1] p[d3] p[d2]
+    *
+    * (M = [[PlantMarker]]). Identical for the window's two docs, so
+    * every interior 3-gram is shared by exactly that pair plus the few
+    * windows whose digits collide on a SUBSET: the full digit triple
+    * (d1,d2,d3) is unique to u (u < 64^3), its reversal/rotation forms
+    * match at most a handful of other windows (df <= ~10), while the
+    * coarse grams (single-digit patterns like (d3,M,d3), or (M,d1,d2)
+    * shared by a whole half-window run of k) exceed DfCap and drop —
+    * SYMMETRICALLY for both docs, so the pair's kept gram sets stay
+    * equal. Boundary grams (doc's last words + M) are shared by every
+    * planted replica of the same source doc AND every source doc with
+    * the same last word (31-word vocab), so their df is in the
+    * hundreds and they drop too: each planted pair's kept sets are
+    * exactly the 4-8 fine tail grams, jaccard exactly 1.0, and a
+    * cross-window gram collision contributes 1 shared gram of >= 4 —
+    * far below the 0.8 bar, so no spurious pairs. (The first, hashed
+    * tail design gave most of this probabilistically and lost ~0.6% of
+    * planted pairs to token-repeat degeneracies; this one is exact.)
+    */
+  private[graft] def plantTail(k: Int): Column = {
+    val pool = array(PlantPool.map(lit): _*)
+    val u = s"((doc_id div $PlantStride) * 128 + $k)"
+    def d(div: Long): Column =
+      element_at(pool, expr(s"cast((($u div $div) % 64) + 1 as int)"))
+    val (m, d1, d2, d3) = (lit(PlantMarker), d(4096L), d(64L), d(1L))
+    concat(lit(" "), concat_ws(" ",
+      m, d1, d2, d3, m, d3, d2, d1, m, d1, d3, d2))
+  }
 
   /** Apply the probe-mode near-dup plant to a BASE-id documents frame
     * (called before the replica's id shift so the plant keys off the
@@ -195,9 +237,14 @@ object ScaleCorpus {
     */
   private[graft] def plantDocs(df: DataFrame, k: Int): DataFrame =
     if (k < PlantFrom) df
-    else df.withColumn("text",
-      when(col("text").isNotNull && col("doc_id") % PlantStride < 2,
-        concat(col("text"), plantTail(k))).otherwise(col("text")))
+    else {
+      // u = window*128 + k is unique only below 128 replicas; a larger
+      // probe must widen the digit layout, not silently alias tails
+      require(k < 128, s"plantTail: replica $k aliases u = window*128 + k")
+      df.withColumn("text",
+        when(col("text").isNotNull && col("doc_id") % PlantStride < 2,
+          concat(col("text"), plantTail(k))).otherwise(col("text")))
+    }
 
   private def replicate(df: DataFrame, shifts: Seq[(String, Long)],
                         replicas: Int,

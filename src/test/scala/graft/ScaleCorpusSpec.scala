@@ -90,11 +90,20 @@ class ScaleCorpusSpec extends SparkSpec {
     assert(derived(45000L) === srcText(0L))
     assert(derived(45001L) === srcText(1L))
     // replica 11 (ids 55000/55001): the shared (window 0, k=11) tail —
-    // identical 12 tokens on both docs of the window, nothing else
-    val tail = (1 to ScaleCorpus.PlantTailTokens)
-      .map(i => s"p${i}x0k11").mkString(" ", " ", "")
-    assert(derived(55000L) === srcText(0L) + tail)
-    assert(derived(55001L) === srcText(1L) + tail)
+    // the SAME 12 pool tokens on both docs of the window, nothing else
+    val tail0 = derived(55000L).stripPrefix(srcText(0L))
+    val tail1 = derived(55001L).stripPrefix(srcText(1L))
+    assert(tail0 === tail1, "window docs must share one tail")
+    val toks = tail0.trim.split(" ")
+    assert(toks.length === ScaleCorpus.PlantTailTokens, tail0)
+    assert(toks.forall(t => ScaleCorpus.PlantPool.contains(t) ||
+      t == ScaleCorpus.PlantMarker),
+      s"tail tokens must come from the fixed pool + marker: $tail0")
+    // and the tail is (window, k)-keyed: replica 10's differs
+    val d10 = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") === 50000L).collect().head.getString(1)
+    assert(d10.stripPrefix(srcText(0L)) !== tail0,
+      "different replicas must draw different tails")
     // a doc outside the stride window is untouched even in probe replicas
     assert(derived(55002L) === srcText(2L))
     graft.Fs.deleteTree(java.nio.file.Paths.get(dir))
@@ -103,14 +112,16 @@ class ScaleCorpusSpec extends SparkSpec {
   test("probe plant makes the df-capped gram family non-vacuous past DfCap") {
     // the r19 verdict's vacuity hole: at 100x pure replication every
     // gram's df exceeds DfCap(50) and q33 returns 0 rows. Build the
-    // plantDocs replication at x60 (> DfCap, same regime) directly and
-    // assert jaccardPairs returns EXACTLY the planted within-window
-    // pairs at jaccard 1.0: original grams (df = 60+) and boundary
-    // grams (df = 1) both fall outside [2, DfCap], the 10 interior tail
-    // grams (df = 2) are the whole kept space.
+    // plantDocs replication at x65 (planted replicas > DfCap, the probe
+    // regime) directly and assert jaccardPairs returns EXACTLY the
+    // planted within-window pairs at jaccard EXACTLY 1.0: original
+    // grams (df = 65) and boundary grams (every planted replica of the
+    // same source doc shares them — df = 55) fall PAST DfCap; the
+    // window pair's kept sets are exactly their shared fine tail grams
+    // (the digit-triple forms, df 2..20), so inter = sz on both sides.
     val docs = spark.read.parquet(s"$src/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val reps = 60
+    val reps = 65
     val corpus = (0 until reps).map { k =>
       ScaleCorpus.plantDocs(docs, k)
         .withColumn("doc_id", col("doc_id") + lit(5000L * k))

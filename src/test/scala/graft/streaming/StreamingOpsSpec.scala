@@ -379,6 +379,10 @@ class StreamingOpsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       assert(batch.toSeq === Seq((1L, 3L, est)),
         s"batch q31 disagrees: ${batch.toSeq} vs est=$est")
+      // ONE stateful operator (the band-keyed flatMapGroupsWithState):
+      // signatures are map-side, no hidden stream aggregation/dedup
+      assert(query.lastProgress.stateOperators.length === 1,
+        s"expected exactly one stateful operator: ${query.lastProgress}")
       // bounded state: one row per LIVE (band, bucket) — 3 signed docs x
       // 4 bands is the ceiling; the 2-token doc contributes nothing
       val stateRows = query.lastProgress.stateOperators.map(_.numRowsTotal).sum
