@@ -74,8 +74,15 @@ object ScaleCorpus {
     *     minted per (window, k) — v3's minted tokens blew q61's
     *     MisraGries exactness bound at 100x (see [[PlantPool]]).
     *     Replicas 0..9 still byte-identical to v2.
+    * v5: planting also refreshes n_chars (= length of the planted
+    *     text) — v4 left the source n_chars on planted rows, making
+    *     the corpus internally inconsistent and, because
+    *     FixtureOracles.corpusKey is n_chars-weighted, silently reusing
+    *     STALE fixtures across plant revisions (8 fixture-oracle
+    *     mismatches at the v4 probe). Replicas 0..9 still
+    *     byte-identical to v2.
     */
-  val Version = "graft-scale-v4"
+  val Version = "graft-scale-v5"
 
   /** Default replica count (the official ~10x gate corpus). Every
     * entry point takes an explicit `replicas` so probe corpora at
@@ -241,9 +248,21 @@ object ScaleCorpus {
       // u = window*128 + k is unique only below 128 replicas; a larger
       // probe must widen the digit layout, not silently alias tails
       require(k < 128, s"plantTail: replica $k aliases u = window*128 + k")
-      df.withColumn("text",
-        when(col("text").isNotNull && col("doc_id") % PlantStride < 2,
-          concat(col("text"), plantTail(k))).otherwise(col("text")))
+      val planted = col("text").isNotNull && col("doc_id") % PlantStride < 2
+      // n_chars is derived from text in the source corpus (n_chars ==
+      // length(text) row-for-row) — the plant must preserve that
+      // invariant or the corpus is internally inconsistent AND every
+      // n_chars-keyed identity (FixtureOracles.corpusKey's
+      // sum((doc_id+1)*n_chars)) reuses stale fixtures across plant
+      // revisions (the v4 probe's 8 fixture mismatches).
+      val texted = df.withColumn("text",
+        when(planted, concat(col("text"), plantTail(k)))
+          .otherwise(col("text")))
+      // projected frames without n_chars (gram-level tests) pass through
+      if (!df.columns.contains("n_chars")) texted
+      else texted.withColumn("n_chars",
+        when(planted, length(col("text")).cast("long"))
+          .otherwise(col("n_chars")))
     }
 
   private def replicate(df: DataFrame, shifts: Seq[(String, Long)],

@@ -13,7 +13,7 @@ import graft.streaming.{InspectorStream, StreamingOps}
   * were spec-green but carried no committed scaled bench — the batch side
   * has PcapBench and the 10x gate; streaming had nothing).
   *
-  * Three legs, each a bounded replay measured end to end:
+  * Four legs, each a bounded replay measured end to end:
   *
   *  1. `inspector` — the full streaming packet pipeline
   *     ([[InspectorStream.recordsFromPcapDir]]): synthetic rotated pcap
@@ -30,6 +30,10 @@ import graft.streaming.{InspectorStream, StreamingOps}
   *  3. `decontam` — [[StreamingOps.contaminationScreen]]: every
   *     micro-batch screened against the broadcast benchmark gram set
   *     inside foreachBatch.
+  *  4. `neardup_screen` — [[StreamingOps.nearDupScreen]] (r20): per-row
+  *     minhash signatures through the band-keyed flatMapGroupsWithState,
+  *     replayed with a watermark that keeps the whole corpus resident —
+  *     the worst-case state volume for the band-bucket discipline.
   *
   * Per leg: wall seconds, rows in/out, rows/s, and the state store's
   * peak (rows, MB) across all triggers — the number that decides
@@ -190,6 +194,24 @@ object StreamBench {
         }
         legs += Leg("decontam", nDocs, contaminated.sum(), sec, stRows, stMb)
       } finally benchGrams.unpersist()
+    }
+
+    // ---- leg 4: streaming near-dup screen (r20 — the live q31) ----
+    locally {
+      val (out, sec, stRows, stMb) = timeQuery(spark, "graft_stream_neardup") {
+        name =>
+          StreamingOps.nearDupScreen(
+              docsStream(4).select(col("event_time"), col("doc_id"), col("text")))
+            .writeStream.format("noop").queryName(name)
+            .option("checkpointLocation", ckpt("neardup"))
+            .trigger(Trigger.AvailableNow()).start()
+      }
+      // out = emitted hits; state peak is the live (band, bucket)
+      // member volume — the number that decides whether the band-keyed
+      // state discipline holds under a replayed-history watermark that
+      // keeps the WHOLE corpus inside the horizon (worst case: every
+      // signed doc stays resident in all 4 bands)
+      legs += Leg("neardup_screen", nDocs, out, sec, stRows, stMb)
     }
 
     val total = (System.nanoTime() - t0) / 1e9

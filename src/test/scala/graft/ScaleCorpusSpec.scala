@@ -106,6 +106,13 @@ class ScaleCorpusSpec extends SparkSpec {
       "different replicas must draw different tails")
     // a doc outside the stride window is untouched even in probe replicas
     assert(derived(55002L) === srcText(2L))
+    // the n_chars = length(text) source invariant survives planting —
+    // v4 left stale n_chars on planted rows, which both made the corpus
+    // inconsistent and reused stale n_chars-keyed fixtures (v5 fix)
+    val badChars = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull && length(col("text")) =!= col("n_chars"))
+      .count()
+    assert(badChars === 0L, s"$badChars rows with n_chars != length(text)")
     graft.Fs.deleteTree(java.nio.file.Paths.get(dir))
   }
 
