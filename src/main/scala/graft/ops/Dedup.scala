@@ -495,6 +495,27 @@ object Dedup {
     // (155 s of a 198 s bench).
     "q33_ngram_jaccard" -> ((s, dir) => jaccardPairs(Tables.documents(s, dir))),
 
+    // Containment (subset-duplication) screen — see [[containmentPairs]].
+    // The corpus has no organic fragment-of-another-doc pair at gate
+    // scales, so the driver query PLANTS them in-pipeline (the
+    // q115/q129 convention, mirrored in the oracle): every 97th doc
+    // gets a synthetic "quote" — its LAST 40 tokens as a new doc at
+    // doc_id + 2^41 (past q80's 2^40 plant space). Last, not first:
+    // ScaleCorpus's replica-unique near-dup tails sit at the END of
+    // planted texts, so tail quotes keep kept-grams (df within cap)
+    // at the 100x probe where head grams saturate DfCap and vanish —
+    // the q124 non-vacuity lesson applied at design time.
+    "q134_containment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val quotes = docs
+        .filter(col("text").isNotNull && col("doc_id") % 97 === 0)
+        .select((col("doc_id") + (1L << 41)).as("doc_id"),
+          concat_ws(" ",
+            slice(tokens, greatest(size(tokens) - 39, lit(1)), lit(40)))
+            .as("text"))
+      containmentPairs(docs.unionByName(quotes))
+    }),
+
     // Duplicated-span coverage per doc — see [[dupSpans]].
     "q69_dup_spans" -> ((s, dir) => dupSpans(Tables.documents(s, dir))),
 
@@ -1122,7 +1143,18 @@ object Dedup {
     .select(col("doc_id"), explode(array_distinct(
       graft.functions.TextFunctions.hashedGrams(tokens, 3))).as("g"))
 
-  private def pairsFromGrams(inv: DataFrame, minJaccard: Double): DataFrame = {
+  private def pairsFromGrams(inv: DataFrame, minJaccard: Double): DataFrame =
+    pairStats(inv)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+
+  /** The capped candidate-pair frame (a < b, inter, sz_a, sz_b) both
+    * overlap metrics derive from — q33's Jaccard and q134's containment
+    * share the stats so the two screens cannot fork the machinery.
+    */
+  private def pairStats(inv: DataFrame): DataFrame = {
     // df-capped posting lists, pairs expanded in-group. Measured against
     // the bucketPairs-style self-join: with short posting lists (df cap
     // 50) the in-group expansion wins — it reuses the groupBy(g) shuffle
@@ -1148,11 +1180,39 @@ object Dedup {
     inter
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("a"), col("b"), col("jaccard"))
   }
+
+  /** q134's core: asymmetric CONTAINMENT pairs over the same df-capped
+    * shingle space as [[jaccardPairs]] — containment(a,b) = |A∩B| /
+    * min(|A|,|B|), the Broder containment coefficient. Jaccard misses
+    * subset duplication by construction (a quote of 40 tokens inside a
+    * 4,000-token page has Jaccard ≈ 0.01 but containment 1.0); a
+    * training pipeline screening for "document B is a fragment of
+    * document A" — quote farms, syndicated excerpts, scraped partial
+    * mirrors — needs the min-denominator form. Output is all-integer
+    * (floored ppm, the q122 exactness convention): (a, b, contain_ppm,
+    * jaccard_ppm) for every capped candidate pair with containment ≥
+    * `minContainPpm`; jaccard_ppm rides along so the consumer can
+    * separate subset pairs (high contain, low jaccard) from plain
+    * near-dups (both high).
+    *
+    * Same scale posture as q33: the pair stream exists only inside the
+    * df-capped gram space (Σ|b|² bounded by DfCap·Σ|b|), sizes are
+    * kept-gram counts, and the metric is self-consistent within that
+    * space — a side effect worth stating: grams unique to ONE doc have
+    * df 1 and drop, so in a sparse corpus where the big doc's
+    * non-shared grams never repeat, sz collapses toward the shared set
+    * and jaccard_ppm reads high too. At corpus scale (grams repeat
+    * across documents) the asymmetry is visible; the spec pins it with
+    * a third doc keeping the big side's grams alive.
+    */
+  def containmentPairs(docs: DataFrame,
+                       minContainPpm: Long = 900000L): DataFrame =
+    pairStats(gramsOf(docs))
+      .select(col("a"), col("b"),
+        expr("(1000000 * inter) div least(sz_a, sz_b)").as("contain_ppm"),
+        expr("(1000000 * inter) div (sz_a + sz_b - inter)").as("jaccard_ppm"))
+      .filter(col("contain_ppm") >= minContainPpm)
 
   /** Incremental (cross-snapshot) dedup: flag each INCREMENT doc that is
     * an n-gram-Jaccard near-dup of any REFERENCE doc — the screen a
@@ -1611,6 +1671,48 @@ object Dedup {
            |  coalesce(a.text_clean, '') AS text_clean
            |FROM toks s LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q33_ngram_jaccard" -> Q33Sql,
+
+    // Same plant (every 97th doc's LAST 40 tokens as a quote at
+    // doc_id + 2^41), same df-capped gram space as Q33BaseSql but over
+    // the planted union, same floored-ppm integer arithmetic (`//`
+    // floors like `div` on these non-negative operands). MATERIALIZED
+    // pins the shared CTEs to one evaluation (the q119/q102 inlining
+    // lesson). The hash only renames grams on the Spark side — df-cap,
+    // sizes, intersections over gram STRINGS here are identical.
+    "q134_containment" ->
+      raw"""WITH docs2 AS MATERIALIZED (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 2199023255552 AS doc_id,
+           |    array_to_string(t[greatest(len(t) - 39, 1):len(t)], ' ')
+           |      AS text
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           |        FROM documents
+           |        WHERE text IS NOT NULL AND doc_id % 97 = 0)),
+           |toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           |  FROM docs2),
+           |grams AS MATERIALIZED (
+           |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+           |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i)
+           |  WHERE len(t) >= 3),
+           |kept AS (SELECT g FROM grams GROUP BY g
+           |         HAVING count(*) BETWEEN 2 AND $DfCap),
+           |kg AS MATERIALIZED (SELECT doc_id, g FROM grams JOIN kept USING (g)),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM kg GROUP BY doc_id),
+           |inter AS (
+           |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+           |  FROM kg x JOIN kg y ON x.g = y.g AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT a, b,
+           |  CAST((1000000 * i) // least(sa.sz, sb.sz) AS BIGINT)
+           |    AS contain_ppm,
+           |  CAST((1000000 * i) // (sa.sz + sb.sz - i) AS BIGINT)
+           |    AS jaccard_ppm
+           |FROM inter
+           |JOIN sizes sa ON sa.doc_id = a
+           |JOIN sizes sb ON sb.doc_id = b
+           |WHERE (1000000 * i) // least(sa.sz, sb.sz) >= 900000""".stripMargin,
     // Same base pair frame, threshold-free; bin = floor(j*20) on the
     // identical IEEE double; a doc counts once at its best pair's bin;
     // cumulatives via the same tiny bin×bin upper-triangle join.

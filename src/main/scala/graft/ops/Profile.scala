@@ -163,6 +163,111 @@ object Profile {
         expr("(terms + p_total - cov) div 2").as("tv_ppm"))
   }
 
+  /** The (source, tok, c) unigram count frame q135/q136 derive from —
+    * q122's tokenizer (whitespace words of the trimmed text, empties
+    * dropped, NULL docs carry none), ONE corpus-scale tokenize into ONE
+    * map-side-combined (source, token) partial aggregation. Everything
+    * downstream of this frame is vocab-scale.
+    */
+  private def sourceTokenCounts(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("source"), explode(TextAnalysis.words).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Per-source Zipf rank-frequency slope (q135) — the shape law of a
+    * token distribution: natural prose tracks rank^(-1) (slope ≈ −1 in
+    * log-log), templated/boilerplate sources flatten toward 0, and
+    * id-dump or gibberish sources steepen past −1.5 — so drift in this
+    * ONE number per source localizes "this crawl started feeding us
+    * something structurally different" before any token-level diff
+    * (q86) is read. Least-squares slope of ln(count) on ln(rank) over
+    * the source's full vocabulary, rank = row_number by (count desc,
+    * token asc) — the deterministic q61 tie order.
+    *
+    * Exactness contract: the regression runs on QUANTIZED logs —
+    * x = round(10³·ln rank), y = round(10³·ln count), both int64 — so
+    * the four sums Σx, Σy, Σxy, Σx² are exact integers with no FP
+    * accumulation order to pin (the q133 all-integer lesson; ln agrees
+    * cross-engine to the 3-dp rounding, WIDER margin than q86's 6-dp
+    * precedent). Counts are non-increasing in rank, so by the Chebyshev
+    * sum inequality num = Σx·Σy − n·Σxy ≥ 0 and den = n·Σx² − (Σx)² > 0
+    * for vocab ≥ 2 — slope_ppm = −((10⁶·num) div den) divides
+    * NON-NEGATIVE integers (the `div`-vs-`//` floor/trunc divergence on
+    * negatives never arises) and negates after. The combination lifts
+    * the int64 sums to decimal(38,0): n·Σxy overflows int64 past ~10⁹
+    * vocab rows in one source, and 38 digits hold the 10⁶-scaled
+    * products exactly to ~10³² — loud ANSI overflow far past any
+    * physical corpus.
+    *
+    * Scale shape: ONE corpus-scale tokenize + (source, token) partial
+    * agg ([[sourceTokenCounts]]); the ranking window runs over the
+    * VOCAB-scale count frame partitioned by source (the q120 histogram-
+    * window class — bounded by vocabulary, not documents), and the
+    * regression collapses it to one row per source map-side.
+    */
+  def zipfSlope(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("tok").asc)
+    val q = sourceTokenCounts(docs)
+      .withColumn("i", row_number().over(w))
+      .select(col("source"), col("c"),
+        round(log(col("i").cast("double")) * 1000).cast("long").as("x"),
+        round(log(col("c").cast("double")) * 1000).cast("long").as("y"))
+    q.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("vocab") >= 2)
+      .select(col("source"), col("vocab"), col("n_tokens"),
+        (-expr("""(1000000 * (CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                   - CAST(vocab AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))))
+                  div (CAST(vocab AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+                   - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)))"""))
+          .as("zipf_slope_ppm"))
+  }
+
+  /** Per-source unigram Shannon entropy (q136) — the CONCENTRATION
+    * diagnostic q135's slope and q122's TV distance don't give: entropy
+    * collapses "how spread is this source's token mass" to one number
+    * (a keyword-stuffed or looping-generator source reads low, natural
+    * prose high), and the ln(vocab)-normalized form is comparable
+    * across sources of different vocabulary sizes — the standard
+    * efficiency/perplexity axis of a mixture report.
+    *
+    * Exactness: H = ln N − (Σ c·ln c)/N is computed on quantized logs —
+    * x_c = round(10³·ln c) ≥ 0, so Σ c·x_c is an exact int64 sum (≤
+    * N·3·10⁴: loud ANSI overflow only past ~3·10¹⁴ tokens per source)
+    * and entropy_milli = round(10³·ln N) − (Σ c·x_c) div N divides
+    * non-negative integers; norm_entropy_ppm = (10⁶·entropy_milli) div
+    * H_max_milli with H_max_milli = round(10³·ln vocab) — all
+    * int64, nothing for the engines to round differently (the q133
+    * convention; ln to 3 dp as q135).
+    *
+    * Scale shape: [[sourceTokenCounts]]' one corpus-scale pass, then a
+    * single vocab-scale (source) partial aggregate — no window, no
+    * join; the per-source scalars fold map-side.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    sourceTokenCounts(docs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+        sum(col("c") *
+          round(log(col("c").cast("double")) * 1000).cast("long"))
+          .as("sclnc"))
+      .filter(col("vocab") >= 2)
+      .select(col("source"), col("vocab"), col("n_tokens"),
+        (round(log(col("n_tokens").cast("double")) * 1000).cast("long")
+          - expr("sclnc div n_tokens")).as("entropy_milli"),
+        round(log(col("vocab").cast("double")) * 1000).cast("long")
+          .as("hmax_milli"))
+      .select(col("source"), col("vocab"), col("n_tokens"),
+        col("entropy_milli"),
+        expr("(1000000 * entropy_milli) div hmax_milli")
+          .as("norm_entropy_ppm"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_column_stats" -> ((s, dir) =>
       columnStats(Tables.documents(s, dir),
@@ -170,7 +275,11 @@ object Profile {
     "q120_length_gini" -> ((s, dir) =>
       lengthGini(Tables.documents(s, dir))),
     "q122_source_divergence" -> ((s, dir) =>
-      sourceDivergence(Tables.documents(s, dir))))
+      sourceDivergence(Tables.documents(s, dir))),
+    "q135_zipf_slope" -> ((s, dir) =>
+      zipfSlope(Tables.documents(s, dir))),
+    "q136_token_entropy" -> ((s, dir) =>
+      tokenEntropy(Tables.documents(s, dir))))
 
   def oracles: Map[String, String] = Map(
     // one UNION branch per column — counts + casts mirror exactly
@@ -247,5 +356,69 @@ object Profile {
            |       CAST(s.vocab AS BIGINT) AS vocab,
            |       CAST((t.terms + pt.p_total - t.cov) // 2 AS BIGINT)
            |         AS tv_ppm
-           |FROM terms t JOIN src s USING (source), pt""".stripMargin)
+           |FROM terms t JOIN src s USING (source), pt""".stripMargin,
+
+    // Same tokenizer, same (count desc, token asc) rank order, same
+    // 3-dp log quantization (round() ties-away == Spark HALF_UP on
+    // these non-negative values), same decimal/HUGEINT-exact
+    // combination: duckdb's sum() over BIGINT already returns HUGEINT,
+    // so the products are 128-bit exact like Spark's decimal(38,0);
+    // `//` floors like `div` on the non-negative num/den, negation
+    // happens after the division on both engines.
+    "q135_zipf_slope" ->
+      raw"""WITH st AS MATERIALIZED (
+           |  SELECT source, tok, count(*) AS c
+           |  FROM (SELECT source,
+           |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           |        FROM documents WHERE text IS NOT NULL)
+           |  WHERE tok <> '' GROUP BY source, tok),
+           |r AS (
+           |  SELECT source, c,
+           |    row_number() OVER (PARTITION BY source
+           |                       ORDER BY c DESC, tok ASC) AS i
+           |  FROM st),
+           |q AS (
+           |  SELECT source,
+           |    c,
+           |    CAST(round(ln(i) * 1000) AS BIGINT) AS x,
+           |    CAST(round(ln(c) * 1000) AS BIGINT) AS y
+           |  FROM r),
+           |s AS (
+           |  SELECT source, count(*) AS n, sum(c) AS n_tokens,
+           |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+           |    sum(x * x) AS sxx
+           |  FROM q GROUP BY source)
+           |SELECT source, CAST(n AS BIGINT) AS vocab,
+           |  CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(-((1000000 * (sx * sy - n * sxy))
+           |         // (n * sxx - sx * sx)) AS BIGINT) AS zipf_slope_ppm
+           |FROM s WHERE n >= 2""".stripMargin,
+
+    // Same tokenizer, same quantized-log integer entropy: x_c =
+    // round(10^3 ln c), entropy_milli = round(10^3 ln N) −
+    // (Σ c·x_c) // N, norm = (10^6·entropy_milli) // round(10^3 ln V) —
+    // every operand non-negative, `//` == `div`.
+    "q136_token_entropy" ->
+      raw"""WITH st AS MATERIALIZED (
+           |  SELECT source, tok, count(*) AS c
+           |  FROM (SELECT source,
+           |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           |        FROM documents WHERE text IS NOT NULL)
+           |  WHERE tok <> '' GROUP BY source, tok),
+           |s AS (
+           |  SELECT source, count(*) AS vocab, sum(c) AS n_tokens,
+           |    sum(c * CAST(round(ln(c) * 1000) AS BIGINT)) AS sclnc
+           |  FROM st GROUP BY source),
+           |e AS (
+           |  SELECT source, vocab, n_tokens,
+           |    CAST(round(ln(n_tokens) * 1000) AS BIGINT)
+           |      - sclnc // n_tokens AS entropy_milli,
+           |    CAST(round(ln(vocab) * 1000) AS BIGINT) AS hmax_milli
+           |  FROM s WHERE vocab >= 2)
+           |SELECT source, CAST(vocab AS BIGINT) AS vocab,
+           |  CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(entropy_milli AS BIGINT) AS entropy_milli,
+           |  CAST((1000000 * entropy_milli) // hmax_milli AS BIGINT)
+           |    AS norm_entropy_ppm
+           |FROM e""".stripMargin)
 }

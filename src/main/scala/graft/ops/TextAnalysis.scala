@@ -234,8 +234,49 @@ object TextAnalysis {
         .select(col("doc_id"),
           aggregate(col("w"), lit(7L),
             (acc, w) => pmod(acc * lit(31L) + md5Prefix(w), lit(2147483647L)))
-            .as("fingerprint")))
+            .as("fingerprint"))),
+
+    // Per-source character-class profile — see [[charClassProfile]].
+    "q137_char_classes" -> ((s, dir) =>
+      charClassProfile(Tables.documents(s, dir)))
   )
+
+  /** Per-source character-class mix (q137) — the SCRIPT/shape profile
+    * of a data mix, one level below q38's token-quality fields: the
+    * fraction of a source's characters that are ASCII letters, digits,
+    * whitespace, or other. A source whose digit share doubles between
+    * crawls started feeding id dumps or tables; a collapsing letter
+    * share flags markup/encoding rot that token-level stats read as
+    * "new vocabulary". Counts per class come from ONE regexp_replace
+    * length delta per class per row (codegen'd, map-side; character
+    * classes are spelled as explicit ASCII ranges — [A-Za-z], [0-9],
+    * [ \t\n\r] — the Java-regex/RE2 intersection, so both engines
+    * delete exactly the same characters); shares are floored integer
+    * ppm of exact long sums (the q122 convention — no per-doc double
+    * ever crosses an aggregate). The four ppm columns need not sum to
+    * 10⁶ (each floors independently) — BY DESIGN, same as q122.
+    *
+    * Scale shape: map-side per-row class counts into ONE ≤|sources|-key
+    * partial aggregate; nothing but (source, 5 longs) crosses the
+    * exchange.
+    */
+  def charClassProfile(docs: DataFrame): DataFrame = {
+    val n = length(col("text")).cast("long")
+    def cnt(cls: String) =
+      (n - length(regexp_replace(col("text"), cls, ""))).cast("long")
+    docs.filter(col("text").isNotNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(n).as("n_chars"),
+        sum(cnt("[A-Za-z]")).as("nl"), sum(cnt("[0-9]")).as("nd"),
+        sum(cnt("[ \\t\\n\\r]")).as("ns"))
+      .filter(col("n_chars") > 0)
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        expr("(1000000 * nl) div n_chars").as("letter_ppm"),
+        expr("(1000000 * nd) div n_chars").as("digit_ppm"),
+        expr("(1000000 * ns) div n_chars").as("space_ppm"),
+        expr("(1000000 * (n_chars - nl - nd - ns)) div n_chars")
+          .as("other_ppm"))
+  }
 
   def oracles: Map[String, String] = Map(
     "q38_quality_score" ->
@@ -349,6 +390,36 @@ object TextAnalysis {
         |    list_transform(regexp_split_to_array(trim(text), '\s+'),
         |      w -> ('0x' || substring(md5(w), 1, 8))::BIGINT)),
         |    (acc, h) -> (acc*31 + h) % 2147483647) AS fingerprint
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Same explicit ASCII classes (RE2 reads [ \t\n\r] exactly like
+    // Java regex), 'g' flag because DuckDB's regexp_replace is
+    // first-match by default where Spark's replaces all; same floored
+    // integer ppm over exact sums (`//` == `div`, non-negative).
+    "q137_char_classes" ->
+      raw"""WITH d AS (
+           |  SELECT source, CAST(length(text) AS BIGINT) AS n,
+           |    CAST(length(text)
+           |      - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+           |      AS BIGINT) AS nl,
+           |    CAST(length(text)
+           |      - length(regexp_replace(text, '[0-9]', '', 'g'))
+           |      AS BIGINT) AS nd,
+           |    CAST(length(text)
+           |      - length(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+           |      AS BIGINT) AS ns
+           |  FROM documents WHERE text IS NOT NULL),
+           |s AS (
+           |  SELECT source, count(*) AS n_docs, sum(n) AS n_chars,
+           |    sum(nl) AS nl, sum(nd) AS nd, sum(ns) AS ns
+           |  FROM d GROUP BY source)
+           |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           |  CAST(n_chars AS BIGINT) AS n_chars,
+           |  CAST((1000000 * nl) // n_chars AS BIGINT) AS letter_ppm,
+           |  CAST((1000000 * nd) // n_chars AS BIGINT) AS digit_ppm,
+           |  CAST((1000000 * ns) // n_chars AS BIGINT) AS space_ppm,
+           |  CAST((1000000 * (n_chars - nl - nd - ns)) // n_chars AS BIGINT)
+           |    AS other_ppm
+           |FROM s WHERE n_chars > 0""".stripMargin
   )
 }

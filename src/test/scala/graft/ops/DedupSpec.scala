@@ -976,4 +976,43 @@ class DedupSpec extends SparkSpec {
     }
     assert(done === 3, s"generator produced only $done usable draws in $draws")
   }
+
+  test("q134: containment flags the fragment pair the jaccard screen misses") {
+    import spark.implicits._
+    // doc 1 = 20 distinct tokens; doc 2 = exact copy (keeps doc 1's 18
+    // grams alive at df 2 — in the kept-gram space sz1 = sz2 = 18);
+    // doc 3 = doc 1's LAST 8 tokens (6 grams, all shared, df 3)
+    val full = (1 to 20).map(i => s"t$i").mkString(" ")
+    val frag = (13 to 20).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, full), (2L, full), (3L, frag)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // (1,3)/(2,3): inter 6, min(18,6)=6 → contain 1.0; jaccard =
+    // 6/(18+6−6) = 1/3 → floored 333333 ppm — under the 0.8 screen
+    assert(got === Map(
+      (1L, 2L) -> ((1000000L, 1000000L)),
+      (1L, 3L) -> ((1000000L, 333333L)),
+      (2L, 3L) -> ((1000000L, 333333L))))
+    val jac = Dedup.jaccardPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac === Set((1L, 2L)),
+      "the jaccard screen should NOT see the fragment pair")
+  }
+
+  test("q134: threshold filters on containment, not jaccard") {
+    import spark.implicits._
+    // two docs overlapping in 3 of each's 4 kept grams (third doc keeps
+    // all grams alive): contain = 750000 < 900000 → no pair emitted
+    val a = "s1 s2 s3 s4 s5 x1"  // grams: s1s2s3 s2s3s4 s3s4s5 s4s5x1
+    val b = "s1 s2 s3 s4 s5 y1"
+    val c = a + " " + b          // keeps every gram of both at df ≥ 2
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2) stays below the containment bar; (1,3)/(2,3) are genuine
+    // full-containment pairs (every kept gram of 1 and of 2 is in 3)
+    assert(!got.contains((1L, 2L)), got.toString)
+    assert(got.contains((1L, 3L)) && got.contains((2L, 3L)), got.toString)
+  }
 }

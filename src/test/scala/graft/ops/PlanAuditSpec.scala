@@ -705,6 +705,63 @@ class PlanAuditSpec extends SparkSpec {
     assertBodyFreeExchanges(executed(df))
   }
 
+  test("q134: containment keeps q33's capped shape — no cross join, no body") {
+    val df = graft.SparkEntry.queries("q134_containment")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the planted quotes ride the same df-capped inverted index as q33;
+    // pair expansion stays in-group (no self-join, no cartesian) and
+    // the all-integer ppm projection adds no exchange of its own
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+    assertBodyFreeExchanges(executed(df))
+  }
+
+  test("q135: the rank window runs over the VOCAB frame, never the corpus") {
+    val df = graft.SparkEntry.queries("q135_zipf_slope")(spark, sf)
+    val plan = executed(df)
+    val p = plan.toString
+    // ONE corpus-scale structure: the (source, token) partial agg. The
+    // row_number window must sit ABOVE that aggregate (vocab-scale sort,
+    // bounded by vocabulary) — a window whose child subtree contains no
+    // aggregate would mean the corpus itself is being rank-sorted
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(windows.nonEmpty, p)
+    windows.foreach { w =>
+      assert(w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }.nonEmpty, s"q135: window input is not the aggregated vocab frame:\n$p")
+    }
+    assert(!p.contains("CartesianProduct"), p)
+    assertBodyFreeExchanges(plan)
+  }
+
+  test("q136: one corpus partial agg then one vocab-scale agg — no window, no join") {
+    val df = graft.SparkEntry.queries("q136_token_entropy")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assertBodyFreeExchanges(executed(df))
+  }
+
+  test("q137: char classes fold map-side into one ≤|sources|-key aggregate") {
+    val df = graft.SparkEntry.queries("q137_char_classes")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // no Generate: the class counts are length deltas per row, never an
+    // explode of the corpus into characters or tokens
+    assert(!p.contains("Generate"), p)
+    assertBodyFreeExchanges(executed(df))
+  }
+
   test("q93: token sums reduce map-side; stats side broadcasts, never sort-merges") {
     val df = graft.SparkEntry.queries("q93_domain_mix")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -156,4 +156,48 @@ class ProfileSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got === expect)
   }
+
+  test("q135: hand-computed quantized-log regression; vocab-1 source excluded") {
+    import spark.implicits._
+    // A: counts a=4 b=2 c=1 → ranks 1,2,3
+    //   x = round(1e3·ln i) = [0, 693, 1099]; y = round(1e3·ln c) =
+    //   [1386, 693, 0]; sx=1792 sy=2079 sxy=480249 sxx=1688050
+    //   num = sx·sy − 3·sxy = 2284821; den = 3·sxx − sx² = 1852886
+    //   slope_ppm = −(10⁶·2284821 // 1852886) = −1233114
+    // B: vocab 1 → dropped (den would be 0)
+    val docs = Seq(
+      (1L, "A", "a a b c"), (2L, "A", "a a b"),
+      (3L, "B", "x x x"), (4L, "A", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val got = Profile.zipfSlope(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map("A" -> ((3L, 7L, -1233114L))))
+  }
+
+  test("q135: flat distribution reads slope 0; tie rank order is (count desc, tok asc)") {
+    import spark.implicits._
+    // all counts equal → every y identical → num = 0 exactly
+    val flat = Seq((1L, "A", "a b c d")).toDF("doc_id", "source", "text")
+    val row = Profile.zipfSlope(flat).collect().head
+    assert(row.getLong(3) === 0L)
+  }
+
+  test("q136: hand-computed quantized-log entropy and normalized form") {
+    import spark.implicits._
+    // A: counts 4,2,1; N=7 → Σc·x = 4·1386 + 2·693 = 6930
+    //   entropy_milli = round(1e3·ln7) − 6930//7 = 1946 − 990 = 956
+    //   norm = (1e6·956) // round(1e3·ln3) = 956000000 // 1099 = 869881
+    // uniform-vocab check: all counts 1 → entropy = ln V exactly, norm = 1e6
+    val docs = Seq(
+      (1L, "A", "a a b c"), (2L, "A", "a a b"),
+      (3L, "U", "p q r s"))
+      .toDF("doc_id", "source", "text")
+    val got = Profile.tokenEntropy(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "A" -> ((3L, 7L, 956L, 869881L)),
+      "U" -> ((4L, 4L, 1386L, 1000000L))))
+  }
 }
