@@ -769,7 +769,8 @@ object Bench {
     val collide = results.map(t => short(t._1))
       .groupBy(identity).collect { case (p, g) if g.size > 1 => p }.toSet
     def key(k: String): String = if (collide(short(k))) k else short(k)
-    val qs = results.collect { case (k, v, "ok") => s""""${key(k)}":${d2(v)}""" }
+    def qsWith(fmt: Double => String): String = results
+      .collect { case (k, v, "ok") => s""""${key(k)}":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, "ok") => v }.sum
     val fails = results.collect { case (k, _, s) if s != "ok" => s""""$k"""" }
@@ -790,6 +791,29 @@ object Bench {
     // "scaled_from" the corpus the driver requested (absent otherwise)
     val scalePart = scaledFrom
       .map(s => s""","scaled_from":"${jsonStr(s)}"""").getOrElse("")
-    s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,$failPart$slowPart$hostPart$scalePart,"sf":"${jsonStr(sfDir)}"}"""
+    def assemble(qs: String): String =
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,$failPart$slowPart$hostPart$scalePart,"sf":"${jsonStr(sfDir)}"}"""
+    // The line must START inside the driver's 2000-char stdout tail
+    // window (the round-4 lesson above). Past ~133 queries a worst-case
+    // render (every query at 99.99 s) no longer fits at uniform 2-dp
+    // precision, so the renderer guarantees the budget BY CONSTRUCTION:
+    // if (and only if) the assembled line would overflow, times >= 10 s
+    // degrade to whole seconds (a <= 0.5 s rendering error on a query
+    // that slow, far inside the 2x/3x guard bands — and a real sweep
+    // never triggers this: the observed 134-query 10x line is ~1670
+    // chars of sub-10 s times; BENCH JSON artifacts keep full
+    // per-query resolution for every run that matters).
+    val full = assemble(qsWith(d2))
+    if (full.length <= TailBudget) full
+    else assemble(qsWith(v =>
+      if (v < 10) d2(v)
+      else "%.0f".formatLocal(java.util.Locale.ROOT, v)))
   }
+
+  /** Worst-case budget for the stdout JSON line: the driver's tail
+    * window is 2000 chars; 100 chars of trailer allowance retained
+    * (measured r19/r20: sbt -batch with StdoutOutput emits no trailer).
+    * BenchSpec pins the worst-case render against this same constant.
+    */
+  private[graft] val TailBudget = 1900
 }

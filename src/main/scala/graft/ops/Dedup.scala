@@ -370,6 +370,40 @@ object Dedup {
       .groupBy(xxhash64(col("text")), length(col("text")))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact-duplicate ID-SPAN histogram (q139) — the crawl-order
+    * geometry of duplication q30's group counts and q118's copy-count
+    * histogram both discard: is each dup group a LOCAL burst (re-crawl
+    * within the same fetch window, id span small) or a FAR re-serve
+    * (the same page re-entering the corpus crawls later, span ~ corpus
+    * width)? The answer decides which dedup strategy pays for itself —
+    * local bursts fall to a bounded-window streaming screen
+    * ([[graft.streaming.StreamingOps]]' watermarked exact dedup) while
+    * far re-serves need the full-corpus batch pass or a persistent
+    * [[RefIndex]] horizon.
+    *
+    * Per dup group (≥2 copies, the q30 (xxhash64, length) identity;
+    * NULL texts excluded — a "span of the NULL group" is noise, not
+    * geometry): span = max(doc_id) − min(doc_id), bucketed by DECIMAL
+    * DIGIT COUNT — length of the span's base-10 rendering, an exact
+    * integer cross-engine where floor(log10) rides an FP boundary at
+    * every power of ten. Output per bucket: groups, docs covered,
+    * min/max span.
+    *
+    * Scale shape: q30's exchange discipline — the group key is 16
+    * bytes of (hash, length) + two id extremes, bodies never shuffle;
+    * the histogram is a second ≤19-key aggregate over the group frame.
+    */
+  def dupSpread(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .groupBy(xxhash64(col("text")), length(col("text")))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .filter(col("n_copies") >= 2)
+      .select((col("hi") - col("lo")).as("span"), col("n_copies"))
+      .groupBy(length(col("span").cast("string")).as("span_digits"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n_copies")).as("n_docs"),
+        min(col("span")).as("min_span"), max(col("span")).as("max_span"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Near-dup clustering end to end: near-dup pairs -> connected
     // components -> canonical representative per cluster. The "which docs
@@ -410,6 +444,29 @@ object Dedup {
     "q30_dedup_exact" -> ((s, dir) =>
       exactSurvivors(Tables.documents(s, dir))
         .select(col("doc_id"), col("n_copies"))),
+
+    // Duplicate id-span histogram — see [[dupSpread]]. The sandbox
+    // corpus has NO organic exact-dup group at the gate SFs (q115's
+    // lesson: vacuous pass), so the driver query PLANTS copies
+    // in-pipeline, mirrored in the oracle: every 41st doc echoes at
+    // doc_id + 10^(doc_id % 6 + 1), so group spans are exact powers of
+    // ten spread across SIX digit buckets and every bucket's min/max
+    // span is pinned by construction. Planted ids may collide with
+    // real doc_ids — harmless BY DESIGN: grouping is by text identity,
+    // so a collision just means two rows share an id across different
+    // groups, and span uses min/max per text group. At replicated gate
+    // corpora the replicas themselves form organic groups (span =
+    // replica stride), so the operator reads real structure there on
+    // top of the plant.
+    "q139_dup_spread" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val copies = docs
+        .filter(col("text").isNotNull && col("doc_id") % 41 === 0)
+        .select((col("doc_id") +
+          pow(lit(10.0), (col("doc_id") % 6 + 1).cast("double"))
+            .cast("long")).as("doc_id"), col("text"))
+      dupSpread(docs.unionByName(copies))
+    }),
 
     // MinHash + LSH near-dup pairs.
     // Fully relational: explode grams, hash each ONCE, then 16 `min`
@@ -1397,6 +1454,27 @@ object Dedup {
     "q30_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    // Same plant (power(10, k) is an exact double through the BIGINT
+    // cast for k ≤ 7), groups keyed by text directly (the accepted
+    // 128-bit-fingerprint equivalence of every exact-dedup oracle),
+    // same digit-count bucketing via the decimal rendering.
+    "q139_dup_spread" ->
+      raw"""WITH d AS (
+           |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+           |  UNION ALL
+           |  SELECT doc_id + CAST(power(10, doc_id % 6 + 1) AS BIGINT), text
+           |  FROM documents WHERE text IS NOT NULL AND doc_id % 41 = 0),
+           |g AS (
+           |  SELECT count(*) AS n_copies,
+           |         max(doc_id) - min(doc_id) AS span
+           |  FROM d GROUP BY text HAVING count(*) >= 2)
+           |SELECT CAST(length(CAST(span AS VARCHAR)) AS BIGINT)
+           |    AS span_digits,
+           |  count(*) AS n_groups, CAST(sum(n_copies) AS BIGINT) AS n_docs,
+           |  CAST(min(span) AS BIGINT) AS min_span,
+           |  CAST(max(span) AS BIGINT) AS max_span
+           |FROM g GROUP BY 1""".stripMargin,
 
     // Same echo derivation, same q46 md5-bucket split, groups keyed by
     // text directly (the accepted 128-bit-fingerprint equivalence of

@@ -268,6 +268,34 @@ object Profile {
         expr("(1000000 * entropy_milli) div hmax_milli")
           .as("norm_entropy_ppm"))
 
+  /** Per-source hapax/dis legomena profile (q138) — the vocabulary-HEALTH
+    * axis q135's slope and q136's entropy summarize away: the share of a
+    * source's vocabulary (and token mass) occurring exactly once or
+    * twice. OCR noise, id dumps and encoding rot INFLATE hapax share
+    * (every garble is a fresh "word"); templated/boilerplate sources
+    * DEFLATE it far below prose's ~40–60% — and hapax mass is exactly
+    * the vocabulary-growth pressure (Heaps-law tail) a tokenizer budget
+    * or a MisraGries cap has to absorb. One number pair per source,
+    * comparable across crawls.
+    *
+    * Exactness: pure integer arithmetic — hapax/dis are exact long
+    * counts off the (source, token) frame, shares are floored ppm of
+    * exact sums (the q122 convention). Scale shape:
+    * [[sourceTokenCounts]]' one corpus-scale pass, then a single
+    * vocab-scale per-source aggregate — no window, no join.
+    */
+  def hapaxProfile(docs: DataFrame): DataFrame =
+    sourceTokenCounts(docs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("dis"))
+      .select(col("source"), col("vocab"), col("n_tokens"),
+        col("hapax"), col("dis"),
+        expr("(1000000 * hapax) div vocab").as("hapax_vocab_ppm"),
+        expr("(1000000 * hapax) div n_tokens").as("hapax_mass_ppm"),
+        expr("(1000000 * dis) div vocab").as("dis_vocab_ppm"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_column_stats" -> ((s, dir) =>
       columnStats(Tables.documents(s, dir),
@@ -279,7 +307,9 @@ object Profile {
     "q135_zipf_slope" -> ((s, dir) =>
       zipfSlope(Tables.documents(s, dir))),
     "q136_token_entropy" -> ((s, dir) =>
-      tokenEntropy(Tables.documents(s, dir))))
+      tokenEntropy(Tables.documents(s, dir))),
+    "q138_hapax_ratio" -> ((s, dir) =>
+      hapaxProfile(Tables.documents(s, dir))))
 
   def oracles: Map[String, String] = Map(
     // one UNION branch per column — counts + casts mirror exactly
@@ -420,5 +450,27 @@ object Profile {
            |  CAST(entropy_milli AS BIGINT) AS entropy_milli,
            |  CAST((1000000 * entropy_milli) // hmax_milli AS BIGINT)
            |    AS norm_entropy_ppm
-           |FROM e""".stripMargin)
+           |FROM e""".stripMargin,
+
+    // Same tokenizer, same exact-count shares (`//` == `div`,
+    // non-negative); BIGINT casts because duckdb sums render hugeint
+    // as float64 in the compare.
+    "q138_hapax_ratio" ->
+      raw"""WITH st AS MATERIALIZED (
+           |  SELECT source, tok, count(*) AS c
+           |  FROM (SELECT source,
+           |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           |        FROM documents WHERE text IS NOT NULL)
+           |  WHERE tok <> '' GROUP BY source, tok)
+           |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+           |  CAST(sum(c) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+           |  CAST((1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+           |    // count(*) AS BIGINT) AS hapax_vocab_ppm,
+           |  CAST((1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+           |    // sum(c) AS BIGINT) AS hapax_mass_ppm,
+           |  CAST((1000000 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END))
+           |    // count(*) AS BIGINT) AS dis_vocab_ppm
+           |FROM st GROUP BY source""".stripMargin)
 }

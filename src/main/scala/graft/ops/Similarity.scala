@@ -512,11 +512,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-label embedding-norm profile (q140) — the embedding HEALTH
+    * check every similarity operator in this file silently assumes: a
+    * zero or near-zero vector cosines to noise, a norm-collapsed label
+    * means the encoder degenerated on that class, and norm DRIFT
+    * between snapshots flags a re-embedding run that mixed encoder
+    * versions (vectors from different checkpoints are not comparable).
+    * Per label: vector count, count of exactly-zero vectors, and
+    * mean/min/max squared L2 norm in integer micro units.
+    *
+    * Exactness: the squared norm is the codegen'd [[dot]] of the
+    * vector with itself — a SEQUENTIAL double fold over float elements
+    * the oracle mirrors term-for-term with list_reduce (same
+    * left-to-right order, same per-term (double)x·x widening, and
+    * 0.0 + t₁ ≡ t₁ in IEEE so the init-vs-first-element forms agree);
+    * each row then quantizes to round(10⁶·‖v‖²) BEFORE any aggregate,
+    * so cross-row sums are exact int64 (never an FP accumulation — the
+    * q114 rule; loud ANSI overflow only past ~10¹² vectors·norm², lift
+    * to decimal(38,0) at that scale).
+    *
+    * Scale shape: map-side per-row arithmetic into ONE ≤|labels|-key
+    * partial aggregate; nothing but (label, 5 longs) ever shuffles.
+    */
+  def embedNormProfile(e: DataFrame): DataFrame =
+    e.filter(col("embedding").isNotNull)
+      .select(col("label"),
+        round(dot(col("embedding"), col("embedding")) * 1e6)
+          .cast("long").as("nsq"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("nsq") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        sum(col("nsq")).as("s"),
+        min(col("nsq")).as("min_nsq_micro"),
+        max(col("nsq")).as("max_nsq_micro"))
+      .select(col("label"), col("n_vecs"), col("n_zero"),
+        expr("s div n_vecs").as("mean_nsq_micro"),
+        col("min_nsq_micro"), col("max_nsq_micro"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_embed_neardup" -> ((s, dir) => embedNearDup(s, dir)),
 
     "q87_embed_outliers" -> ((s, dir) =>
       embedOutliers(Tables.embeddings(s, dir))),
+
+    // Per-label embedding-norm profile — see [[embedNormProfile]].
+    "q140_embed_norms" -> ((s, dir) =>
+      embedNormProfile(Tables.embeddings(s, dir))),
 
     "q66_semdedup" -> ((s, dir) => semDedupPairs(Tables.embeddings(s, dir))),
 
@@ -667,6 +708,24 @@ object Similarity {
     * stay rows-only + ScalaTest recall specs.
     */
   def oracles: Map[String, String] = Map(
+    // Same sequential fold (list_prepend injects the 0.0 init — the q40
+    // precedent; left-to-right like the codegen loop), same per-term
+    // (double)x·x widening, same per-row micro quantization BEFORE the
+    // integer aggregates (`//` == `div` on the non-negative operands).
+    "q140_embed_norms" ->
+      raw"""WITH v AS (
+           |  SELECT label,
+           |    CAST(round(list_reduce(
+           |      list_prepend(0.0, list_transform(embedding,
+           |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           |      (a, b) -> a + b) * 1000000) AS BIGINT) AS nsq
+           |  FROM embeddings WHERE embedding IS NOT NULL)
+           |SELECT label, count(*) AS n_vecs,
+           |  CAST(sum(CASE WHEN nsq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_zero,
+           |  CAST(sum(nsq) // count(*) AS BIGINT) AS mean_nsq_micro,
+           |  min(nsq) AS min_nsq_micro, max(nsq) AS max_nsq_micro
+           |FROM v GROUP BY label""".stripMargin,
     "q35_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
         |           FROM embeddings WHERE vec_id < 5),

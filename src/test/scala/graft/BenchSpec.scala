@@ -15,11 +15,16 @@ class BenchSpec extends AnyFunSuite {
   // sbt may still emit a short trailer after the line; leave real margin.
   // Measured r19: under `sbt -batch` with StdoutOutput the log ENDS at
   // the JSON line (no trailer), and the real 125-query sweep line is
-  // 1604 chars — 100 chars of trailer allowance retained anyway. NOTE:
+  // 1604 chars (r20: 134 queries, 1673 chars) — 100 chars of trailer
+  // allowance retained anyway. Since r20 the renderer guarantees the
+  // budget BY CONSTRUCTION (>=10 s times degrade to whole seconds only
+  // when the assembled line would overflow — Bench.renderJson), so this
+  // test now pins BOTH the budget and the degradation path. NOTE:
   // the worst-case render below grows ~14 chars per query; past ~133
-  // queries it crosses this budget and the per-query map must move
-  // wholly to BENCH_LOCAL.json (the driver already receives the file).
-  private val budget = 1900
+  // queries it crosses this budget and the renderer's degradation step
+  // absorbs the overflow (full resolution stays in BENCH_LOCAL.json,
+  // which the driver already receives).
+  private val budget = Bench.TailBudget
 
   test("all-ok render with max-width times fits the driver tail window") {
     // worst realistic case includes a non-empty guard list (capped at 4),
@@ -36,10 +41,25 @@ class BenchSpec extends AnyFunSuite {
       scaledFrom = Some(sfDir))
     assert(json.length <= budget, s"bench JSON line ${json.length} > $budget chars")
     assert(json.startsWith("""{"metric":"total""""))
+    // the all-99.99 worst case trips the degradation step: >=10 s times
+    // render as whole seconds ("100"), sub-10 s times keep 2 dp — pinned
+    // by the realistic-times test below
+    assert(json.contains(""""q01":100"""), json.take(120))
     assert(json.contains(""""slow":["q66","q65","q58","q45"]"""))
     assert(json.contains(""""host":{"steal_ms":9999999,"jit_ms":9999999,""" +
       """"jvms":99,"wait_ms":9999999,"contended_start":true}"""))
     assert(json.contains(s""""scaled_from":"$sfDir""""))
+  }
+
+  test("realistic times render at full 2-dp precision (no degradation)") {
+    // every observed 10x-corpus time is < 10 s (134-query line ~1673
+    // chars); the normal path must stay d2 — degradation is strictly a
+    // would-overflow fallback
+    val json = Bench.renderJson(names.map(n => (n, 9.99, "ok")),
+      "/tmp/graft_sf1d")
+    assert(json.length <= budget, s"${json.length} > $budget")
+    assert(json.contains(""""q01":9.99"""), json.take(120))
+    assert(!json.contains(""":10"""), "realistic render must not degrade")
   }
 
   test("health preamble renders quiet-gate fields only when set") {
@@ -338,7 +358,8 @@ class BenchSpec extends AnyFunSuite {
     // for one round: allowlist it HERE, by name, with the round it
     // shipped, and remove the entry after the next regeneration.
     // r20 additions — remove after the next 10x gate + floors.py run
-    val newQueryAllowlist: Set[String] = Set("q134", "q135", "q136", "q137")
+    val newQueryAllowlist: Set[String] =
+      Set("q134", "q135", "q136", "q137", "q138", "q139", "q140")
     val unguarded = names.map(Bench.short)
       .filterNot(Bench.expected.contains).filterNot(newQueryAllowlist)
     assert(unguarded.isEmpty,

@@ -1015,4 +1015,21 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains((1L, 2L)), got.toString)
     assert(got.contains((1L, 3L)) && got.contains((2L, 3L)), got.toString)
   }
+
+  test("q139: span digit buckets on hand-planted groups; NULLs and singletons drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "alpha text one"), (13L, "alpha text one"),     // span 3 → 1 digit
+      (20L, "beta text two"), (1020L, "beta text two"),     // span 1000 → 4 digits
+      (30L, "gamma singleton"),                             // no group
+      (40L, null.asInstanceOf[String]),                     // NULL pair must
+      (41L, null.asInstanceOf[String]))                     // NOT form a group
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpread(docs).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      1 -> ((1L, 2L, 3L, 3L)),
+      4 -> ((1L, 2L, 1000L, 1000L))))
+  }
 }

@@ -762,6 +762,42 @@ class PlanAuditSpec extends SparkSpec {
     assertBodyFreeExchanges(executed(df))
   }
 
+  test("q138: hapax profile is agg-only — one corpus pass, no window, no join") {
+    val df = graft.SparkEntry.queries("q138_hapax_ratio")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assertBodyFreeExchanges(executed(df))
+  }
+
+  test("q139: spread rides q30's 16-byte group keys — no body, no join, no window") {
+    val df = graft.SparkEntry.queries("q139_dup_spread")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // group key is (xxhash64, length) + id extremes; the histogram is a
+    // second <=19-key aggregate — the text column must never shuffle
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assertBodyFreeExchanges(executed(df))
+  }
+
+  test("q140: norms quantize map-side; the embedding array never crosses an exchange") {
+    val df = graft.SparkEntry.queries("q140_embed_norms")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    val plan = executed(df)
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.child.output.exists(_.name == "embedding"),
+        s"embedding vectors cross an exchange:\n$plan")
+    }
+  }
+
   test("q93: token sums reduce map-side; stats side broadcasts, never sort-merges") {
     val df = graft.SparkEntry.queries("q93_domain_mix")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

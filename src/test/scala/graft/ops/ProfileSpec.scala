@@ -200,4 +200,23 @@ class ProfileSpec extends SparkSpec {
       "A" -> ((3L, 7L, 956L, 869881L)),
       "U" -> ((4L, 4L, 1386L, 1000000L))))
   }
+
+  test("q138: hand-counted hapax/dis shares; NULL text carries no tokens") {
+    import spark.implicits._
+    // A: counts a=4 b=2 c=1 → vocab 3, N 7, hapax {c}, dis {b}
+    //   hapax_vocab = 1e6//3 = 333333; hapax_mass = 1e6//7 = 142857;
+    //   dis_vocab = 333333
+    val docs = Seq(
+      (1L, "A", "a a b c"), (2L, "A", "a a b"),
+      (3L, "A", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val r = Profile.hapaxProfile(docs).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "A")
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      === ((3L, 7L, 1L, 1L)))
+    assert((row.getLong(5), row.getLong(6), row.getLong(7))
+      === ((333333L, 142857L, 333333L)))
+  }
 }

@@ -389,4 +389,24 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.lshBitsFor(1000000000L) === 24)
     assert(Similarity.lshBitsFor(100000000000L) === 24)
   }
+
+  test("q140: hand-computed norm profile; zero vectors counted, NULLs excluded") {
+    import spark.implicits._
+    // label 1: [3,4] → ‖v‖² = 25 → 25_000_000 micro; [0,0] → 0 (a zero
+    //   vector) → mean = 25e6 div 2 = 12_500_000
+    // label 2: [1] → 1_000_000
+    val e = Seq(
+      (1L, Some(Seq(3f, 4f)), 1),
+      (2L, Some(Seq(0f, 0f)), 1),
+      (3L, Some(Seq(1f)), 2),
+      (4L, None: Option[Seq[Float]], 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.embedNormProfile(e).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got === Map(
+      1 -> ((2L, 1L, 12500000L, 0L, 25000000L)),
+      2 -> ((1L, 0L, 1000000L, 1000000L, 1000000L))))
+  }
 }
