@@ -357,9 +357,7 @@ class BenchSpec extends AnyFunSuite {
     // item #2). A brand-new query may legitimately lack gate evidence
     // for one round: allowlist it HERE, by name, with the round it
     // shipped, and remove the entry after the next regeneration.
-    // r20 additions — remove after the next 10x gate + floors.py run
-    val newQueryAllowlist: Set[String] =
-      Set("q134", "q135", "q136", "q137", "q138", "q139", "q140")
+    val newQueryAllowlist: Set[String] = Set()
     val unguarded = names.map(Bench.short)
       .filterNot(Bench.expected.contains).filterNot(newQueryAllowlist)
     assert(unguarded.isEmpty,
