@@ -552,6 +552,10 @@ object Dedup {
     // (155 s of a 198 s bench).
     "q33_ngram_jaccard" -> ((s, dir) => jaccardPairs(Tables.documents(s, dir))),
 
+    // Gram df spectrum — see [[gramDfSpectrum]].
+    "q141_gram_df_spectrum" -> ((s, dir) =>
+      gramDfSpectrum(Tables.documents(s, dir))),
+
     // Containment (subset-duplication) screen — see [[containmentPairs]].
     // The corpus has no organic fragment-of-another-doc pair at gate
     // scales, so the driver query PLANTS them in-pipeline (the
@@ -1177,6 +1181,32 @@ object Dedup {
         col("st.text_clean").as("text_clean"))
   }
 
+  /** Gram document-frequency SPECTRUM (q141) — the empirical
+    * justification for [[DfCap]] itself, per corpus: how many distinct
+    * 3-grams live at each df magnitude (bucketed by decimal digit
+    * count — the q139 exact-cross-engine bucketing), how much posting
+    * mass each magnitude carries, and the df extremes per bucket. The
+    * whole capped-pair family (q33/q45/q62/q102/q128/q130/q132/q134)
+    * rests on "grams shared by more than DfCap docs carry no signal";
+    * this table is what that claim looks like on YOUR corpus — where
+    * the head begins, what fraction of postings the cap drops, and
+    * whether 50 sits in the valley between near-dup signal and
+    * boilerplate mass. Run it before retuning the cap, or per crawl to
+    * watch the spectrum drift.
+    *
+    * Scale shape: ONE corpus-scale (g) partial aggregate over hashed
+    * grams — counts only, LIGHTER than q33's capped posting-list
+    * aggregate (no array buffer at all); then a ≤19-key digit-bucket
+    * aggregate. Map-side combine does the heavy lifting on repeated
+    * grams; nothing but (long, long) pairs ever crosses the exchange.
+    */
+  def gramDfSpectrum(docs: DataFrame): DataFrame =
+    gramsOf(docs)
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .groupBy(length(col("df").cast("string")).as("df_digits"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("df")).as("n_postings"),
+        min(col("df")).as("min_df"), max(col("df")).as("max_df"))
+
   /** q33's core: exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥
     * `minJaccard`) over the df-capped shingle space of `docs` (doc_id,
     * text). Grams shared by 2..DfCap docs define both the candidate pairs
@@ -1749,6 +1779,25 @@ object Dedup {
            |  coalesce(a.text_clean, '') AS text_clean
            |FROM toks s LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q33_ngram_jaccard" -> Q33Sql,
+
+    // Q33BaseSql's gram space verbatim (strings where Spark shuffles
+    // xxhash64 renames — df counts identical), digit buckets via the
+    // decimal rendering (the q139 convention), BIGINT casts for the
+    // hugeint-to-float64 render trap.
+    "q141_gram_df_spectrum" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           |  FROM documents),
+           |grams AS MATERIALIZED (
+           |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+           |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i)
+           |  WHERE len(t) >= 3),
+           |d AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+           |SELECT CAST(length(CAST(df AS VARCHAR)) AS BIGINT) AS df_digits,
+           |  count(*) AS n_grams, CAST(sum(df) AS BIGINT) AS n_postings,
+           |  CAST(min(df) AS BIGINT) AS min_df,
+           |  CAST(max(df) AS BIGINT) AS max_df
+           |FROM d GROUP BY 1""".stripMargin,
 
     // Same plant (every 97th doc's LAST 40 tokens as a quote at
     // doc_id + 2^41), same df-capped gram space as Q33BaseSql but over

@@ -1032,4 +1032,18 @@ class DedupSpec extends SparkSpec {
       1 -> ((1L, 2L, 3L, 3L)),
       4 -> ((1L, 2L, 1000L, 1000L))))
   }
+
+  test("q141: df spectrum buckets by digit count on hand-built gram dfs") {
+    import spark.implicits._
+    // 12 copies of one 3-token text → its single gram has df 12
+    // (2 digits); one distinct doc contributes one df-1 gram (1 digit)
+    val docs = ((1 to 12).map(i => (i.toLong, "x y z")) :+
+      (100L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.gramDfSpectrum(docs).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      1 -> ((1L, 1L, 1L, 1L)),      // "a b c": 1 gram, df 1
+      2 -> ((1L, 12L, 12L, 12L))))  // "x y z": 1 gram, df 12
+  }
 }

@@ -798,6 +798,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q141: df spectrum is two aggregates — hashes only, no join, no posting lists") {
+    val df = graft.SparkEntry.queries("q141_gram_df_spectrum")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // counts only — the capped posting-list aggregate (collect buffers)
+    // must NOT appear in this lighter plan
+    assert(!p.contains("capped_collect"), p)
+    assertBodyFreeExchanges(executed(df))
+  }
+
   test("q93: token sums reduce map-side; stats side broadcasts, never sort-merges") {
     val df = graft.SparkEntry.queries("q93_domain_mix")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
