@@ -662,7 +662,7 @@ object Bench {
     * this for retries, the clamp extends it to the grading ratio.
     */
   private[graft] val expected: Map[String, Double] = Map(
-    // BEGIN GENERATED FLOORS (from: BENCH_r07.json BENCH_r08.json BENCH_r09.json BENCH_r10.json BENCH_r11.json BENCH_r12.json BENCH_r13.json --seed SEED_Q119_Q120_SF01.json SEED_Q121_SF01.json SEED_Q122_Q125_SF01.json SEED_Q126_SF01.json SEED_Q127_SF01.json SEED_Q128_Q132_FIX_SF01.json SEED_Q128_SF01.json SEED_Q129_SF01.json SEED_Q130_SF01.json SEED_Q131_SF01.json SEED_Q132_SF01.json SEED_Q133_SF01.json SEED_Q134_Q140_SF01.json SEED_Q141_SF01.json | clamped to >= 0.30s)
+    // BEGIN GENERATED FLOORS (from: BENCH_r07.json BENCH_r08.json BENCH_r09.json BENCH_r10.json BENCH_r11.json BENCH_r12.json BENCH_r13.json --seed SEED_Q119_Q120_SF01.json SEED_Q121_SF01.json SEED_Q122_Q125_SF01.json SEED_Q126_SF01.json SEED_Q127_SF01.json SEED_Q128_Q132_FIX_SF01.json SEED_Q128_SF01.json SEED_Q129_SF01.json SEED_Q130_SF01.json SEED_Q131_SF01.json SEED_Q132_SF01.json SEED_Q133_SF01.json SEED_Q134_Q140_SF01.json SEED_Q141_SF01.json SEED_Q142_Q143_SF01.json | clamped to >= 0.30s)
     "q01" -> 0.93, "q02" -> 0.32, "q03" -> 1.64, "q04" -> 0.30,
     "q05" -> 0.42, "q06" -> 0.62, "q07" -> 0.35, "q08" -> 0.40,
     "q09" -> 0.77, "q10" -> 1.41, "q100" -> 0.77, "q101" -> 1.06,
@@ -677,26 +677,27 @@ object Bench {
     "q131" -> 1.56, "q132" -> 2.68, "q133" -> 0.79, "q134" -> 2.51,
     "q135" -> 0.49, "q136" -> 0.32, "q137" -> 0.39, "q138" -> 0.35,
     "q139" -> 0.40, "q14" -> 0.30, "q140" -> 0.30, "q141" -> 1.65,
-    "q15" -> 0.57, "q16" -> 0.34, "q17" -> 0.34, "q18" -> 0.57,
-    "q20" -> 0.30, "q21" -> 0.38, "q22" -> 0.30, "q23" -> 0.30,
-    "q24" -> 0.30, "q30" -> 0.30, "q31" -> 0.98, "q32" -> 1.69,
-    "q33" -> 2.25, "q34" -> 0.82, "q35" -> 0.34, "q36" -> 0.30,
-    "q37" -> 0.30, "q38" -> 0.30, "q39" -> 0.30, "q40" -> 0.42,
-    "q41" -> 0.30, "q42" -> 0.30, "q43" -> 0.73, "q44" -> 0.30,
-    "q45" -> 2.88, "q46" -> 0.30, "q47" -> 0.56, "q48" -> 0.39,
-    "q49" -> 0.45, "q50" -> 0.41, "q51" -> 0.31, "q52" -> 0.30,
-    "q53" -> 0.46, "q54" -> 0.52, "q55" -> 0.30, "q56" -> 0.46,
-    "q57" -> 0.30, "q58" -> 1.46, "q59" -> 0.40, "q60" -> 0.34,
-    "q61" -> 0.38, "q62" -> 1.92, "q63" -> 0.76, "q64" -> 0.32,
-    "q65" -> 0.98, "q66" -> 0.95, "q67" -> 0.66, "q68" -> 0.61,
-    "q69" -> 0.84, "q70" -> 0.90, "q71" -> 0.44, "q72" -> 0.65,
-    "q73" -> 0.38, "q74" -> 0.30, "q75" -> 1.32, "q76" -> 0.45,
-    "q77" -> 0.31, "q78" -> 0.30, "q79" -> 0.30, "q80" -> 0.30,
-    "q81" -> 0.30, "q82" -> 0.30, "q83" -> 0.74, "q84" -> 0.89,
-    "q85" -> 0.91, "q86" -> 0.45, "q87" -> 0.30, "q88" -> 0.85,
-    "q89" -> 0.38, "q90" -> 0.59, "q91" -> 0.48, "q92" -> 0.41,
-    "q93" -> 0.39, "q94" -> 0.40, "q95" -> 0.98, "q96" -> 1.28,
-    "q97" -> 0.30, "q98" -> 1.13, "q99" -> 0.40
+    "q142" -> 6.02, "q143" -> 0.93, "q15" -> 0.57, "q16" -> 0.34,
+    "q17" -> 0.34, "q18" -> 0.57, "q20" -> 0.30, "q21" -> 0.38,
+    "q22" -> 0.30, "q23" -> 0.30, "q24" -> 0.30, "q30" -> 0.30,
+    "q31" -> 0.98, "q32" -> 1.69, "q33" -> 2.25, "q34" -> 0.82,
+    "q35" -> 0.34, "q36" -> 0.30, "q37" -> 0.30, "q38" -> 0.30,
+    "q39" -> 0.30, "q40" -> 0.42, "q41" -> 0.30, "q42" -> 0.30,
+    "q43" -> 0.73, "q44" -> 0.30, "q45" -> 2.88, "q46" -> 0.30,
+    "q47" -> 0.56, "q48" -> 0.39, "q49" -> 0.45, "q50" -> 0.41,
+    "q51" -> 0.31, "q52" -> 0.30, "q53" -> 0.46, "q54" -> 0.52,
+    "q55" -> 0.30, "q56" -> 0.46, "q57" -> 0.30, "q58" -> 1.46,
+    "q59" -> 0.40, "q60" -> 0.34, "q61" -> 0.38, "q62" -> 1.92,
+    "q63" -> 0.76, "q64" -> 0.32, "q65" -> 0.98, "q66" -> 0.95,
+    "q67" -> 0.66, "q68" -> 0.61, "q69" -> 0.84, "q70" -> 0.90,
+    "q71" -> 0.44, "q72" -> 0.65, "q73" -> 0.38, "q74" -> 0.30,
+    "q75" -> 1.32, "q76" -> 0.45, "q77" -> 0.31, "q78" -> 0.30,
+    "q79" -> 0.30, "q80" -> 0.30, "q81" -> 0.30, "q82" -> 0.30,
+    "q83" -> 0.74, "q84" -> 0.89, "q85" -> 0.91, "q86" -> 0.45,
+    "q87" -> 0.30, "q88" -> 0.85, "q89" -> 0.38, "q90" -> 0.59,
+    "q91" -> 0.48, "q92" -> 0.41, "q93" -> 0.39, "q94" -> 0.40,
+    "q95" -> 0.98, "q96" -> 1.28, "q97" -> 0.30, "q98" -> 1.13,
+    "q99" -> 0.40
     // END GENERATED FLOORS
   )
 
@@ -711,7 +712,7 @@ object Bench {
     * round at a new scale has no gate artifact yet); never hand-typed.
     */
   private[graft] val expectedScaled: Map[String, Double] = Map(
-    // BEGIN GENERATED SCALED FLOORS (from: BENCH_r14.json BENCH_r15.json BENCH_r16.json BENCH_r18.json BENCH_r19.json --scaled-seed SEED_Q119_Q120_SF1D.json SEED_Q121_SF1D.json SEED_Q122_Q125_SF1D.json SEED_Q126_SF1D.json SEED_Q127_SF1D.json SEED_Q128_Q132_FIX_SF1D.json SEED_Q128_SF1D.json SEED_Q129_SF1D.json SEED_Q130_SF1D.json SEED_Q131_SF1D.json SEED_Q132_SF1D.json SEED_Q133_SF1D.json SEED_Q134_Q140_SF1D.json SEED_Q141_SF1D.json | clamped to >= 0.30s)
+    // BEGIN GENERATED SCALED FLOORS (from: BENCH_r14.json BENCH_r15.json BENCH_r16.json BENCH_r18.json BENCH_r19.json --scaled-seed SEED_Q119_Q120_SF1D.json SEED_Q121_SF1D.json SEED_Q122_Q125_SF1D.json SEED_Q126_SF1D.json SEED_Q127_SF1D.json SEED_Q128_Q132_FIX_SF1D.json SEED_Q128_SF1D.json SEED_Q129_SF1D.json SEED_Q130_SF1D.json SEED_Q131_SF1D.json SEED_Q132_SF1D.json SEED_Q133_SF1D.json SEED_Q134_Q140_SF1D.json SEED_Q141_SF1D.json SEED_Q142_Q143_SF1D.json | clamped to >= 0.30s)
     "q01" -> 0.46, "q02" -> 0.61, "q03" -> 2.84, "q04" -> 0.44,
     "q05" -> 0.70, "q06" -> 0.84, "q07" -> 0.53, "q08" -> 0.65,
     "q09" -> 1.50, "q10" -> 2.21, "q100" -> 0.81, "q101" -> 1.17,
@@ -726,26 +727,27 @@ object Bench {
     "q131" -> 2.57, "q132" -> 4.24, "q133" -> 1.25, "q134" -> 1.85,
     "q135" -> 0.67, "q136" -> 0.37, "q137" -> 0.53, "q138" -> 0.38,
     "q139" -> 0.52, "q14" -> 0.65, "q140" -> 0.31, "q141" -> 2.05,
-    "q15" -> 0.65, "q16" -> 0.47, "q17" -> 0.43, "q18" -> 1.39,
-    "q20" -> 0.30, "q21" -> 0.40, "q22" -> 0.30, "q23" -> 0.32,
-    "q24" -> 0.30, "q30" -> 0.31, "q31" -> 1.97, "q32" -> 2.51,
-    "q33" -> 1.68, "q34" -> 1.10, "q35" -> 0.46, "q36" -> 0.38,
-    "q37" -> 0.30, "q38" -> 0.30, "q39" -> 0.98, "q40" -> 0.42,
-    "q41" -> 0.30, "q42" -> 0.30, "q43" -> 0.82, "q44" -> 0.30,
-    "q45" -> 3.43, "q46" -> 0.30, "q47" -> 0.68, "q48" -> 0.51,
-    "q49" -> 0.73, "q50" -> 0.52, "q51" -> 0.67, "q52" -> 0.30,
-    "q53" -> 1.68, "q54" -> 0.66, "q55" -> 0.30, "q56" -> 0.76,
-    "q57" -> 0.39, "q58" -> 1.87, "q59" -> 0.40, "q60" -> 0.54,
-    "q61" -> 0.40, "q62" -> 1.18, "q63" -> 1.24, "q64" -> 0.48,
-    "q65" -> 2.06, "q66" -> 1.22, "q67" -> 0.56, "q68" -> 0.84,
-    "q69" -> 2.15, "q70" -> 2.00, "q71" -> 0.71, "q72" -> 1.38,
-    "q73" -> 0.48, "q74" -> 0.40, "q75" -> 1.53, "q76" -> 0.55,
-    "q77" -> 0.83, "q78" -> 0.30, "q79" -> 0.32, "q80" -> 0.43,
-    "q81" -> 0.40, "q82" -> 0.30, "q83" -> 1.04, "q84" -> 1.18,
-    "q85" -> 1.37, "q86" -> 0.59, "q87" -> 0.70, "q88" -> 1.86,
-    "q89" -> 0.46, "q90" -> 0.82, "q91" -> 0.59, "q92" -> 1.63,
-    "q93" -> 0.43, "q94" -> 0.51, "q95" -> 2.20, "q96" -> 0.96,
-    "q97" -> 0.41, "q98" -> 1.41, "q99" -> 0.38
+    "q142" -> 5.72, "q143" -> 0.91, "q15" -> 0.65, "q16" -> 0.47,
+    "q17" -> 0.43, "q18" -> 1.39, "q20" -> 0.30, "q21" -> 0.40,
+    "q22" -> 0.30, "q23" -> 0.32, "q24" -> 0.30, "q30" -> 0.31,
+    "q31" -> 1.97, "q32" -> 2.51, "q33" -> 1.68, "q34" -> 1.10,
+    "q35" -> 0.46, "q36" -> 0.38, "q37" -> 0.30, "q38" -> 0.30,
+    "q39" -> 0.98, "q40" -> 0.42, "q41" -> 0.30, "q42" -> 0.30,
+    "q43" -> 0.82, "q44" -> 0.30, "q45" -> 3.43, "q46" -> 0.30,
+    "q47" -> 0.68, "q48" -> 0.51, "q49" -> 0.73, "q50" -> 0.52,
+    "q51" -> 0.67, "q52" -> 0.30, "q53" -> 1.68, "q54" -> 0.66,
+    "q55" -> 0.30, "q56" -> 0.76, "q57" -> 0.39, "q58" -> 1.87,
+    "q59" -> 0.40, "q60" -> 0.54, "q61" -> 0.40, "q62" -> 1.18,
+    "q63" -> 1.24, "q64" -> 0.48, "q65" -> 2.06, "q66" -> 1.22,
+    "q67" -> 0.56, "q68" -> 0.84, "q69" -> 2.15, "q70" -> 2.00,
+    "q71" -> 0.71, "q72" -> 1.38, "q73" -> 0.48, "q74" -> 0.40,
+    "q75" -> 1.53, "q76" -> 0.55, "q77" -> 0.83, "q78" -> 0.30,
+    "q79" -> 0.32, "q80" -> 0.43, "q81" -> 0.40, "q82" -> 0.30,
+    "q83" -> 1.04, "q84" -> 1.18, "q85" -> 1.37, "q86" -> 0.59,
+    "q87" -> 0.70, "q88" -> 1.86, "q89" -> 0.46, "q90" -> 0.82,
+    "q91" -> 0.59, "q92" -> 1.63, "q93" -> 0.43, "q94" -> 0.51,
+    "q95" -> 2.20, "q96" -> 0.96, "q97" -> 0.41, "q98" -> 1.41,
+    "q99" -> 0.38
     // END GENERATED SCALED FLOORS
   )
 

@@ -556,6 +556,13 @@ object Dedup {
     "q141_gram_df_spectrum" -> ((s, dir) =>
       gramDfSpectrum(Tables.documents(s, dir))),
 
+    // Per-source near-dup incidence — see [[neardupBySource]]. No plant
+    // needed: the synthetic near-dup families pair organically at every
+    // SF (the q130 evidence), and zero-incidence sources still emit
+    // rows through the left join.
+    "q142_neardup_by_source" -> ((s, dir) =>
+      neardupBySource(Tables.documents(s, dir))),
+
     // Containment (subset-duplication) screen — see [[containmentPairs]].
     // The corpus has no organic fragment-of-another-doc pair at gate
     // scales, so the driver query PLANTS them in-pipeline (the
@@ -1207,6 +1214,38 @@ object Dedup {
       .agg(count(lit(1)).as("n_grams"), sum(col("df")).as("n_postings"),
         min(col("df")).as("min_df"), max(col("df")).as("max_df"))
 
+  /** Per-source NEAR-dup incidence (q142) — "which source brings the
+    * duplication": the share of each source's documents that appear in
+    * at least one q33 near-dup pair, in floored integer ppm. q115
+    * answers the exact-dup question as a source×source matrix and q130
+    * the cross-split one; this is the per-source rollup a mixture
+    * report reads first — a source at 30% near-dup incidence gets its
+    * crawl fixed or its mixture weight cut before anyone tunes
+    * thresholds. Sources with zero flagged docs emit 0 ppm (left join),
+    * so the table always covers the full catalog.
+    *
+    * Scale shape: the pair stream is [[jaccardPairs]]' capped machinery
+    * (bounded by DfCap, never corpus-quadratic); flagged doc ids
+    * distinct to ≤ 2·|pairs| rows, then ONE thin equi-join on doc_id
+    * against the (doc_id, source) projection — 16-byte rows both
+    * sides, AQE broadcasts the flagged side when small; denominators
+    * are a ≤|sources|-key partial agg over the same projection.
+    */
+  def neardupBySource(docs: DataFrame): DataFrame = {
+    val live = docs.filter(col("text").isNotNull)
+    val pairs = jaccardPairs(live.select(col("doc_id"), col("text")))
+    val flagged = pairs
+      .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val src = live.select(col("doc_id"), col("source"))
+    val dupPerSource = flagged.join(src, "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    live.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(dupPerSource, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("nd"), lit(0L)).as("n_dup_docs"),
+        expr("(1000000 * coalesce(nd, 0)) div n_docs").as("dup_ppm"))
+  }
+
   /** q33's core: exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥
     * `minJaccard`) over the df-capped shingle space of `docs` (doc_id,
     * text). Grams shared by 2..DfCap docs define both the candidate pairs
@@ -1779,6 +1818,29 @@ object Dedup {
            |  coalesce(a.text_clean, '') AS text_clean
            |FROM toks s LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q33_ngram_jaccard" -> Q33Sql,
+
+    // Q33Sql's pair stream + the same distinct-flagged-doc join and
+    // left-joined zero fold; `//` floors like `div` on the non-negative
+    // operands; BIGINT casts for the hugeint render trap. MATERIALIZED
+    // pins the pair CTE to one evaluation.
+    "q142_neardup_by_source" ->
+      s"""WITH pairs AS MATERIALIZED (SELECT a, b FROM ($Q33Sql)),
+         |flagged AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT a AS doc_id FROM pairs
+         |    UNION ALL SELECT b FROM pairs)),
+         |dup AS (
+         |  SELECT d.source, count(*) AS nd
+         |  FROM flagged f JOIN documents d ON f.doc_id = d.doc_id
+         |  GROUP BY d.source),
+         |tot AS (
+         |  SELECT source, count(*) AS n_docs FROM documents
+         |  WHERE text IS NOT NULL GROUP BY source)
+         |SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+         |  CAST(coalesce(dup.nd, 0) AS BIGINT) AS n_dup_docs,
+         |  CAST((1000000 * coalesce(dup.nd, 0)) // t.n_docs AS BIGINT)
+         |    AS dup_ppm
+         |FROM tot t LEFT JOIN dup ON t.source = dup.source""".stripMargin,
 
     // Q33BaseSql's gram space verbatim (strings where Spark shuffles
     // xxhash64 renames — df counts identical), digit buckets via the

@@ -238,7 +238,11 @@ object TextAnalysis {
 
     // Per-source character-class profile — see [[charClassProfile]].
     "q137_char_classes" -> ((s, dir) =>
-      charClassProfile(Tables.documents(s, dir)))
+      charClassProfile(Tables.documents(s, dir))),
+
+    // Per-language token-length histogram — see [[tokenLenHist]].
+    "q143_token_len_hist" -> ((s, dir) =>
+      tokenLenHist(Tables.documents(s, dir)))
   )
 
   /** Per-source character-class mix (q137) — the SCRIPT/shape profile
@@ -276,6 +280,34 @@ object TextAnalysis {
         expr("(1000000 * ns) div n_chars").as("space_ppm"),
         expr("(1000000 * (n_chars - nl - nd - ns)) div n_chars")
           .as("other_ppm"))
+  }
+
+  /** Per-language token-length histogram (q143) — the subword-budget
+    * table under q48's single avg_tok_len number: how token mass
+    * distributes over character lengths per language decides BPE
+    * vocabulary sizing and flags corpus rot the average hides (a spike
+    * at 16+ means URLs/ids/concatenation artifacts; a collapse to 1–2
+    * means CJK-style segmentation leaked into a space-delimited lang).
+    * Lengths clamp at 16 (everything longer is one "16+" bucket — the
+    * tail is the signal, not its exact lengths); shares are floored
+    * integer ppm of each language's token mass.
+    *
+    * Scale shape: ONE corpus-scale tokenize into a (lang, len_bucket)
+    * partial aggregate — ≤ |langs|·16 cells; per-lang totals re-agg
+    * the cell frame (never a second corpus pass) and join back by
+    * broadcast.
+    */
+  def tokenLenHist(docs: DataFrame): DataFrame = {
+    val cells = Materialize(docs.filter(col("text").isNotNull)
+      .select(col("lang"), explode(words).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("lang"), least(length(col("tok")), lit(16)).as("len_bucket"))
+      .agg(count(lit(1)).as("n_tokens")))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n_tokens")).as("tot"))
+    cells.join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("len_bucket").cast("long").as("len_bucket"),
+        col("n_tokens"),
+        expr("(1000000 * n_tokens) div tot").as("share_ppm"))
   }
 
   def oracles: Map[String, String] = Map(
@@ -420,6 +452,23 @@ object TextAnalysis {
            |  CAST((1000000 * ns) // n_chars AS BIGINT) AS space_ppm,
            |  CAST((1000000 * (n_chars - nl - nd - ns)) // n_chars AS BIGINT)
            |    AS other_ppm
-           |FROM s WHERE n_chars > 0""".stripMargin
+           |FROM s WHERE n_chars > 0""".stripMargin,
+
+    // Same tokenizer, same 16-clamp, same floored-ppm shares off the
+    // cell frame (`//` == `div`, non-negative). MATERIALIZED pins the
+    // shared cell CTE to one evaluation.
+    "q143_token_len_hist" ->
+      raw"""WITH cells AS MATERIALIZED (
+           |  SELECT lang, least(length(tok), 16) AS len_bucket,
+           |    count(*) AS n_tokens
+           |  FROM (SELECT lang,
+           |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           |        FROM documents WHERE text IS NOT NULL)
+           |  WHERE tok <> '' GROUP BY 1, 2),
+           |tot AS (SELECT lang, sum(n_tokens) AS tot FROM cells GROUP BY lang)
+           |SELECT c.lang, CAST(c.len_bucket AS BIGINT) AS len_bucket,
+           |  CAST(c.n_tokens AS BIGINT) AS n_tokens,
+           |  CAST((1000000 * c.n_tokens) // t.tot AS BIGINT) AS share_ppm
+           |FROM cells c JOIN tot t ON c.lang = t.lang""".stripMargin
   )
 }

@@ -1046,4 +1046,22 @@ class DedupSpec extends SparkSpec {
       1 -> ((1L, 1L, 1L, 1L)),      // "a b c": 1 gram, df 1
       2 -> ((1L, 12L, 12L, 12L))))  // "x y z": 1 gram, df 12
   }
+
+  test("q142: per-source incidence counts flagged docs once; zero sources emit 0") {
+    import spark.implicits._
+    val dup = (1 to 12).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (1L, "A", dup), (2L, "B", dup),              // the one near-dup pair
+      (3L, "A", (1 to 9).map(i => s"u$i").mkString(" ")), // unique
+      (4L, "A", null.asInstanceOf[String]),        // not in the universe
+      (5L, "C", (1 to 9).map(i => s"w$i").mkString(" "))) // untouched source
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.neardupBySource(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      "A" -> ((2L, 1L, 500000L)),
+      "B" -> ((1L, 1L, 1000000L)),
+      "C" -> ((1L, 0L, 0L))))
+  }
 }

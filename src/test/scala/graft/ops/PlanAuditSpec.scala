@@ -811,6 +811,31 @@ class PlanAuditSpec extends SparkSpec {
     assertBodyFreeExchanges(executed(df))
   }
 
+  test("q142: incidence joins thin id frames — no cartesian, no body") {
+    val df = graft.SparkEntry.queries("q142_neardup_by_source")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the flagged-doc join carries (doc_id) vs (doc_id, source) 16-byte
+    // rows; the pair machinery keeps q33's capped shape
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+    assertBodyFreeExchanges(executed(df))
+  }
+
+  test("q143: one tokenize; totals re-agg the cell frame and broadcast back") {
+    val df = graft.SparkEntry.queries("q143_token_len_hist")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the materialized (lang, len_bucket) cells feed BOTH the totals and
+    // the join — the final plan reads ExistingRDD with no re-tokenize
+    // (Generate) and the tiny totals frame must broadcast
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("Generate"),
+      s"q143: a consumer re-tokenizes the corpus instead of reading the cells:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q93: token sums reduce map-side; stats side broadcasts, never sort-merges") {
     val df = graft.SparkEntry.queries("q93_domain_mix")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
