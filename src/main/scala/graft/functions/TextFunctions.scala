@@ -390,6 +390,196 @@ object StripSpans {
   }
 }
 
+/** q53/q92's text normalization in ONE map-side byte pass: ascii
+  * lowercase, strip every char outside [a-z0-9 space tab LF CR], collapse
+  * whitespace runs to single spaces, trim. Byte-identical to the
+  * translate + two-regexp_replace + trim composition it replaces (the
+  * [[graft.ops.Curation.normText]] contract, pinned by the q53/q92 DuckDB
+  * oracles): ASCII decisions are byte decisions in UTF-8 — multibyte
+  * codepoints are all ≥ 0x80 bytes, which the strip removes exactly like
+  * the regex removed the codepoint — and the output is pure ASCII. The
+  * regex form ran two NFA passes plus a translate over every document;
+  * this is a single linear scan inside whole-stage codegen.
+  */
+case class NormText(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "norm_text"
+
+  override def nullSafeEval(input: Any): Any =
+    NormText.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"${classOf[NormText].getName.stripSuffix("$")}$$.MODULE$$.compute($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NormText {
+  /** Shared by interpreted eval and generated code. Emits a pending
+    * single space only between two kept characters — leading/trailing
+    * whitespace and runs collapse exactly like
+    * `trim(regexp_replace(regexp_replace(translate(...)), ...))` did.
+    */
+  def compute(text: UTF8String): UTF8String = {
+    val n = text.numBytes()
+    val out = new Array[Byte](n)
+    var o = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      var b = text.getByte(i)
+      if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
+        pendingSpace = false
+        out(o) = b
+        o += 1
+      } else if (b == ' ' || b == '\t' || b == '\n' || b == '\r') {
+        pendingSpace = true
+      } // anything else (incl. every UTF-8 continuation byte) is stripped
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+
+  def apply(text: Column): Column = Bridge.column(NormText(Bridge.expression(text)))
+}
+
+/** q32's 64-bit SimHash in ONE map-side pass over the token array:
+  * distinct tokens (string identity, matching `array_distinct`), one
+  * XXH64 per token (Spark's xxhash64 seed 42 — the same hash the explode
+  * form computed), ±1 votes per bit, bit set iff votes > 0. Replaces the
+  * explode + 64-sum-aggregate form: the signature is a pure per-row
+  * function, so the tokenized corpus never leaves its input partition
+  * (the [[RepetitionStats]] argument) and the 64 per-token vote updates
+  * run in a primitive array loop instead of a 64-column aggregate buffer.
+  */
+case class SimhashBits(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_bits"
+
+  override def nullSafeEval(input: Any): Any =
+    SimhashBits.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = ${classOf[SimhashBits].getName.stripSuffix("$")}$$.MODULE$$" +
+        s".compute($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimhashBits {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val votes = new Array[Int](64)
+    val seen = new java.util.HashSet[UTF8String](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (seen.add(t)) {
+        val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sh = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sh |= (1L << j)
+      j += 1
+    }
+    sh
+  }
+
+  def apply(tokens: Column): Column =
+    Bridge.column(SimhashBits(Bridge.expression(tokens)))
+}
+
+/** q31's minhash signature in ONE map-side pass over the hashed-gram
+  * array: distinct gram hashes (matching `array_distinct` on the raw
+  * 64-bit values), h ↦ pmod(h, p), and the k permutation minima
+  * min((h·aᵢ) mod p) — value-for-value the explode + k-min-aggregate
+  * form (h, aᵢ < p = 2³¹−1, so products stay under 2⁶², the same
+  * no-overflow argument as the aggregate spelling). An empty gram array
+  * (doc under n tokens) returns the all-p sentinel signature — the row
+  * equivalent of the aggregate form having no row (the
+  * [[graft.ops.Dedup.SigSentinel]] contract).
+  */
+case class MinhashSig(child: Expression, perms: Seq[Long], p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(perms.nonEmpty && p > 0, s"need perms and a positive modulus")
+
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSig.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      perms.toArray, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val permsRef = ctx.addReferenceObj("perms", perms.toArray, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = ${classOf[MinhashSig].getName.stripSuffix("$")}$$.MODULE$$" +
+        s".compute($v, $permsRef, ${p}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashSig {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(gs: ArrayData, perms: Array[Long], p: Long): ArrayData = {
+    val k = perms.length
+    val m = new Array[Long](k)
+    java.util.Arrays.fill(m, p)
+    val n = gs.numElements()
+    val seen = new java.util.HashSet[java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      val g = gs.getLong(i)
+      if (seen.add(g)) {
+        var hm = g % p
+        if (hm < 0) hm += p
+        var j = 0
+        while (j < k) {
+          val v = (hm * perms(j)) % p
+          if (v < m(j)) m(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(m)
+  }
+
+  def apply(gramHashes: Column, perms: Seq[Long], p: Long): Column =
+    Bridge.column(MinhashSig(Bridge.expression(gramHashes), perms, p))
+}
+
 /** SQL registrations for the text expressions (concatenated into the
   * session/extension registry by [[VectorFunctions.register]] and
   * [[GraftExtensions]]).

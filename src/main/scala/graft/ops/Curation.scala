@@ -13,23 +13,21 @@ import graft.functions.{LineStats, VectorFunctions}
   */
 object Curation {
 
-  /** ASCII case fold via translate: a 1:1 codepoint mapping both engines
-    * implement identically (unicode-aware `lower()` is locale/table
-    * sensitive and is exactly the kind of silent cross-engine divergence
-    * the oracle gate exists to catch).
-    */
-  private val Upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-  private val Lower = "abcdefghijklmnopqrstuvwxyz"
-
   /** Normalized text: ascii-lowercase, strip everything outside
     * [a-z0-9 whitespace], collapse whitespace runs to single spaces, trim.
     * Whitespace is the EXPLICIT set space/tab/LF/CR on both engines —
-    * Java's `\s` and RE2's `\s` disagree on U+000B.
+    * Java's `\s` and RE2's `\s` disagree on U+000B. (Unicode-aware
+    * `lower()` is locale/table sensitive and is exactly the kind of
+    * silent cross-engine divergence the oracle gate exists to catch.)
+    *
+    * Since r21 this is the fused single-pass
+    * [[graft.functions.NormText]] codegen expression — byte-identical to
+    * the former translate + two-regexp_replace + trim composition
+    * (CurationSpec pins the equivalence), at one linear scan instead of
+    * two NFA passes per document (q53/q92's dominant per-row cost).
     */
   private[ops] def normText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    trim(regexp_replace(
-      regexp_replace(translate(c, Upper, Lower), "[^a-z0-9 \\t\\n\\r]", ""),
-      "[ \\t\\n\\r]+", " "))
+    graft.functions.NormText(c)
 
   /** Exact continuous median (= `percentile(v, 0.5)` / DuckDB
     * `quantile_cont(v, 0.5)`) per group, computed from a VALUE HISTOGRAM
@@ -487,9 +485,10 @@ object Curation {
     */
   def curationVerdict(docs: DataFrame): DataFrame = {
     import graft.functions.RepetitionStats
+    // regexp_count ≡ size(regexp_extract_all) without the match array (r21)
     val piiCount =
       Seq(Pii.Email, Pii.Phone, Pii.Ipv4, Pii.LongId)
-        .map(p => size(regexp_extract_all(col("text"), lit(p), lit(0))))
+        .map(p => regexp_count(col("text"), lit(p)))
         .reduce(_ + _).cast("long")
     val base = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("n_chars"),

@@ -82,21 +82,15 @@ object Dedup {
     * signed WITHOUT a groupBy — the streaming near-dup screen
     * ([[graft.streaming.StreamingOps.nearDupScreen]]), where one doc =
     * one row and a stream-side aggregation would be a second stateful
-    * operator. One `aggregate` HOF pass over the gram array computes all
-    * 16 minima together (HOFs are CodegenFallback, but this runs once
-    * per doc, map-side — never in a pair-scale path; the batch q31 keeps
-    * its aggregate form exactly because there the 16 `min`s ride an
-    * existing codegen'd hash-aggregate).
+    * operator. Since r21 this IS the batch q31's signature definition —
+    * both ride the fused codegen [[graft.functions.MinhashSig]] pass
+    * (one primitive loop per doc over the hashed-gram array), so the
+    * batch/stream equality is shared code, not parallel spellings.
     */
-  private[graft] def rowMinhashSig: Column = {
-    val perms = array((0 until NumHashes).map(i => lit(permMul(i))): _*)
-    aggregate(
-      transform(
-        array_distinct(graft.functions.TextFunctions.hashedGrams(tokens, 3)),
-        g => pmod(g, lit(P))),
-      array_repeat(lit(P), NumHashes),
-      (acc, h) => zip_with(acc, perms, (m, a) => least(m, pmod(h * a, lit(P)))))
-  }
+  private[graft] def rowMinhashSig: Column =
+    graft.functions.MinhashSig(
+      graft.functions.TextFunctions.hashedGrams(tokens, 3),
+      (0 until NumHashes).map(permMul), P)
 
   /** q31's LSH band keys over a signature ARRAY column — hash() of each
     * band's [[BandRows]] minima, matching the aggregate form's
@@ -487,28 +481,24 @@ object Dedup {
     // 10× gate (7.5× floor) — the q66 lesson applied here: one array
     // value through the exchange, one codegen'd primitive loop per pair.
     "q31_dedup_minhash" -> ((s, dir) => {
-      val hashed = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(array_distinct(
-          graft.functions.TextFunctions.hashedGrams(tokens, 3))).as("g"))
-        .select(col("doc_id"), pmod(col("g"), lit(P)).as("h"))
-      val minCols = (0 until NumHashes).map(i =>
-        min(pmod(col("h") * permMul(i), lit(P))).as(s"m$i"))
-      // one row per doc, 17 longs — materialized once ([[Materialize]])
-      // because multiple consumers (the narrow cap pass + the payload
-      // banding) would otherwise each replay the whole gram pipeline
-      // (measured: relying on ReuseExchange instead is ~35% slower here —
-      // AQE replans the consumers independently and the reuse doesn't
-      // reliably fire)
-      val sigs = Materialize(
-        hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*))
-      val bandKeys = (0 until NumHashes / BandRows).map(b =>
-        hash((b * BandRows until (b + 1) * BandRows).map(i => col(s"m$i")): _*))
-      // the m columns stay visible for the band keys; Catalyst prunes
-      // them right after `_bkeys`/`sig` are computed, so only the packed
-      // array rides the exchange
-      val packed = sigs.withColumn("sig",
-        array((0 until NumHashes).map(i => col(s"m$i")): _*))
-      pairsOnce(packed, "doc_id", bandKeys, BucketCap, payload = Seq("sig"))
+      // r21: the signature is a pure per-row function, so it is computed
+      // MAP-SIDE by the fused [[graft.functions.MinhashSig]] pass over the
+      // hashed-gram array — the former explode + 16-min-aggregate form
+      // shuffled a (doc_id, h) row per distinct gram and probed a
+      // 16-column aggregate buffer per row; this plan's first exchange is
+      // pairsOnce's (band, bucket) key (guide §2.4: remove shuffles
+      // outright). Same gram space, same permutation family, same minima
+      // (DedupSpec differential). Docs under 3 tokens carry the all-P
+      // sentinel signature (= the aggregate form having no row) and are
+      // filtered before banding; NULL text propagates to a NULL sig,
+      // dropped by the same filter.
+      val sigs = Materialize(Tables.documents(s, dir)
+        .select(col("doc_id"), graft.functions.MinhashSig(
+          graft.functions.TextFunctions.hashedGrams(tokens, 3),
+          (0 until NumHashes).map(permMul), P).as("sig"))
+        .filter(element_at(col("sig"), 1) =!= SigSentinel))
+      val bandKeys = rowBandKeys(col("sig"))
+      pairsOnce(sigs, "doc_id", bandKeys, BucketCap, payload = Seq("sig"))
         .withColumn("est_jaccard",
           graft.functions.VectorFunctions
             .longArrayMatches(col("a_sig"), col("b_sig"))
@@ -519,21 +509,21 @@ object Dedup {
 
     // SimHash near-dup: 64-bit simhash over tokens, pairs within hamming<=6
     // found by 4-band exact-match blocking (any identical 16-bit quarter).
-    // Same relational shape as q31: one xxhash64 per token, 64 codegen'd
-    // sum aggregates for the bit votes, scalar bit assembly.
+    // r21: the signature is a pure per-row function, so it is computed
+    // MAP-SIDE by the fused [[graft.functions.SimhashBits]] pass (distinct
+    // tokens, one xxhash64 each — the same hash the explode form computed —
+    // ±1 votes per bit in a primitive loop). The former explode +
+    // 64-sum-aggregate form paid a 64-column aggregate-buffer update per
+    // (doc, token) row and an exchange before banding; this plan's first
+    // exchange is the (band, key) bucket count (guide §2.4). NULL text →
+    // NULL sh, filtered like the explode form's absent rows (DedupSpec
+    // pins the equivalence).
     "q32_dedup_simhash" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(array_distinct(tokens)).as("t"))
-      val hashed = toks.select(col("doc_id"), xxhash64(col("t")).as("h"))
-      val voteCols = (0 until 64).map(i =>
-        sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1)).as(s"v$i"))
-      val votes = hashed.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-      val shExpr = (0 until 64).map(i =>
-        when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-        .reduce(_.bitwiseOR(_))
       // (doc_id, sh) — one row per doc; three consumers, materialize once
-      val sim = Materialize(votes.select(col("doc_id"), shExpr.as("sh")))
+      val sim = Materialize(Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.SimhashBits(tokens).as("sh"))
+        .filter(col("sh").isNotNull))
       val banded = sim.select(col("doc_id"),
         posexplode(array((0 until 4).map(i =>
           shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -720,29 +710,41 @@ object Dedup {
     * fires — the doc-level report the "train on unique text" policies
     * act on. Docs shorter than `w` tokens have no span and are excluded.
     *
-    * Scale: positional grams travel as xxhash64 longs; the distinct
-    * (g, doc_id) aggregation and the gdf count are both partial-agged
-    * hash aggregates over long keys (q48's exact-shuffle class — heavy
-    * but linear, no posting list ever materializes since only the COUNT
-    * of distinct docs is needed, never their ids); the join back to the
-    * positional frame reuses the g distribution, and everything after is
-    * doc_id-keyed. Within-doc repeats don't count (gdf is distinct-doc).
+    * Scale: grams travel as xxhash64 longs; ONE (g, doc_id) partial-agg
+    * hash aggregate collapses the positional stream (q48's exact-shuffle
+    * class — heavy but linear, no posting list ever materializes since
+    * only the COUNT of distinct docs is needed, never their ids); the gdf
+    * count and the left-join flag both ride that frame's g distribution,
+    * and the per-doc rollup is one doc_id-keyed aggregate. Within-doc
+    * repeats don't count toward gdf (the per-doc collapse precedes it)
+    * but their positions DO count as duplicated spans, exactly like the
+    * old positional join counted them.
     */
   def dupSpans(docs: DataFrame, w: Int = 16): DataFrame = {
-    val grams = docs.filter(col("text").isNotNull)
+    // r21 restructure (guide §2.3/§2.4): the old shape fed the
+    // un-materialized positional gram frame to THREE consumers (distinct →
+    // gdf, per-doc totals, and the shared-join probe), so the corpus-scale
+    // tokenize + gram pipeline ran three times and the distinct() paid its
+    // own (doc, g) exchange. Everything here derives from ONE
+    // (g, doc_id) → cnt partial aggregate: gdf is a count over that frame
+    // (within-doc repeats collapse exactly like distinct() collapsed
+    // them), per-doc totals are Σcnt, and the dup count folds into the
+    // SAME doc-keyed aggregate through a left join flag — one gram pass
+    // saved outright, and the final per-doc rollup is one aggregate
+    // instead of two plus a join.
+    val ggd = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), explode(
         graft.functions.TextFunctions.hashedGrams(tokens, w)).as("g"))
-    val shared = grams.distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+      .groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+    val shared = ggd.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") >= 2)
-      .select(col("g"))
-    val perDoc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val dup = grams.join(shared, "g")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
-    perDoc.join(dup, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"), 6)
+      .select(col("g"), lit(1L).as("sh"))
+    ggd.join(shared, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(when(col("sh").isNotNull, col("cnt")).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams"), 6)
           .as("dup_ratio"))
   }
 

@@ -26,6 +26,14 @@ private[graft] object Materialize {
   /** Session conf key; see class doc. */
   val ReliableFlag = "spark.graft.reliableCheckpoint"
 
+  /** Plan-evidence escape hatch (dev tooling only — [[graft.PlanDump]]):
+    * `true` returns the frame un-checkpointed so `explain` shows the FULL
+    * pipeline instead of `Scan ExistingRDD` stubs at every checkpoint
+    * boundary. Never set in query/bench/verify paths: without the
+    * checkpoint each consumer replays the shared lineage.
+    */
+  val PassthroughFlag = "spark.graft.materialize.passthrough"
+
   // reliable mode: the pre-checkpoint CACHED frame, keyed by the returned
   // frame's logical plan (a LogicalRDD wrapping a unique RDD — structural
   // equality is effectively identity). [[free]] needs it because the cache
@@ -35,7 +43,8 @@ private[graft] object Materialize {
     new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]())
 
   def apply(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.getOption(ReliableFlag).exists(_.toBoolean)) {
+    if (df.sparkSession.conf.getOption(PassthroughFlag).exists(_.toBoolean)) df
+    else if (df.sparkSession.conf.getOption(ReliableFlag).exists(_.toBoolean)) {
       // persist first: an unpersisted reliable checkpoint re-executes the
       // whole lineage in the checkpoint-write job (Spark's documented
       // recompute behavior) — exactly the double-compute this class exists

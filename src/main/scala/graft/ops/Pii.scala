@@ -24,8 +24,12 @@ object Pii {
   private[ops] val Ipv4   = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
   private[ops] val LongId = "[0-9]{9,}"
 
+  // regexp_count, not size(regexp_extract_all): same regex engine, same
+  // non-overlapping find() walk, same count — without materializing an
+  // array of every match per row just to take its length (r21, guide
+  // §1.2 per-task work).
   private def countOf(pat: String): Column =
-    size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    regexp_count(col("text"), lit(pat)).cast("long")
 
   /** Total PII match count over the ORIGINAL text — [[detect]]'s
     * detection side without the redaction projection, for screens (q112)

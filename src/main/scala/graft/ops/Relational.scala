@@ -50,13 +50,22 @@ object Relational {
       val o  = Tables.orders(s, dir)
       val li = Tables.lineitem(s, dir)
       // request/response correlation pattern: join on the shared call key,
-      // derive value from both sides (HPI: elapsed = response.ts - request.ts)
-      o.join(li, col("l_orderkey") === col("o_orderkey"))
+      // derive value from both sides (HPI: elapsed = response.ts - request.ts).
+      // r21 (guide §2.3 "aggregate before you shuffle"): lineitem collapses
+      // to one row per orderkey BEFORE the join, so the join exchange
+      // carries |orders| pre-aggregated rows instead of every lineitem.
+      // Decimal sums are exact, so the regrouped per-key → per-priority
+      // sum is bit-identical to the flat sum the oracle states.
+      val per = li.groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("li_n"),
+          sum(d2(col("l_extendedprice")) * d2(lit(1.0) - col("l_discount")))
+            .as("li_rev"))
+      o.join(per, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(
-          count(lit(1)).as("n_items"),
-          asDouble(sum(d2(col("l_extendedprice")) * d2(lit(1.0) - col("l_discount"))))
-            .as("revenue"))
+          sum(col("li_n")).as("n_items"),
+          asDouble(sum(col("li_rev"))).as("revenue"))
     }),
 
     "q04_slow_topk" -> ((s, dir) =>
@@ -124,15 +133,29 @@ object Relational {
       val c  = Tables.customer(s, dir)
       val n  = Tables.nation(s, dir)
       val r  = Tables.region(s, dir)
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      // r21 (guide §2.3): aggregate before every shuffle join — lineitem
+      // collapses to one row per orderkey before the orders join, and the
+      // joined frame collapses to one row per custkey before the customer
+      // join; each exchange then carries pre-aggregated 24-byte rows
+      // instead of raw lineitems. Decimal revenue sums re-associate
+      // exactly; the per-stage long counts sum to the same n_items.
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("li_n"),
+          sum(d2(col("l_extendedprice")) * d2(lit(1.0) - col("l_discount")))
+            .as("li_rev"))
+      val perCust = perOrder
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("li_n")).as("c_n"), sum(col("li_rev")).as("c_rev"))
+      perCust
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          count(lit(1)).as("n_items"),
-          asDouble(sum(d2(col("l_extendedprice")) * d2(lit(1.0) - col("l_discount"))))
-            .as("revenue"))
+          sum(col("c_n")).as("n_items"),
+          asDouble(sum(col("c_rev"))).as("revenue"))
     }),
 
     "q11_scan_sessions" -> ((s, dir) => {

@@ -167,9 +167,11 @@ object TextAnalysis {
         .select(
           col("doc_id"),
           size(words).cast("long").as("ws_tokens"),
-          size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long")
+          // regexp_count ≡ size(regexp_extract_all) — same engine, same
+          // non-overlapping walk — without building the match array (r21)
+          expr("regexp_count(text, '[a-z]+')").cast("long")
             .as("alpha_tokens"),
-          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')")
             .cast("long").as("bpeish_tokens"))),
 
     // Language ID: score = fraction of tokens that are stopwords of each

@@ -109,4 +109,95 @@ class TextFunctionsSpec extends SparkSpec {
       assert(got === want, s"id=${r.getLong(0)}")
     }
   }
+
+  // ---- r21 fused map-side kernels: differentials against the exact ----
+  // ---- relational spellings they replaced                          ----
+
+  test("NormText ≡ translate + regexp_replace×2 + trim (edge cases + fuzz)") {
+    val s = spark
+    import s.implicits._
+    val upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    def oldNorm(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(
+        regexp_replace(translate(c, upper, lower), "[^a-z0-9 \\t\\n\\r]", ""),
+        "[ \\t\\n\\r]+", " "))
+    val rnd = new scala.util.Random(7)
+    val alphabet = "aZ09 .!\t\n\ré世_-"
+    val docs: Seq[String] = Seq(
+      "", " ", "\t\n\r", "A.B", "a . b", "  Hello,  WORLD!!  ",
+      "café résumé", "世界 abc", "ab",
+      "MiXeD 123 ...", "\ttab lead", "trail \n") ++
+      (0 until 200).map(_ => (0 until rnd.nextInt(40))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val rows = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), NormText(col("text")).as("fused"),
+        oldNorm(col("text")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) === r.getString(2), s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("SimhashBits ≡ explode(array_distinct) + xxhash64 + 64 vote sums") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (Seq("a b c d e f g h", "a a a", "", "x", "one two one") ++
+      (0 until 60).map(_ => (0 until rnd.nextInt(30))
+        .map(_ => s"t${rnd.nextInt(8)}").mkString(" ")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val fused = df.select(col("doc_id"),
+        SimhashBits(graft.ops.Dedup.tokens).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the exact pre-r21 relational spelling
+    val toks = df.select(col("doc_id"),
+      explode(array_distinct(graft.ops.Dedup.tokens)).as("t"))
+    val hashed = toks.select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val voteCols = (0 until 64).map(i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$i"))
+    val shExpr = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val ref = hashed.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), shExpr.as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused.keySet === ref.keySet)
+    ref.foreach { case (id, sh) => assert(fused(id) === sh, s"doc $id") }
+  }
+
+  test("MinhashSig ≡ explode(array_distinct) + pmod + 16 min aggregates") {
+    val s = spark
+    import s.implicits._
+    val p = 2147483647L
+    val perms = (0 until 16).map(i => (1000003L * (2 * i + 1)) % p)
+    val rnd = new scala.util.Random(13)
+    val docs = (Seq("a b c d e f g h", "x y", "", "a b c") ++
+      (0 until 60).map(_ => (0 until rnd.nextInt(30))
+        .map(_ => s"t${rnd.nextInt(8)}").mkString(" ")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val fused = df.select(col("doc_id"),
+        MinhashSig(TextFunctions.hashedGrams(graft.ops.Dedup.tokens, 3),
+          perms, p).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // the exact pre-r21 relational spelling (docs under 3 tokens have no
+    // rows — the fused form's all-P sentinel stands in for absence)
+    val hashed = df.select(col("doc_id"), explode(array_distinct(
+        TextFunctions.hashedGrams(graft.ops.Dedup.tokens, 3))).as("g"))
+      .select(col("doc_id"), pmod(col("g"), lit(p)).as("h"))
+    val minCols = (0 until 16).map(i =>
+      min(pmod(col("h") * perms(i), lit(p))).as(s"m$i"))
+    val ref = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong(_))).toMap
+    docs.foreach { case (id, _) =>
+      ref.get(id) match {
+        case Some(sig) => assert(fused(id) === sig, s"doc $id")
+        case None => assert(fused(id) === Seq.fill(16)(p), s"doc $id sentinel")
+      }
+    }
+  }
 }
