@@ -436,14 +436,15 @@ object Curation {
     *
     * Scale: one (doc_id, tok) partial agg, one (tok) partial agg, one
     * (tok)-keyed join that reuses tf's distribution, and a per-doc window
-    * bounded by the doc's own distinct-token count — never a full-stratum
+    * whose rank ≤ k filter is pushed below the window exchange by
+    * WindowGroupLimit (≤ k rows per doc per task cross the shuffle) — the
+    * r21 measurement note inside the method body records why this stays a
     * window. N comes from a 1-row aggregate frame broadcast into a cross
     * join (no driver action, no plan-time count). Ranking orders by the
-    * 6-dp-ROUNDED score so the cross-engine tiebreak (score desc, tok asc)
-    * can't be flipped by a 1-ulp ln() divergence.
+    * 6-dp-ROUNDED score so the cross-engine tiebreak (score desc, tok
+    * asc) can't be flipped by a 1-ulp ln() divergence.
     */
   def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // chunked()'s whitespace contract: trim() strips only spaces, so the
     // explicit set catches tab/newline-only docs (they'd tokenize to
     // empty strings and rank "" as a keyword)
@@ -457,6 +458,15 @@ object Curation {
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = live.agg(count(lit(1)).as("n_docs"))
+    // r21 MEASURED DEAD END, kept as the window deliberately: a bounded
+    // top-k TypedImperativeAggregate was tried here (reduce map-side to
+    // ≤ k rows per doc before the exchange) and REGRESSED ~25% at the 10×
+    // gate (warm median 2.9 s vs 2.2 s): Spark 4's WindowGroupLimit
+    // already prunes rank ≤ k per task BEFORE the window exchange — in
+    // codegen — so the aggregate only traded codegen for per-row
+    // interpreted update() calls. PlanAuditSpec pins WindowGroupLimit so
+    // the bounded-shuffle property this relies on cannot silently vanish.
+    import org.apache.spark.sql.expressions.Window
     tf.join(dfc, Seq("tok"))
       .crossJoin(broadcast(n))
       .withColumn("score",

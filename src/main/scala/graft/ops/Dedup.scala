@@ -694,13 +694,17 @@ object Dedup {
       jaccardCalibration(Tables.documents(s, dir))),
 
     // Incremental dedup: the increment (odd ids) screened against the
-    // reference snapshot (even ids) — see [[incrementalDedup]].
-    "q62_incr_dedup" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      incrementalDedup(
-        docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 =!= 0))
-    })
+    // reference snapshot (even ids) — see [[incrementalDedup]]. r21: the
+    // two sides are parity filters of ONE table and the side encoding is
+    // id·2 + side, which for the parity split is the single expression
+    // 2·doc_id + (doc_id % 2) — so the side-encoded frame comes from ONE
+    // scan instead of two full parquet decodes (guide §1.2 step 1, the
+    // q133 pattern; R21RestructureSpec pins equality to the two-frame
+    // form).
+    "q62_incr_dedup" -> ((s, dir) =>
+      incrementalDedupTagged(Tables.documents(s, dir)
+        .select((col("doc_id") * 2 + pmod(col("doc_id"), lit(2L)))
+          .as("doc_id"), col("text"))))
   )
 
   /** Duplicated-span coverage (the exact-substring-dedup signal): per
@@ -1170,16 +1174,28 @@ object Dedup {
     */
   def stripDupSpans(docs: DataFrame, w: Int = 16): DataFrame = {
     val live = docs.filter(col("text").isNotNull)
-    val grams = live
+    // r21 (guide §2.3/§2.4, the q69 restructure applied here): the old
+    // shape fed the un-materialized positional gram frame to TWO
+    // consumers (distinct → gdf and the join probe), so the corpus-scale
+    // tokenize + gram pipeline ran twice and distinct() paid its own
+    // (doc_id, g) exchange. One (g, doc_id) aggregate now collapses the
+    // positional stream once (positions ride as an in-group list); gdf is
+    // a count over that frame — one row per (g, doc), exactly what
+    // distinct() produced — and both its consumers share the SAME
+    // (g, doc_id) shuffle stage at runtime (AQE exchange reuse), so the
+    // gram pass runs once. Position-list order is irrelevant downstream:
+    // [[graft.functions.StripSpans]] sorts its positions before walking.
+    val ggd = live
       .select(col("doc_id"), posexplode(
         graft.functions.TextFunctions.hashedGrams(tokens, w)).as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("g"))
-    val shared = grams.select(col("doc_id"), col("g")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+      .groupBy(col("g"), col("doc_id"))
+      .agg(collect_list(col("pos")).as("ps0"))
+    val shared = ggd.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") >= 2)
       .select(col("g"))
-    val dupPos = grams.join(shared, "g")
-      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("ps"))
+    val dupPos = ggd.join(shared, "g")
+      .groupBy(col("doc_id")).agg(flatten(collect_list(col("ps0"))).as("ps"))
     live.join(dupPos, Seq("doc_id"), "left")
       .select(col("doc_id"),
         graft.functions.TextFunctions.stripSpans(tokens,
@@ -1359,10 +1375,23 @@ object Dedup {
     * ids must not collide across the two inputs.
     */
   def incrementalDedup(reference: DataFrame, increment: DataFrame,
-                       minJaccard: Double = 0.8): DataFrame = {
-    val tagged = reference
-      .select((col("doc_id") * 2).as("doc_id"), col("text"))
-      .unionByName(increment.select((col("doc_id") * 2 + 1).as("doc_id"), col("text")))
+                       minJaccard: Double = 0.8): DataFrame =
+    incrementalDedupTagged(
+      reference.select((col("doc_id") * 2).as("doc_id"), col("text"))
+        .unionByName(
+          increment.select((col("doc_id") * 2 + 1).as("doc_id"), col("text"))),
+      minJaccard)
+
+  /** [[incrementalDedup]] over a frame whose ids are ALREADY side-encoded
+    * (id·2 + side, side 1 = increment) — the q133/q86 one-scan pattern
+    * (r21): when reference and increment are row-level filters of the
+    * SAME table, the two-frame API above unions two full scans of it
+    * (parquet decodes the text column twice and filters half away each
+    * time); a caller that encodes the side in one projection feeds a
+    * single scan. Same id arithmetic, same pairs, same tie-break.
+    */
+  private[ops] def incrementalDedupTagged(tagged: DataFrame,
+      minJaccard: Double = 0.8): DataFrame = {
     val newSide = pmod(col("a"), lit(2L)) === 1L
     val cross = jaccardPairs(tagged, minJaccard)
       .filter(pmod(col("a"), lit(2L)) =!= pmod(col("b"), lit(2L)))

@@ -368,15 +368,24 @@ object Sampling {
     val tokenBuckets = firstBuckets(live
       .select(col("doc_id"), explode(Dedup.tokens).as("tok"))
       .groupBy(col("tok")).agg(min(col("doc_id")).as("first_id")))
-    val filtered = filter(Dedup.tokens, t => t =!= "")
+    // array_remove ≡ filter(_ =!= "") on a no-null token array, and it is
+    // codegen where the filter lambda was CodegenFallback (r21)
+    val filtered = array_remove(Dedup.tokens, "")
+    // r21: adjacent pairs via a position generator + two element_at
+    // lookups — explode and element_at are codegen, where the old
+    // zip_with(slice, slice) lambda was CodegenFallback and materialized
+    // a struct ARRAY per doc before exploding it (guide §1.2 step 2 /
+    // §4.1: prefer codegen-capable spellings). Same (w1, w2) string
+    // pairs, same min(doc_id) aggregation, bit-identical buckets.
     val bigramBuckets = firstBuckets(live
       .select(col("doc_id"), filtered.as("t"))
       .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(zip_with(
-        slice(col("t"), lit(1), size(col("t")) - 1),
-        slice(col("t"), lit(2), size(col("t")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .groupBy(col("p.w1"), col("p.w2"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+      .select(col("doc_id"),
+        element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+      .groupBy(col("w1"), col("w2"))
       .agg(min(col("doc_id")).as("first_id")))
     val docBuckets = live
       .select(col("doc_id")).crossJoin(broadcast(horizon))

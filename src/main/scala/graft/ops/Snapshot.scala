@@ -60,13 +60,23 @@ object Snapshot {
     * on the ROUNDED contribution then token, so the cut is deterministic
     * and engine-independent.
     */
-  def tokenDrift(a: DataFrame, b: DataFrame, k: Int = 50): DataFrame = {
-    def toks(df: DataFrame, inA: Boolean) = df
+  def tokenDrift(a: DataFrame, b: DataFrame, k: Int = 50): DataFrame =
+    tokenDriftTagged(
+      a.select(lit(true).as("in_a"), col("text"))
+        .unionByName(b.select(lit(false).as("in_a"), col("text"))), k)
+
+  /** [[tokenDrift]] over ONE pre-tagged frame (in_a, text) — the q133
+    * pattern (r21): when the two "snapshots" are row-level filters of the
+    * SAME table, the two-frame API above unions two separate
+    * scan+tokenize pipelines; a caller that tags rows in place feeds a
+    * single corpus scan instead. Same counts, same smoothing, same
+    * top-k order.
+    */
+  private[ops] def tokenDriftTagged(tagged: DataFrame, k: Int = 50): DataFrame = {
+    val counts = tagged
       .filter(col("text").isNotNull)
-      .select(lit(inA).as("in_a"),
-        explode(TextAnalysis.words).as("tok"))
+      .select(col("in_a"), explode(TextAnalysis.words).as("tok"))
       .filter(col("tok") =!= "")
-    val counts = toks(a, inA = true).unionByName(toks(b, inA = false))
       .groupBy(col("tok")).agg(
         sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
@@ -109,10 +119,24 @@ object Snapshot {
     * 3-part key + two longs, never tokens); every downstream frame is
     * catalog-bounded and joins by broadcast.
     */
-  def qualityDrift(a: DataFrame, b: DataFrame): DataFrame = {
-    def scored(df: DataFrame, snapA: Boolean) = df
+  def qualityDrift(a: DataFrame, b: DataFrame): DataFrame =
+    qualityDriftTagged(
+      a.select(col("source"), lit(true).as("snap_a"), col("text"))
+        .unionByName(
+          b.select(col("source"), lit(false).as("snap_a"), col("text"))))
+
+  /** [[qualityDrift]] over ONE pre-tagged frame (source, snap_a, text).
+    * Exists so a caller whose two "snapshots" are row-level filters of
+    * the SAME table (q133: the md5 halves) can feed a single corpus scan
+    * instead of a union of two scans — the two-frame API above unions
+    * two separate scan+tokenize pipelines, which doubles the read for
+    * that caller (r21, guide §1.2 step 1: don't pass the data twice when
+    * once suffices). Same arithmetic, same rows, bit-identical output.
+    */
+  private[ops] def qualityDriftTagged(tagged: DataFrame): DataFrame = {
+    val scored = tagged
       .filter(col("text").isNotNull)
-      .select(col("source"), lit(snapA).as("snap_a"),
+      .select(col("source"), col("snap_a"),
         size(Dedup.tokens).cast("long").as("n_words"),
         size(array_distinct(Dedup.tokens)).cast("long").as("n_uniq"))
       .filter(col("n_words") > 0)
@@ -120,7 +144,7 @@ object Snapshot {
         expr("(1000000 * n_uniq) div n_words").as("ppm"),
         least(expr("(10 * n_uniq) div n_words"), lit(9L)).as("bucket"))
     val cells = Materialize(
-      scored(a, snapA = true).unionByName(scored(b, snapA = false))
+      scored
         .groupBy(col("source"), col("snap_a"), col("bucket"))
         .agg(count(lit(1)).as("c"), sum(col("ppm")).as("sp")))
     val sides = cells.groupBy(col("source"), col("snap_a"))
@@ -175,8 +199,10 @@ object Snapshot {
     // "snapshots" both engines can reconstruct exactly.
     "q86_token_drift" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      tokenDrift(docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 =!= 0))
+      // r21: parity halves are row filters of ONE table — tag in place and
+      // feed the one-scan form (guide §1.2 step 1, the q133 pattern)
+      tokenDriftTagged(docs.select(
+        (col("doc_id") % 2 === 0).as("in_a"), col("text")))
     }),
 
     // Per-source quality drift between md5-split snapshot halves — see
@@ -197,13 +223,19 @@ object Snapshot {
       val docs = Tables.documents(s, dir)
       val half = pmod(
         TextAnalysis.md5Prefix(col("doc_id").cast("string")), lit(2L))
-      val a = docs.filter(half === 0)
-      val b = docs.filter(half =!= 0)
-        .withColumn("text",
-          when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit(" x x x x x x x x")))
-            .otherwise(col("text")))
-      qualityDrift(a, b)
+      // r21: the two "snapshots" are row-level filters of ONE table, so
+      // tag rows in place and feed the one-scan form — the two-frame
+      // qualityDrift unioned two separate scan+tokenize pipelines over
+      // the same parquet (guide §1.2 step 1). Rows, plant arithmetic and
+      // NULL-text behavior are unchanged: half==0 rows keep their text
+      // (the edit guard includes the half test), and concat(NULL) stays
+      // NULL exactly as before.
+      qualityDriftTagged(docs.select(
+        col("source"),
+        (half === 0).as("snap_a"),
+        when(half =!= 0 && col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" x x x x x x x x")))
+          .otherwise(col("text")).as("text")))
     }))
 
   def oracles: Map[String, String] = Map(
