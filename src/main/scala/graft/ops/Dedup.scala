@@ -736,10 +736,16 @@ object Dedup {
     // SAME doc-keyed aggregate through a left join flag — one gram pass
     // saved outright, and the final per-doc rollup is one aggregate
     // instead of two plus a join.
-    val ggd = docs.filter(col("text").isNotNull)
+    //
+    // MATERIALIZED because relying on AQE stage reuse between the two ggd
+    // consumers does not work (measured r21, Q70PlanCheck): column
+    // pruning strips `cnt` out of the gdf branch, the two aggregate
+    // subtrees stop being canonically identical, and each consumer
+    // replays the gram pipeline — the checkpoint pins it to one pass.
+    val ggd = Materialize(docs.filter(col("text").isNotNull)
       .select(col("doc_id"), explode(
         graft.functions.TextFunctions.hashedGrams(tokens, w)).as("g"))
-      .groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("cnt")))
     val shared = ggd.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") >= 2)
       .select(col("g"), lit(1L).as("sh"))
@@ -1181,16 +1187,19 @@ object Dedup {
     // (doc_id, g) exchange. One (g, doc_id) aggregate now collapses the
     // positional stream once (positions ride as an in-group list); gdf is
     // a count over that frame — one row per (g, doc), exactly what
-    // distinct() produced — and both its consumers share the SAME
-    // (g, doc_id) shuffle stage at runtime (AQE exchange reuse), so the
-    // gram pass runs once. Position-list order is irrelevant downstream:
-    // [[graft.functions.StripSpans]] sorts its positions before walking.
-    val ggd = live
+    // distinct() produced. MATERIALIZED: AQE stage reuse between the two
+    // consumers does NOT fire (measured r21, Q70PlanCheck — column
+    // pruning strips the position list out of the gdf branch, so the two
+    // aggregate subtrees stop being canonically identical and each
+    // consumer replays the gram pipeline); the checkpoint pins the gram
+    // pass to one evaluation. Position-list order is irrelevant
+    // downstream: [[graft.functions.StripSpans]] sorts before walking.
+    val ggd = Materialize(live
       .select(col("doc_id"), posexplode(
         graft.functions.TextFunctions.hashedGrams(tokens, w)).as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("g"))
       .groupBy(col("g"), col("doc_id"))
-      .agg(collect_list(col("pos")).as("ps0"))
+      .agg(collect_list(col("pos")).as("ps0")))
     val shared = ggd.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") >= 2)
       .select(col("g"))
@@ -1874,9 +1883,12 @@ object Dedup {
          |FROM tot t LEFT JOIN dup ON t.source = dup.source""".stripMargin,
 
     // Q33BaseSql's gram space verbatim (strings where Spark shuffles
-    // xxhash64 renames — df counts identical), digit buckets via the
-    // decimal rendering (the q139 convention), BIGINT casts for the
-    // hugeint-to-float64 render trap.
+    // xxhash64 renames — df counts identical modulo negligible 64-bit
+    // collisions; unlike q33, a collision here would shift n_grams /
+    // a digit bucket directly rather than just perturbing a candidate
+    // set — the gramsOf caveat applies, accepted as the same risk
+    // class), digit buckets via the decimal rendering (the q139
+    // convention), BIGINT casts for the hugeint-to-float64 render trap.
     "q141_gram_df_spectrum" ->
       raw"""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

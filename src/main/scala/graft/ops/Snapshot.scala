@@ -73,13 +73,17 @@ object Snapshot {
     * top-k order.
     */
   private[ops] def tokenDriftTagged(tagged: DataFrame, k: Int = 50): DataFrame = {
-    val counts = tagged
+    // counts feeds BOTH the totals aggregate and the scored output —
+    // materialized so the corpus-scale explode runs once (r21; the same
+    // two-consumer replay q69/q70 fixed — AQE stage reuse cannot be
+    // relied on across differently-pruned consumers)
+    val counts = Materialize(tagged
       .filter(col("text").isNotNull)
       .select(col("in_a"), explode(TextAnalysis.words).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("tok")).agg(
         sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
-        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b")))
     val totals = counts.agg(
       sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"),
       count(lit(1)).as("v"))

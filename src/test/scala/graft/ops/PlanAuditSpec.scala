@@ -25,6 +25,19 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** [[planString]] with [[Materialize]] in passthrough mode, so guards
+    * that audit the PRE-checkpoint part of a pipeline (the gram-space
+    * aggregates q69/q70 hide behind their r21 checkpoint) see the whole
+    * plan instead of a `Scan ExistingRDD` stub. Only for queries whose
+    * construction runs no loop of actions (NOT the q45/q128/q132 family —
+    * passthrough would replay their iterations uncheckpointed).
+    */
+  private def fullPlanString(q: String): String = {
+    spark.conf.set(Materialize.PassthroughFlag, "true")
+    try planString(q)
+    finally spark.conf.unset(Materialize.PassthroughFlag)
+  }
+
   /** No document body may cross a shuffle: neither the raw `text` column
     * nor any string-array column (a tokenize/gram recomputation pushed
     * past the exchange is the same corpus-scale payload under another
@@ -516,12 +529,14 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q69: long-keyed hash aggs all partial; no posting list, no cross join") {
-    val p = planString("q69_dup_spans")
+    // full pipeline (r21: the (g, doc_id) aggregate is checkpointed —
+    // passthrough shows the gram-space part the guard exists to audit)
+    val p = fullPlanString("q69_dup_spans")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // distinct + gdf + perDoc + dup aggregations, each with a map-side
-    // partial pass — the operator's whole 100 TB story is that only
-    // COUNTS aggregate over the gram space, never collected doc ids
+    // (g, doc_id) collapse + gdf + the fused per-doc rollup, each with a
+    // map-side partial pass — the operator's whole 100 TB story is that
+    // only COUNTS aggregate over the gram space, never collected doc ids
     assert("HashAggregate".r.findAllIn(p).size >= 6, p)
     assert(!p.contains("collect_list") && !p.contains("collect_set"), p)
   }
