@@ -1180,31 +1180,28 @@ object Dedup {
     */
   def stripDupSpans(docs: DataFrame, w: Int = 16): DataFrame = {
     val live = docs.filter(col("text").isNotNull)
-    // r21 (guide §2.3/§2.4, the q69 restructure applied here): the old
-    // shape fed the un-materialized positional gram frame to TWO
-    // consumers (distinct → gdf and the join probe), so the corpus-scale
-    // tokenize + gram pipeline ran twice and distinct() paid its own
-    // (doc_id, g) exchange. One (g, doc_id) aggregate now collapses the
-    // positional stream once (positions ride as an in-group list); gdf is
-    // a count over that frame — one row per (g, doc), exactly what
-    // distinct() produced. MATERIALIZED: AQE stage reuse between the two
-    // consumers does NOT fire (measured r21, Q70PlanCheck — column
-    // pruning strips the position list out of the gdf branch, so the two
-    // aggregate subtrees stop being canonically identical and each
-    // consumer replays the gram pipeline); the checkpoint pins the gram
-    // pass to one evaluation. Position-list order is irrelevant
-    // downstream: [[graft.functions.StripSpans]] sorts before walking.
-    val ggd = Materialize(live
+    // r21 MEASURED DEAD END, kept as the two-pass shape deliberately: a
+    // one-gram-pass restructure (checkpointed (g, doc_id) aggregate with
+    // in-group position lists, the q69 move) verified oracle-identical
+    // but read 3.5–6.1 s across SIX in-bench executions vs 3.1 s for this
+    // shape — the bench runs every query COLD, and the richer plan
+    // (ObjectHashAggregate + checkpoint + flatten) costs more in
+    // whole-stage-codegen compilation (jit +2.8 s on its first run) than
+    // the second gram pass it saves; the positional frame is far too
+    // small at gate scale (~2M rows) for the saved pass to matter. q69
+    // KEEPS its checkpointed one-pass shape because its payload is
+    // counts-only (no list building) and it measured faster both warm
+    // and in-bench.
+    val grams = live
       .select(col("doc_id"), posexplode(
         graft.functions.TextFunctions.hashedGrams(tokens, w)).as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("g"))
-      .groupBy(col("g"), col("doc_id"))
-      .agg(collect_list(col("pos")).as("ps0")))
-    val shared = ggd.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val shared = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") >= 2)
       .select(col("g"))
-    val dupPos = ggd.join(shared, "g")
-      .groupBy(col("doc_id")).agg(flatten(collect_list(col("ps0"))).as("ps"))
+    val dupPos = grams.join(shared, "g")
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("ps"))
     live.join(dupPos, Seq("doc_id"), "left")
       .select(col("doc_id"),
         graft.functions.TextFunctions.stripSpans(tokens,

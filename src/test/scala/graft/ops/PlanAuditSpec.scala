@@ -548,11 +548,9 @@ class PlanAuditSpec extends SparkSpec {
     // the cut itself is the codegen expression, not a HOF filter
     assert(p.contains("strip_spans"), p)
     assert(!p.contains("ArrayFilter") && !p.contains("ArrayExists"), p)
-    // two bounded collect_lists (r21 one-gram-pass shape): per-(gram, doc)
-    // positions (bounded by within-doc repeats of one gram) and the
-    // per-doc flatten of those lists (bounded by the doc's own token
-    // count) — each appears once partial + once final
-    assert("collect_list".r.findAllIn(p).size <= 4, p)
+    // the only collect_list is the per-doc position list (bounded by the
+    // doc's own token count)
+    assert("collect_list".r.findAllIn(p).size <= 2, p)
   }
 
   test("q56: both shuffles ride the same key families; aggs are partial") {

@@ -136,50 +136,4 @@ class R21RestructureSpec extends SparkSpec {
     assert(refRows.nonEmpty, "fixture must actually produce cross-side pairs")
   }
 
-  test("q70 stripDupSpans one-gram-pass ≡ distinct + positional-join spelling") {
-    val s = spark
-    import s.implicits._
-    // planted cross-doc spans: docs 0/1 share a 20-token run, docs 2/3 a
-    // 16-token run at different offsets; plus fuzz docs and a NULL
-    val shared1 = (0 until 20).map(i => s"s$i").mkString(" ")
-    val shared2 = (0 until 16).map(i => s"z$i").mkString(" ")
-    val rnd = new scala.util.Random(43)
-    def noise(k: Int) = (0 until k).map(_ => s"n${rnd.nextInt(50)}").mkString(" ")
-    val docs = Seq(
-      (0L, s"${noise(6)} $shared1 ${noise(4)}"),
-      (1L, s"$shared1 ${noise(9)}"),
-      (2L, s"${noise(3)} $shared2"),
-      (3L, s"$shared2 ${noise(2)} $shared2"),
-      (4L, noise(30)), (5L, noise(8)), (6L, ""),
-      (7L, null.asInstanceOf[String]))
-    val dir = docsDir(docs)
-    val d = graft.Tables.documents(spark, dir)
-    val got = Dedup.stripDupSpans(d)
-    // the exact pre-r21 spelling
-    val w = 16
-    val live = d.filter(col("text").isNotNull)
-    val tokens = split(trim(col("text")), "\\s+")
-    val grams = live
-      .select(col("doc_id"), posexplode(
-        graft.functions.TextFunctions.hashedGrams(tokens, w)).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("g"))
-    val shared = grams.select(col("doc_id"), col("g")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-      .filter(col("gdf") >= 2)
-      .select(col("g"))
-    val dupPos = grams.join(shared, "g")
-      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("ps"))
-    val ref = live.join(dupPos, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.stripSpans(tokens,
-          coalesce(col("ps"), array().cast("array<long>")), w).as("st"))
-      .select(col("doc_id"),
-        col("st.n_tok").as("n_tok"),
-        col("st.n_kept").as("n_kept"),
-        col("st.text_clean").as("text_clean"))
-    assert(rowsOf(got) === rowsOf(ref))
-    // the plant actually fired: doc 1 lost its shared prefix
-    val r1 = got.filter(col("doc_id") === 1L).collect().head
-    assert(r1.getAs[Long]("n_kept") < r1.getAs[Long]("n_tok"))
-  }
 }
