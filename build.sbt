@@ -4,7 +4,7 @@ ThisBuild / scalaVersion := "2.13.17"
 // -Dgraft.version; CHANGELOG.md documents each release. Never hard-code
 // it anywhere else — MainSpec/PackagedJarSpec assert the three surfaces
 // agree.
-ThisBuild / version := "0.20.0"
+ThisBuild / version := "0.21.0"
 name := "hbasepacketinspectorspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
