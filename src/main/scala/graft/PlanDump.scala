@@ -14,14 +14,18 @@ object PlanDump {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse("plans/r21")
     val tag = args.lift(2).getOrElse("before")
-    val qs = args.lift(3).map(_.split(',').toSeq)
+    val qs = args.lift(3).filter(_ != "all").map(_.split(',').toSeq)
       .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+    // passthrough (arg 5, default true): dump the WHOLE pipeline instead
+    // of ExistingRDD stubs at Materialize boundaries. Turn OFF for
+    // queries whose CONSTRUCTION runs a loop of actions (q45/q128/q132's
+    // connected components, q63's model count) — passthrough would
+    // replay their iterations uncheckpointed.
+    val passthrough = args.lift(4).forall(_.toBoolean)
     val spark = Sessions.tune(SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      // plan evidence wants the WHOLE pipeline, not ExistingRDD stubs at
-      // every Materialize boundary (never set outside this dev main)
-      .config(graft.ops.Materialize.PassthroughFlag, "true")
+      .config(graft.ops.Materialize.PassthroughFlag, passthrough.toString)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
