@@ -384,6 +384,8 @@ object Bench {
       else b0)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // graded run: the PlanDump-only checkpoint-passthrough flag must be off
+    ops.Materialize.assertNotPassthrough(spark, "Bench")
     quietRddWarnings()
 
     // Scale resolution (round-13 verdict item #1): the official gate

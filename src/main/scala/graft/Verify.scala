@@ -13,6 +13,8 @@ object Verify {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // graded run: the PlanDump-only checkpoint-passthrough flag must be off
+    ops.Materialize.assertNotPassthrough(spark, "Verify")
     Bench.quietRddWarnings() // the per-query sweep's unpersist warnings
     new java.io.File(outDir).mkdirs()
     // the q20-q24 oracle SQL references expected_* parquet fixtures in

@@ -490,7 +490,12 @@ object SimhashBits {
     var i = 0
     while (i < n) {
       val t = toks.getUTF8String(i)
-      if (seen.add(t)) {
+      // NULL elements are skipped instead of NPE-ing (r21 advice:
+      // inputTypes admits containsNull=true arrays, so a future caller
+      // could pass one — Dedup.tokens, the only caller today, is split()
+      // output and never produces a null element, so results are
+      // unchanged)
+      if (t != null && seen.add(t)) {
         val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
         var j = 0
         while (j < 64) {
@@ -532,10 +537,16 @@ case class MinhashSig(child: Expression, perms: Seq[Long], p: Long)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
+  // hoisted once per expression instance: nullSafeEval runs per ROW on
+  // interpreted/fallback paths, and perms.toArray there allocated a fresh
+  // array per document (r21 advice; the codegen path already hoists via
+  // addReferenceObj)
+  @transient private lazy val permsArr: Array[Long] = perms.toArray
+
   override def nullSafeEval(input: Any): Any =
     MinhashSig.compute(
       input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      perms.toArray, p)
+      permsArr, p)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val permsRef = ctx.addReferenceObj("perms", perms.toArray, "long[]")

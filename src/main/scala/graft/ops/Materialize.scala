@@ -42,6 +42,19 @@ private[graft] object Materialize {
   private val preCheckpoint = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]())
 
+  /** Fail fast when the dev-only passthrough flag is set in a session
+    * that produces graded artifacts (r21 advice): with every checkpoint
+    * silently disabled, iterative constructions (q45/q128/q132) would
+    * replay uncheckpointed and results/timings would be wrong without a
+    * trace. Bench and Verify call this right after session creation.
+    */
+  def assertNotPassthrough(spark: org.apache.spark.sql.SparkSession,
+                           who: String): Unit =
+    require(!spark.conf.getOption(PassthroughFlag).exists(_.toBoolean),
+      s"$PassthroughFlag is set in a $who session: the flag is PlanDump-" +
+        "only dev tooling (it disables every checkpoint) and must never " +
+        "be active for graded runs")
+
   def apply(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.getOption(PassthroughFlag).exists(_.toBoolean)) df
     else if (df.sparkSession.conf.getOption(ReliableFlag).exists(_.toBoolean)) {

@@ -169,6 +169,18 @@ class TextFunctionsSpec extends SparkSpec {
     ref.foreach { case (id, sh) => assert(fused(id) === sh, s"doc $id") }
   }
 
+  test("SimhashBits skips NULL array elements instead of NPE-ing (r22)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq[String]("a", null, "b")), (2L, Seq[String]("a", "b")))
+      .toDF("doc_id", "toks")
+    // containsNull=true input: the null element must be ignored, so rows
+    // 1 and 2 hash identically
+    val got = df.select(col("doc_id"), SimhashBits(col("toks")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === got(2L))
+  }
+
   test("MinhashSig ≡ explode(array_distinct) + pmod + 16 min aggregates") {
     val s = spark
     import s.implicits._
