@@ -453,13 +453,19 @@ object Dedup {
     // replica stride), so the operator reads real structure there on
     // top of the plant.
     "q139_dup_spread" -> ((s, dir) => {
+      // r22 (the q62 one-scan lesson): the union's echo branch re-decoded
+      // the whole text column (a % predicate cannot prune parquet row
+      // groups), so the plant ran the scan twice. One scan now emits each
+      // row's id list — the base id, plus the echo id on planted rows —
+      // and explodes it; the (doc_id, text) multiset is unchanged
+      // (R22RestructureSpec pins it against the union spelling).
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val copies = docs
-        .filter(col("text").isNotNull && col("doc_id") % 41 === 0)
-        .select((col("doc_id") +
-          pow(lit(10.0), (col("doc_id") % 6 + 1).cast("double"))
-            .cast("long")).as("doc_id"), col("text"))
-      dupSpread(docs.unionByName(copies))
+      val echoId = col("doc_id") +
+        pow(lit(10.0), (col("doc_id") % 6 + 1).cast("double")).cast("long")
+      dupSpread(docs.select(explode(
+        when(col("text").isNotNull && col("doc_id") % 41 === 0,
+          array(col("doc_id"), echoId))
+          .otherwise(array(col("doc_id")))).as("doc_id"), col("text")))
     }),
 
     // MinHash + LSH near-dup pairs.
@@ -593,13 +599,18 @@ object Dedup {
     // ~1/37 corpus fraction derived post-replication, so it survives
     // ScaleCorpus and any SF unchanged in shape.
     "q115_source_dup_matrix" -> ((s, dir) => {
+      // r22 (the q62 one-scan lesson): the two planted branches each
+      // re-decoded the full text column behind an unpushable % filter —
+      // three corpus scans for one plant. One scan now explodes each
+      // row's source list (base source; planted rows add 'mirror' and
+      // the rotated source); the (text, source) multiset is unchanged
+      // (R22RestructureSpec pins it against the union spelling).
       val docs = Tables.documents(s, dir)
-      val planted = docs.filter(col("doc_id") % 37 === 0)
-      sourceDupMatrix(docs.select(col("text"), col("source"))
-        .unionByName(planted.select(col("text"), lit("mirror").as("source")))
-        .unionByName(planted.select(col("text"),
-          concat(lit("src"), (expr("doc_id div 37") % 20).cast("string"))
-            .as("source"))))
+      sourceDupMatrix(docs.select(col("text"), explode(
+        when(col("doc_id") % 37 === 0,
+          array(col("source"), lit("mirror"),
+            concat(lit("src"), (expr("doc_id div 37") % 20).cast("string"))))
+          .otherwise(array(col("source")))).as("source")))
     }),
 
     // The q46 assignment audited against a re-crawl echo: every
@@ -609,10 +620,14 @@ object Dedup {
     // exact-dup-free at the gate scales, and a vacuous oracle gates
     // nothing). See [[splitLeakage]].
     "q123_split_leakage" -> ((s, dir) => {
+      // r22: one scan, not two — the echo branch's % filter cannot prune
+      // parquet row groups, so the union re-decoded every text. Same
+      // (doc_id, text) multiset (R22RestructureSpec).
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      splitLeakage(docs.unionByName(
-        docs.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))))
+      splitLeakage(docs.select(explode(
+        when(col("doc_id") % 7 === 0,
+          array(col("doc_id"), col("doc_id") + 10000000L))
+          .otherwise(array(col("doc_id")))).as("doc_id"), col("text")))
     }),
 
     // The APPLIED form of q128: the per-document substitution table a
@@ -649,10 +664,14 @@ object Dedup {
     // nothing), so the echo keeps every checkpoint's dup arithmetic
     // non-vacuous. See [[dupGrowth]].
     "q124_dup_growth" -> ((s, dir) => {
+      // r22: one scan, not two (the q115/q123/q139 one-scan pattern) —
+      // every row emits its even id, echo rows add the odd id. Same
+      // (doc_id, text) multiset (R22RestructureSpec).
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      dupGrowth(docs.select((col("doc_id") * 2).as("doc_id"), col("text"))
-        .unionByName(docs.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") * 2 + 1).as("doc_id"), col("text"))))
+      dupGrowth(docs.select(explode(
+        when(col("doc_id") % 7 === 0,
+          array(col("doc_id") * 2, col("doc_id") * 2 + 1))
+          .otherwise(array(col("doc_id") * 2))).as("doc_id"), col("text")))
     }),
 
     // Duplicate-cluster-size histogram: per exact-copy multiplicity k,

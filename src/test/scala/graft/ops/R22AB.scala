@@ -182,6 +182,42 @@ object R22AB {
           .as("pii_per_ktok"))
   }
 
+  /** Pre-r22 plant-union spellings (verbatim from commit 2e59c7b) for
+    * the q115/q123/q124/q139 one-scan A/Bs. */
+  private def q115r21(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val planted = docs.filter(col("doc_id") % 37 === 0)
+    Dedup.sourceDupMatrix(docs.select(col("text"), col("source"))
+      .unionByName(planted.select(col("text"), lit("mirror").as("source")))
+      .unionByName(planted.select(col("text"),
+        concat(lit("src"), (expr("doc_id div 37") % 20).cast("string"))
+          .as("source"))))
+  }
+
+  private def q123r21(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    Dedup.splitLeakage(docs.unionByName(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))))
+  }
+
+  private def q124r21(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    Dedup.dupGrowth(docs.select((col("doc_id") * 2).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") * 2 + 1).as("doc_id"), col("text"))))
+  }
+
+  private def q139r21(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val copies = docs
+      .filter(col("text").isNotNull && col("doc_id") % 41 === 0)
+      .select((col("doc_id") +
+        pow(lit(10.0), (col("doc_id") % 6 + 1).cast("double"))
+          .cast("long")).as("doc_id"), col("text"))
+    Dedup.dupSpread(docs.unionByName(copies))
+  }
+
   private def cur(q: String)(s: SparkSession, dir: String): DataFrame =
     SparkEntry.queries(q)(s, dir)
 
@@ -198,7 +234,15 @@ object R22AB {
     "q39_cur" -> cur("q39_token_count") _,
     "q39_r20" -> (q39r20 _),
     "q103_cur" -> cur("q103_pii_profile") _,
-    "q103_r20" -> (q103r20 _))
+    "q103_r20" -> (q103r20 _),
+    "q115_cur" -> cur("q115_source_dup_matrix") _,
+    "q115_r21" -> (q115r21 _),
+    "q123_cur" -> cur("q123_split_leakage") _,
+    "q123_r21" -> (q123r21 _),
+    "q124_cur" -> cur("q124_dup_growth") _,
+    "q124_r21" -> (q124r21 _),
+    "q139_cur" -> cur("q139_dup_spread") _,
+    "q139_r21" -> (q139r21 _))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft_sf1d")

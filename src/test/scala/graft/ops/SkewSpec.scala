@@ -199,6 +199,35 @@ class SkewSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("q135: a mega-source's rank window reads its VOCABULARY, not its corpus (r20 watch-item)") {
+    // the per-source rank window in zipfSlope runs over sourceTokenCounts
+    // — the (source, token) partial agg collapses the corpus to one row
+    // per distinct token per source BEFORE the window exchange, so a
+    // source owning 90% of the docs feeds its window task vocab-many
+    // rows, not token-many. This is the evidence leg the r20/r21
+    // verdicts scheduled instead of a block-rank rework (which would
+    // risk the Σ round(1000·ln rank) integer-sum oracle identity).
+    val n = 600
+    val vocab = 12 // closed vocabulary: the mega-source's window input
+    def text(i: Int) = (0 until 20).map(j => s"v${(i + j) % vocab}").mkString(" ")
+    val uniform = docsDirSrc((0 until n).map(i =>
+      (i.toLong, text(i), s"s${i % 6}")))
+    val mega = docsDirSrc((0 until n).map(i =>
+      (i.toLong, text(i), if (i % 10 != 0) "mega" else s"s${i % 6}")))
+    val (uMax, uTot) = shuffleReadProfile(
+      graft.SparkEntry.queries("q135_zipf_slope")(spark, uniform))
+    val (mMax, mTot) = shuffleReadProfile(
+      graft.SparkEntry.queries("q135_zipf_slope")(spark, mega))
+    assert(uTot > 0 && mTot > 0) // non-vacuity: the plans do shuffle
+    // 540 of 600 docs (10,800 tokens) sit in 'mega', but its window task
+    // reads at most its vocab rows (12) plus the partial-agg fan-in —
+    // far under the token count; bound it by a constant independent of n
+    assert(mMax <= 3 * math.max(uMax, 100),
+      s"mega-source corpus max task read $mMax vs uniform $uMax")
+    assert(mMax < 600, // and absolutely: vocab-scale, never doc/token-scale
+      s"mega-source window task read $mMax rows — corpus-scale, not vocab-scale")
+  }
+
   test("q61: a token in half the corpus rides the bounded sketch, not raw postings") {
     val n = 200
     val uniform = docsDir((0 until n).map(i =>
